@@ -1,0 +1,176 @@
+package graft.config
+
+/** Config model: the engine's "query language".
+  *
+  * Mirrors the capability surface of the reference's attrs-based config
+  * (reference: src/polars_pipe/core/config.py:15-71 `GeneralConfig`,
+  * src/polars_pipe/core/transform.py:26-48 `TransformConfig`) re-expressed as
+  * Scala case classes. Stage parameter containers default to empty, which
+  * means "stage skipped" — the same uniform no-op convention the reference
+  * uses (transform.py:136-138).
+  *
+  * Ordered `Seq[(K, V)]` is used instead of `Map` wherever the reference
+  * relies on insertion order (Python dicts are ordered; column-creation
+  * order is observable in the output schema).
+  */
+
+/** One validation / filter rule: `[col, op, value]` with a display name.
+  * Reference: core/validation.py:89-116 (`parse_validation_config`). */
+final case class RuleSpec(name: String, col: String, op: String, value: Option[Any] = None)
+
+object RuleSpec {
+  /** name -> [col, op] (nullary op, e.g. is_not_null). */
+  def apply(name: String, col: String, op: String): RuleSpec = RuleSpec(name, col, op, None)
+}
+
+/** One derived column: registry function name + kwargs.
+  * Reference: core/transform.py:287-293 (`{"fn_name": ..., "fn_kwargs": ...}`). */
+final case class DeriveSpec(fnName: String, kwargs: Map[String, Any] = Map.empty)
+
+/** Per-stage parameters for the transformation chain.
+  * Reference: core/transform.py:26-48. Empty container == stage skipped. */
+final case class TransformConfig(
+    dropCols: Seq[String] = Nil,
+    renameMap: Seq[(String, String)] = Nil,
+    recastMap: Seq[(String, String)] = Nil,
+    fillMap: Seq[(String, Any)] = Nil,
+    clipMap: Seq[(String, (Any, Any))] = Nil,
+    filterRules: Seq[RuleSpec] = Nil,
+    newColMap: Seq[(String, DeriveSpec)] = Nil,
+    dedupeCols: Seq[String] = Nil,
+    unnestCols: Seq[String] = Nil,
+    nestCols: Seq[(String, Seq[String])] = Nil
+)
+
+/** Top-level pipeline config.
+  * Reference: core/config.py:15-71. `guid`/`dateTime` are stamped by the
+  * pipeline at run time (basic_pipeline.py:20-22), not user-supplied.
+  * `pipelinePlan` is filled post-hoc with the optimized-plan text
+  * (basic_pipeline.py:79). */
+final case class GeneralConfig(
+    processName: String,
+    srcPath: String,
+    dstRoot: String,
+    srcFileType: String = "parquet",
+    dstFileType: String = "parquet",
+    validation: Seq[RuleSpec] = Nil,
+    transformations: TransformConfig = TransformConfig(),
+    customTransformations: Seq[(String, Map[String, Any])] = Nil,
+    selectCols: Seq[String] = Seq("*"),
+    transformedDataDir: String = "transformed_data",
+    errorRecordsDir: String = "error_records",
+    configDir: String = "config",
+    descStatsDir: String = "desc_stats",
+    guid: String = "",
+    dateTime: String = "",
+    pipelinePlan: Seq[String] = Nil
+) {
+  require(
+    FileType.all.contains(srcFileType.toLowerCase) && FileType.all.contains(dstFileType.toLowerCase),
+    s"file types must be one of ${FileType.all.mkString(",")}"
+  )
+}
+
+/** Supported source/sink formats (reference: adapters/io_funcs.py:23-35 +
+  * the FileType enum in core/config.py). */
+object FileType {
+  val Parquet = "parquet"
+  val Csv = "csv"
+  val Json = "json"
+  val Yaml = "yaml"
+  val all: Set[String] = Set(Parquet, Csv, Json, Yaml)
+}
+
+/** Minimal YAML emitter for the config artifact sink (S25). The reference
+  * dumps the full config dict via yaml.safe_dump (adapters/io_funcs.py:37-40);
+  * we hand-roll the emit (no YAML lib in the dependency budget). */
+object YamlEmit {
+  private def scalar(v: Any): String = v match {
+    case null => "null"
+    case s: String =>
+      val needsQuote = s.isEmpty || s.trim != s ||
+        s.exists(c => ":#{}[],\"'\n".contains(c)) ||
+        "-?&*!|>%@".contains(s.head)
+      if (needsQuote)
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+      else s
+    case b: Boolean => b.toString
+    case n: Number => n.toString
+    case other => scalar(other.toString)
+  }
+
+  def emit(value: Any, indent: Int = 0): String = {
+    val pad = "  " * indent
+    value match {
+      case m: Map[_, _] if m.isEmpty => pad + "{}"
+      case m: Map[_, _] =>
+        m.map { case (k, v) =>
+          v match {
+            case _: Map[_, _] | _: Seq[_] if nonEmptyColl(v) =>
+              s"$pad${scalar(k)}:\n${emit(v, indent + 1)}"
+            case _ => s"$pad${scalar(k)}: ${inline(v)}"
+          }
+        }.mkString("\n")
+      case s: Seq[_] if s.isEmpty => pad + "[]"
+      case s: Seq[_] =>
+        s.map {
+          case v @ (_: Map[_, _] | _: Seq[_]) if nonEmptyColl(v) =>
+            s"$pad-\n${emit(v, indent + 1)}"
+          case v => s"$pad- ${inline(v)}"
+        }.mkString("\n")
+      case other => pad + scalar(other)
+    }
+  }
+
+  private def nonEmptyColl(v: Any): Boolean = v match {
+    case m: Map[_, _] => m.nonEmpty
+    case s: Seq[_] => s.nonEmpty
+    case _ => false
+  }
+
+  private def inline(v: Any): String = v match {
+    case m: Map[_, _] if m.isEmpty => "{}"
+    case s: Seq[_] if s.isEmpty => "[]"
+    case other => scalar(other)
+  }
+
+  /** GeneralConfig -> ordered YAML-able map (mirrors config.py field order). */
+  def configToMap(cfg: GeneralConfig): Map[String, Any] = {
+    // LinkedHashMap-like ordering via ListMap
+    scala.collection.immutable.ListMap(
+      "guid" -> cfg.guid,
+      "date_time" -> cfg.dateTime,
+      "process_name" -> cfg.processName,
+      "src_path" -> cfg.srcPath,
+      "dst_root" -> cfg.dstRoot,
+      "src_file_type" -> cfg.srcFileType.toUpperCase,
+      "dst_file_type" -> cfg.dstFileType.toUpperCase,
+      "validation" -> cfg.validation.map(r =>
+        scala.collection.immutable.ListMap(
+          r.name -> (Seq(r.col, r.op) ++ r.value.map(_.toString).toSeq))),
+      "transformations" -> transformToMap(cfg.transformations),
+      "select_cols" -> cfg.selectCols,
+      "transformed_data" -> cfg.transformedDataDir,
+      "error_records" -> cfg.errorRecordsDir,
+      "config" -> cfg.configDir,
+      "desc_stats" -> cfg.descStatsDir,
+      "pipeline_plan" -> cfg.pipelinePlan
+    )
+  }
+
+  private def transformToMap(t: TransformConfig): Map[String, Any] =
+    scala.collection.immutable.ListMap(
+      "drop_cols" -> t.dropCols,
+      "rename_map" -> scala.collection.immutable.ListMap(t.renameMap: _*),
+      "recast_map" -> scala.collection.immutable.ListMap(t.recastMap: _*),
+      "fill_map" -> scala.collection.immutable.ListMap(t.fillMap: _*),
+      "clip_map" -> scala.collection.immutable.ListMap(t.clipMap.map { case (k, (lo, hi)) => k -> Seq(lo, hi) }: _*),
+      "filter_exprs" -> t.filterRules.map(r => Seq(r.col, r.op) ++ r.value.map(_.toString).toSeq),
+      "new_col_map" -> scala.collection.immutable.ListMap(t.newColMap.map { case (k, d) =>
+        k -> scala.collection.immutable.ListMap("fn_name" -> d.fnName, "fn_kwargs" -> d.kwargs)
+      }: _*),
+      "dedupe_cols" -> t.dedupeCols,
+      "unnest_cols" -> t.unnestCols,
+      "nest_cols" -> scala.collection.immutable.ListMap(t.nestCols: _*)
+    )
+}

@@ -1,0 +1,275 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** The named, config-addressable derived-column function registry.
+  *
+  * Reference: `ALL_DERIVE_FNS = PL_EXPR_FNS | CUSTOM_DERIVE_FNS`
+  * (src/polars_pipe/core/derive_cols.py:20-51, consumed at
+  * src/polars_pipe/core/transform.py:244-293). The reference gets ~300
+  * functions by reflecting over every public `pl.Expr` method; we hand-build
+  * the table by method family (SURVEY.md §2.2) — each entry maps
+  * `fn_kwargs` onto `org.apache.spark.sql.functions` so everything stays
+  * inside whole-stage codegen.
+  *
+  * Scale-aware design decision (SURVEY.md §7.4-4): whole-frame scalar
+  * aggregates broadcast to rows (`mean`, `sum`, ... with no kwargs beyond
+  * `col`) are NOT implemented as an empty-partition window — that collapses
+  * the frame to one partition and is a cliff at 100 TB. They return
+  * [[ExprRegistry.WholeFrameAgg]] and the derive stage computes ALL of them
+  * in one distributed `df.agg(...)` pass, then broadcast-cross-joins the
+  * 1-row result back — two scans, zero single-partition stages.
+  *
+  * Ordered/cumulative/ranking functions require an explicit `order_by`
+  * kwarg: Spark DataFrames have no implicit row order (SURVEY.md §2.3-2).
+  * `partition_by` is supported everywhere it makes sense — at scale a
+  * cumulative op should be per-key, not global.
+  */
+object ExprRegistry {
+
+  /** What a derive function produces. */
+  sealed trait Derived
+  /** A row-wise column (may internally contain a window). */
+  final case class RowWise(col: Column) extends Derived
+  /** A whole-frame scalar aggregate to broadcast onto every row. */
+  final case class WholeFrameAgg(agg: Column) extends Derived
+
+  type DeriveFn = Map[String, Any] => Derived
+
+  // ---- kwarg helpers -------------------------------------------------------
+
+  private def str(kw: Map[String, Any], k: String): String =
+    kw.getOrElse(k, throw new IllegalArgumentException(s"missing kwarg '$k'")).toString
+
+  private def c(kw: Map[String, Any]): Column = col(str(kw, "col"))
+
+  private def strSeq(kw: Map[String, Any], k: String): Seq[String] =
+    kw.get(k) match {
+      case Some(s: Seq[_]) => s.map(_.toString)
+      case Some(s: String) => Seq(s)
+      case Some(other) => throw new IllegalArgumentException(s"kwarg '$k' must be a list, got $other")
+      case None => Nil
+    }
+
+  private def anyVal(kw: Map[String, Any], k: String = "value"): Any =
+    kw.getOrElse(k, throw new IllegalArgumentException(s"missing kwarg '$k'"))
+
+  private def numVal(kw: Map[String, Any], k: String): Double =
+    anyVal(kw, k).toString.toDouble
+
+  private def intVal(kw: Map[String, Any], k: String, default: Int): Int =
+    kw.get(k).map(_.toString.toInt).getOrElse(default)
+
+  /** `other_col` takes precedence over literal `value` for binary ops. */
+  private def other(kw: Map[String, Any]): Column =
+    kw.get("other_col").map(v => col(v.toString)).getOrElse(lit(anyVal(kw)))
+
+  /** Window for ordered ops. `order_by` mandatory; `partition_by` optional
+    * but strongly recommended at scale (a global ordered window is a single
+    * partition). `desc: true` reverses the order. */
+  private def orderedWindow(kw: Map[String, Any], fn: String): WindowSpec = {
+    val ord = strSeq(kw, "order_by")
+    require(ord.nonEmpty, s"'$fn' requires an 'order_by' kwarg: Spark rows have no implicit order")
+    val ordCols =
+      if (kw.get("desc").exists(_.toString.toBoolean)) ord.map(col(_).desc) else ord.map(col)
+    val parts = strSeq(kw, "partition_by")
+    if (parts.nonEmpty) Window.partitionBy(parts.map(col): _*).orderBy(ordCols: _*)
+    else Window.partitionBy().orderBy(ordCols: _*)
+  }
+
+  private def runningFrame(kw: Map[String, Any], fn: String): WindowSpec =
+    orderedWindow(kw, fn).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  private def rollingFrame(kw: Map[String, Any], fn: String): WindowSpec = {
+    val k = intVal(kw, "window_size", -1)
+    require(k > 0, s"'$fn' requires a positive 'window_size' kwarg")
+    orderedWindow(kw, fn).rowsBetween(-(k.toLong - 1), Window.currentRow)
+  }
+
+  private def rw(f: Map[String, Any] => Column): DeriveFn = kw => RowWise(f(kw))
+  private def agg(f: Map[String, Any] => Column): DeriveFn = kw => WholeFrameAgg(f(kw))
+
+  // ---- horizontal (variadic row-wise) folds --------------------------------
+  // Reference: _reduce_horizontal + add/sub/mul/div_cols
+  // (src/polars_pipe/core/derive_cols.py:11-33); ValueError on empty list.
+
+  private def horizontal(op: (Column, Column) => Column): DeriveFn = rw { kw =>
+    val cs = strSeq(kw, "cols").map(col)
+    require(cs.nonEmpty, "horizontal fold requires a non-empty 'cols' list")
+    cs.reduce(op)
+  }
+
+  // ---- the registry --------------------------------------------------------
+
+  val fns: Map[String, DeriveFn] = Map(
+    // custom variadic row-wise ops (derive_cols.py:20-33)
+    "add_cols" -> horizontal(_ + _),
+    "sub_cols" -> horizontal(_ - _),
+    "mul_cols" -> horizontal(_ * _),
+    "div_cols" -> horizontal(_ / _),
+
+    // arithmetic / math (unary)
+    "abs" -> rw(kw => abs(c(kw))),
+    "neg" -> rw(kw => -c(kw)),
+    "exp" -> rw(kw => exp(c(kw))),
+    "log" -> rw(kw => log(c(kw))),
+    "log10" -> rw(kw => log10(c(kw))),
+    "log1p" -> rw(kw => log1p(c(kw))),
+    "sqrt" -> rw(kw => sqrt(c(kw))),
+    "cbrt" -> rw(kw => cbrt(c(kw))),
+    "floor" -> rw(kw => floor(c(kw))),
+    "ceil" -> rw(kw => ceil(c(kw))),
+    "sign" -> rw(kw => signum(c(kw))),
+    "sin" -> rw(kw => sin(c(kw))),
+    "cos" -> rw(kw => cos(c(kw))),
+    "tan" -> rw(kw => tan(c(kw))),
+    "arcsin" -> rw(kw => asin(c(kw))),
+    "arccos" -> rw(kw => acos(c(kw))),
+    "arctan" -> rw(kw => atan(c(kw))),
+    "sinh" -> rw(kw => sinh(c(kw))),
+    "cosh" -> rw(kw => cosh(c(kw))),
+    "tanh" -> rw(kw => tanh(c(kw))),
+    "degrees" -> rw(kw => degrees(c(kw))),
+    "radians" -> rw(kw => radians(c(kw))),
+    "round" -> rw(kw => round(c(kw), intVal(kw, "decimals", 0))),
+
+    // arithmetic (binary: literal `value` or `other_col`)
+    "add" -> rw(kw => c(kw) + other(kw)),
+    "sub" -> rw(kw => c(kw) - other(kw)),
+    "mul" -> rw(kw => c(kw) * other(kw)),
+    "truediv" -> rw(kw => c(kw) / other(kw)),
+    "floordiv" -> rw(kw => floor(c(kw) / other(kw))),
+    "mod" -> rw(kw => c(kw) % other(kw)),
+    "pow" -> rw(kw => pow(c(kw), other(kw))),
+
+    // comparison / boolean
+    "gt" -> rw(kw => c(kw) > other(kw)),
+    "ge" -> rw(kw => c(kw) >= other(kw)),
+    "lt" -> rw(kw => c(kw) < other(kw)),
+    "le" -> rw(kw => c(kw) <= other(kw)),
+    "eq" -> rw(kw => c(kw) === other(kw)),
+    "ne" -> rw(kw => c(kw) =!= other(kw)),
+    "not_" -> rw(kw => !c(kw)),
+    "and_" -> rw(kw => c(kw) && other(kw)),
+    "or_" -> rw(kw => c(kw) || other(kw)),
+    "xor" -> rw(kw => c(kw) =!= other(kw)),
+    "is_in" -> rw { kw =>
+      val vs = anyVal(kw) match {
+        case s: Seq[_] => s
+        case v => Seq(v)
+      }
+      c(kw).isin(vs.map(_.asInstanceOf[AnyRef]): _*)
+    },
+    "is_between" -> rw(kw => c(kw).between(lit(anyVal(kw, "lower")), lit(anyVal(kw, "upper")))),
+
+    // null / nan handling
+    "is_null" -> rw(kw => c(kw).isNull),
+    "is_not_null" -> rw(kw => c(kw).isNotNull),
+    "is_nan" -> rw(kw => isnan(c(kw))),
+    "is_not_nan" -> rw(kw => !isnan(c(kw))),
+    "fill_null" -> rw(kw => coalesce(c(kw), other(kw))),
+    "fill_nan" -> rw(kw => nanvl(c(kw), other(kw))),
+
+    // casting / clipping
+    "cast" -> rw(kw => c(kw).cast(DTypes.resolve(str(kw, "dtype")))),
+    "clip" -> rw { kw =>
+      least(greatest(c(kw), lit(anyVal(kw, "lower_bound"))), lit(anyVal(kw, "upper_bound")))
+    },
+    "clip_min" -> rw(kw => greatest(c(kw), lit(anyVal(kw, "lower_bound")))),
+    "clip_max" -> rw(kw => least(c(kw), lit(anyVal(kw, "upper_bound")))),
+
+    // hashing (xxhash64 — signed 64-bit; SURVEY.md §1.3)
+    "hash" -> rw(kw => xxhash64(c(kw))),
+
+    // whole-frame scalar aggregates, broadcast to every row.
+    // Computed in ONE df.agg pass + broadcast cross join (see Scaladoc).
+    "mean" -> agg(kw => avg(c(kw))),
+    "sum" -> agg(kw => sum(c(kw))),
+    "min" -> agg(kw => min(c(kw))),
+    "max" -> agg(kw => max(c(kw))),
+    "median" -> agg(kw => expr(s"percentile(${str(kw, "col")}, 0.5)")),
+    "std" -> agg(kw => stddev_samp(c(kw))),
+    "var" -> agg(kw => var_samp(c(kw))),
+    "count" -> agg(kw => count(c(kw))),
+    "len" -> agg(_ => count(lit(1))),
+    "n_unique" -> agg(kw => countDistinct(c(kw))),
+    "approx_n_unique" -> agg(kw => approx_count_distinct(c(kw))),
+    "null_count" -> agg(kw => count(lit(1)) - count(c(kw))),
+
+    // cumulative / running (explicit order_by; optional partition_by)
+    "cum_sum" -> rw(kw => sum(c(kw)).over(runningFrame(kw, "cum_sum"))),
+    "cum_min" -> rw(kw => min(c(kw)).over(runningFrame(kw, "cum_min"))),
+    "cum_max" -> rw(kw => max(c(kw)).over(runningFrame(kw, "cum_max"))),
+    "cum_count" -> rw(kw => count(c(kw)).over(runningFrame(kw, "cum_count"))),
+    "cum_prod" -> rw(kw => product(c(kw)).over(runningFrame(kw, "cum_prod"))),
+
+    // ranking / positional
+    "rank" -> rw(kw => rank().over(orderedWindow(kw, "rank"))),
+    "dense_rank" -> rw(kw => dense_rank().over(orderedWindow(kw, "dense_rank"))),
+    "row_number" -> rw(kw => row_number().over(orderedWindow(kw, "row_number"))),
+    "shift" -> rw { kw =>
+      val n = intVal(kw, "n", 1)
+      lag(c(kw), n).over(orderedWindow(kw, "shift"))
+    },
+    "diff" -> rw { kw =>
+      val n = intVal(kw, "n", 1)
+      c(kw) - lag(c(kw), n).over(orderedWindow(kw, "diff"))
+    },
+    "pct_change" -> rw { kw =>
+      val n = intVal(kw, "n", 1)
+      val prev = lag(c(kw), n).over(orderedWindow(kw, "pct_change"))
+      (c(kw) - prev) / prev
+    },
+    "is_first_distinct" -> rw { kw =>
+      row_number().over(
+        Window.partitionBy(c(kw)).orderBy(strSeq(kw, "order_by").map(col): _*)) === 1
+    },
+
+    // duplicate marking (per-expression, like pl.Expr.is_duplicated)
+    "is_duplicated" -> rw(kw => count(lit(1)).over(Window.partitionBy(c(kw))) > 1),
+    "is_unique" -> rw(kw => count(lit(1)).over(Window.partitionBy(c(kw))) === 1),
+
+    // rolling windows (explicit order_by + window_size)
+    "rolling_mean" -> rw(kw => avg(c(kw)).over(rollingFrame(kw, "rolling_mean"))),
+    "rolling_sum" -> rw(kw => sum(c(kw)).over(rollingFrame(kw, "rolling_sum"))),
+    "rolling_min" -> rw(kw => min(c(kw)).over(rollingFrame(kw, "rolling_min"))),
+    "rolling_max" -> rw(kw => max(c(kw)).over(rollingFrame(kw, "rolling_max"))),
+    "rolling_std" -> rw(kw => stddev_samp(c(kw)).over(rollingFrame(kw, "rolling_std"))),
+
+    // strings (additive: the reference uses these internally — trim/lower/
+    // to_json/concat_ws — even though .str.* is not config-facing there)
+    "str_to_lowercase" -> rw(kw => lower(c(kw))),
+    "str_to_uppercase" -> rw(kw => upper(c(kw))),
+    "str_strip_chars" -> rw(kw => trim(c(kw))),
+    "str_len_chars" -> rw(kw => length(c(kw))),
+    "str_contains" -> rw(kw => c(kw).contains(anyVal(kw).toString)),
+    "str_replace_all" -> rw(kw =>
+      regexp_replace(c(kw), str(kw, "pattern"), str(kw, "replacement"))),
+    "str_slice" -> rw(kw =>
+      substring(c(kw), intVal(kw, "offset", 0) + 1, intVal(kw, "length", Int.MaxValue))),
+    "concat_str" -> rw { kw =>
+      val cs = strSeq(kw, "cols").map(col)
+      concat_ws(kw.getOrElse("separator", "").toString, cs: _*)
+    },
+    "json_encode" -> rw(kw => to_json(c(kw))),
+
+    // datetime (additive)
+    "dt_year" -> rw(kw => year(c(kw))),
+    "dt_month" -> rw(kw => month(c(kw))),
+    "dt_day" -> rw(kw => dayofmonth(c(kw))),
+    "dt_hour" -> rw(kw => hour(c(kw))),
+    "dt_minute" -> rw(kw => minute(c(kw))),
+    "dt_second" -> rw(kw => second(c(kw))),
+    "dt_date" -> rw(kw => to_date(c(kw))),
+    "dt_epoch_seconds" -> rw(kw => unix_timestamp(c(kw)))
+  )
+
+  def resolve(fnName: String): DeriveFn =
+    fns.getOrElse(
+      fnName,
+      throw new IllegalArgumentException(
+        s"unknown derive fn '$fnName'; known: ${fns.keys.toSeq.sorted.mkString(", ")}")
+    )
+}

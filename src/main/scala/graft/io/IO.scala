@@ -1,0 +1,97 @@
+package graft.io
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.config.FileType
+
+/** Ports-and-adapters IO seam (SURVEY.md §2.1 S1/S24-S27, §3 entry point 2).
+  *
+  * Mirrors the reference's `IOBase` / `IOWrapper` / `FakeIOWrapper` triple
+  * (reference: src/polars_pipe/adapters/io_pl.py:18-133) — the abstraction
+  * is what makes the golden end-to-end tests hermetic (fixed guid + frozen
+  * clock + in-memory storage).
+  */
+trait GraftIO {
+  def read(spark: SparkSession, path: String, fileType: String): DataFrame
+  def write(df: DataFrame, path: String, fileType: String, targetSizeGb: Double = 1.0): Unit
+  def writeText(text: String, path: String): Unit
+  def newGuid(): String
+  def now(): Instant
+}
+
+/** Real filesystem-backed IO on Spark's native sources/sinks. */
+class SparkIO extends GraftIO {
+
+  /** Lazy scan dispatch on file type (reference: adapters/io_pl.py:28-36,
+    * io_funcs.py:23-27 — parquet/csv lazy, json eager-then-lazy; every Spark
+    * read is lazy natively). */
+  override def read(spark: SparkSession, path: String, fileType: String): DataFrame =
+    fileType.toLowerCase match {
+      case FileType.Parquet => spark.read.parquet(path)
+      case FileType.Csv =>
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case FileType.Json => spark.read.json(path)
+      case other => throw new IllegalArgumentException(s"unsupported source file type '$other'")
+    }
+
+  /** Chunked sink: ~`targetSizeGb` per output file (reference:
+    * adapters/io_pl.py:65-92 slices + recomputes the whole plan per chunk —
+    * a driver-side loop we deliberately collapse into ONE distributed
+    * partitioned write via `maxRecordsPerFile`: no extra count scan, no
+    * recomputation, and Spark's `part-NNNNN-<uuid>` naming matches the
+    * reference's scheme by construction).
+    *
+    * Rows-per-file is estimated from the schema's per-row width
+    * (fixed-size fields at their Catalyst `defaultSize`, which also
+    * approximates typical string/binary widths) — same spirit as the
+    * reference's sampled `estimated_size()/height`, without an extra scan.
+    */
+  override def write(df: DataFrame, path: String, fileType: String, targetSizeGb: Double): Unit = {
+    val rowBytes = math.max(8, df.schema.fields.map(_.dataType.defaultSize).sum)
+    val maxRecords = math.max(1L, (targetSizeGb * 1024 * 1024 * 1024).toLong / rowBytes)
+    val writer = df.write.mode(SaveMode.Overwrite).option("maxRecordsPerFile", maxRecords)
+    fileType.toLowerCase match {
+      case FileType.Parquet => writer.parquet(path)
+      case FileType.Csv => writer.option("header", "true").csv(path)
+      case FileType.Json => writer.json(path)
+      case other => throw new IllegalArgumentException(s"unsupported sink file type '$other'")
+    }
+  }
+
+  override def writeText(text: String, path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, text)
+  }
+
+  override def newGuid(): String = java.util.UUID.randomUUID().toString
+  override def now(): Instant = Instant.now()
+}
+
+/** In-memory IO double for hermetic tests: fixed guid, frozen clock,
+  * `path -> DataFrame` storage (reference: adapters/io_pl.py:113-133 —
+  * guid "abc-123", clock 2025-10-16T12:00Z). */
+class FakeIO(
+    val guid: String = "abc-123",
+    val frozenNow: Instant = Instant.parse("2025-10-16T12:00:00Z")
+) extends GraftIO {
+  val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+  val texts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  override def read(spark: SparkSession, path: String, fileType: String): DataFrame =
+    frames.getOrElse(path, throw new java.io.FileNotFoundException(path))
+
+  override def write(df: DataFrame, path: String, fileType: String, targetSizeGb: Double): Unit =
+    // materialize like a real sink would, so lazy bugs don't hide
+    frames.put(path, df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(df.collect(): _*)),
+      StructType(df.schema.fields)))
+
+  override def writeText(text: String, path: String): Unit = texts.put(path, text)
+  override def newGuid(): String = guid
+  override def now(): Instant = frozenNow
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every operator here reduces the problem to hash-partitioned
+  * joins/aggregations on SHORT keys (32-char digests, band hashes, bucket
+  * ids) — never an all-pairs comparison over the corpus. At 100 TB the only
+  * all-pairs work happens WITHIN an LSH bucket/band, whose size is
+  * controlled by the banding parameters.
+  *
+  * Determinism: all hashing is md5-based (not `hash()`/`xxhash64`-seeded
+  * randomness), so results are reproducible across runs, engines, and the
+  * DuckDB oracle. MinHash uses the lexicographic MIN of per-seed md5 hex
+  * digests — a valid uniform min-hash family with engine-portable semantics.
+  */
+object Dedup {
+
+  /** Word k-shingles of the normalized text. Documents shorter than k
+    * tokens contribute their whole token string as a single shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Exact dedup: keep one row per distinct fingerprint of `textCol`
+    * (min `idCol` wins — deterministic keep-first-by-id, unlike Spark's
+    * arbitrary `dropDuplicates` winner). One hash-shuffle on the 32-char
+    * fingerprint, map-side combined. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+    val keep = withFp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    withFp.join(keep, Seq("fp", idCol)).drop("fp")
+  }
+
+  /** MinHash signature columns `mh0..mh{numHashes-1}` per document:
+    * mh_i = MIN over shingles of md5(i || '|' || shingle).
+    *
+    * One explode + one groupBy(doc) with numHashes min-aggregates —
+    * map-side partial aggregation keeps the shuffle proportional to
+    * #docs × numHashes, independent of document length.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 8
+  ): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleK))).as("shingle"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH candidate pairs: signatures are cut into `bands` bands of
+    * `numHashes / bands` rows; docs agreeing on ALL rows of any band land in
+    * the same bucket; bucket members self-join into candidate pairs
+    * (id_a < id_b, distinct).
+    *
+    * The self-join is on (band_index, band_digest) — at scale bucket sizes
+    * stay small by construction, so the shuffle and the intra-bucket
+    * pairing both stay bounded.
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sig = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val members = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", members: _*)).as("digest")).as(s"b$b")
+    }
+    val buckets = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.digest").as("digest"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.digest") === col("b.digest") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint over `bits` bits (max 32, drawn from the first 8
+    * hex chars of md5(token)). Classic weighted-bit-vote: each occurrence of
+    * a token votes +1/-1 per bit; the sign of the vote sum sets the bit.
+    *
+    * One explode + one groupBy(doc) with `bits` sum-aggregates — same
+    * shuffle shape as MinHash; near-dup detection then compares fingerprints
+    * by hamming distance on a 32-bit integer (cheap bucketed self-join on
+    * rotated fingerprint segments at scale).
+    */
+  def simHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 16
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
+    val toks = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    // hex value of md5 char at position p (0-based)
+    def hexVal(p: Int): Column =
+      conv(substring(md5(col("tok")), p + 1, 1), 16, 10).cast("long")
+    val votes = (0 until bits).map { i =>
+      val nibble = hexVal(i / 4)
+      val bit = floor(nibble / math.pow(2, i % 4).toLong).cast("long") % 2
+      sum(bit * 2 - 1).as(s"v$i")
+    }
+    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** n-gram Jaccard similarity for all candidate pairs above `threshold`.
+    *
+    * inter(a,b) via a self-join on the shingle (hash-partitioned on the
+    * shingle string — frequency-bounded, no all-pairs); |a|,|b| from a
+    * per-doc distinct-shingle count; jaccard = inter / (|a|+|b|-inter).
+    * Exact integer arithmetic until the final division -> oracle-stable.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleK))).as("shingle"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a
+      .join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("sz", "sz_a").withColumnRenamed(idCol, "id_a"), "id_a")
+      .join(sizes.withColumnRenamed("sz", "sz_b").withColumnRenamed(idCol, "id_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: delegates candidate generation
+    * to random-hyperplane LSH bucketing (see [[Similarity.lshBucket]]) and
+    * verifies with exact cosine inside each bucket — never all-pairs. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Seq[Seq[Double]]
+  ): DataFrame = {
+    val bucketed = df.withColumn("bucket", Similarity.lshBucket(col(vecCol), planes))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>` / `array<double>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Queries are broadcast (a handful of vectors), so the "cross join" is
+  *    a map-side nested loop with NO shuffle of the corpus; top-k is a
+  *    per-query window. Linear scan — right up to ~10^7 corpus rows/query.
+  *  - [[lshTopK]]: random-hyperplane LSH — the 100 TB path. Vectors land in
+  *    sign-pattern buckets; a query only scans its own bucket. Bucket
+  *    assignment is a per-row projection (no shuffle); the candidate join is
+  *    hash-partitioned on the bucket id.
+  *
+  * All vector math is `functions.aggregate`/`zip_with` fold expressions —
+  * sequential left-to-right accumulation, which makes results bit-identical
+  * to any engine folding in the same order (the DuckDB oracle does).
+  */
+object Similarity {
+
+  /** Elementwise dot product of two numeric arrays (cast to double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 when either vector has zero norm). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Exact cosine top-k: for every query row, the k nearest corpus rows.
+    *
+    * `queries` must be small (it is broadcast). Ranking key is
+    * (round(cosine, 6) DESC, corpus id ASC) — rounding before ranking plus
+    * the id tie-break makes the selected SET deterministic even under
+    * last-ulp float jitter.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      queryId: String,
+      corpusVec: String,
+      queryVec: String,
+      k: Int
+  ): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+    val sim = round(cosine(col(corpusVec), col(queryVec)), 6)
+    val w = Window.partitionBy(col(queryId)).orderBy(sim.desc, col(corpusId).asc)
+    joined
+      .withColumn("cosine", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rk"))
+  }
+
+  /** Random-hyperplane LSH bucket id: bit i = [dot(vec, plane_i) > 0].
+    * `planes` are deterministic literals baked into codegen — no state, no
+    * shuffle; two vectors within angle θ collide with prob (1 - θ/π)^bits. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (plane, i) =>
+        val planeCol = array(plane.map(lit): _*)
+        when(dot(vec, planeCol) > 0.0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Deterministic pseudo-random hyperplanes from a fixed seed (driver-side
+    * constant; same values every run/build). */
+  def deterministicPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** ANN top-k within LSH buckets: query vectors only compare against
+    * corpus vectors in the same bucket. Recall < 1.0 by design; increase
+    * bands (run with several independent plane sets and union) to trade
+    * compute for recall. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      queryId: String,
+      corpusVec: String,
+      queryVec: String,
+      k: Int,
+      planes: Seq[Seq[Double]]
+  ): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col(corpusVec), planes))
+    val qb = queries.withColumn("bucket", lshBucket(col(queryVec), planes))
+    val joined = cb.join(broadcast(qb), "bucket")
+    val sim = round(cosine(col(corpusVec), col(queryVec)), 6)
+    val w = Window.partitionBy(col(queryId)).orderBy(sim.desc, col(corpusId).asc)
+    joined
+      .withColumn("cosine", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rk"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language ID, fingerprinting.
+  *
+  * All pure `Column` expressions over `org.apache.spark.sql.functions` —
+  * no UDFs, fully codegen'd, embarrassingly parallel (per-row, no shuffle),
+  * so throughput scales linearly with executors at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Collapse runs of whitespace + lowercase + trim — canonical form used
+    * by fingerprinting and dedup shingling. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact document fingerprint: md5 of the normalized text. Identical
+    * fingerprints == exact (whitespace/case-insensitive) duplicates; also
+    * the join key for exact dedup at scale (hash-shuffle on a 32-char key
+    * instead of the full document). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** Crude BPE-ish subword count: ceil(chars/4) per token summed — a cheap
+    * deterministic proxy for LLM token budgeting when no tokenizer is
+    * available in-cluster. */
+  def subwordCountApprox(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Per-document quality signals: lengths, ratios, averages. All derived
+    * from integer counts -> deterministic doubles (oracle-stable). */
+  def qualitySignals(text: Column): Map[String, Column] = {
+    val nChars = length(text)
+    val nTokens = tokenCount(text)
+    val nPunct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val nDigits = length(text) - length(regexp_replace(text, "[0-9]", ""))
+    val nWs = length(text) - length(regexp_replace(text, "\\s", ""))
+    Map(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "punct_ratio" -> round(nPunct.cast("double") / greatest(nChars, lit(1)), 6),
+      "digit_ratio" -> round(nDigits.cast("double") / greatest(nChars, lit(1)), 6),
+      "ws_ratio" -> round(nWs.cast("double") / greatest(nChars, lit(1)), 6),
+      "avg_token_len" ->
+        round((nChars - nWs).cast("double") / greatest(nTokens, lit(1)), 6)
+    )
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot x (1 - punct
+    * excess) x (1 - digit excess). Deterministic arithmetic over counts. */
+  def qualityScore(text: Column): Column = {
+    val s = qualitySignals(text)
+    val lenScore = least(s("n_tokens").cast("double") / 20.0, lit(1.0))
+    val punctPenalty = least(s("punct_ratio") * 4.0, lit(1.0))
+    val digitPenalty = least(s("digit_ratio") * 4.0, lit(1.0))
+    round(lenScore * (lit(1.0) - punctPenalty) * (lit(1.0) - digitPenalty), 6)
+  }
+
+  /** Stopword-marker lists per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic, tiny, broadcast as literals into codegen. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有",
+      "人", "这", "他")
+  )
+
+  /** Per-language marker hit count: total occurrences of the language's
+    * marker tokens in the text. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    aggregate(
+      tokens(text),
+      lit(0),
+      (acc, t) => acc + when(t.isin(markers.map(_.asInstanceOf[AnyRef]): _*), 1).otherwise(0))
+
+  /** Predicted language: argmax of marker-token counts with a fixed
+    * tie-break order (list order above, 'und' = undetermined if all zero).
+    * Pure expression — no shuffle, no UDF. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> langScore(text, markers)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in fixed order) achieving the max, if max > 0
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** 64-bit rolling-hash document fingerprint (polynomial rolling hash over
+    * normalized characters, mod 2^61-1) — an order-sensitive alternative to
+    * md5 that supports incremental/windowed computation at scale. */
+  def rollingHash(text: Column): Column = {
+    val prime = lit(1125899906842597L) // large prime, fits long multiply-mod headroom
+    aggregate(
+      split(normalize(text), ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)).cast("long"), prime))
+  }
+}

@@ -1,0 +1,618 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.{DeriveSpec, RuleSpec}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.stages.{Transforms, Validation}
+import graft.expr.RuleParser
+
+/** The driver-facing query catalog: one entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-data-pipeline operators, each paired with
+  * equivalent ANSI SQL the driver runs in DuckDB as the correctness oracle.
+  *
+  * Oracle-parity rules used throughout (why results hash-match despite two
+  * engines):
+  *  - double aggregates go through `CAST(SUM(CAST(x AS DECIMAL(28,6))) AS
+  *    DOUBLE)` on BOTH sides — exact decimal sums are immune to FP
+  *    summation-order differences between Spark partial aggregation and
+  *    DuckDB;
+  *  - all content hashing is md5 (identical hex output in both engines),
+  *    never engine-private hash functions;
+  *  - ordered windows always carry a unique tie-break key;
+  *  - computed integer columns are cast to the same width on both sides
+  *    (Spark int <-> DuckDB INTEGER, long <-> BIGINT).
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read nanos as long (ns since epoch) — ordering and
+    // epoch arithmetic still line up with DuckDB's TIMESTAMP_NS.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Exact decimal-routed sum of a double expression, surfaced as double.
+    * Scale 6 covers every product of 2-decimal monetary columns (price x
+    * (1-disc) x (1+tax) = 6 decimals) EXACTLY, so no rounding ties can
+    * diverge between Spark (HALF_UP) and DuckDB (HALF_EVEN). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  // ======================================================================
+  // Relational / pipeline-stage queries (SURVEY.md §2.1)
+  // ======================================================================
+
+  /** S16+agg: TPC-H Q1-style pricing summary — partial aggregation map-side,
+    * one shuffle on the 2-col group key; the flagship query. */
+  val q01: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+      |CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+      |COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** S1+S12: scan with predicate + projection pushdown (both reach the
+    * parquet reader — verified via explain: PushedFilters + 4-col ReadSchema). */
+  val q02: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .filter(col("l_quantity") < 5 && col("l_shipdate") < lit("1995-06-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+      |WHERE l_quantity < 5 AND l_shipdate < TIMESTAMP '1995-06-01'""".stripMargin
+
+  /** Joins: orders |x| customer |x| nation |x| region — dims broadcast
+    * (no shuffle of the fact side for the dim joins), one agg shuffle. */
+  val q03: QueryFn = (s, d) => {
+    val orders = tbl(s, d, "orders")
+    val customer = broadcast(tbl(s, d, "customer"))
+    val nation = broadcast(tbl(s, d, "nation"))
+    val region = broadcast(tbl(s, d, "region"))
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+  }
+
+  val q03Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** S6+S7: validation rules -> error_reason annotate -> invalid branch. */
+  val validationRules: Seq[RuleSpec] = Seq(
+    RuleSpec("qty_le_30", "l_quantity", "le", Some(30)),
+    RuleSpec("tax_le_05", "l_tax", "le", Some(0.05)),
+    RuleSpec("flag_known", "l_returnflag", "is_in", Some(Seq("A", "N", "R"))))
+
+  val q04: QueryFn = (s, d) => {
+    val annotated = tbl(s, d, "lineitem")
+      .transform(Validation.withErrorReason(RuleParser.compile(validationRules)))
+    Validation.split(annotated)._2
+      .select(col("l_orderkey"), col("l_linenumber"), col("error_reason"))
+  }
+
+  val q04Sql: String =
+    """SELECT l_orderkey, l_linenumber, error_reason FROM (
+      |SELECT l_orderkey, l_linenumber, concat_ws(',',
+      |  CASE WHEN NOT (l_quantity <= 30) THEN 'qty_le_30' END,
+      |  CASE WHEN NOT (l_tax <= 0.05) THEN 'tax_le_05' END,
+      |  CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 'flag_known' END) AS error_reason
+      |FROM lineitem) WHERE error_reason <> ''""".stripMargin
+
+  /** S10: keep-any dedupe (deterministic here: subset == full projection). */
+  val q05: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .select(col("user_id"), col("event_type"))
+      .transform(Transforms.deduplicateRows(Seq("*")))
+
+  val q05Sql: String = "SELECT DISTINCT user_id, event_type FROM events"
+
+  /** S9: strip+lowercase every string column. */
+  val q06: QueryFn = (s, d) =>
+    tbl(s, d, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .transform(Transforms.normaliseStrCols)
+
+  val q06Sql: String =
+    """SELECT p_partkey, lower(trim(p_name)) AS p_name, lower(trim(p_brand)) AS p_brand,
+      |lower(trim(p_type)) AS p_type FROM part""".stripMargin
+
+  /** S13+S14+S15: fill nulls, recast, clip — chained stage operators. */
+  val q07: QueryFn = (s, d) =>
+    tbl(s, d, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .withColumn("size_nullable", when(col("p_size") > 25, lit(null)).otherwise(col("p_size")))
+      .transform(Transforms.fillNullsPerCol(Seq("size_nullable" -> -1)))
+      .transform(Transforms.clipCols(Seq("p_retailprice" -> (500.0, 1500.0))))
+      .transform(Transforms.recastCols(Seq("p_size" -> "Int64")))
+
+  val q07Sql: String =
+    """SELECT p_partkey,
+      |least(greatest(p_retailprice, 500.0), 1500.0) AS p_retailprice,
+      |CAST(p_size AS BIGINT) AS p_size,
+      |coalesce(CASE WHEN p_size > 25 THEN NULL ELSE p_size END, -1) AS size_nullable
+      |FROM part""".stripMargin
+
+  /** S16 row-wise derive registry: horizontal folds + unary math. */
+  val q08: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .transform(Transforms.deriveNewCols(Seq(
+        "qty_x_price" -> DeriveSpec("mul_cols", Map("cols" -> Seq("l_quantity", "l_extendedprice"))),
+        "price_per_qty" -> DeriveSpec("div_cols", Map("cols" -> Seq("l_extendedprice", "l_quantity"))),
+        "sqrt_price" -> DeriveSpec("sqrt", Map("col" -> "l_extendedprice")))))
+      .withColumn("sqrt_price", round(col("sqrt_price"), 4))
+
+  val q08Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |l_quantity * l_extendedprice AS qty_x_price,
+      |l_extendedprice / l_quantity AS price_per_qty,
+      |round(sqrt(l_extendedprice), 4) AS sqrt_price
+      |FROM lineitem""".stripMargin
+
+  /** S16 whole-frame aggregate broadcast (SURVEY.md §2.3-4): ONE agg pass +
+    * broadcast cross join, never a single-partition window. */
+  val q09: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .transform(Transforms.deriveNewCols(Seq(
+        "mean_qty" -> DeriveSpec("mean", Map("col" -> "l_quantity")),
+        "max_price" -> DeriveSpec("max", Map("col" -> "l_extendedprice")),
+        "n_flags" -> DeriveSpec("n_unique", Map("col" -> "l_returnflag")))))
+
+  val q09Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+      |s.mean_qty, s.max_price, s.n_flags FROM lineitem,
+      |(SELECT AVG(l_quantity) AS mean_qty, MAX(l_extendedprice) AS max_price,
+      | COUNT(DISTINCT l_returnflag) AS n_flags FROM lineitem) s""".stripMargin
+
+  /** S16 cumulative: running sum per key with explicit unique ordering. */
+  val q10: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .transform(Transforms.deriveNewCols(Seq(
+        "cum_spend" -> DeriveSpec("cum_sum", Map(
+          "col" -> "value", "partition_by" -> Seq("user_id"),
+          "order_by" -> Seq("ts", "event_id"))))))
+      .select(col("event_id"), col("user_id"), round(col("cum_spend"), 4).as("cum_spend"))
+
+  val q10Sql: String =
+    """SELECT event_id, user_id,
+      |round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_spend
+      |FROM events""".stripMargin
+
+  /** S16 ranking + S12 filter: top-3 orders per customer. */
+  val q11: QueryFn = (s, d) =>
+    tbl(s, d, "orders")
+      .transform(Transforms.deriveNewCols(Seq(
+        "rn" -> DeriveSpec("row_number", Map(
+          "partition_by" -> Seq("o_custkey"),
+          "order_by" -> Seq("o_totalprice", "o_orderkey"), "desc" -> true)))))
+      .transform(Transforms.filterRows(Seq(RuleSpec("top3", "rn", "le", Some(3)))))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+
+  val q11Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |SELECT o_custkey, o_orderkey, o_totalprice,
+      |CAST(row_number() OVER (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey DESC) AS INTEGER) AS rn
+      |FROM orders) WHERE rn <= 3""".stripMargin
+
+  /** S16 positional: shift (lag) and diff per key. */
+  val q12: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .transform(Transforms.deriveNewCols(Seq(
+        "prev_value" -> DeriveSpec("shift", Map(
+          "col" -> "value", "partition_by" -> Seq("user_id"),
+          "order_by" -> Seq("ts", "event_id"))),
+        "delta" -> DeriveSpec("diff", Map(
+          "col" -> "value", "partition_by" -> Seq("user_id"),
+          "order_by" -> Seq("ts", "event_id"))))))
+      .select(col("event_id"), col("user_id"), col("value"), col("prev_value"), col("delta"))
+
+  val q12Sql: String =
+    """SELECT event_id, user_id, value,
+      |lag(value) OVER w AS prev_value,
+      |value - lag(value) OVER w AS delta
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** S18+S11+S17+S19: nest -> unnest round-trip + rename + drop. */
+  val q13: QueryFn = (s, d) =>
+    tbl(s, d, "customer")
+      .transform(Transforms.dropCols(Seq("c_nationkey")))
+      .transform(Transforms.nestCols(Seq("profile" -> Seq("c_acctbal", "c_mktsegment"))))
+      .transform(Transforms.unnestCols(Seq("profile")))
+      .transform(Transforms.renameCols(Seq("c_acctbal" -> "acctbal", "c_mktsegment" -> "segment")))
+      .select(col("c_custkey"), col("acctbal"), col("segment"))
+
+  val q13Sql: String =
+    "SELECT c_custkey, c_acctbal AS acctbal, c_mktsegment AS segment FROM customer"
+
+  /** S4 analogue with an engine-portable digest (md5) so the oracle can
+    * verify the row-fingerprint semantics; the engine's own hash column
+    * (xxhash64) is covered by q15 + unit tests. */
+  val q14: QueryFn = (s, d) =>
+    tbl(s, d, "supplier")
+      .select(col("s_suppkey"),
+        md5(concat_ws("|",
+          col("s_suppkey").cast("string"), col("s_name"),
+          col("s_nationkey").cast("string"))).as("row_md5"))
+
+  val q14Sql: String =
+    """SELECT s_suppkey, md5(concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name,
+      |CAST(s_nationkey AS VARCHAR))) AS row_md5 FROM supplier""".stripMargin
+
+  /** S4 proper: xxhash64 row hash (engine-private — no SQL oracle; the
+    * driver records a rows-only check). */
+  val q15: QueryFn = (s, d) =>
+    tbl(s, d, "nation")
+      .transform(Transforms.addHashCol)
+      .select(col("n_nationkey"), col("sys_col_row_hash"))
+
+  /** S8: descriptive statistics as an oracle-checkable stats frame
+    * (count/null_count/mean/min/max/n_unique, exact decimal-routed mean).
+    * One distributed agg pass, reshaped via explode — no per-stat scans. */
+  val q16: QueryFn = (s, d) => {
+    val li = tbl(s, d, "lineitem")
+    val agg = li.agg(
+      count(col("l_quantity")).as("c_q"), count(col("l_extendedprice")).as("c_e"),
+      (count(lit(1)) - count(col("l_quantity"))).as("n_q"),
+      (count(lit(1)) - count(col("l_extendedprice"))).as("n_e"),
+      (dsum(col("l_quantity")) / count(col("l_quantity"))).as("m_q"),
+      (dsum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("m_e"),
+      min(col("l_quantity")).as("mi_q"), min(col("l_extendedprice")).as("mi_e"),
+      max(col("l_quantity")).as("ma_q"), max(col("l_extendedprice")).as("ma_e"),
+      countDistinct(col("l_quantity")).as("u_q"), countDistinct(col("l_extendedprice")).as("u_e"))
+    def row(stat: String, q: Column, e: Column) =
+      struct(lit(stat).as("statistic"), q.cast("double").as("l_quantity"),
+        e.cast("double").as("l_extendedprice"))
+    agg.select(explode(array(
+        row("count", col("c_q"), col("c_e")),
+        row("null_count", col("n_q"), col("n_e")),
+        row("mean", col("m_q"), col("m_e")),
+        row("min", col("mi_q"), col("mi_e")),
+        row("max", col("ma_q"), col("ma_e")),
+        row("n_unique", col("u_q"), col("u_e")))).as("r"))
+      .select(col("r.*"))
+  }
+
+  val q16Sql: String =
+    """SELECT 'count' AS statistic, CAST(COUNT(l_quantity) AS DOUBLE) AS l_quantity,
+      | CAST(COUNT(l_extendedprice) AS DOUBLE) AS l_extendedprice FROM lineitem
+      |UNION ALL SELECT 'null_count', CAST(COUNT(*)-COUNT(l_quantity) AS DOUBLE),
+      | CAST(COUNT(*)-COUNT(l_extendedprice) AS DOUBLE) FROM lineitem
+      |UNION ALL SELECT 'mean',
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)/COUNT(l_quantity),
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)/COUNT(l_extendedprice) FROM lineitem
+      |UNION ALL SELECT 'min', CAST(MIN(l_quantity) AS DOUBLE), CAST(MIN(l_extendedprice) AS DOUBLE) FROM lineitem
+      |UNION ALL SELECT 'max', CAST(MAX(l_quantity) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+      |UNION ALL SELECT 'n_unique', CAST(COUNT(DISTINCT l_quantity) AS DOUBLE),
+      | CAST(COUNT(DISTINCT l_extendedprice) AS DOUBLE) FROM lineitem""".stripMargin
+
+  /** TPC-H Q6: tight filter + single exact-decimal aggregate — the
+    * canonical pushdown-then-reduce shape. */
+  val q17: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Window composition: gap-based sessionization (30-min inactivity cut) —
+    * lag + conditional flag + running sum, all inside one per-user window. */
+  val q18: QueryFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // ts is ns-since-epoch (long, via nanosAsLong); integer-div to ms so the
+    // 30-min gap arithmetic matches DuckDB's epoch_ms truncation exactly
+    val ms = expr("ts div 1000000")
+    val prevMs = lag(expr("ts div 1000000"), 1).over(w)
+    val flag = when(prevMs.isNull || (ms - prevMs) > 1800000L, 1).otherwise(0)
+    tbl(s, d, "events")
+      .withColumn("flag", flag)
+      .withColumn("session_id",
+        sum(col("flag")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_id"))
+  }
+
+  val q18Sql: String =
+    """WITH f AS (SELECT event_id, user_id, ts,
+      |  CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS flag
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id,
+      |CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |FROM f""".stripMargin
+
+  // ======================================================================
+  // LLM-data-pipeline operators (north star: dedup / similarity / text /
+  // multimodal at 100 TB)
+  // ======================================================================
+
+  /** Text quality signals + composite score — pure per-row expressions. */
+  val q20: QueryFn = (s, d) => {
+    val sig = TextAnalysis.qualitySignals(col("text"))
+    tbl(s, d, "documents").select(
+      col("doc_id"),
+      sig("n_chars").as("n_chars_calc"),
+      sig("n_tokens").as("n_tokens"),
+      sig("punct_ratio").as("punct_ratio"),
+      sig("digit_ratio").as("digit_ratio"),
+      sig("avg_token_len").as("avg_token_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+  }
+
+  val q20Sql: String =
+    """WITH b AS (SELECT doc_id, text,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS INTEGER) AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digit,
+      |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS n_ws
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_chars, n_tokens,
+      |  round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1), 6) AS punct_ratio,
+      |  round(CAST(n_digit AS DOUBLE)/greatest(n_chars,1), 6) AS digit_ratio,
+      |  round(CAST(n_chars - n_ws AS DOUBLE)/greatest(n_tokens,1), 6) AS avg_token_len
+      |  FROM b)
+      |SELECT doc_id, n_chars AS n_chars_calc, n_tokens, punct_ratio, digit_ratio, avg_token_len,
+      |round(least(CAST(n_tokens AS DOUBLE)/20.0, 1.0)
+      |  * (1.0 - least(punct_ratio*4.0, 1.0))
+      |  * (1.0 - least(digit_ratio*4.0, 1.0)), 6) AS quality_score
+      |FROM r""".stripMargin
+
+  /** Language ID: stopword-marker argmax heuristic, fixed tie-break. */
+  val q21: QueryFn = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  val q21Sql: String = {
+    def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString(", ")
+    val scores = TextAnalysis.langMarkers
+      .map { case (l, ms) => s"len(list_filter(toks, x -> x IN (${inList(ms)}))) AS s_$l" }
+      .mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = g AND g > 0 THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  $scores
+       |  FROM t),
+       |m AS (SELECT *, $best AS g FROM s)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM m""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 of normalized text + approximate subword
+    * count (BPE-ish budget proxy). */
+  val q22: QueryFn = (s, d) =>
+    tbl(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.subwordCountApprox(col("text")).as("n_subwords"))
+
+  val q22Sql: String =
+    """SELECT doc_id,
+      |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |CAST(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |  t -> CAST(ceil(length(t)/4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+      |FROM documents""".stripMargin
+
+  /** Exact dedup: deterministic keep-min-id per normalized-text fingerprint. */
+  val q23: QueryFn = (s, d) =>
+    Dedup.exact(tbl(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val q23Sql: String =
+    """SELECT doc_id, lang, source FROM documents WHERE doc_id IN (
+      |SELECT min(doc_id) FROM documents
+      |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))""".stripMargin
+
+  // Shared shingle CTE for the MinHash / Jaccard oracles (word 3-shingles
+  // of whitespace-tokenized lower(trim(text)) — mirrors Dedup.shingles).
+  private val shingleCte: String =
+    """toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  CASE WHEN len(toks) >= 3
+      |       THEN list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |       ELSE [array_to_string(toks, ' ')] END)) AS shingle FROM toks)""".stripMargin
+
+  /** MinHash (8 perms, md5-based) + LSH banding (4 bands x 2 rows) ->
+    * candidate near-dup pairs. */
+  val q24: QueryFn = (s, d) =>
+    Dedup.minHashLshPairs(tbl(s, d, "documents"), "doc_id", "text",
+      shingleK = 3, numHashes = 8, bands = 4)
+
+  val q24Sql: String = {
+    val mhs = (0 until 8).map(i => s"min(md5('$i|'||shingle)) AS mh$i").mkString(", ")
+    val bandCases = (0 until 4)
+      .map(b => s"WHEN ${b} THEN md5(mh${2 * b}||'|'||mh${2 * b + 1})")
+      .mkString(" ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b.band, CASE b.band $bandCases END AS digest
+       |  FROM sig, (VALUES (0),(1),(2),(3)) b(band))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
+       | AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** SimHash (16-bit, md5-derived bit votes) per document. */
+  val q25: QueryFn = (s, d) =>
+    Dedup.simHash(tbl(s, d, "documents"), "doc_id", "text", bits = 16)
+
+  val q25Sql: String = {
+    val votes = (0 until 16).map { i =>
+      s"SUM((((strpos('0123456789abcdef', substr(hx, ${i / 4 + 1}, 1)) - 1) // ${1 << (i % 4)}) % 2) * 2 - 1) AS v$i"
+    }.mkString(",\n  ")
+    val fp = (0 until 16).map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+       |v AS (SELECT doc_id,
+       |  $votes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
+  /** n-gram Jaccard near-dup pairs above 0.5 — exact set-overlap arithmetic. */
+  val q26: QueryFn = (s, d) =>
+    Dedup.ngramJaccardPairs(tbl(s, d, "documents"), "doc_id", "text",
+      shingleK = 3, threshold = 0.5)
+
+  val q26Sql: String =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) AS jaccard
+       |  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  /** Exact cosine top-10 per query vector (5 query vecs, broadcast). */
+  val q27: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "qid", "v", "qv", k = 10)
+  }
+
+  val q27Sql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
+      |s AS (SELECT qid, vec_id,
+      |  round(list_dot_product(v, qv) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      |  FROM c, q),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk FROM s)
+      |SELECT qid, vec_id, cosine, rk FROM r WHERE rk <= 10""".stripMargin
+
+  /** Deterministic hyperplanes shared by q28's Spark path and SQL oracle. */
+  val lshPlanes: Seq[Seq[Double]] = Similarity.deterministicPlanes(numPlanes = 8, dim = 64)
+
+  /** LSH-bucketed ANN: sign-pattern buckets from 8 hyperplanes; each query
+    * scans only its own bucket — the 100 TB scale path. */
+  val q28: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.lshTopK(emb, queries, "vec_id", "qid", "v", "qv", k = 10, lshPlanes)
+  }
+
+  val q28Sql: String = {
+    def planeLit(p: Seq[Double]) = "[" + p.map(_.toString).mkString(", ") + "]"
+    val bucketExpr = lshPlanes.zipWithIndex
+      .map { case (p, i) =>
+        s"CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END"
+      }
+      .mkString(" + ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM c),
+       |qb AS (SELECT vec_id AS qid, v AS qv, CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM c WHERE vec_id < 5),
+       |s AS (SELECT qid, vec_id,
+       |  round(list_dot_product(v, qv) /
+       |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+       |  FROM cb JOIN qb USING (bucket)),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk FROM s)
+       |SELECT qid, vec_id, cosine, rk FROM r WHERE rk <= 10""".stripMargin
+  }
+
+  /** Multimodal plumbing: text payloads as opaque binary + typed metadata +
+    * per-partition stub decode (real schema/batching, fake codec). */
+  val q29: QueryFn = (s, d) => {
+    val withContent = tbl(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    val meta = Multimodal.attachMeta(withContent, "content", "image")
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.content_md5").as("content_md5"))
+    val decoded = Multimodal.decodeImages(withContent, "doc_id", "content").toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_intensity"), 6).as("mean_intensity"))
+    meta.join(decoded, "doc_id")
+  }
+
+  val q29Sql: String =
+    """SELECT doc_id,
+      |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |md5(text) AS content_md5,
+      |CAST(64 + (octet_length(encode(text)) % 576) AS INTEGER) AS width,
+      |CAST(64 + ((octet_length(encode(text)) * 31) % 576) AS INTEGER) AS height,
+      |CAST(3 AS INTEGER) AS channels,
+      |round(CAST(list_sum(list_transform(regexp_split_to_array(text, ''), c -> ascii(c))) AS DOUBLE)
+      |  / octet_length(encode(text)), 6) AS mean_intensity
+      |FROM documents""".stripMargin
+
+  // ======================================================================
+  // Catalog
+  // ======================================================================
+
+  val all: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("q01_pricing_summary", q01, Some(q01Sql)),
+    ("q02_filter_pushdown", q02, Some(q02Sql)),
+    ("q03_join_region_revenue", q03, Some(q03Sql)),
+    ("q04_validate_split", q04, Some(q04Sql)),
+    ("q05_dedupe_rows", q05, Some(q05Sql)),
+    ("q06_normalise_strings", q06, Some(q06Sql)),
+    ("q07_fill_recast_clip", q07, Some(q07Sql)),
+    ("q08_derive_rowwise", q08, Some(q08Sql)),
+    ("q09_derive_agg_broadcast", q09, Some(q09Sql)),
+    ("q10_cum_sum", q10, Some(q10Sql)),
+    ("q11_rank_topk", q11, Some(q11Sql)),
+    ("q12_shift_diff", q12, Some(q12Sql)),
+    ("q13_nest_unnest", q13, Some(q13Sql)),
+    ("q14_row_fingerprint", q14, Some(q14Sql)),
+    ("q15_row_hash_xxh", q15, None),
+    ("q16_describe_stats", q16, Some(q16Sql)),
+    ("q17_tpch_q6", q17, Some(q17Sql)),
+    ("q18_sessionize", q18, Some(q18Sql)),
+    ("q20_text_stats", q20, Some(q20Sql)),
+    ("q21_lang_id", q21, Some(q21Sql)),
+    ("q22_doc_fingerprint", q22, Some(q22Sql)),
+    ("q23_dedup_exact", q23, Some(q23Sql)),
+    ("q24_dedup_minhash_lsh", q24, Some(q24Sql)),
+    ("q25_dedup_simhash", q25, Some(q25Sql)),
+    ("q26_dedup_ngram_jaccard", q26, Some(q26Sql)),
+    ("q27_ann_bruteforce", q27, Some(q27Sql)),
+    ("q28_ann_lsh", q28, Some(q28Sql)),
+    ("q29_multimodal_decode", q29, Some(q29Sql))
+  )
+}

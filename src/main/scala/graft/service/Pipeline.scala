@@ -1,0 +1,112 @@
+package graft.service
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.config.{GeneralConfig, YamlEmit}
+import graft.expr.RuleParser
+import graft.io.GraftIO
+import graft.stages.{Inspect, Transforms, Validation}
+
+/** The one orchestration entry point — the Spark re-expression of the
+  * reference's `run_pipeline` (reference: src/polars_pipe/services/
+  * basic_pipeline.py:15-113). Stage order is preserved exactly; it is
+  * observable behavior (e.g. filters see normalised strings —
+  * SURVEY.md §2.3-3).
+  *
+  * Scale deviations from the reference, all intentional (SURVEY.md §4):
+  *  - the annotated frame is `persist(MEMORY_AND_DISK)`-ed once and feeds
+  *    both the valid and invalid branches and every sink — the reference
+  *    silently recomputes the whole plan per consumer (§2.3-5);
+  *  - sinks are single distributed partitioned writes (no driver-side
+  *    chunk loop, no extra count scan — adapters/io_pl.py:65-92);
+  *  - whole-frame aggregate derive columns use one agg pass + broadcast
+  *    join, not a single-partition window (§7.4-4).
+  */
+object Pipeline {
+
+  /** Result summary: output locations + the frames (still usable). */
+  final case class PipelineResult(
+      guid: String,
+      outputRoot: String,
+      transformed: DataFrame,
+      invalid: DataFrame,
+      config: GeneralConfig
+  )
+
+  def runPipeline(
+      spark: SparkSession,
+      cfg0: GeneralConfig,
+      io: GraftIO,
+      customFns: Map[String, Transforms.CustomFn] = Map.empty
+  ): PipelineResult = {
+    // 1. session context: guid + timestamp stamped into config
+    //    (basic_pipeline.py:20-22)
+    val guid = io.newGuid()
+    val nowTs = java.sql.Timestamp.from(io.now())
+    val dateTime = new java.text.SimpleDateFormat("yyyyMMdd_HHmm")
+      .format(java.util.Date.from(io.now()))
+    val cfg = cfg0.copy(guid = guid, dateTime = dateTime)
+    val outRoot = s"${cfg.dstRoot}/$guid"
+
+    // 2-3. scan (lazy) + static schema expectations (basic_pipeline.py:26-31)
+    val raw = io.read(spark, cfg.srcPath, cfg.srcFileType)
+    val expected = Validation.extractExpectedCols(cfg)
+    Validation.checkExpectedCols(expected)(raw)
+
+    // 4-5. hash + lineage + validation annotate (basic_pipeline.py:32-41)
+    val rules = RuleParser.compile(cfg.validation)
+    val annotated = raw
+      .transform(Transforms.addHashCol)
+      .transform(Transforms.addProcessCols(cfg.processName, guid, cfg.srcPath, nowTs))
+      .transform(Validation.withErrorReason(rules))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (valid, invalid) = Validation.split(annotated)
+
+    // 6. pre-transform describe (basic_pipeline.py:43-49)
+    io.write(
+      Inspect.describe(valid),
+      s"$outRoot/${cfg.descStatsDir}/pre_transform",
+      cfg.dstFileType)
+
+    // 7. the transformation chain, reference stage order
+    //    (basic_pipeline.py:53-77)
+    val t = cfg.transformations
+    val transformed = valid
+      .transform(Transforms.normaliseStrCols)
+      .transform(Transforms.deduplicateRows(t.dedupeCols))
+      .transform(Transforms.unnestCols(t.unnestCols))
+      .transform(Transforms.filterRows(t.filterRules))
+      .transform(Transforms.fillNullsPerCol(t.fillMap))
+      .transform(Transforms.recastCols(t.recastMap))
+      .transform(Transforms.clipCols(t.clipMap))
+      .transform(Transforms.deriveNewCols(t.newColMap))
+      .transform(Transforms.renameCols(t.renameMap))
+      .transform(Transforms.nestCols(t.nestCols))
+      .transform(Transforms.dropCols(t.dropCols))
+      .transform(Transforms.pipeCustomTransformations(customFns, cfg.customTransformations))
+      .transform(Transforms.finalSelect(cfg.selectCols))
+      .transform(Transforms.standardiseColNames)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 8. optimized-plan capture (basic_pipeline.py:79)
+    val plan = transformed.queryExecution.optimizedPlan.toString.linesIterator.toSeq
+    val cfgWithPlan = cfg.copy(pipelinePlan = plan)
+
+    // 9. sinks: config YAML, transformed data, conditional error records,
+    //    post-transform describe (basic_pipeline.py:81-113)
+    io.writeText(
+      YamlEmit.emit(YamlEmit.configToMap(cfgWithPlan)),
+      s"$outRoot/${cfg.configDir}/config.yaml")
+    io.write(transformed, s"$outRoot/${cfg.transformedDataDir}", cfg.dstFileType)
+    if (!invalid.isEmpty) // same limit-1 probe as the reference (basic_pipeline.py:98)
+      io.write(invalid, s"$outRoot/${cfg.errorRecordsDir}", cfg.dstFileType)
+    io.write(
+      Inspect.describe(transformed),
+      s"$outRoot/${cfg.descStatsDir}/post_transform",
+      cfg.dstFileType)
+
+    annotated.unpersist()
+    PipelineResult(guid, outRoot, transformed, invalid, cfgWithPlan)
+  }
+}

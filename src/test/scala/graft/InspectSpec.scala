@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.YamlEmit
+import graft.stages.Inspect
+
+class InspectSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("describe: one row per stat, all columns stringly, correct values") {
+    val df = Seq((1.0, "a"), (3.0, "b"), (Double.NaN, "b")).toDF("v", "s")
+      .select(org.apache.spark.sql.functions.nanvl($"v", org.apache.spark.sql.functions.lit(null)).as("v"), $"s")
+    val stats = Inspect.describe(df).collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(stats.keySet == Set("count", "null_count", "mean", "std", "min", "25%", "50%",
+      "75%", "max", "null_proportion", "n_unique"))
+    assert(stats("count")._1.contains("2") && stats("count")._2.contains("3"))
+    assert(stats("null_count")._1.contains("1") && stats("null_count")._2.contains("0"))
+    assert(stats("mean")._1.contains("2.0") && stats("mean")._2.isEmpty)
+    assert(stats("min")._2.contains("a") && stats("max")._2.contains("b"))
+    assert(stats("n_unique")._2.contains("2"))
+    assert(stats("50%")._1.contains("2.0"))
+  }
+
+  test("yaml emit: scalars, nesting, quoting") {
+    val yaml = YamlEmit.emit(scala.collection.immutable.ListMap(
+      "plain" -> "x", "quoted" -> "a: b", "n" -> 3, "seq" -> Seq("a", "b"),
+      "nested" -> scala.collection.immutable.ListMap("k" -> "v"), "empty" -> Nil))
+    assert(yaml.contains("plain: x"))
+    assert(yaml.contains("quoted: \"a: b\""))
+    assert(yaml.contains("- a\n  - b") || yaml.contains("- a"))
+    assert(yaml.contains("nested:\n  k: v"))
+    assert(yaml.contains("empty: []"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "The  quick brown fox jumps over the lazy dog "), // ws/case variant of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (3L, "completely different content about spark engines and shuffles"),
+    (4L, "der hund ist nicht mit der katze und das ist gut")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per normalized fingerprint") {
+    val out = Dedup.exact(docs, "doc_id", "text").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 2L, 3L, 4L), "doc 1 is an exact normalized dup of 0")
+  }
+
+  test("minhash signatures identical for normalized duplicates") {
+    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(3L))
+  }
+
+  test("minhash LSH surfaces near-dup candidate pairs, not unrelated docs") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val fp = Dedup.simHash(docs, "doc_id", "text", 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(0L), fp(2L)) <= 6)
+    assert(hamming(fp(0L), fp(2L)) < hamming(fp(0L), fp(3L)))
+  }
+
+  test("ngram jaccard finds the planted near-dup pair with exact arithmetic") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    assert(pairs.keySet.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("cosine similarity and brute-force top-k") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)), (3L, Array(-1.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val q = vecs.filter($"vec_id" === 0L).select($"vec_id".as("qid"), $"v".as("qv"))
+    val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "qid", "v", "qv", 2)
+      .orderBy("rk").collect()
+    assert(top(0).getAs[Long]("vec_id") == 0L && top(0).getAs[Double]("cosine") == 1.0)
+    assert(top(1).getAs[Long]("vec_id") == 1L)
+  }
+
+  test("LSH bucketing: identical vectors share buckets; lshTopK finds self") {
+    val planes = Similarity.deterministicPlanes(6, 3)
+    val vecs = Seq(
+      (0L, Array(1.0, 0.2, 0.1)), (1L, Array(1.0, 0.2, 0.1)),
+      (2L, Array(-1.0, -0.2, 5.0))).toDF("vec_id", "v")
+    val buckets = vecs.withColumn("b", Similarity.lshBucket($"v", planes))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(buckets(0L) == buckets(1L))
+    val q = vecs.filter($"vec_id" === 0L).select($"vec_id".as("qid"), $"v".as("qv"))
+    val hits = Similarity.lshTopK(vecs, q, "vec_id", "qid", "v", "qv", 5, planes)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits.contains(0L) && hits.contains(1L))
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprints") {
+    val df = Seq(
+      (0L, "the cat and the dog, with 42 tricks!"),
+      (1L, "der hund und die katze ist nicht mit der maus"),
+      (2L, "  The   cat and the dog, with 42 tricks!  ")).toDF("doc_id", "text")
+    val out = df.select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").as("toks"),
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.fingerprint($"text").as("fp"),
+      TextAnalysis.qualityScore($"text").as("q"),
+      TextAnalysis.subwordCountApprox($"text").as("sw"),
+      TextAnalysis.rollingHash($"text").as("rh")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Int]("toks") == 8)
+    assert(out(0L).getAs[String]("lang") == "en")
+    assert(out(1L).getAs[String]("lang") == "de")
+    assert(out(0L).getAs[String]("fp") == out(2L).getAs[String]("fp"),
+      "fingerprint is whitespace/case-normalized")
+    assert(out(0L).getAs[String]("fp") != out(1L).getAs[String]("fp"))
+    assert(out(0L).getAs[Double]("q") > 0.0 && out(0L).getAs[Double]("q") <= 1.0)
+    assert(out(0L).getAs[Long]("sw") > 8)
+    assert(out(0L).getAs[Long]("rh") == out(2L).getAs[Long]("rh"))
+  }
+
+  test("empty text tokenCount is 0") {
+    val n = Seq((0L, ""), (1L, "   ")).toDF("id", "text")
+      .select(TextAnalysis.tokenCount($"text")).as[Int].collect()
+    assert(n.toSeq == Seq(0, 0))
+  }
+
+  test("multimodal: metadata attach + per-partition stub decode + frame sampling") {
+    val df = Seq((1L, "hello world payload"), (2L, "xy")).toDF("doc_id", "text")
+      .withColumn("content", encode($"text", "UTF-8"))
+    val meta = Multimodal.attachMeta(df, "content", "image")
+    val m = meta.select("meta.n_bytes", "meta.media_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(m.toSet == Set((19L, "image"), (2L, "image")))
+    val feats = Multimodal.decodeImages(df, "doc_id", "content").collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(1L).width == 64 + 19 % 576 && feats(1L).channels == 3)
+    assert(feats(1L).mean_intensity > 0)
+    val frames = Multimodal.sampleFrames(df.filter($"doc_id" === 1L), "content", 4, 2)
+    assert(frames.select("frame_idx").as[Int].collect().toSet == Set(0, 2, 4))
+  }
+}

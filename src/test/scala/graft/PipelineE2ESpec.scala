@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.io.FakeIO
+import graft.service.Pipeline
+
+/** Hermetic end-to-end golden test over the reference's canonical
+  * 7-row employees fixture (FIXTURES.md §1; reference:
+  * tests/services/test_basic_pipeline.py:11-63): nulls, dupes,
+  * whitespace/case dirt, a struct column. Comparisons are
+  * order-insensitive (SURVEY.md §2.3-2). */
+class PipelineE2ESpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val projSchema = StructType(Seq(
+    StructField("project a", DoubleType), StructField("project b", DoubleType),
+    StructField("project c", DoubleType), StructField("project d", DoubleType)))
+  private val schema = StructType(Seq(
+    StructField("name", StringType), StructField("salary", LongType),
+    StructField("division", StringType), StructField("bonus", DoubleType),
+    StructField("projects", projSchema)))
+
+  private def proj(a: Any, b: Any, c: Any, d: Any) = Row(a, b, c, d)
+
+  private val employees = Seq(
+    Row("alice ", 30000L, " B", 10000.0, proj(0.5, 0.5, null, null)),
+    Row("ben", 28000L, "C", 15000.0, proj(null, null, 1.0, 0.0)),
+    Row("charlie", 75000L, "A", null, proj(0.65, 0.35, null, null)),
+    Row(null, 0L, "", 0.0, proj(null, null, 0.45, 0.55)),
+    Row("dani", 50000L, "D", 70000.0, proj(0.95, 0.05, null, null)),
+    Row("dani", 50000L, "D", 70000.0, proj(0.95, 0.05, null, null)),
+    Row("emily", 80000L, "A", -5000.0, proj(null, null, 0.5, 0.5)))
+
+  private def inputDf = spark.createDataFrame(
+    spark.sparkContext.parallelize(employees, 2), schema)
+
+  test("full-config pipeline: every stage populated (reference golden case 1)") {
+    val io = new FakeIO()
+    io.frames.put("/src/raw.parquet", inputDf)
+    val cfg = GeneralConfig(
+      processName = "ingest",
+      srcPath = "/src/raw.parquet",
+      dstRoot = "/out",
+      validation = Seq(
+        RuleSpec("name_not_null", "name", "is_not_null"),
+        RuleSpec("bonus_non_neg", "bonus", "ge", Some(0.0))),
+      transformations = TransformConfig(
+        dedupeCols = Seq("*"),
+        unnestCols = Seq("projects"),
+        filterRules = Seq(RuleSpec("not_div_d", "division", "ne", Some("D"))),
+        fillMap = Seq("bonus" -> 0.0),
+        recastMap = Seq("salary" -> "Int64"),
+        clipMap = Seq("salary" -> (10000, 60000)),
+        newColMap = Seq(
+          "mean_salary" -> DeriveSpec("mean", Map("col" -> "salary")),
+          "total_comp" -> DeriveSpec("add_cols", Map("cols" -> Seq("salary", "bonus")))),
+        renameMap = Seq("division" -> "dept")),
+      selectCols = Seq("*"))
+
+    val res = Pipeline.runPipeline(spark, cfg, io)
+
+    // invalid branch: null-name row + negative-bonus emily; charlie's null
+    // bonus must NOT flag (null-rule semantics)
+    val invalid = res.invalid.collect()
+    assert(invalid.length == 2)
+    val reasons = invalid.map(_.getAs[String]("error_reason")).sorted
+    assert(reasons.toSeq == Seq("bonus_non_neg", "name_not_null"))
+
+    // transformed: 5 valid - 1 dupe dani - 0 filtered (filter sees
+    // normalised 'd' != 'D' -> nothing matches, reference §2.3-3 quirk)
+    val out = res.transformed
+    assert(out.count() == 4)
+    // stage effects: unnest + rename + derive + clip + sys cols last
+    val cols = out.columns.toSeq
+    assert(cols.take(7) == Seq("name", "salary", "dept", "bonus", "project a", "project b",
+      "project c") || cols.contains("dept"))
+    assert(cols.filter(_.startsWith("sys_col_")).nonEmpty)
+    assert(cols.indexOf("mean_salary") >= 0 && cols.indexOf("total_comp") >= 0)
+    assert(cols.filterNot(_.startsWith("sys_col_")) ++ cols.filter(_.startsWith("sys_col_")) == cols,
+      "sys cols must come last")
+    val rows = out.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(rows.keySet == Set("alice", "ben", "charlie", "dani"))
+    assert(rows("alice").getAs[Long]("salary") == 30000L)
+    assert(rows("charlie").getAs[Long]("salary") == 60000L, "clip to 60000")
+    assert(rows("charlie").getAs[Double]("bonus") == 0.0, "null bonus filled")
+    val means = out.select("mean_salary").collect().map(_.getDouble(0)).distinct
+    assert(means.length == 1 && means(0) == 42000.0, s"whole-frame mean broadcast, got ${means.toSeq}")
+    assert(rows("dani").getAs[String]("dept") == "d", "normalised + renamed")
+
+    // artifacts: pre/post stats, config yaml, transformed, errors
+    val paths = io.frames.keys.toSeq ++ io.texts.keys.toSeq
+    assert(paths.exists(_.contains("desc_stats/pre_transform")))
+    assert(paths.exists(_.contains("desc_stats/post_transform")))
+    assert(paths.exists(_.contains("transformed_data")))
+    assert(paths.exists(_.contains("error_records")))
+    assert(io.texts.keys.exists(_.endsWith("config/config.yaml")))
+    val yaml = io.texts.values.head
+    assert(yaml.contains("guid: abc-123") && yaml.contains("pipeline_plan"))
+    assert(res.config.pipelinePlan.nonEmpty, "optimized plan captured")
+  }
+
+  test("empty-config pipeline: only mandatory stages run (reference golden case 2)") {
+    val io = new FakeIO()
+    io.frames.put("/src/raw.parquet", inputDf)
+    val cfg = GeneralConfig(processName = "p", srcPath = "/src/raw.parquet", dstRoot = "/out")
+    val res = Pipeline.runPipeline(spark, cfg, io)
+    // no validation -> nothing invalid, no error sink written
+    assert(res.invalid.isEmpty)
+    assert(!io.frames.keys.exists(_.contains("error_records")))
+    assert(res.transformed.count() == 7)
+    val cols = res.transformed.columns.toSeq
+    assert(cols.contains("sys_col_row_hash") && cols.contains("sys_col_p_guid"))
+    // normalise still ran (mandatory): alice trimmed
+    assert(res.transformed.collect().exists(_.getAs[String]("name") == "alice"))
+  }
+
+  test("pre-existing sys_col_row_hash is preserved (idempotency, golden case 3)") {
+    val io = new FakeIO()
+    val pre = Transforms0.hashed(inputDf)
+    io.frames.put("/src/raw.parquet", pre)
+    val cfg = GeneralConfig(processName = "p", srcPath = "/src/raw.parquet", dstRoot = "/out",
+      selectCols = Seq("name", "salary"))
+    val res = Pipeline.runPipeline(spark, cfg, io)
+    val cols = res.transformed.columns.toSeq
+    assert(cols.head == "name" && cols(1) == "salary")
+    assert(cols.count(_ == "sys_col_row_hash") == 1)
+    // hashes survived untouched
+    val before = pre.select("sys_col_row_hash").collect().map(_.getLong(0)).sorted
+    val after = res.transformed.select("sys_col_row_hash").collect().map(_.getLong(0)).sorted
+    assert(before.sameElements(after))
+  }
+
+  test("missing expected column fails fast") {
+    val io = new FakeIO()
+    io.frames.put("/src/raw.parquet", inputDf)
+    val cfg = GeneralConfig(processName = "p", srcPath = "/src/raw.parquet", dstRoot = "/out",
+      validation = Seq(RuleSpec("r", "no_such_col", "is_not_null")))
+    val e = intercept[IllegalArgumentException](Pipeline.runPipeline(spark, cfg, io))
+    assert(e.getMessage.contains("no_such_col"))
+  }
+
+  private object Transforms0 {
+    def hashed(df: org.apache.spark.sql.DataFrame) = graft.stages.Transforms.addHashCol(df)
+  }
+}
