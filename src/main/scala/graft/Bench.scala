@@ -17,13 +17,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up pass so JIT/codegen/parquet-footer costs don't land on q01
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Warm-up pass at the target SF: whole-stage-codegen classes compile on
+    // first use and the JVM's C2 JIT needs real iteration counts before the
+    // generated loops run at full speed (measured: q01 9.5s cold vs 2.1s
+    // warm). Standard measure-the-second-run benchmarking.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      spark.catalog.clearCache() // operators may persist intermediates
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

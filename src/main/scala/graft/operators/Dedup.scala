@@ -19,16 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word k-shingles of the normalized text. Documents shorter than k
-    * tokens contribute their whole token string as a single shingle. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word k-shingles over an ALREADY-MATERIALIZED token-array column.
+    * Documents shorter than k tokens contribute their whole token string as
+    * a single shingle.
+    *
+    * Callers must bind `toks` to a projected column (see [[shingleRows]]),
+    * not pass `TextAnalysis.tokens(text)` inline: a nested expression gets
+    * re-evaluated on every lambda invocation — O(windows) regex splits per
+    * row, a 50x per-row slowdown measured at sf0.1. */
+  def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(
         sequence(lit(1), size(toks) - (k - 1)),
         i => array_join(slice(toks, i, lit(k)), " ")))
       .otherwise(array(array_join(toks, " ")))
-  }
+
+  /** (id, shingle) rows: tokenize ONCE per row in a projection, then
+    * window + dedupe + explode over the bound attribute. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(array_distinct(shingles(col("__toks"), k))).as("shingle"))
 
   /** Exact dedup: keep one row per distinct fingerprint of `textCol`
     * (min `idCol` wins — deterministic keep-first-by-id, unlike Spark's
@@ -54,8 +64,7 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 8
   ): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleK))).as("shingle"))
+    val exploded = shingleRows(df, idCol, textCol, shingleK)
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -80,7 +89,11 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
+    // signatures are #docs x numHashes digests — tiny relative to the
+    // corpus; persist so the bucket self-join doesn't recompute the whole
+    // shingle explode + aggregate pipeline for each side
     val sig = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
       val members = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", members: _*)).as("digest")).as(s"b$b")
@@ -114,10 +127,13 @@ object Dedup {
       bits: Int = 16
   ): DataFrame = {
     require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
-    val toks = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    // hex value of md5 char at position p (0-based)
+    // md5 materialized ONCE per token row; the 16 vote expressions then
+    // only slice the bound hex attribute (not 16 md5 evaluations per row)
+    val toks = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("hx"))
     def hexVal(p: Int): Column =
-      conv(substring(md5(col("tok")), p + 1, 1), 16, 10).cast("long")
+      conv(substring(col("hx"), p + 1, 1), 16, 10).cast("long")
     val votes = (0 until bits).map { i =>
       val nibble = hexVal(i / 4)
       val bit = floor(nibble / math.pow(2, i % 4).toLong).cast("long") % 2
@@ -144,8 +160,11 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.8
   ): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleK))).as("shingle"))
+    // the exploded shingle frame feeds 4 plan branches (both self-join
+    // sides + two size lookups); persist it once instead of re-running the
+    // tokenize/window/explode pipeline per branch
+    val sh = shingleRows(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")
