@@ -181,23 +181,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: delegates candidate generation
-    * to random-hyperplane LSH bucketing (see [[Similarity.lshBucket]]) and
-    * verifies with exact cosine inside each bucket — never all-pairs. */
+  /** Embedding-cosine near-duplicate pairs via multi-band random-hyperplane
+    * LSH (classic AND-OR amplification): a pair is a candidate if it agrees
+    * on ALL planes of ANY band; candidates are then verified with exact
+    * cosine. Candidate generation is a hash-partitioned equi-join on
+    * (band, bucket) — never an all-pairs comparison; recall is tuned by
+    * adding bands, precision by adding planes per band. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Seq[Seq[Double]]
+      planeSets: Seq[Seq[Seq[Double]]]
   ): DataFrame = {
-    val bucketed = df.withColumn("bucket", Similarity.lshBucket(col(vecCol), planes))
+    val bandCols = planeSets.zipWithIndex.map { case (planes, b) =>
+      struct(lit(b).as("band"), Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+    }
+    val bucketed = df
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cosine",
-        round(Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6))
+    val candidates = a
+      .join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .withColumn("cosine", round(Similarity.cosine(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -84,6 +84,48 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** IVF cell assignment: index of the nearest centroid by cosine
+    * (earliest centroid wins exact ties — deterministic). Centroids are a
+    * small driver-side list (the coarse quantizer), baked into the
+    * expression as literals: assignment is a per-row projection, no
+    * shuffle, no UDF. */
+  def ivfCell(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cid, cvec) =>
+      cid -> cosine(vec, array(cvec.map(lit): _*))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.reverse.foldLeft(lit(-1)) { case (acc, (cid, s)) =>
+      when(s === best, lit(cid)).otherwise(acc)
+    }
+  }
+
+  /** IVF (inverted-file) ANN top-k with nProbe=1: corpus rows are assigned
+    * to their nearest coarse-quantizer centroid; a query scans only its own
+    * cell. The centroid list is small (collected once); per-row assignment
+    * is pure projection, the candidate join hash-partitions on the cell id.
+    * The 100 TB alternative to [[lshTopK]] when a trained quantizer exists. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      queryId: String,
+      corpusVec: String,
+      queryVec: String,
+      k: Int,
+      centroids: Seq[(Int, Seq[Double])]
+  ): DataFrame = {
+    val cb = corpus.withColumn("cell", ivfCell(col(corpusVec), centroids))
+    val qb = queries.withColumn("cell", ivfCell(col(queryVec), centroids))
+    val joined = cb.join(broadcast(qb), "cell")
+    val sim = round(cosine(col(corpusVec), col(queryVec)), 6)
+    val w = Window.partitionBy(col(queryId)).orderBy(sim.desc, col(corpusId).asc)
+    joined
+      .withColumn("cosine", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rk"))
+  }
+
   /** ANN top-k within LSH buckets: query vectors only compare against
     * corpus vectors in the same bucket. Recall < 1.0 by design; increase
     * bands (run with several independent plane sets and union) to trade

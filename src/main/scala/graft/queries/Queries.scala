@@ -556,6 +556,75 @@ object Queries {
        |SELECT qid, vec_id, cosine, rk FROM r WHERE rk <= 10""".stripMargin
   }
 
+  /** Independent plane sets (bands) for multi-band near-dup LSH. */
+  val nearDupBands: Seq[Seq[Seq[Double]]] =
+    Seq(42L, 101L, 202L).map(seed => Similarity.deterministicPlanes(4, 64, seed))
+
+  /** Embedding-cosine near-dup pairs: multi-band LSH candidates verified
+    * with exact cosine at threshold 0.45. */
+  val q30: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Dedup.embeddingNearDupPairs(emb, "vec_id", "v", 0.45, nearDupBands)
+  }
+
+  val q30Sql: String = {
+    def planeLit(p: Seq[Double]) = "[" + p.map(_.toString).mkString(", ") + "]"
+    def bucketExpr(planes: Seq[Seq[Double]]) = planes.zipWithIndex
+      .map { case (p, i) =>
+        s"CASE WHEN list_dot_product(v, ${planeLit(p)}) > 0 THEN ${1L << i} ELSE 0 END"
+      }
+      .mkString(" + ")
+    val bandSelects = nearDupBands.zipWithIndex
+      .map { case (planes, b) =>
+        s"SELECT vec_id, $b AS band, CAST(${bucketExpr(planes)} AS BIGINT) AS bucket FROM c"
+      }
+      .mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT id_a, id_b,
+       |    round(list_dot_product(va.v, vb.v) /
+       |      (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cosine
+       |  FROM cand JOIN c va ON va.vec_id = id_a JOIN c vb ON vb.vec_id = id_b)
+       |WHERE cosine >= 0.45""".stripMargin
+  }
+
+  /** IVF ANN (nProbe=1): coarse quantizer = the first 8 corpus vectors;
+    * each query scans only its own cell. */
+  val q31: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.ivfTopK(emb, queries, "vec_id", "qid", "v", "qv", k = 10, centroids)
+  }
+
+  val q31Sql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+      |scored AS (SELECT c.vec_id, cid,
+      |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS score
+      |  FROM c CROSS JOIN cent),
+      |cells AS (SELECT vec_id, cid AS cell FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY score DESC, cid ASC) AS rn FROM scored) WHERE rn = 1),
+      |cb AS (SELECT c.vec_id, v, cell FROM c JOIN cells USING (vec_id)),
+      |qb AS (SELECT vec_id AS qid, v AS qv, cell FROM cb WHERE vec_id < 5),
+      |s AS (SELECT qid, cb.vec_id,
+      |  round(list_dot_product(v, qv) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      |  FROM cb JOIN qb USING (cell)),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk FROM s)
+      |SELECT qid, vec_id, cosine, rk FROM r WHERE rk <= 10""".stripMargin
+
   /** Multimodal plumbing: text payloads as opaque binary + typed metadata +
     * per-partition stub decode (real schema/batching, fake codec). */
   val q29: QueryFn = (s, d) => {
@@ -613,6 +682,8 @@ object Queries {
     ("q26_dedup_ngram_jaccard", q26, Some(q26Sql)),
     ("q27_ann_bruteforce", q27, Some(q27Sql)),
     ("q28_ann_lsh", q28, Some(q28Sql)),
-    ("q29_multimodal_decode", q29, Some(q29Sql))
+    ("q29_multimodal_decode", q29, Some(q29Sql)),
+    ("q30_dedup_embedding_cosine", q30, Some(q30Sql)),
+    ("q31_ann_ivf", q31, Some(q31Sql))
   )
 }

@@ -78,6 +78,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.contains(0L) && hits.contains(1L))
   }
 
+  test("multi-band embedding near-dup finds identical vectors and filters by threshold") {
+    val bands = Seq(42L, 101L, 202L).map(s => Similarity.deterministicPlanes(4, 4, s))
+    val vecs = Seq(
+      (0L, Array(1.0, 0.2, 0.1, 0.0)), (1L, Array(1.0, 0.2, 0.1, 0.0)),
+      (2L, Array(0.99, 0.21, 0.1, 0.01)), (3L, Array(-1.0, 5.0, -2.0, 0.3)))
+      .toDF("vec_id", "v")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "v", 0.95, bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "identical vectors collide in every band")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near vector found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "far vector filtered by cosine")
+  }
+
+  test("IVF top-k: cell assignment is deterministic, query finds itself first") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.9, 0.1)), (3L, Seq(0.1, 0.9))).toDF("vec_id", "v")
+    val centroids = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val q = vecs.filter($"vec_id" === 2L).select($"vec_id".as("qid"), $"v".as("qv"))
+    val out = Similarity.ivfTopK(vecs, q, "vec_id", "qid", "v", "qv", 5, centroids)
+      .orderBy("rk").collect()
+    // cell 0 = {0, 2}; query 2 scans only its own cell
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(2L, 0L))
+    assert(out(0).getAs[Double]("cosine") == 1.0)
+  }
+
   test("text analysis: tokens, quality, langid, fingerprints") {
     val df = Seq(
       (0L, "the cat and the dog, with 42 tricks!"),

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the things that make queries survive a 100x
+  * scale-up. These lock in the optimizations so a refactor can't silently
+  * regress them (SURVEY.md §4, builder brief "optimize for scale"). */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Plan AFTER execution — AQE only finalizes (and shows codegen spans)
+    * once the query has run. */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // run THIS QueryExecution so AQE finalizes it in place
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter AND projection push down to the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_shipdate)"),
+      s"filters must reach the scan:\n$p")
+    assert(p.contains("LessThan(l_quantity,5.0)"), "quantity predicate pushed")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_shipdate:timestamp"), "only 4 of 11 columns read")
+  }
+
+  test("q03: all three dimension joins broadcast (no fact-side shuffle joins)") {
+    val p = plan("q03_join_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join for small dims")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial + final HashAggregate expected")
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"),
+      "single shuffle keyed on the group-by columns")
+  }
+
+  test("q09: whole-frame aggregate broadcast uses agg+broadcast join, not a global window") {
+    val p = plan("q09_derive_agg_broadcast")
+    assert(!p.contains("Window"), s"no window operator allowed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row aggregate must be broadcast")
+  }
+
+  test("q17: scan reads only the columns the aggregate needs") {
+    val p = plan("q17_tpch_q6")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double>"), s"3-col pruned read expected:\n$p")
+  }
+
+  test("q27: queries side is broadcast; corpus is never shuffled for the join") {
+    val p = plan("q27_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), "broadcast cross join expected")
+  }
+
+  test("whole-stage codegen covers the hot paths") {
+    for (q <- Seq("q01_pricing_summary", "q08_derive_rowwise", "q20_text_stats")) {
+      val p = executedPlan(q)
+      // "*(n) Operator" marks a whole-stage-codegen stage in plan strings
+      assert(p.contains("*(1)"), s"$q must run inside codegen:\n$p")
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.SessionEvent
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("windowed event stats aggregate a streamed batch with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedEventStats(events, windowDur = "5 minutes", slideDur = "5 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("win_stats").start()
+    try {
+      input.addData(
+        (ts(0), "click", 1.0), (ts(1), "click", 2.0),
+        (ts(2), "buy", 10.0), (ts(6), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime / 60000,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value"))).toSet
+      assert(rows == Set((0L, "click", 2L, 3.0), (0L, "buy", 1L, 10.0), (5L, "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and carries state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = Streaming.sessionize(input.toDS(), gapMs = 10 * 60000L)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    try {
+      // batch 1: user 1 has two events 5 min apart (same session),
+      // then a 30-min gap event -> first session closes
+      input.addData(
+        SessionEvent(1L, 1, ts(0), 1.0), SessionEvent(1L, 2, ts(5), 2.0),
+        SessionEvent(1L, 3, ts(35), 4.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sessions").as[Streaming.Session].collect()
+      assert(afterB1.length == 1)
+      assert(afterB1(0).n_events == 2 && afterB1(0).total_value == 3.0)
+      assert(afterB1(0).session_start == ts(0) && afterB1(0).session_end == ts(5))
+      // batch 2: user 1 continues within gap (extends open session);
+      // user 2 starts and closes via a later far event
+      input.addData(
+        SessionEvent(1L, 4, ts(40), 8.0),
+        SessionEvent(2L, 5, ts(0), 1.0), SessionEvent(2L, 6, ts(100), 1.0))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sessions").as[Streaming.Session].collect()
+      assert(afterB2.length == 2)
+      val u2 = afterB2.find(_.user_id == 2L).get
+      assert(u2.n_events == 1 && u2.session_end == ts(0))
+    } finally q.stop()
+  }
+
+  test("batch transforms compose unchanged on a streaming frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val df = input.toDF().toDF("name", "v")
+    // reuse batch stage operators directly on the stream
+    val staged = df
+      .transform(graft.stages.Transforms.normaliseStrCols)
+      .transform(graft.stages.Transforms.clipCols(Seq("v" -> (0.0, 10.0))))
+    val q = staged.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("staged").start()
+    try {
+      input.addData((" A ", 99.0), ("b", -5.0))
+      q.processAllAvailable()
+      val rows = spark.table("staged").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(rows == Set(("a", 10.0), ("b", 0.0)))
+    } finally q.stop()
+  }
+}
