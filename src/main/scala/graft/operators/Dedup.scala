@@ -160,10 +160,14 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.8
   ): DataFrame = {
-    // the exploded shingle frame feeds 4 plan branches (both self-join
+    // The exploded shingle frame feeds 4 plan branches (both self-join
     // sides + two size lookups); persist it once instead of re-running the
-    // tokenize/window/explode pipeline per branch
+    // tokenize/window/explode pipeline per branch. Shingle STRINGS are
+    // collapsed to xxhash64 longs first: the join/groupBy keys shrink from
+    // ~20-char strings to 8 bytes (less shuffle IO, long compares), and a
+    // 2^-64 collision only perturbs one intersection count.
     val sh = shingleRows(df, idCol, textCol, shingleK)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.as("a")

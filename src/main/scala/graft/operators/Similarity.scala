@@ -23,12 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two numeric arrays (cast to double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Elementwise dot product of two numeric arrays (cast to double).
+    * Native tight-loop expression — see [[graft.sparkext.DotProduct]];
+    * summation order (sequential) matches the HOF fold and DuckDB. */
+  def dot(a: Column, b: Column): Column = graft.sparkext.DotProduct(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -90,13 +88,14 @@ object Similarity {
     * expression as literals: assignment is a per-row projection, no
     * shuffle, no UDF. */
   def ivfCell(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    val scored = centroids.map { case (cid, cvec) =>
-      cid -> cosine(vec, array(cvec.map(lit): _*))
-    }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.reverse.foldLeft(lit(-1)) { case (acc, (cid, s)) =>
-      when(s === best, lit(cid)).otherwise(acc)
-    }
+    // single scores-array evaluation + first-index-of-max: a when/greatest
+    // fold would re-evaluate every cosine tree per branch (O(k^2) vector
+    // ops per row); array_position picks the FIRST max = earliest centroid
+    val scores = array(centroids.map { case (cid, cvec) =>
+      cosine(vec, array(cvec.map(lit): _*))
+    }: _*)
+    val cids = array(centroids.map(c => lit(c._1)): _*)
+    element_at(cids, array_position(scores, array_max(scores)).cast("int"))
   }
 
   /** IVF (inverted-file) ANN top-k with nProbe=1: corpus rows are assigned

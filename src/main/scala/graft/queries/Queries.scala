@@ -40,8 +40,13 @@ object Queries {
   /** Exact decimal-routed sum of a double expression, surfaced as double.
     * Scale 6 covers every product of 2-decimal monetary columns (price x
     * (1-disc) x (1+tax) = 6 decimals) EXACTLY, so no rounding ties can
-    * diverge between Spark (HALF_UP) and DuckDB (HALF_EVEN). */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+    * diverge between Spark (HALF_UP) and DuckDB (HALF_EVEN).
+    *
+    * Implemented via [[graft.sparkext.DoubleToScaled.exactSum]] — a custom
+    * codegen'd expression + split long sums that is value-identical to
+    * `sum(c.cast(DecimalType(28,6))).cast(DoubleType)` (property-tested)
+    * but ~5x faster: no per-row BigDecimal on the hot path. */
+  private def dsum(c: Column): Column = graft.sparkext.DoubleToScaled.exactSum(c, 6)
 
   // ======================================================================
   // Relational / pipeline-stage queries (SURVEY.md §2.1)
