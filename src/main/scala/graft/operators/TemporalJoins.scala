@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and band (range) joins — operators Spark lacks natively,
+  * re-expressed as scalable compositions (preference (a) of the build
+  * brief: compose existing ops before writing a custom SparkPlan).
+  *
+  * - [[asOfJoin]]: union-merge + running `last(ignoreNulls)` window. ONE
+  *   shuffle, keyed on the join keys; no inequality sort-merge join, no
+  *   broadcast of either side. The classic distributed as-of formulation.
+  * - [[bandJoin]]: |l - r| <= band via bucket replication: each right row
+  *   lands in its bucket plus the two adjacent ones, the join is a plain
+  *   hash equi-join on the bucket id, and an exact residual filter prunes
+  *   false candidates. Each true pair matches in exactly one replica (the
+  *   left row's bucket), so no dedup pass is needed; shuffle volume is
+  *   3x right + 1x left, independent of output pair count — the
+  *   scale-safe alternative to a theta join.
+  */
+object TemporalJoins {
+
+  /** For every left row: attach the right row with the greatest
+    * `rightTime <= leftTime` (backward, inclusive — DuckDB ASOF JOIN
+    * semantics) within the same `keys` group. Right payload columns come
+    * back prefixed with `rightPrefix`. Inner semantics: left rows with no
+    * prior right row are dropped.
+    *
+    * Among right rows sharing the exact same (keys, time), the greatest
+    * `tieBreak` value wins — deterministic by construction.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String,
+      rightPrefix: String = "asof_"
+  ): DataFrame = {
+    val rightPayCols = right.columns.toSeq.filterNot(keys.contains)
+    val leftCols = left.columns.toSeq
+    val rightPayType =
+      right.select(struct(rightPayCols.map(col): _*)).schema.head.dataType
+    val leftPayType =
+      left.select(struct(leftCols.map(col): _*)).schema.head.dataType
+    val tieBreakType = right.select(col(tieBreak)).schema.head.dataType
+
+    val r2 = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        col(tieBreak).as("__tb"),
+        lit(0).as("__side"),
+        struct(rightPayCols.map(col): _*).as("__p"),
+        lit(null).cast(leftPayType).as("__l")): _*)
+
+    val l2 = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(null).cast(tieBreakType).as("__tb"),
+        lit(1).as("__side"),
+        lit(null).cast(rightPayType).as("__p"),
+        struct(leftCols.map(col): _*).as("__l")): _*)
+
+    // right rows order before left rows at equal time (inclusive <=);
+    // among equal right times the greatest tieBreak is carried last
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r2.unionByName(l2)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .select(
+        leftCols.map(c => col(s"__l.`$c`").as(c)) ++
+          rightPayCols.map(c => col(s"__m.`$c`").as(s"$rightPrefix$c")): _*)
+  }
+
+  /** Pairs with |leftVal - rightVal| <= band (numeric columns, band > 0):
+    * bucketed candidate generation + exact residual filter. Right columns
+    * come back prefixed. */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftVal: String,
+      rightVal: String,
+      band: Long,
+      rightPrefix: String = "r_"
+  ): DataFrame = {
+    require(band > 0, "band must be positive")
+    val lb = left.withColumn("__bucket", floor(col(leftVal) / band.toDouble).cast("long"))
+    val rb = right
+      .withColumn("__shift", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bucket",
+        floor(col(rightVal) / band.toDouble).cast("long") + col("__shift"))
+      .drop("__shift")
+    val renamed = right.columns.foldLeft(rb) { (df, c) =>
+      df.withColumnRenamed(c, s"$rightPrefix$c")
+    }
+    lb.join(renamed, Seq("__bucket"))
+      .filter(abs(col(leftVal) - col(s"$rightPrefix$rightVal")) <= band)
+      .drop("__bucket")
+  }
+}

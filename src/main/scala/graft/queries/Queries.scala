@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{DeriveSpec, RuleSpec}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
 import graft.stages.{Transforms, Validation}
 import graft.expr.RuleParser
 
@@ -655,6 +655,52 @@ object Queries {
       |  / octet_length(encode(text)), 6) AS mean_intensity
       |FROM documents""".stripMargin
 
+  /** As-of join: each purchase attributed to the user's latest click at or
+    * before it (union-merge + running window — one shuffle, no theta join). */
+  val q32: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    TemporalJoins.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        tieBreak = "event_id", rightPrefix = "c_")
+      .select(
+        col("event_id"), col("user_id"),
+        col("c_event_id").as("click_id"),
+        col("c_value").as("click_value"),
+        (expr("ts div 1000000") - expr("c_ts div 1000000")).as("gap_ms"))
+  }
+
+  val q32Sql: String =
+    """WITH clicks AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+      |purchases AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+      |FROM purchases p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  /** Band (range) join: lineitems shipped within +-1 day of any order's
+    * date — bucket-replicated equi-join, no theta join. */
+  val q33: QueryFn = (s, d) => {
+    val li = tbl(s, d, "lineitem")
+      .filter(col("l_quantity") < 3)
+      .select(col("l_returnflag"), unix_date(col("l_shipdate").cast("date")).as("d"))
+    val ord = tbl(s, d, "orders")
+      .select(unix_date(col("o_orderdate").cast("date")).as("d"))
+    TemporalJoins.bandJoin(li, ord, "d", "d", band = 1)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val q33Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_pairs
+      |FROM (SELECT l_returnflag, CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS d
+      |      FROM lineitem WHERE l_quantity < 3) l,
+      |     (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d FROM orders) o
+      |WHERE abs(l.d - o.d) <= 1
+      |GROUP BY l_returnflag""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -689,6 +735,8 @@ object Queries {
     ("q28_ann_lsh", q28, Some(q28Sql)),
     ("q29_multimodal_decode", q29, Some(q29Sql)),
     ("q30_dedup_embedding_cosine", q30, Some(q30Sql)),
-    ("q31_ann_ivf", q31, Some(q31Sql))
+    ("q31_ann_ivf", q31, Some(q31Sql)),
+    ("q32_asof_join", q32, Some(q32Sql)),
+    ("q33_band_join", q33, Some(q33Sql))
   )
 }

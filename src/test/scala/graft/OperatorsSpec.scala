@@ -104,6 +104,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("cosine") == 1.0)
   }
 
+  test("asOfJoin: backward inclusive, keyed, tie-broken, inner semantics") {
+    import graft.operators.TemporalJoins
+    val right = Seq((1L, 10L, 100L, "r10"), (1L, 20L, 101L, "r20"),
+      (1L, 20L, 102L, "r20b"), (2L, 5L, 103L, "other-key")).toDF("k", "t", "rid", "tag")
+    val left = Seq((1L, 9L, "before-any"), (1L, 10L, "exact"), (1L, 25L, "after"),
+      (3L, 50L, "no-right-key")).toDF("k", "t", "name")
+    val out = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "t", "rid")
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[Long]("asof_rid"), r.getAs[String]("asof_tag"))).toMap
+    assert(!out.contains("before-any"), "inner: no prior right row")
+    assert(!out.contains("no-right-key"))
+    assert(out("exact") == (100L, "r10"), "inclusive <= at equal time")
+    assert(out("after") == (102L, "r20b"), "latest right; greatest tieBreak on ties")
+  }
+
+  test("bandJoin: exact band semantics, no duplicate pairs, boundary inclusive") {
+    import graft.operators.TemporalJoins
+    val left = Seq((1L, 100L), (2L, 205L)).toDF("lid", "v")
+    val right = Seq((10L, 90L), (11L, 110L), (12L, 111L), (13L, 195L)).toDF("rid", "v")
+    val out = TemporalJoins.bandJoin(left, right, "v", "v", band = 10)
+      .select("lid", "r_rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (1L, 11L), (2L, 13L)),
+      s"90 and 110 within +-10 of 100 (inclusive), 111 excluded; got $out")
+  }
+
   test("text analysis: tokens, quality, langid, fingerprints") {
     val df = Seq(
       (0L, "the cat and the dog, with 42 tricks!"),
