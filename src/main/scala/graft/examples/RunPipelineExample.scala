@@ -38,7 +38,9 @@ object RunPipelineExample {
         clipMap = Seq("l_extendedprice" -> (1000.0, 50000.0)),
         newColMap = Seq(
           "revenue" -> DeriveSpec("mul_cols", Map("cols" -> Seq("l_quantity", "l_extendedprice"))),
-          "mean_qty" -> DeriveSpec("mean", Map("col" -> "l_quantity"))),
+          "mean_qty" -> DeriveSpec("mean", Map("col" -> "l_quantity")),
+          "ship_quarter" -> DeriveSpec("dt_quarter", Map("col" -> "l_shipdate")),
+          "capped_tax" -> DeriveSpec("min_cols", Map("cols" -> Seq("l_tax", "l_discount")))),
         renameMap = Seq("l_returnflag" -> "return_flag")))
 
     val res = Pipeline.runPipeline(spark, cfg, new SparkIO)

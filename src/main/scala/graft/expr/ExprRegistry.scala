@@ -263,7 +263,67 @@ object ExprRegistry {
     "dt_minute" -> rw(kw => minute(c(kw))),
     "dt_second" -> rw(kw => second(c(kw))),
     "dt_date" -> rw(kw => to_date(c(kw))),
-    "dt_epoch_seconds" -> rw(kw => unix_timestamp(c(kw)))
+    "dt_epoch_seconds" -> rw(kw => unix_timestamp(c(kw))),
+    "dt_weekday" -> rw(kw => dayofweek(c(kw))),
+    "dt_week" -> rw(kw => weekofyear(c(kw))),
+    "dt_quarter" -> rw(kw => quarter(c(kw))),
+    "dt_ordinal_day" -> rw(kw => dayofyear(c(kw))),
+    "dt_truncate" -> rw(kw => date_trunc(str(kw, "unit"), c(kw))),
+
+    // more horizontal folds (polars min_horizontal / max_horizontal)
+    "min_cols" -> rw { kw =>
+      val cs = strSeq(kw, "cols").map(col)
+      require(cs.nonEmpty, "min_cols requires a non-empty 'cols' list")
+      least(cs: _*)
+    },
+    "max_cols" -> rw { kw =>
+      val cs = strSeq(kw, "cols").map(col)
+      require(cs.nonEmpty, "max_cols requires a non-empty 'cols' list")
+      greatest(cs: _*)
+    },
+
+    // finiteness
+    "is_finite" -> rw(kw => !isnan(c(kw)) && c(kw) =!= lit(Double.PositiveInfinity) &&
+      c(kw) =!= lit(Double.NegativeInfinity)),
+    "is_infinite" -> rw(kw =>
+      c(kw) === lit(Double.PositiveInfinity) || c(kw) === lit(Double.NegativeInfinity)),
+
+    // more whole-frame aggregates
+    "product" -> agg(kw => product(c(kw))),
+    "skew" -> agg(kw => skewness(c(kw))),
+    "kurtosis" -> agg(kw => kurtosis(c(kw))),
+    "quantile" -> agg(kw =>
+      expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})")),
+    "mode" -> agg(kw => mode(c(kw))),
+
+    // more string ops
+    "str_starts_with" -> rw(kw => c(kw).startsWith(anyVal(kw).toString)),
+    "str_ends_with" -> rw(kw => c(kw).endsWith(anyVal(kw).toString)),
+    "str_extract" -> rw(kw =>
+      regexp_extract(c(kw), str(kw, "pattern"), intVal(kw, "group_index", 1))),
+    "str_count_matches" -> rw(kw => regexp_count(c(kw), lit(str(kw, "pattern")))),
+    "str_split" -> rw(kw => split(c(kw), str(kw, "by"))),
+    "str_pad_start" -> rw(kw =>
+      lpad(c(kw), intVal(kw, "length", 0), kw.getOrElse("fill_char", " ").toString)),
+    "str_pad_end" -> rw(kw =>
+      rpad(c(kw), intVal(kw, "length", 0), kw.getOrElse("fill_char", " ").toString)),
+    "str_zfill" -> rw(kw => lpad(c(kw), intVal(kw, "length", 0), "0")),
+    "str_reverse" -> rw(kw => reverse(c(kw))),
+
+    // list/array ops
+    "list_len" -> rw(kw => size(c(kw))),
+    "list_contains" -> rw(kw => array_contains(c(kw), anyVal(kw))),
+    "list_unique" -> rw(kw => array_distinct(c(kw))),
+    "list_sort" -> rw(kw => sort_array(c(kw))),
+    "list_join" -> rw(kw => array_join(c(kw), kw.getOrElse("separator", ",").toString)),
+    "list_min" -> rw(kw => array_min(c(kw))),
+    "list_max" -> rw(kw => array_max(c(kw))),
+    "list_get" -> rw(kw => element_at(c(kw), intVal(kw, "index", 0) + 1)),
+
+    // more unary math (hyperbolic inverses via composition where absent)
+    "arcsinh" -> rw(kw => asinh(c(kw))),
+    "arccosh" -> rw(kw => acosh(c(kw))),
+    "arctanh" -> rw(kw => atanh(c(kw)))
   )
 
   def resolve(fnName: String): DeriveFn =

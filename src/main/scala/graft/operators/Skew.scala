@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys at cluster scale.
+  *
+  * AQE's skew-join handling (on by default) rebalances SORT-MERGE join
+  * partitions at runtime, but two shapes still need explicit salting:
+  *
+  *  - aggregation skew: one giant group funnels into a single reducer —
+  *    [[saltedAgg]] splits each group into `saltBuckets` subgroups
+  *    (phase 1) and merges the partials (phase 2), bounding any single
+  *    task's input at 1/saltBuckets of the hottest key;
+  *  - replicated ("salted") joins where the dimension is too big to
+  *    broadcast and the fact side has hot keys — [[saltedJoin]] spreads
+  *    each hot fact key over `saltBuckets` partitions and replicates the
+  *    dimension rows to every bucket.
+  *
+  * Results are identical to the unsalted equivalents (verified by spec);
+  * salt assignment uses `monotonically_increasing_id`, which is
+  * plan-stable within a job and never visible in the output.
+  */
+object Skew {
+
+  /** Two-phase (salted) aggregation. `partialAggs` run per
+    * (keys, salt) subgroup; `finalAggs` merge the aliased partials per key.
+    *
+    * {{{
+    * Skew.saltedAgg(df, Seq("k"), 16)(
+    *   partialAggs = Seq(count(lit(1)).as("c"), sum($"v").as("s")),
+    *   finalAggs   = Seq(sum($"c").as("n"), sum($"s").as("total")))
+    * }}}
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int)(
+      partialAggs: Seq[Column],
+      finalAggs: Seq[Column]
+  ): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Skew-safe equi-join: the (big, possibly hot-keyed) left side gets a
+    * random-ish salt; the right side is replicated across all salt values.
+    * Inner join on keys + salt; output == plain inner join on keys. Right
+    * side grows saltBuckets-fold — keep it the smaller input. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int
+  ): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val bigS = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    bigS.join(smallS, keys :+ "__salt").drop("__salt")
+  }
+}
