@@ -701,6 +701,92 @@ object Queries {
       |WHERE abs(l.d - o.d) <= 1
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Hierarchical aggregation: ROLLUP over (returnflag, linestatus). */
+  val q34: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val q34Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Full cube over order status x priority. */
+  val q35: QueryFn = (s, d) =>
+    tbl(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  val q35Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Semi join (EXISTS): customers that placed at least one high-value
+    * order; anti join (NOT EXISTS): customers with none — one catalog
+    * entry each shape, unioned with a marker column. */
+  val q36: QueryFn = (s, d) => {
+    val cust = tbl(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val bigOrders = tbl(s, d, "orders")
+      .filter(col("o_totalprice") > 150000).select(col("o_custkey").as("c_custkey"))
+    val semi = cust.join(bigOrders, Seq("c_custkey"), "left_semi")
+      .withColumn("kind", lit("has_big_order"))
+    val anti = cust.join(bigOrders, Seq("c_custkey"), "left_anti")
+      .withColumn("kind", lit("no_big_order"))
+    semi.unionByName(anti)
+  }
+
+  val q36Sql: String =
+    """SELECT c_custkey, c_mktsegment, 'has_big_order' AS kind FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, 'no_big_order' AS kind FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT / UNION (distinct). */
+  val q37: QueryFn = (s, d) => {
+    val custNations = tbl(s, d, "customer").select(col("c_nationkey").as("nk"))
+    val suppNations = tbl(s, d, "supplier").select(col("s_nationkey").as("nk"))
+    val allNations = tbl(s, d, "nation").select(col("n_nationkey").as("nk"))
+    custNations.intersect(suppNations)
+      .union(allNations.except(custNations))
+      .distinct()
+  }
+
+  val q37Sql: String =
+    """SELECT nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier
+      |) UNION
+      |SELECT * FROM (
+      |  SELECT n_nationkey FROM nation EXCEPT SELECT c_nationkey FROM customer)""".stripMargin
+
+  /** Deterministic top-k: ORDER BY + LIMIT compiles to
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge, no
+    * global sort. */
+  val q38: QueryFn = (s, d) =>
+    tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  val q38Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Pivot: linestatus columns of exact quantity sums per returnflag. */
+  val q39: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+
+  val q39Sql: String =
+    """SELECT l_returnflag,
+      |CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS F,
+      |CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS O
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -737,6 +823,12 @@ object Queries {
     ("q30_dedup_embedding_cosine", q30, Some(q30Sql)),
     ("q31_ann_ivf", q31, Some(q31Sql)),
     ("q32_asof_join", q32, Some(q32Sql)),
-    ("q33_band_join", q33, Some(q33Sql))
+    ("q33_band_join", q33, Some(q33Sql)),
+    ("q34_rollup", q34, Some(q34Sql)),
+    ("q35_cube", q35, Some(q35Sql)),
+    ("q36_semi_anti_join", q36, Some(q36Sql)),
+    ("q37_set_ops", q37, Some(q37Sql)),
+    ("q38_topk", q38, Some(q38Sql)),
+    ("q39_pivot", q39, Some(q39Sql))
   )
 }
