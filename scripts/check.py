@@ -22,6 +22,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 only = None
 for a in sys.argv[1:]:
     if a.startswith("--only"):
+        if "=" not in a:
+            sys.exit("usage: --only=q01_name,q02_name (single '='-joined argument)")
         only = set(a.split("=", 1)[1].split(","))
 
 
@@ -91,6 +93,8 @@ def main():
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v.startswith('OK') else 'FAIL'} {name}: {v}")
     print(f"\n{npass}/{len(results)} queries match")
+    if not results:
+        sys.exit("no queries matched the --only filter — nothing was verified")
     sys.exit(0 if npass == len(results) else 1)
 
 

@@ -28,15 +28,22 @@ object Bench {
     spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // best-of-2 timed runs: single-machine runs are noisy (GC, thread
-      // scheduling); min is the standard noise-robust point estimate
+      // scheduling); min is the standard noise-robust point estimate.
+      // A crashed query records -1, never a bogus near-zero "fast" time.
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
         spark.catalog.clearCache() // operators may persist intermediates
-        (System.nanoTime() - t0) / 1e9
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      val good = times.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

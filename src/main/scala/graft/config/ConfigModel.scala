@@ -66,8 +66,9 @@ final case class GeneralConfig(
     pipelinePlan: Seq[String] = Nil
 ) {
   require(
-    FileType.all.contains(srcFileType.toLowerCase) && FileType.all.contains(dstFileType.toLowerCase),
-    s"file types must be one of ${FileType.all.mkString(",")}"
+    FileType.data.contains(srcFileType.toLowerCase) && FileType.data.contains(dstFileType.toLowerCase),
+    s"src/dst file types must be one of ${FileType.data.mkString(",")} " +
+      "(yaml is the config-artifact format, not a data source/sink)"
   )
 }
 
@@ -78,7 +79,9 @@ object FileType {
   val Csv = "csv"
   val Json = "json"
   val Yaml = "yaml"
-  val all: Set[String] = Set(Parquet, Csv, Json, Yaml)
+  /** Formats a pipeline source/sink can dispatch on. */
+  val data: Set[String] = Set(Parquet, Csv, Json)
+  val all: Set[String] = data + Yaml
 }
 
 /** Minimal YAML emitter for the config artifact sink (S25). The reference
@@ -88,7 +91,14 @@ object YamlEmit {
   private def scalar(v: Any): String = v match {
     case null => "null"
     case s: String =>
-      val needsQuote = s.isEmpty || s.trim != s ||
+      // also quote strings a YAML parser would read back as a non-string
+      // (booleans, null, numbers) — "true"/"007"/"null" must survive the
+      // round trip as strings
+      val ambiguous = s.toLowerCase match {
+        case "true" | "false" | "yes" | "no" | "on" | "off" | "null" | "~" => true
+        case other => other.matches("[-+]?((\\d[\\d_]*)?\\.?\\d+([eE][-+]?\\d+)?|0x[0-9a-f]+|0o[0-7]+|\\.inf|\\.nan)")
+      }
+      val needsQuote = s.isEmpty || s.trim != s || ambiguous ||
         s.exists(c => ":#{}[],\"'\n".contains(c)) ||
         "-?&*!|>%@".contains(s.head)
       if (needsQuote)

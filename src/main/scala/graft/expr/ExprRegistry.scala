@@ -223,8 +223,10 @@ object ExprRegistry {
       (c(kw) - prev) / prev
     },
     "is_first_distinct" -> rw { kw =>
-      row_number().over(
-        Window.partitionBy(c(kw)).orderBy(strSeq(kw, "order_by").map(col): _*)) === 1
+      val ord = strSeq(kw, "order_by")
+      require(ord.nonEmpty,
+        "'is_first_distinct' requires an 'order_by' kwarg: Spark rows have no implicit order")
+      row_number().over(Window.partitionBy(c(kw)).orderBy(ord.map(col): _*)) === 1
     },
 
     // duplicate marking (per-expression, like pl.Expr.is_duplicated)

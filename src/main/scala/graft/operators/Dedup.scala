@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * randomness), so results are reproducible across runs, engines, and the
   * DuckDB oracle. MinHash uses the lexicographic MIN of per-seed md5 hex
   * digests — a valid uniform min-hash family with engine-portable semantics.
+  *
+  * Caching contract: [[minHashLshPairs]] and [[ngramJaccardPairs]] persist
+  * a small reused intermediate (signatures / exploded shingles) because it
+  * feeds multiple self-join branches; the returned frame is lazy, so the
+  * operator cannot unpersist it itself. Long-lived sessions calling these
+  * repeatedly should `spark.catalog.clearCache()` (or unpersist) after
+  * consuming each result — Verify and Bench do exactly that.
   */
 object Dedup {
 

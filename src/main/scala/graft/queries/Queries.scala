@@ -787,6 +787,37 @@ object Queries {
       |CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(28,6))) AS DOUBLE) AS O
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Structured Streaming in the correctness catalog: the events table is
+    * replayed through a file-source STREAM into a watermarked 6-hour
+    * windowed aggregation (memory sink, drained synchronously); the oracle
+    * is the equivalent BATCH aggregation in DuckDB — streaming and batch
+    * semantics must agree on complete data. */
+  val q40: QueryFn = (s, d) => {
+    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    val events = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val name = "q40_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  val q40Sql: String =
+    """SELECT make_timestamp(CAST(floor(epoch_us(ts) / 21600000000) * 21600000000 AS BIGINT)) AS window_start,
+      |event_type, COUNT(*) AS n_events,
+      |CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -829,6 +860,7 @@ object Queries {
     ("q36_semi_anti_join", q36, Some(q36Sql)),
     ("q37_set_ops", q37, Some(q37Sql)),
     ("q38_topk", q38, Some(q38Sql)),
-    ("q39_pivot", q39, Some(q39Sql))
+    ("q39_pivot", q39, Some(q39Sql)),
+    ("q40_stream_window", q40, Some(q40Sql))
   )
 }

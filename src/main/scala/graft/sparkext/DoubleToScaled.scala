@@ -72,17 +72,26 @@ object DoubleToScaled {
     * p + e == x * factor EXACTLY (Dekker two-product via FMA). */
   def scaleRound(x: Double, factor: Double): Long = {
     val p = x * factor
+    // 9.2e18 (not 2^63): keeps p.toLong exact and leaves headroom for the
+    // +-512 residual adjustment without saturating at Long.MaxValue
     if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p) ||
-      p <= -9.223372036854776e18 || p >= 9.223372036854776e18) return NullSentinel
+      p <= -9.2e18 || p >= 9.2e18) return NullSentinel
     val e = java.lang.Math.fma(x, factor, -p)
     val c = java.lang.Math.rint(p)
     val d = p - c // exact (|p - c| <= 0.5, c in p's binade or integral)
     var n = c.toLong
-    // The half-way comparisons must test d and e SEPARATELY: when d is
-    // exactly +-0.5, |e| can be far below ulp(0.5), so d + e would round
-    // straight back to +-0.5 and lose the decision.
-    if (d == 0.5) {
-      // t = c + 0.5 + e: e>0 rounds up; true tie (e==0) goes away from zero
+    if (d == 0.0) {
+      // p is integral. Above 2^52 this is ALWAYS the case and the entire
+      // fractional part (possibly many whole units — |e| can reach
+      // ulp(p)/2 = 512 near 2^63) lives in the exact residual e:
+      // round-half-up(t) = p + floor(e + 0.5) for t > 0 (away from zero),
+      // p + ceil(e - 0.5) for t < 0.
+      if (p >= 0) n += java.lang.Math.floor(e + 0.5).toLong
+      else n += java.lang.Math.ceil(e - 0.5).toLong
+    } else if (d == 0.5) {
+      // |p| < 2^52 here, so |e| <= ulp(p)/2 < 0.25: e only decides ties.
+      // Tested separately from d: |e| may be far below ulp(0.5), so d + e
+      // would round straight back to 0.5 and lose the decision.
       if (e > 0 || (e == 0 && p > 0)) n += 1
     } else if (d == -0.5) {
       if (e < 0 || (e == 0 && p < 0)) n -= 1

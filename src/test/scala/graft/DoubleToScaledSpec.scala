@@ -34,6 +34,26 @@ class DoubleToScaledSpec extends AnyFunSuite {
     }
   }
 
+  test("scaleRound stays exact above 2^53 where the residual carries whole units") {
+    // regression: values with |x * 1e6| > 2^53 put the entire fractional
+    // part (up to +-512 whole units near 2^63) into the FMA residual;
+    // an adjust-by-at-most-1 implementation was off by up to hundreds
+    val adversarial = Seq(1217934554570.487, -1217934554570.487,
+      9.0e12, -9.0e12, 9007199254.740993, 1.23456789012e12)
+    for (x <- adversarial)
+      assert(DoubleToScaled.scaleRound(x, 1e6) == reference(x, 6), s"x=$x")
+    val rng = new scala.util.Random(13)
+    var i = 0
+    while (i < 200000) {
+      // |x| in [1e9, 9.19e12]: straddles the 2^53-scaled boundary
+      val x = (rng.nextDouble() - 0.5) * 2 * math.pow(10, 9 + rng.nextInt(4)) *
+        (1 + rng.nextDouble())
+      if (math.abs(x) < 9.19e12)
+        assert(DoubleToScaled.scaleRound(x, 1e6) == reference(x, 6), s"x=$x")
+      i += 1
+    }
+  }
+
   test("non-finite and out-of-range inputs yield null (like cast-to-decimal)") {
     val df = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
       1e290, 1.5).toDF("x")

@@ -83,6 +83,27 @@ class TransformsSpec extends AnyFunSuite {
     assert(!out.queryExecution.optimizedPlan.toString.contains("windowspecdefinition"))
   }
 
+  test("derive: aggregate over an earlier derived column; overwrite keeps position") {
+    val df = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+    val out = Transforms.deriveNewCols(Seq(
+      "v2" -> DeriveSpec("mul", Map("col" -> "v", "value" -> 2)),
+      "mean_v2" -> DeriveSpec("mean", Map("col" -> "v2")), // agg over derived
+      "v" -> DeriveSpec("add", Map("col" -> "v", "value" -> 1)) // overwrite
+    ))(df)
+    assert(out.columns.toSeq == Seq("id", "v", "v2", "mean_v2"), "no dup cols, order kept")
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getAs[Double]("v2") == 20.0 && rows(0).getAs[Double]("mean_v2") == 30.0)
+    assert(rows(0).getAs[Double]("v") == 11.0, "overwrite applied")
+  }
+
+  test("derive: whole-frame aggregate may overwrite an existing column") {
+    val df = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+    val out = Transforms.deriveNewCols(Seq(
+      "v" -> DeriveSpec("mean", Map("col" -> "v"))))(df)
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.select("v").collect().map(_.getDouble(0)).toSeq == Seq(15.0, 15.0))
+  }
+
   test("filterRows AND-folds rules; dedupe subsets") {
     val df = Seq((1, "a"), (2, "a"), (5, "b")).toDF("v", "g")
     val f = Transforms.filterRows(Seq(
