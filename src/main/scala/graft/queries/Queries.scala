@@ -818,6 +818,55 @@ object Queries {
       |CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Corpus term frequencies: explode tokens -> count -> deterministic
+    * top-20 (count desc, token asc). */
+  val q41: QueryFn = (s, d) =>
+    tbl(s, d, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  val q41Sql: String =
+    """WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents)
+      |SELECT tok, COUNT(*) AS n FROM t WHERE length(tok) > 0
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
+  /** End-to-end training-data curation: quality-score filter -> exact
+    * dedup (keep min doc_id per normalized fingerprint) -> per-source
+    * corpus stats. The composition the LLM-data operators exist for. */
+  val q42: QueryFn = (s, d) => {
+    val scored = tbl(s, d, "documents")
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .filter(col("q") >= 0.8)
+    Dedup.exact(scored, "doc_id", "text")
+      .withColumn("n_toks", TextAnalysis.tokenCount(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  val q42Sql: String =
+    """WITH b AS (SELECT doc_id, source, text,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS INTEGER) AS n_toks,
+      |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digit
+      |  FROM documents),
+      |scored AS (SELECT *,
+      |  round(least(CAST(n_toks AS DOUBLE)/20.0, 1.0)
+      |    * (1.0 - least(round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1), 6)*4.0, 1.0))
+      |    * (1.0 - least(round(CAST(n_digit AS DOUBLE)/greatest(n_chars,1), 6)*4.0, 1.0)), 6) AS q
+      |  FROM b),
+      |filt AS (SELECT * FROM scored WHERE q >= 0.8),
+      |dedup AS (SELECT * FROM filt WHERE doc_id IN (
+      |  SELECT min(doc_id) FROM filt
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))))
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |FROM dedup GROUP BY source""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -861,6 +910,8 @@ object Queries {
     ("q37_set_ops", q37, Some(q37Sql)),
     ("q38_topk", q38, Some(q38Sql)),
     ("q39_pivot", q39, Some(q39Sql)),
-    ("q40_stream_window", q40, Some(q40Sql))
+    ("q40_stream_window", q40, Some(q40Sql)),
+    ("q41_term_freq", q41, Some(q41Sql)),
+    ("q42_corpus_curation", q42, Some(q42Sql))
   )
 }
