@@ -867,6 +867,27 @@ object Queries {
       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
       |FROM dedup GROUP BY source""".stripMargin
 
+  /** S1/S24 format coverage at the catalog surface: nation round-trips
+    * through CSV, region through JSON (via the SparkIO adapter), then the
+    * re-read frames join — values must survive both text formats exactly.
+    * The oracle reads the original parquet: any round-trip lossiness
+    * hash-mismatches. */
+  val q43: QueryFn = (s, d) => {
+    val io = new graft.io.SparkIO
+    val base = s"target/fmt_roundtrip_${java.util.UUID.randomUUID().toString.take(8)}"
+    io.write(tbl(s, d, "nation"), s"$base/nation_csv", "csv")
+    io.write(tbl(s, d, "region"), s"$base/region_json", "json")
+    val nation = io.read(s, s"$base/nation_csv", "csv")
+    val region = io.read(s, s"$base/region_json", "json")
+    nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+        col("r_name"))
+  }
+
+  val q43Sql: String =
+    """SELECT n_nationkey, n_name, r_name FROM nation
+      |JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -912,6 +933,7 @@ object Queries {
     ("q39_pivot", q39, Some(q39Sql)),
     ("q40_stream_window", q40, Some(q40Sql)),
     ("q41_term_freq", q41, Some(q41Sql)),
-    ("q42_corpus_curation", q42, Some(q42Sql))
+    ("q42_corpus_curation", q42, Some(q42Sql)),
+    ("q43_format_roundtrip", q43, Some(q43Sql))
   )
 }
