@@ -96,7 +96,10 @@ object YamlEmit {
       // round trip as strings
       val ambiguous = s.toLowerCase match {
         case "true" | "false" | "yes" | "no" | "on" | "off" | "null" | "~" => true
-        case other => other.matches("[-+]?((\\d[\\d_]*)?\\.?\\d+([eE][-+]?\\d+)?|0x[0-9a-f]+|0o[0-7]+|\\.inf|\\.nan)")
+        case other => other.matches(
+          "[-+]?((\\d[\\d_]*)?\\.?\\d+([eE][-+]?\\d+)?|0x[0-9a-f]+|0o[0-7]+|0b[01_]+|\\.inf|\\.nan)") ||
+          other.matches("\\d{4}-\\d{1,2}-\\d{1,2}([tT ].*)?") || // YAML 1.1 timestamps
+          other.matches("[-+]?\\d+(:\\d+)+(\\.\\d+)?") // sexagesimal
       }
       val needsQuote = s.isEmpty || s.trim != s || ambiguous ||
         s.exists(c => ":#{}[],\"'\n".contains(c)) ||

@@ -14,13 +14,14 @@ import org.apache.spark.sql.functions.udaf
   */
 object TypedAggregators {
 
-  /** Weighted mean: sum(w*x)/sum(w); yields null (boxed) when total
-    * weight is zero. */
-  val weightedMean: Aggregator[(Double, Double), (Double, Double), java.lang.Double] =
-    new Aggregator[(Double, Double), (Double, Double), java.lang.Double] {
+  /** Weighted mean: sum(w*x)/sum(w); null inputs are skipped (matching
+    * built-in sum/avg) and a zero total weight yields null. */
+  val weightedMean: Aggregator[(java.lang.Double, java.lang.Double), (Double, Double), java.lang.Double] =
+    new Aggregator[(java.lang.Double, java.lang.Double), (Double, Double), java.lang.Double] {
       def zero: (Double, Double) = (0.0, 0.0)
-      def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
-        (b._1 + in._1 * in._2, b._2 + in._2)
+      def reduce(b: (Double, Double), in: (java.lang.Double, java.lang.Double)): (Double, Double) =
+        if (in._1 == null || in._2 == null) b
+        else (b._1 + in._1 * in._2, b._2 + in._2)
       def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
         (a._1 + b._1, a._2 + b._2)
       def finish(b: (Double, Double)): java.lang.Double =
@@ -30,16 +31,20 @@ object TypedAggregators {
       def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
     }
 
+  private val boxedPairEncoder: Encoder[(java.lang.Double, java.lang.Double)] =
+    Encoders.tuple(Encoders.DOUBLE, Encoders.DOUBLE)
+
   /** Column form for DataFrame use: weighted_mean(value, weight). */
   def weightedMeanCol(value: Column, weight: Column): Column =
-    udaf(weightedMean).apply(value, weight)
+    udaf(weightedMean, boxedPairEncoder).apply(value, weight)
 
-  /** Geometric mean via log-sum — numerically stable for large groups. */
-  val geometricMean: Aggregator[Double, (Double, Long), java.lang.Double] =
-    new Aggregator[Double, (Double, Long), java.lang.Double] {
+  /** Geometric mean via log-sum — numerically stable for large groups;
+    * null and non-positive inputs are skipped. */
+  val geometricMean: Aggregator[java.lang.Double, (Double, Long), java.lang.Double] =
+    new Aggregator[java.lang.Double, (Double, Long), java.lang.Double] {
       def zero: (Double, Long) = (0.0, 0L)
-      def reduce(b: (Double, Long), x: Double): (Double, Long) =
-        if (x > 0) (b._1 + math.log(x), b._2 + 1) else b
+      def reduce(b: (Double, Long), x: java.lang.Double): (Double, Long) =
+        if (x != null && x > 0) (b._1 + math.log(x), b._2 + 1) else b
       def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
         (a._1 + b._1, a._2 + b._2)
       def finish(b: (Double, Long)): java.lang.Double =
@@ -49,5 +54,6 @@ object TypedAggregators {
       def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
     }
 
-  def geometricMeanCol(value: Column): Column = udaf(geometricMean).apply(value)
+  def geometricMeanCol(value: Column): Column =
+    udaf(geometricMean, Encoders.DOUBLE).apply(value)
 }

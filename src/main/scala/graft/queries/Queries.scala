@@ -805,7 +805,10 @@ object Queries {
         sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
-    val name = "q40_win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // fixed sink name, dropped before each run: repeated invocations must
+    // not leak a fully-materialized memory-sink temp view per call
+    val name = "q40_stream_window_sink"
+    s.catalog.dropTempView(name)
     val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
     try q.processAllAvailable()
     finally q.stop()
@@ -874,7 +877,10 @@ object Queries {
     * hash-mismatches. */
   val q43: QueryFn = (s, d) => {
     val io = new graft.io.SparkIO
-    val base = s"target/fmt_roundtrip_${java.util.UUID.randomUUID().toString.take(8)}"
+    // fixed path + overwrite mode: repeated invocations (bench warm-up +
+    // timed runs, verify) reuse one bounded scratch dir instead of leaking
+    // a uuid-named dump per call
+    val base = "target/fmt_roundtrip"
     io.write(tbl(s, d, "nation"), s"$base/nation_csv", "csv")
     io.write(tbl(s, d, "region"), s"$base/region_json", "json")
     val nation = io.read(s, s"$base/nation_csv", "csv")

@@ -72,10 +72,12 @@ object DoubleToScaled {
     * p + e == x * factor EXACTLY (Dekker two-product via FMA). */
   def scaleRound(x: Double, factor: Double): Long = {
     val p = x * factor
-    // 9.2e18 (not 2^63): keeps p.toLong exact and leaves headroom for the
-    // +-512 residual adjustment without saturating at Long.MaxValue
+    // exclude |p| >= 2^63 (the doubles at/beyond Long range). The largest
+    // admitted double is 2^63 - 1024; with the max +-512 residual
+    // adjustment the result still fits a long, and the negative side can
+    // never reach Long.MinValue (the sentinel).
     if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p) ||
-      p <= -9.2e18 || p >= 9.2e18) return NullSentinel
+      p <= -9.223372036854775808e18 || p >= 9.223372036854775808e18) return NullSentinel
     val e = java.lang.Math.fma(x, factor, -p)
     val c = java.lang.Math.rint(p)
     val d = p - c // exact (|p - c| <= 0.5, c in p's binade or integral)

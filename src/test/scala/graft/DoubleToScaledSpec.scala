@@ -39,16 +39,19 @@ class DoubleToScaledSpec extends AnyFunSuite {
     // part (up to +-512 whole units near 2^63) into the FMA residual;
     // an adjust-by-at-most-1 implementation was off by up to hundreds
     val adversarial = Seq(1217934554570.487, -1217934554570.487,
-      9.0e12, -9.0e12, 9007199254.740993, 1.23456789012e12)
+      9.0e12, -9.0e12, 9007199254.740993, 1.23456789012e12,
+      9.21e12, -9.21e12, 9.223372036854774e12) // near the 2^63 edge
     for (x <- adversarial)
       assert(DoubleToScaled.scaleRound(x, 1e6) == reference(x, 6), s"x=$x")
+    // at/beyond 2^63 -> null, like a value that cannot fit the long
+    assert(DoubleToScaled.scaleRound(9.3e12, 1e6) == DoubleToScaled.NullSentinel)
     val rng = new scala.util.Random(13)
     var i = 0
     while (i < 200000) {
-      // |x| in [1e9, 9.19e12]: straddles the 2^53-scaled boundary
+      // |x| up to the 2^63/1e6 edge: straddles the 2^53-scaled boundary
       val x = (rng.nextDouble() - 0.5) * 2 * math.pow(10, 9 + rng.nextInt(4)) *
         (1 + rng.nextDouble())
-      if (math.abs(x) < 9.19e12)
+      if (math.abs(x) * 1e6 < 9.223372036854775e18)
         assert(DoubleToScaled.scaleRound(x, 1e6) == reference(x, 6), s"x=$x")
       i += 1
     }

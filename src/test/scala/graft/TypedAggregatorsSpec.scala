@@ -25,6 +25,18 @@ class TypedAggregatorsSpec extends AnyFunSuite {
     assert(row.isNullAt(1))
   }
 
+  test("null inputs are skipped like built-in aggregates, not crashed on") {
+    val df = Seq(
+      ("a", Some(10.0), Some(1.0)), ("a", None, Some(9.0)), ("a", Some(30.0), None))
+      .toDF("g", "x", "w")
+    val wm = df.groupBy($"g")
+      .agg(TypedAggregators.weightedMeanCol($"x", $"w").as("wm")).head().getDouble(1)
+    assert(wm == 10.0, "only the fully non-null pair counts")
+    val gm = Seq(Some(4.0), None).toDF("x")
+      .agg(TypedAggregators.geometricMeanCol($"x")).head().getDouble(0)
+    assert(gm == 4.0)
+  }
+
   test("geometric mean skips non-positive values") {
     val df = Seq(2.0, 8.0, -1.0, 0.0).toDF("x").repartition(3)
     val gm = df.agg(TypedAggregators.geometricMeanCol($"x").as("gm"))
