@@ -114,7 +114,8 @@ object ExprRegistry {
     "abs" -> rw(kw => abs(c(kw))),
     "neg" -> rw(kw => -c(kw)),
     "exp" -> rw(kw => exp(c(kw))),
-    "log" -> rw(kw => log(c(kw))),
+    "log" -> rw(kw => // natural log by default; polars-style optional base
+      kw.get("base").map(b => log(b.toString.toDouble, c(kw))).getOrElse(log(c(kw)))),
     "log10" -> rw(kw => log10(c(kw))),
     "log1p" -> rw(kw => log1p(c(kw))),
     "sqrt" -> rw(kw => sqrt(c(kw))),
@@ -325,7 +326,161 @@ object ExprRegistry {
     // more unary math (hyperbolic inverses via composition where absent)
     "arcsinh" -> rw(kw => asinh(c(kw))),
     "arccosh" -> rw(kw => acosh(c(kw))),
-    "arctanh" -> rw(kw => atanh(c(kw)))
+    "arctanh" -> rw(kw => atanh(c(kw))),
+
+    // ---- round-2 widening (pl.Expr parity, SURVEY.md §2.2) ----------------
+
+    // positional window functions
+    "lead" -> rw { kw =>
+      val n = intVal(kw, "n", 1)
+      lead(c(kw), n).over(orderedWindow(kw, "lead"))
+    },
+    "first_value" -> rw(kw => first(c(kw)).over(
+      orderedWindow(kw, "first_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+    "last_value" -> rw(kw => last(c(kw)).over(
+      orderedWindow(kw, "last_value")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))),
+    "ntile" -> rw(kw => ntile(intVal(kw, "n", 4)).over(orderedWindow(kw, "ntile"))),
+    "percent_rank" -> rw(kw => percent_rank().over(orderedWindow(kw, "percent_rank"))),
+    "cume_dist" -> rw(kw => cume_dist().over(orderedWindow(kw, "cume_dist"))),
+
+    // null-fill along an explicit order (polars forward_fill/backward_fill)
+    "forward_fill" -> rw(kw => last(c(kw), ignoreNulls = true).over(
+      orderedWindow(kw, "forward_fill")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+    "backward_fill" -> rw(kw => first(c(kw), ignoreNulls = true).over(
+      orderedWindow(kw, "backward_fill")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing))),
+
+    // strings, part 2
+    "str_to_titlecase" -> rw(kw => initcap(c(kw))),
+    "str_len_bytes" -> rw(kw => octet_length(c(kw))),
+    "str_replace_literal" -> rw(kw =>
+      replace(c(kw), lit(str(kw, "search")), lit(str(kw, "replacement")))),
+    "str_find" -> rw { kw =>
+      val pos = instr(c(kw), str(kw, "substring"))
+      when(pos > 0, pos - 1) // 0-based like polars; null when absent
+    },
+    "str_head" -> rw(kw => substring(c(kw), 1, intVal(kw, "n", 1))),
+    "str_tail" -> rw { kw =>
+      val n = intVal(kw, "n", 1)
+      substring(c(kw), -n, n)
+    },
+    "str_strip_prefix" -> rw { kw =>
+      val p = str(kw, "prefix")
+      when(c(kw).startsWith(p), expr(s"substring(${str(kw, "col")}, ${p.length + 1})"))
+        .otherwise(c(kw))
+    },
+    "str_strip_suffix" -> rw { kw =>
+      val sfx = str(kw, "suffix")
+      when(c(kw).endsWith(sfx),
+        substring(c(kw), lit(1), length(c(kw)) - lit(sfx.length))).otherwise(c(kw))
+    },
+    "str_json_path_match" -> rw(kw => get_json_object(c(kw), str(kw, "json_path"))),
+    "str_to_date" -> rw(kw => to_date(c(kw), str(kw, "format"))),
+    "str_to_datetime" -> rw(kw => to_timestamp(c(kw), str(kw, "format"))),
+    "str_encode_base64" -> rw(kw => base64(encode(c(kw), "UTF-8"))),
+    "str_decode_base64" -> rw(kw => decode(unbase64(c(kw)), "UTF-8")),
+    "str_encode_hex" -> rw(kw => lower(hex(encode(c(kw), "UTF-8")))),
+    "str_decode_hex" -> rw(kw => decode(unhex(c(kw)), "UTF-8")),
+
+    // datetime, part 2
+    "dt_strftime" -> rw(kw => date_format(c(kw), str(kw, "format"))),
+    "dt_iso_year" -> rw(kw => expr(s"extract(yearofweek FROM ${str(kw, "col")})")),
+    "dt_days_in_month" -> rw(kw => dayofmonth(last_day(c(kw)))),
+    "dt_month_start" -> rw(kw => trunc(c(kw), "MM")),
+    "dt_month_end" -> rw(kw => last_day(c(kw))),
+    "dt_add_days" -> rw(kw => date_add(c(kw), intVal(kw, "n", 0))),
+    "dt_add_months" -> rw(kw => add_months(c(kw), intVal(kw, "n", 0))),
+    "dt_date_diff_days" -> rw(kw => datediff(c(kw), col(str(kw, "other_col")))),
+    "dt_epoch_millis" -> rw(kw => unix_millis(c(kw))),
+    "dt_epoch_micros" -> rw(kw => unix_micros(c(kw))),
+    "dt_from_epoch_seconds" -> rw(kw => timestamp_seconds(c(kw))),
+    "dt_from_epoch_millis" -> rw(kw => timestamp_millis(c(kw))),
+    "dt_from_epoch_micros" -> rw(kw => timestamp_micros(c(kw))),
+    "dt_convert_time_zone" -> rw(kw => from_utc_timestamp(c(kw), str(kw, "time_zone"))),
+
+    // list/array, part 2 (numeric element ops route through DOUBLE — the
+    // registry is untyped config, so the lambda needs a concrete type)
+    "list_sum" -> rw(kw => expr(
+      s"aggregate(transform(${str(kw, "col")}, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)")),
+    "list_mean" -> rw { kw =>
+      val n = str(kw, "col")
+      expr(s"CASE WHEN size($n) > 0 THEN aggregate(transform($n, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x) / size($n) END")
+    },
+    "list_reverse" -> rw(kw => reverse(c(kw))),
+    "list_slice" -> rw(kw =>
+      slice(c(kw), intVal(kw, "offset", 0) + 1, intVal(kw, "length", Int.MaxValue))),
+    "list_head" -> rw(kw => slice(c(kw), 1, intVal(kw, "n", 1))),
+    "list_tail" -> rw { kw =>
+      val n = intVal(kw, "n", 1)
+      val src = str(kw, "col")
+      expr(s"slice($src, greatest(size($src) - $n + 1, 1), least($n, size($src)))")
+    },
+    "list_concat" -> rw { kw =>
+      val cs = strSeq(kw, "cols").map(col)
+      require(cs.nonEmpty, "list_concat requires a non-empty 'cols' list")
+      concat(cs: _*)
+    },
+    "list_flatten" -> rw(kw => flatten(c(kw))),
+    "list_zip" -> rw { kw =>
+      val cs = strSeq(kw, "cols").map(col)
+      require(cs.nonEmpty, "list_zip requires a non-empty 'cols' list")
+      arrays_zip(cs: _*)
+    },
+    "list_index_of" -> rw { kw =>
+      val pos = array_position(c(kw), anyVal(kw))
+      when(pos > 0, pos - 1) // 0-based; null when absent
+    },
+    "list_count_matches" -> rw(kw =>
+      size(filter(c(kw), x => x === lit(anyVal(kw))))),
+    "list_any" -> rw(kw => exists(c(kw), x => x === lit(true))),
+    "list_all" -> rw(kw => forall(c(kw), x => x === lit(true))),
+
+    // struct ops
+    "struct_field" -> rw(kw => c(kw).getField(str(kw, "field"))),
+    "struct_with_field" -> rw(kw =>
+      c(kw).withField(str(kw, "field"), col(str(kw, "other_col")))),
+
+    // bitwise
+    "bitwise_and" -> rw(kw => c(kw).bitwiseAND(other(kw))),
+    "bitwise_or" -> rw(kw => c(kw).bitwiseOR(other(kw))),
+    "bitwise_xor" -> rw(kw => c(kw).bitwiseXOR(other(kw))),
+    "shift_left" -> rw(kw => shiftleft(c(kw), intVal(kw, "n", 0))),
+    "shift_right" -> rw(kw => shiftright(c(kw), intVal(kw, "n", 0))),
+    "bit_count" -> rw(kw => bit_count(c(kw))),
+
+    // conditional / variadic misc
+    "if_else" -> rw { kw =>
+      val thenC = kw.get("then_col").map(v => col(v.toString)).getOrElse(lit(anyVal(kw, "then_value")))
+      val elseC = kw.get("else_col").map(v => col(v.toString)).getOrElse(lit(anyVal(kw, "else_value")))
+      when(col(str(kw, "predicate_col")), thenC).otherwise(elseC)
+    },
+    "coalesce_cols" -> rw { kw =>
+      val cs = strSeq(kw, "cols").map(col)
+      require(cs.nonEmpty, "coalesce_cols requires a non-empty 'cols' list")
+      coalesce(cs: _*)
+    },
+    "hash_cols" -> rw { kw =>
+      val cs = strSeq(kw, "cols").map(col)
+      require(cs.nonEmpty, "hash_cols requires a non-empty 'cols' list")
+      xxhash64(cs: _*)
+    },
+    "mean_cols" -> rw { kw =>
+      val cs = strSeq(kw, "cols").map(col)
+      require(cs.nonEmpty, "mean_cols requires a non-empty 'cols' list")
+      cs.map(_.cast("double")).reduce(_ + _) / lit(cs.size)
+    },
+
+    // whole-frame aggregates, part 2. first/last demand an explicit order
+    // column (Spark rows have no implicit order): value at the min/max of
+    // `order_by_col` via min_by/max_by — one pass, no sort.
+    "first" -> agg(kw => min_by(c(kw), col(str(kw, "order_by_col")))),
+    "last" -> agg(kw => max_by(c(kw), col(str(kw, "order_by_col")))),
+    "any" -> agg(kw => bool_or(c(kw))),
+    "all" -> agg(kw => bool_and(c(kw))),
+    "implode" -> agg(kw => sort_array(collect_list(c(kw))))
   )
 
   def resolve(fnName: String): DeriveFn =

@@ -894,6 +894,177 @@ object Queries {
     """SELECT n_nationkey, n_name, r_name FROM nation
       |JOIN region ON n_regionkey = r_regionkey""".stripMargin
 
+  /** String-function family of the derive registry (S16 widened):
+    * upper / literal-replace / head / tail / find / zfill / base64 /
+    * byte-length, all driven through config DeriveSpecs. */
+  val q44: QueryFn = (s, d) =>
+    tbl(s, d, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_size"))
+      .transform(Transforms.deriveNewCols(Seq(
+        "name_up" -> DeriveSpec("str_to_uppercase", Map("col" -> "p_name")),
+        "name_snake" -> DeriveSpec("str_replace_literal",
+          Map("col" -> "p_name", "search" -> " ", "replacement" -> "_")),
+        "name_head" -> DeriveSpec("str_head", Map("col" -> "p_name", "n" -> 5)),
+        "name_tail" -> DeriveSpec("str_tail", Map("col" -> "p_name", "n" -> 4)),
+        "name_find" -> DeriveSpec("str_find", Map("col" -> "p_name", "substring" -> "re")),
+        "size_str" -> DeriveSpec("cast", Map("col" -> "p_size", "dtype" -> "Utf8")),
+        "size_z" -> DeriveSpec("str_zfill", Map("col" -> "size_str", "length" -> 5)),
+        "name_b64" -> DeriveSpec("str_encode_base64", Map("col" -> "p_name")),
+        "name_bytes" -> DeriveSpec("str_len_bytes", Map("col" -> "p_name")))))
+      .drop("size_str")
+
+  val q44Sql: String =
+    """SELECT p_partkey, p_name, p_size,
+      |upper(p_name) AS name_up,
+      |replace(p_name, ' ', '_') AS name_snake,
+      |substr(p_name, 1, 5) AS name_head,
+      |right(p_name, 4) AS name_tail,
+      |CASE WHEN strpos(p_name, 're') > 0 THEN CAST(strpos(p_name, 're') - 1 AS INTEGER) END AS name_find,
+      |lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_z,
+      |base64(encode(p_name)) AS name_b64,
+      |CAST(octet_length(encode(p_name)) AS INTEGER) AS name_bytes
+      |FROM part""".stripMargin
+
+  /** Datetime-function family of the derive registry (S16 widened):
+    * calendar parts, ISO year, month boundaries, day/month offsets,
+    * strftime formatting — all per-row, fully codegen'd. */
+  val q45: QueryFn = (s, d) =>
+    tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .transform(Transforms.deriveNewCols(Seq(
+        "yr" -> DeriveSpec("dt_year", Map("col" -> "o_orderdate")),
+        "qtr" -> DeriveSpec("dt_quarter", Map("col" -> "o_orderdate")),
+        "mo" -> DeriveSpec("dt_month", Map("col" -> "o_orderdate")),
+        "doy" -> DeriveSpec("dt_ordinal_day", Map("col" -> "o_orderdate")),
+        "iso_yr" -> DeriveSpec("dt_iso_year", Map("col" -> "o_orderdate")),
+        "m_start" -> DeriveSpec("dt_month_start", Map("col" -> "o_orderdate")),
+        "m_end" -> DeriveSpec("dt_month_end", Map("col" -> "o_orderdate")),
+        "plus30d" -> DeriveSpec("dt_add_days", Map("col" -> "o_orderdate", "n" -> 30)),
+        "plus2m" -> DeriveSpec("dt_add_months", Map("col" -> "o_orderdate", "n" -> 2)),
+        "ym" -> DeriveSpec("dt_strftime", Map("col" -> "o_orderdate", "format" -> "yyyy-MM")),
+        "dim" -> DeriveSpec("dt_days_in_month", Map("col" -> "o_orderdate")))))
+
+  val q45Sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      |CAST(isoyear(o_orderdate) AS INTEGER) AS iso_yr,
+      |CAST(date_trunc('month', o_orderdate) AS DATE) AS m_start,
+      |last_day(o_orderdate) AS m_end,
+      |CAST(o_orderdate AS DATE) + 30 AS plus30d,
+      |CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      |strftime(o_orderdate, '%Y-%m') AS ym,
+      |CAST(day(last_day(o_orderdate)) AS INTEGER) AS dim
+      |FROM orders""".stripMargin
+
+  /** Rolling-window family (S16 widened): 5-row trailing mean/sum/min/max
+    * per user along an explicit unique order. */
+  val q46: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .transform(Transforms.deriveNewCols(Seq(
+        "roll_mean" -> DeriveSpec("rolling_mean", Map("col" -> "value", "window_size" -> 5,
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("ts", "event_id"))),
+        "roll_sum" -> DeriveSpec("rolling_sum", Map("col" -> "value", "window_size" -> 5,
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("ts", "event_id"))),
+        "roll_min" -> DeriveSpec("rolling_min", Map("col" -> "value", "window_size" -> 5,
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("ts", "event_id"))),
+        "roll_max" -> DeriveSpec("rolling_max", Map("col" -> "value", "window_size" -> 5,
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("ts", "event_id"))))))
+      .select(col("event_id"), col("user_id"),
+        round(col("roll_mean"), 6).as("roll_mean"), round(col("roll_sum"), 6).as("roll_sum"),
+        col("roll_min"), col("roll_max"))
+
+  val q46Sql: String =
+    """SELECT event_id, user_id,
+      |round(avg(value) OVER w, 6) AS roll_mean,
+      |round(sum(value) OVER w, 6) AS roll_sum,
+      |min(value) OVER w AS roll_min,
+      |max(value) OVER w AS roll_max
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Ordered null-fill (S16 widened): forward_fill / backward_fill per key
+    * along an explicit order — the scalable Spark shape of polars
+    * fill_null(strategy=...). */
+  val q47: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .withColumn("v_sparse",
+        when(col("event_type") === "view", lit(null).cast("double")).otherwise(col("value")))
+      .transform(Transforms.deriveNewCols(Seq(
+        "v_ffill" -> DeriveSpec("forward_fill", Map("col" -> "v_sparse",
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("ts", "event_id"))),
+        "v_bfill" -> DeriveSpec("backward_fill", Map("col" -> "v_sparse",
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("ts", "event_id"))))))
+      .select(col("event_id"), col("user_id"), col("v_sparse"), col("v_ffill"), col("v_bfill"))
+
+  val q47Sql: String =
+    """SELECT event_id, user_id,
+      |CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v_sparse,
+      |last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)
+      |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+      |first_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)
+      |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+      |FROM events""".stripMargin
+
+  /** SQL surface + GROUPING SETS: the engine accepts ANSI SQL directly
+    * (spark.sql over a registered view) — the oracle runs the IDENTICAL
+    * text. Partial-aggregate-friendly: one expand + one shuffle. */
+  val q48SqlText: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
+  val q48: QueryFn = (s, d) => {
+    tbl(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q48SqlText)
+  }
+
+  /** RANGE window frames: trailing-30-day order count + exact spend per
+    * customer — value-range frames, not row frames. */
+  val q49: QueryFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d")).rangeBetween(-30, 0)
+    tbl(s, d, "orders")
+      .withColumn("d", unix_date(col("o_orderdate").cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w).cast("double").as("spend_30d"))
+  }
+
+  val q49Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |count(*) OVER w AS n_30d,
+      |CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS spend_30d
+      |FROM (SELECT *, CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Distribution-rank family (S16 widened): ntile / percent_rank /
+    * cume_dist per user over a unique order. */
+  val q50: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .transform(Transforms.deriveNewCols(Seq(
+        "quartile" -> DeriveSpec("ntile", Map("n" -> 4,
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("value", "event_id"))),
+        "pr" -> DeriveSpec("percent_rank", Map(
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("value", "event_id"))),
+        "cd" -> DeriveSpec("cume_dist", Map(
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("value", "event_id"))))))
+      .select(col("event_id"), col("user_id"), col("quartile"),
+        round(col("pr"), 6).as("pr"), round(col("cd"), 6).as("cd"))
+
+  val q50Sql: String =
+    """SELECT event_id, user_id,
+      |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |round(percent_rank() OVER w, 6) AS pr,
+      |round(cume_dist() OVER w, 6) AS cd
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -940,6 +1111,13 @@ object Queries {
     ("q40_stream_window", q40, Some(q40Sql)),
     ("q41_term_freq", q41, Some(q41Sql)),
     ("q42_corpus_curation", q42, Some(q42Sql)),
-    ("q43_format_roundtrip", q43, Some(q43Sql))
+    ("q43_format_roundtrip", q43, Some(q43Sql)),
+    ("q44_string_funcs", q44, Some(q44Sql)),
+    ("q45_datetime_funcs", q45, Some(q45Sql)),
+    ("q46_rolling_windows", q46, Some(q46Sql)),
+    ("q47_fill_ordered", q47, Some(q47Sql)),
+    ("q48_grouping_sets_sql", q48, Some(q48SqlText)),
+    ("q49_range_frame", q49, Some(q49Sql)),
+    ("q50_ntile_dist", q50, Some(q50Sql))
   )
 }

@@ -81,6 +81,82 @@ class ExprRegistrySpec extends AnyFunSuite {
     assert(out.forall(_.getLong(4) == 2L))
   }
 
+  test("positional window fns: lead/first_value/last_value/ntile") {
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)).toDF("t", "v")
+    val out = derive(
+      "nxt" -> DeriveSpec("lead", Map("col" -> "v", "order_by" -> Seq("t"))),
+      "fv" -> DeriveSpec("first_value", Map("col" -> "v", "order_by" -> Seq("t"))),
+      "lv" -> DeriveSpec("last_value", Map("col" -> "v", "order_by" -> Seq("t"))),
+      "q2" -> DeriveSpec("ntile", Map("n" -> 2, "order_by" -> Seq("t"))))(df)
+      .orderBy("t").collect()
+    assert(out(0).getDouble(2) == 20.0 && out(3).isNullAt(2))
+    assert(out.forall(r => r.getDouble(3) == 10.0 && r.getDouble(4) == 40.0))
+    assert(out.map(_.getInt(5)).toSeq == Seq(1, 1, 2, 2))
+  }
+
+  test("forward_fill / backward_fill along explicit order") {
+    val df = Seq((1, Some(1.0)), (2, None), (3, None), (4, Some(4.0)))
+      .toDF("t", "v")
+    val out = derive(
+      "ff" -> DeriveSpec("forward_fill", Map("col" -> "v", "order_by" -> Seq("t"))),
+      "bf" -> DeriveSpec("backward_fill", Map("col" -> "v", "order_by" -> Seq("t"))))(df)
+      .orderBy("t").collect()
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 1.0, 1.0, 4.0))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 4.0, 4.0, 4.0))
+  }
+
+  test("string part-2 family: find/strip_prefix/titlecase/base64 round-trip") {
+    val df = Seq(("hello world", "pre_fix")).toDF("s", "p")
+    val out = derive(
+      "f" -> DeriveSpec("str_find", Map("col" -> "s", "substring" -> "world")),
+      "missing" -> DeriveSpec("str_find", Map("col" -> "s", "substring" -> "zzz")),
+      "np" -> DeriveSpec("str_strip_prefix", Map("col" -> "p", "prefix" -> "pre_")),
+      "tc" -> DeriveSpec("str_to_titlecase", Map("col" -> "s")),
+      "b64" -> DeriveSpec("str_encode_base64", Map("col" -> "s")),
+      "rt" -> DeriveSpec("str_decode_base64", Map("col" -> "b64")))(df).head()
+    assert(out.getInt(2) == 6 && out.isNullAt(3))
+    assert(out.getString(4) == "fix" && out.getString(5) == "Hello World")
+    assert(out.getString(7) == "hello world") // decode(encode(s)) == s
+  }
+
+  test("list part-2 family: sum/mean/tail/index_of/any") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(true, false))).toDF("xs", "bs")
+    val out = derive(
+      "s" -> DeriveSpec("list_sum", Map("col" -> "xs")),
+      "m" -> DeriveSpec("list_mean", Map("col" -> "xs")),
+      "t2" -> DeriveSpec("list_tail", Map("col" -> "xs", "n" -> 2)),
+      "i" -> DeriveSpec("list_index_of", Map("col" -> "xs", "value" -> 3.0)),
+      "a" -> DeriveSpec("list_any", Map("col" -> "bs")))(df).head()
+    assert(out.getDouble(2) == 6.0 && out.getDouble(3) == 2.0)
+    assert(out.getSeq[Double](4) == Seq(2.0, 3.0))
+    assert(out.getLong(5) == 2L && out.getBoolean(6))
+  }
+
+  test("whole-frame first/last/any/all + implode") {
+    val df = Seq((1, 10.0, false), (2, 20.0, true), (3, 5.0, false)).toDF("t", "v", "b")
+    val out = derive(
+      "fst" -> DeriveSpec("first", Map("col" -> "v", "order_by_col" -> "t")),
+      "lst" -> DeriveSpec("last", Map("col" -> "v", "order_by_col" -> "t")),
+      "anyb" -> DeriveSpec("any", Map("col" -> "b")),
+      "allb" -> DeriveSpec("all", Map("col" -> "b")),
+      "arr" -> DeriveSpec("implode", Map("col" -> "v")))(df).head()
+    assert(out.getDouble(3) == 10.0 && out.getDouble(4) == 5.0)
+    assert(out.getBoolean(5) && !out.getBoolean(6))
+    assert(out.getSeq[Double](7) == Seq(5.0, 10.0, 20.0))
+  }
+
+  test("bitwise + if_else + coalesce_cols") {
+    val df = Seq((12, 10, true, Option.empty[Int], Some(7))).toDF("a", "b", "p", "x", "y")
+    val out = derive(
+      "andv" -> DeriveSpec("bitwise_and", Map("col" -> "a", "other_col" -> "b")),
+      "sl" -> DeriveSpec("shift_left", Map("col" -> "a", "n" -> 2)),
+      "ie" -> DeriveSpec("if_else",
+        Map("predicate_col" -> "p", "then_col" -> "a", "else_col" -> "b")),
+      "co" -> DeriveSpec("coalesce_cols", Map("cols" -> Seq("x", "y"))))(df).head()
+    assert(out.getInt(5) == 8 && out.getInt(6) == 48)
+    assert(out.getInt(7) == 12 && out.getInt(8) == 7)
+  }
+
   test("unknown fn name lists alternatives") {
     val e = intercept[IllegalArgumentException](ExprRegistry.resolve("no_such_fn"))
     assert(e.getMessage.contains("unknown derive fn"))
