@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{DeriveSpec, RuleSpec}
-import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis}
 import graft.stages.{Transforms, Validation}
 import graft.expr.RuleParser
 
@@ -1065,6 +1065,170 @@ object Queries {
       |round(cume_dist() OVER w, 6) AS cd
       |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin
 
+  /** Exact grouped quantiles: percentile() is Spark's exact
+    * linear-interpolation quantile — same definition as DuckDB's
+    * quantile_cont. One shuffle on the group key. */
+  val q51: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+
+  val q51Sql: String =
+    """SELECT l_returnflag,
+      |round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      |round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+      |round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** JSON codec round-trip: struct -> to_json -> from_json -> fields, plus
+    * get_json_object path extraction; the oracle reads the original values,
+    * so any serialization lossiness hash-mismatches. */
+  val q52: QueryFn = (s, d) => {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    tbl(s, d, "nation")
+      .withColumn("j", to_json(struct(col("n_nationkey").as("id"), col("n_name").as("name"))))
+      .withColumn("s", from_json(col("j"), schema))
+      .select(col("s.id").as("id"), col("s.name").as("name"),
+        get_json_object(col("j"), "$.name").as("name_extracted"))
+  }
+
+  val q52Sql: String =
+    "SELECT n_nationkey AS id, n_name AS name, n_name AS name_extracted FROM nation"
+
+  /** Lateral expansion with position: posexplode of the token array —
+    * Spark's generator operator (UDTF shape). */
+  val q53: QueryFn = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+
+  val q53Sql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents)
+      |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+      |FROM t, unnest(range(1, len(toks) + 1)) AS u(i)""".stripMargin
+
+  /** Fixed-width histogram: bucketed counts + exact sums — the map-side-
+    * combine-friendly shape of a distribution profile. */
+  val q54: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+
+  val q54Sql: String =
+    """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Grouped correlation/covariance via exact decimal moment sums: the
+    * naive corr() is FP-summation-order dependent across partitions;
+    * routing all five moment sums through DECIMAL(28,6) makes the result
+    * bit-stable AND engine-portable. */
+  val q55: QueryFn = (s, d) => {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+          .as("covar_qty_price"))
+  }
+
+  val q55Sql: String =
+    """WITH m AS (SELECT l_returnflag,
+      |  CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price,
+      |round((sxy - sx*sy/n) / (n - 1), 6) AS covar_qty_price
+      |FROM m""".stripMargin
+
+  /** Conditional/argmax aggregates per user: count_if, filtered exact sum,
+    * max_by over a unique key, bool_or. */
+  val q56: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("count_if(value > 100)").as("n_big"),
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+          .as("purchase_value"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        bool_or(col("event_type") === "error").as("saw_error"))
+
+  val q56Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |COUNT(*) FILTER (WHERE value > 100) AS n_big,
+      |CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE) AS purchase_value,
+      |arg_max(event_type, event_id) AS last_type,
+      |bool_or(event_type = 'error') AS saw_error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Deterministic array aggregation: per-user sorted event-type list,
+    * surfaced as a joined string (engine-portable array ordering). */
+  val q57: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_list(col("event_type"))), ",").as("types"))
+
+  val q57Sql: String =
+    """SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS types
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** TPC-H Q5 (local-supplier revenue) through the engine's SQL surface:
+    * spark.sql runs the IDENTICAL text DuckDB runs — five joins, Catalyst
+    * free to broadcast dims and reorder. */
+  val q58SqlText: String =
+    """SELECT n_name,
+      |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  val q58: QueryFn = (s, d) => {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => tbl(s, d, t).createOrReplaceTempView(t))
+    s.sql(q58SqlText)
+  }
+
+  /** Skew-mitigated aggregation at the catalog surface: two-phase salted
+    * agg (16 buckets) — identical result to the plain group-by oracle;
+    * decimal partials keep the merge exact. */
+  val q59: QueryFn = (s, d) =>
+    Skew.saltedAgg(tbl(s, d, "events"), Seq("user_id"), 16)(
+      partialAggs = Seq(
+        count(lit(1)).as("c"),
+        sum(col("value").cast(DecimalType(28, 6))).as("s")),
+      finalAggs = Seq(
+        sum(col("c")).as("n_events"),
+        sum(col("s")).cast("double").as("total_value")))
+
+  val q59Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1118,6 +1282,15 @@ object Queries {
     ("q47_fill_ordered", q47, Some(q47Sql)),
     ("q48_grouping_sets_sql", q48, Some(q48SqlText)),
     ("q49_range_frame", q49, Some(q49Sql)),
-    ("q50_ntile_dist", q50, Some(q50Sql))
+    ("q50_ntile_dist", q50, Some(q50Sql)),
+    ("q51_group_quantiles", q51, Some(q51Sql)),
+    ("q52_json_roundtrip", q52, Some(q52Sql)),
+    ("q53_posexplode", q53, Some(q53Sql)),
+    ("q54_histogram", q54, Some(q54Sql)),
+    ("q55_exact_corr", q55, Some(q55Sql)),
+    ("q56_conditional_agg", q56, Some(q56Sql)),
+    ("q57_sorted_collect", q57, Some(q57Sql)),
+    ("q58_tpch_q5_sql", q58, Some(q58SqlText)),
+    ("q59_salted_agg", q59, Some(q59Sql))
   )
 }
