@@ -460,19 +460,23 @@ object Queries {
     Dedup.minHashLshPairs(tbl(s, d, "documents"), "doc_id", "text",
       shingleK = 3, numHashes = 8, bands = 4)
 
-  val q24Sql: String = {
+  /** Shared CTE chain ending in `pairs` (MinHash LSH candidate pairs) —
+    * used by both the pair query (q24) and near-dup removal (q63). */
+  private val minhashPairsCtes: String = {
     val mhs = (0 until 8).map(i => s"min(md5('$i|'||shingle)) AS mh$i").mkString(", ")
     val bandCases = (0 until 4)
       .map(b => s"WHEN ${b} THEN md5(mh${2 * b}||'|'||mh${2 * b + 1})")
       .mkString(" ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, b.band, CASE b.band $bandCases END AS digest
-       |  FROM sig, (VALUES (0),(1),(2),(3)) b(band))
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
-       | AND a.doc_id < b.doc_id""".stripMargin
+       |  FROM sig, (VALUES (0),(1),(2),(3)) b(band)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
+       |   AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  val q24Sql: String = s"WITH $minhashPairsCtes\nSELECT id_a, id_b FROM pairs"
 
   /** SimHash (16-bit, md5-derived bit votes) per document. */
   val q25: QueryFn = (s, d) =>
@@ -1229,6 +1233,100 @@ object Queries {
       |CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Bucketed-table co-located join at the catalog surface: both sides
+    * written bucketed on the join key (the shuffle is paid once at layout
+    * time), then joined with NO Exchange on either side — the repeat-join
+    * strategy for 100 TB fact tables. Result == plain join oracle. */
+  val q60: QueryFn = (s, d) => {
+    import graft.sources.Bucketing
+    Bucketing.writeBucketed(
+      tbl(s, d, "orders").withColumnRenamed("o_custkey", "custkey"),
+      "graft_bkt_orders", Seq("custkey"), 8)
+    Bucketing.writeBucketed(
+      tbl(s, d, "customer").withColumnRenamed("c_custkey", "custkey"),
+      "graft_bkt_customer", Seq("custkey"), 8)
+    Bucketing.cocolocatedJoin(s, "graft_bkt_orders", "graft_bkt_customer", Seq("custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+  }
+
+  val q60Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Stateful streaming dedup: the events table replayed TWICE (two file
+    * sources unioned) through dropDuplicates keyed state, then aggregated —
+    * must collapse to exactly the single-copy batch answer. */
+  val q61: QueryFn = (s, d) => {
+    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val agg = src.unionByName(src)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("total_value"))
+    val name = "q61_stream_dedup_sink"
+    s.catalog.dropTempView(name)
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  val q61Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Multimodal frame sampling: binary payloads cut into fixed 32-byte
+    * "frames", every 2nd kept (Multimodal.sampleFrames — pure column
+    * exprs, no shuffle); frames surfaced as hex for the byte-level oracle. */
+  val q62: QueryFn = (s, d) => {
+    val withContent = tbl(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    Multimodal.sampleFrames(withContent, "content", frameBytes = 32, stride = 2)
+      .select(col("doc_id"), col("frame_idx"), lower(hex(col("frame"))).as("frame_hex"))
+  }
+
+  val q62Sql: String =
+    """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents),
+      |f AS (SELECT doc_id, hx, CAST(ceil(length(hx) / 64.0) AS INTEGER) AS nf FROM h),
+      |i AS (SELECT doc_id, hx, CAST(u.i AS INTEGER) AS frame_idx
+      |  FROM f, unnest(range(0, nf)) AS u(i))
+      |SELECT doc_id, frame_idx, substr(hx, frame_idx * 64 + 1, 64) AS frame_hex
+      |FROM i WHERE frame_idx % 2 = 0""".stripMargin
+
+  /** Near-dup REMOVAL (the apply step of MinHash LSH dedup): drop every
+    * doc that appears as the higher id of a candidate pair — the curation
+    * output, not just the pair list. */
+  val q63: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 8, bands = 4)
+    docs.join(pairs.select(col("id_b").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val q63Sql: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id_b FROM pairs)""".stripMargin
+
+  /** Sketch-based approximate aggregates — the 100 TB path where exact
+    * countDistinct/percentile would shuffle every value: HLL++ cardinality
+    * and quantile sketch, one pass, fixed memory. Engine-specific sketch
+    * values — no SQL oracle (driver records a rows-only check); exactness
+    * bounds are asserted in OperatorsSpec instead. */
+  val q64: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+        .as("approx_price_quantiles"))
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1291,6 +1389,11 @@ object Queries {
     ("q56_conditional_agg", q56, Some(q56Sql)),
     ("q57_sorted_collect", q57, Some(q57Sql)),
     ("q58_tpch_q5_sql", q58, Some(q58SqlText)),
-    ("q59_salted_agg", q59, Some(q59Sql))
+    ("q59_salted_agg", q59, Some(q59Sql)),
+    ("q60_bucketed_join", q60, Some(q60Sql)),
+    ("q61_stream_dedup", q61, Some(q61Sql)),
+    ("q62_frame_sample", q62, Some(q62Sql)),
+    ("q63_near_dup_removal", q63, Some(q63Sql)),
+    ("q64_approx_sketches", q64, None)
   )
 }

@@ -174,4 +174,19 @@ class OperatorsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(df.filter($"doc_id" === 1L), "content", 4, 2)
     assert(frames.select("frame_idx").as[Int].collect().toSet == Set(0, 2, 4))
   }
+
+  test("approx sketches land within error bounds of exact answers (q64 contract)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 10001).toDF("k")
+      .withColumn("v", col("k").cast("double"))
+    val row = df.agg(
+      approx_count_distinct(col("k")).as("acd"),
+      expr("approx_percentile(v, 0.5, 1000)").as("ap50"),
+      countDistinct(col("k")).as("cd"),
+      expr("percentile(v, 0.5)").as("p50")).head()
+    val (acd, cd) = (row.getLong(0), row.getLong(2))
+    assert(math.abs(acd - cd).toDouble / cd < 0.05, s"HLL++ rsd blown: $acd vs $cd")
+    val (ap50, p50) = (row.getDouble(1), row.getDouble(3))
+    assert(math.abs(ap50 - p50) / p50 < 0.02, s"quantile sketch off: $ap50 vs $p50")
+  }
 }
