@@ -9,6 +9,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated name filter for targeted timing runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,12 +23,15 @@ object Bench {
     // first use and the JVM's C2 JIT needs real iteration counts before the
     // generated loops run at full speed (measured: q01 9.5s cold vs 2.1s
     // warm). Standard measure-the-second-run benchmarking.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name))
+    }
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // best-of-2 timed runs: single-machine runs are noisy (GC, thread
       // scheduling); min is the standard noise-robust point estimate.
       // A crashed query records -1, never a bogus near-zero "fast" time.

@@ -1073,13 +1073,17 @@ object Queries {
     * linear-interpolation quantile — same definition as DuckDB's
     * quantile_cont. One shuffle on the group key. */
   val q51: QueryFn = (s, d) =>
+    // ONE percentile aggregate with an array of fractions — a single
+    // per-group collection instead of four independent ones (4x less agg
+    // state; measured 6.8s -> ~1.7s at sf0.1)
     tbl(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("qs"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 6).as("p25"),
+        round(element_at(col("qs"), 2), 6).as("p50"),
+        round(element_at(col("qs"), 3), 6).as("p75"),
+        round(element_at(col("qs"), 4), 6).as("p95"))
 
   val q51Sql: String =
     """SELECT l_returnflag,
@@ -1327,6 +1331,65 @@ object Queries {
       expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
         .as("approx_price_quantiles"))
 
+  /** Within-document repetition signals (Gopher-style quality rule): the
+    * fraction of duplicated word 2-grams and 3-grams per document — pure
+    * array expressions, no explode, no shuffle. */
+  val q65: QueryFn = (s, d) => {
+    // Tokenize ONCE into a bound column, and bind each gram array before
+    // computing ratios: an inline nested expression would be re-evaluated
+    // on every transform-lambda element (the O(windows) re-tokenization
+    // trap documented at Dedup.shingles — 50x at sf0.1). CollapseProject
+    // keeps non-cheap aliases un-inlined, so the staging survives Catalyst.
+    def grams(k: Int): Column =
+      when(size(col("toks")) >= k,
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => array_join(slice(col("toks"), i, lit(k)), " ")))
+        .otherwise(array())
+    def dupRatio(g: Column): Column =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+        .otherwise(lit(0.0))
+    tbl(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"), dupRatio(col("g2")).as("dup_2gram_ratio"),
+        dupRatio(col("g3")).as("dup_3gram_ratio"))
+  }
+
+  val q65Sql: String = {
+    def dup(k: Int) =
+      s"""CASE WHEN len(toks) >= $k THEN round(
+         |  1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - ${k - 2}),
+         |    i -> array_to_string(toks[i:i+${k - 1}], ' ')))) AS DOUBLE)
+         |  / len(list_transform(range(1, len(toks) - ${k - 2}), i -> i)), 6)
+         |ELSE 0.0 END""".stripMargin
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents)
+       |SELECT doc_id, ${dup(2)} AS dup_2gram_ratio, ${dup(3)} AS dup_3gram_ratio
+       |FROM t""".stripMargin
+  }
+
+  /** Deterministic hash-based sampling + train/test split: membership is a
+    * pure function of md5(doc_id) — reproducible across engines, runs and
+    * cluster sizes, no RNG state, no shuffle. The curation-pipeline
+    * answer to "sample 1/8 of the corpus and hold out 1/8 for eval". */
+  val q66: QueryFn = (s, d) => {
+    val digit = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val bucket = conv(digit, 16, 10).cast("int")
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        (bucket < 2).as("in_sample"),
+        when(bucket < 14, lit("train")).otherwise(lit("eval")).as("split"))
+  }
+
+  val q66Sql: String =
+    """SELECT doc_id, source,
+      |CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS bucket,
+      |(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 2 AS in_sample,
+      |CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 14
+      |  THEN 'train' ELSE 'eval' END AS split
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1394,6 +1457,8 @@ object Queries {
     ("q61_stream_dedup", q61, Some(q61Sql)),
     ("q62_frame_sample", q62, Some(q62Sql)),
     ("q63_near_dup_removal", q63, Some(q63Sql)),
-    ("q64_approx_sketches", q64, None)
+    ("q64_approx_sketches", q64, None),
+    ("q65_repetition_signals", q65, Some(q65Sql)),
+    ("q66_hash_sample_split", q66, Some(q66Sql))
   )
 }

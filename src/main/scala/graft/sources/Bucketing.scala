@@ -27,6 +27,15 @@ object Bucketing {
       sortCols: Seq[String] = Nil
   ): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    // A fresh session has an empty in-memory catalog but shares the
+    // on-disk warehouse dir: a leftover location from a previous run makes
+    // saveAsTable fail with LOCATION_ALREADY_EXISTS. Drop both.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
