@@ -125,6 +125,57 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("cosine"), col("rk"))
   }
 
+  /** One distributed Lloyd (k-means) update: assign every vector to its
+    * nearest centroid ([[ivfCell]] — per-row projection, no shuffle), then
+    * recompute each centroid as the per-dimension mean of its members.
+    *
+    * Scale shape: ONE posexplode + ONE (cell, dim) aggregation — shuffle
+    * volume is #cells x dim, independent of corpus size; map-side partial
+    * aggregation does the heavy reduction. Only the k x dim centroid matrix
+    * is collected to the driver (the coarse quantizer is tiny by design).
+    *
+    * Determinism: means route through the exact decimal sum
+    * ([[graft.sparkext.DoubleToScaled.exactSum]]) and round to 6 decimals —
+    * identical centroids on any cluster size, any partitioning, and in the
+    * DuckDB oracle. Cells that lose all members drop out (standard Lloyd
+    * collapse); callers keep `k` stable by seeding well. */
+  def kmeansUpdate(
+      corpus: DataFrame,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]
+  ): Seq[(Int, Seq[Double])] = {
+    val updated = corpus
+      .withColumn("cell", ivfCell(col(vecCol), centroids))
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg((graft.sparkext.DoubleToScaled.exactSum(col("x"), 6) / count(lit(1))).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => round(s.getField("m"), 6)).as("cv"))
+    updated.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Fit an IVF coarse quantizer: seed with the `k` lowest-id vectors,
+    * run `iters` Lloyd updates. Driver holds only the centroid matrix. */
+  def kmeansFit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): Seq[(Int, Seq[Double])] = {
+    var cents: Seq[(Int, Seq[Double])] = corpus
+      .filter(col(idCol) < k).orderBy(col(idCol))
+      .select(col(idCol).cast("int"), col(vecCol))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    (1 to iters).foreach(_ => cents = kmeansUpdate(corpus, vecCol, cents))
+    cents
+  }
+
   /** ANN top-k within LSH buckets: query vectors only compare against
     * corpus vectors in the same bucket. Recall < 1.0 by design; increase
     * bands (run with several independent plane sets and union) to trade

@@ -1390,6 +1390,42 @@ object Queries {
       |  THEN 'train' ELSE 'eval' END AS split
       |FROM documents""".stripMargin
 
+  /** IVF index BUILD: one distributed Lloyd (k-means) iteration from a
+    * deterministic seed (first 8 vectors), then final cell assignment —
+    * per-cell sizes prove the trained quantizer matches the oracle's
+    * unrolled SQL iteration exactly (decimal-exact centroid means). */
+  val q67: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val trained = Similarity.kmeansFit(emb, "vec_id", "v", k = 8, iters = 1)
+    emb.withColumn("cell", Similarity.ivfCell(col("v"), trained))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
+  }
+
+  val q67Sql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM c WHERE vec_id < 8),
+      |s0 AS (SELECT c.vec_id, cid,
+      |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS score
+      |  FROM c CROSS JOIN cent0),
+      |a0 AS (SELECT vec_id, cid AS cell FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY score DESC, cid ASC) AS rn FROM s0) WHERE rn = 1),
+      |d0 AS (SELECT cell, u.i AS dim,
+      |  round(CAST(SUM(CAST(v[u.i] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS m
+      |  FROM a0 JOIN c USING (vec_id), unnest(range(1, 65)) AS u(i)
+      |  GROUP BY cell, u.i),
+      |cent1 AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM d0 GROUP BY cell),
+      |s1 AS (SELECT c.vec_id, cid,
+      |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS score
+      |  FROM c CROSS JOIN cent1),
+      |a1 AS (SELECT vec_id, cid AS cell FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY score DESC, cid ASC) AS rn FROM s1) WHERE rn = 1)
+      |SELECT cell, COUNT(*) AS n_members, MIN(vec_id) AS min_member
+      |FROM a1 GROUP BY cell""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1459,6 +1495,7 @@ object Queries {
     ("q63_near_dup_removal", q63, Some(q63Sql)),
     ("q64_approx_sketches", q64, None),
     ("q65_repetition_signals", q65, Some(q65Sql)),
-    ("q66_hash_sample_split", q66, Some(q66Sql))
+    ("q66_hash_sample_split", q66, Some(q66Sql)),
+    ("q67_ivf_kmeans_build", q67, Some(q67Sql))
   )
 }

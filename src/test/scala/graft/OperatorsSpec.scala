@@ -175,6 +175,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.select("frame_idx").as[Int].collect().toSet == Set(0, 2, 4))
   }
 
+  test("kmeansFit: Lloyd update moves centroids to cluster means, assignment deterministic") {
+    import org.apache.spark.sql.functions._
+    // assignment is COSINE-based: two clusters by direction, not distance
+    // (along (1, 0.1) and along (0.1, 1)); seeds = the two lowest ids
+    val pts = Seq(
+      (0L, Seq(1.0, 0.1)), (1L, Seq(0.1, 1.0)),
+      (2L, Seq(2.0, 0.2)), (3L, Seq(0.3, 3.0)), (4L, Seq(3.0, 0.3)))
+      .toDF("vec_id", "v")
+    val fitted = Similarity.kmeansFit(pts, "vec_id", "v", k = 2, iters = 2)
+    assert(fitted.map(_._1) == Seq(0, 1))
+    val byCell = fitted.toMap
+    // cell 0 mean of {p0,p2,p4} = (2.0, 0.2); cell 1 mean of {p1,p3} = (0.2, 2.0)
+    assert(byCell(0) == Seq(2.0, 0.2))
+    assert(byCell(1) == Seq(0.2, 2.0))
+    val cells = pts.withColumn("cell", Similarity.ivfCell(col("v"), fitted))
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == Map(0L -> 0, 2L -> 0, 4L -> 0, 1L -> 1, 3L -> 1))
+  }
+
   test("approx sketches land within error bounds of exact answers (q64 contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(1, 10001).toDF("k")
