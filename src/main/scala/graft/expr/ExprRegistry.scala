@@ -473,6 +473,25 @@ object ExprRegistry {
       cs.map(_.cast("double")).reduce(_ + _) / lit(cs.size)
     },
 
+    // linear interpolation of nulls against a numeric x column (polars
+    // interpolate_by): boundary nulls stay null, interior nulls fill
+    // linearly between the surrounding non-null points.
+    "interpolate_by" -> rw { kw =>
+      val v = c(kw)
+      val x = col(str(kw, "by")).cast("double")
+      val past = orderedWindow(kw, "interpolate_by")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val future = orderedWindow(kw, "interpolate_by")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val pv = last(v, ignoreNulls = true).over(past)
+      val px = last(when(v.isNotNull, x), ignoreNulls = true).over(past)
+      val nv = first(v, ignoreNulls = true).over(future)
+      val nx = first(when(v.isNotNull, x), ignoreNulls = true).over(future)
+      when(v.isNotNull, v).otherwise(
+        when(pv.isNull || nv.isNull, lit(null))
+          .otherwise(pv + (nv - pv) * (x - px) / (nx - px)))
+    },
+
     // whole-frame aggregates, part 2. first/last demand an explicit order
     // column (Spark rows have no implicit order): value at the min/max of
     // `order_by_col` via min_by/max_by — one pass, no sort.

@@ -78,6 +78,27 @@ object TemporalJoins {
           rightPayCols.map(c => col(s"__m.`$c`").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Forward as-of: for every left row, the right row with the SMALLEST
+    * `rightTime >= leftTime` (inclusive) in the same key group — the
+    * backward merge run on the negated time axis. Time columns must be
+    * numeric (negation-ordered); among equal right times the greatest
+    * `tieBreak` wins. */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String,
+      rightPrefix: String = "asof_"
+  ): DataFrame = {
+    val l2 = left.withColumn(leftTime, -col(leftTime))
+    val r2 = right.withColumn(rightTime, -col(rightTime))
+    asOfJoin(l2, r2, keys, leftTime, rightTime, tieBreak, rightPrefix)
+      .withColumn(leftTime, -col(leftTime))
+      .withColumn(s"$rightPrefix$rightTime", -col(s"$rightPrefix$rightTime"))
+  }
+
   /** Pairs with |leftVal - rightVal| <= band (numeric columns, band > 0):
     * bucketed candidate generation + exact residual filter. Right columns
     * come back prefixed. */

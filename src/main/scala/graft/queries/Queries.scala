@@ -1426,6 +1426,79 @@ object Queries {
       |SELECT cell, COUNT(*) AS n_members, MIN(vec_id) AS min_member
       |FROM a1 GROUP BY cell""".stripMargin
 
+  /** FORWARD as-of join: each purchase attributed to the user's NEXT
+    * click at or after it — the backward union-merge on a negated time
+    * axis, still one shuffle. */
+  val q68: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    TemporalJoins.asOfJoinForward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        tieBreak = "event_id", rightPrefix = "c_")
+      .select(
+        col("event_id"), col("user_id"),
+        col("c_event_id").as("next_click_id"),
+        (expr("c_ts div 1000000") - expr("ts div 1000000")).as("gap_ms"))
+  }
+
+  val q68Sql: String =
+    """WITH clicks AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+      |purchases AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, c.event_id AS next_click_id,
+      |  epoch_ms(c.ts) - epoch_ms(p.ts) AS gap_ms
+      |FROM purchases p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin
+
+  /** Unpivot (melt): wide metric columns -> long (metric, value) rows —
+    * Spark's native unpivot operator, zero shuffle. */
+  val q69: QueryFn = (s, d) =>
+    tbl(s, d, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("double").as("p_size"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")),
+        "metric", "value")
+
+  val q69Sql: String =
+    """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part""".stripMargin
+
+  /** Linear interpolation of sparse values against the time axis
+    * (interpolate_by from the derive registry): interior nulls fill
+    * linearly between neighbors, boundary nulls stay null. */
+  val q70: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .withColumn("v_sparse",
+        when(col("event_type") === "view", lit(null).cast("double")).otherwise(col("value")))
+      .transform(Transforms.deriveNewCols(Seq(
+        "v_interp" -> DeriveSpec("interpolate_by", Map("col" -> "v_sparse", "by" -> "ts",
+          "partition_by" -> Seq("user_id"), "order_by" -> Seq("ts", "event_id"))))))
+      .select(col("event_id"), col("user_id"), col("v_sparse"),
+        round(col("v_interp"), 6).as("v_interp"))
+
+  val q70Sql: String =
+    """WITH s AS (SELECT event_id, user_id, ts,
+      |  CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v FROM events),
+      |w AS (SELECT event_id, user_id, v,
+      |  CAST(epoch_ns(ts) AS DOUBLE) AS x,
+      |  last_value(v IGNORE NULLS) OVER past AS pv,
+      |  last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_ns(ts) AS DOUBLE) END IGNORE NULLS) OVER past AS px,
+      |  first_value(v IGNORE NULLS) OVER fut AS nv,
+      |  first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_ns(ts) AS DOUBLE) END IGNORE NULLS) OVER fut AS nx
+      |  FROM s WINDOW
+      |  past AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  fut AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id, v AS v_sparse,
+      |round(CASE WHEN v IS NOT NULL THEN v
+      |  WHEN pv IS NULL OR nv IS NULL THEN NULL
+      |  ELSE pv + (nv - pv) * (x - px) / (nx - px) END, 6) AS v_interp
+      |FROM w""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1496,6 +1569,9 @@ object Queries {
     ("q64_approx_sketches", q64, None),
     ("q65_repetition_signals", q65, Some(q65Sql)),
     ("q66_hash_sample_split", q66, Some(q66Sql)),
-    ("q67_ivf_kmeans_build", q67, Some(q67Sql))
+    ("q67_ivf_kmeans_build", q67, Some(q67Sql)),
+    ("q68_asof_forward", q68, Some(q68Sql)),
+    ("q69_unpivot_melt", q69, Some(q69Sql)),
+    ("q70_interpolate", q70, Some(q70Sql))
   )
 }

@@ -119,6 +119,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("after") == (102L, "r20b"), "latest right; greatest tieBreak on ties")
   }
 
+  test("asOfJoinForward: smallest right time at-or-after, restored time signs") {
+    import graft.operators.TemporalJoins
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L))
+      .toDF("k", "t", "rid")
+    val left = Seq((1L, 5L, "a"), (1L, 20L, "exact"), (1L, 31L, "past-all"))
+      .toDF("k", "t", "name")
+    val rows = TemporalJoins.asOfJoinForward(left, right, Seq("k"), "t", "t", "rid")
+      .collect()
+    val out = rows.map(r => r.getAs[String]("name") ->
+      (r.getAs[Long]("asof_rid"), r.getAs[Long]("asof_t"))).toMap
+    assert(out("a") == (100L, 10L), "next right row at-or-after")
+    assert(out("exact") == (101L, 20L), "inclusive >= at equal time")
+    assert(!out.contains("past-all"), "inner: no later right row")
+    assert(rows.map(r => r.getAs[String]("name") -> r.getAs[Long]("t")).toMap
+      .view.filterKeys(_ == "a").head._2 == 5L, "left time sign restored")
+  }
+
+  test("interpolate_by fills interior nulls linearly, leaves boundary nulls") {
+    import graft.config.DeriveSpec
+    import graft.stages.Transforms
+    val df = Seq(
+      (0L, 0.0, Option.empty[Double]), (1L, 10.0, Some(1.0)), (2L, 15.0, None),
+      (3L, 20.0, Some(3.0)), (4L, 30.0, None))
+      .toDF("id", "x", "v")
+    val out = Transforms.deriveNewCols(Seq(
+      "vi" -> DeriveSpec("interpolate_by", Map("col" -> "v", "by" -> "x",
+        "order_by" -> Seq("x", "id")))))(df)
+      .orderBy("id").select("vi").collect()
+    assert(out(0).isNullAt(0), "leading null stays")
+    assert(out(1).getDouble(0) == 1.0)
+    assert(out(2).getDouble(0) == 2.0, "midpoint of (10,1)-(20,3) at x=15")
+    assert(out(4).isNullAt(0), "trailing null stays")
+  }
+
   test("bandJoin: exact band semantics, no duplicate pairs, boundary inclusive") {
     import graft.operators.TemporalJoins
     val left = Seq((1L, 100L), (2L, 205L)).toDF("lid", "v")
