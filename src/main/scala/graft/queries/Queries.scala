@@ -1499,6 +1499,36 @@ object Queries {
       |  ELSE pv + (nv - pv) * (x - px) / (nx - px) END, 6) AS v_interp
       |FROM w""".stripMargin
 
+  /** Keep-first dedup (DISTINCT ON): earliest event per (user, type) —
+    * deterministic winner, unlike dropDuplicates' arbitrary one. */
+  val q71: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .transform(Transforms.deduplicateRowsKeepFirst(
+        Seq("user_id", "event_type"), Seq("ts", "event_id")))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  val q71Sql: String =
+    """SELECT event_id, user_id, event_type FROM (
+      |  SELECT event_id, user_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** Map-typed columns: build a map from scalar columns, read values and
+    * sorted keys back — the oracle reads the originals, so any map codec
+    * lossiness hash-mismatches. */
+  val q72: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .withColumn("m", map(
+        lit("qty"), col("l_quantity"), lit("price"), col("l_extendedprice")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(col("m"), "qty").as("qty"),
+        element_at(col("m"), "price").as("price"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys"))
+
+  val q72Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price,
+      |'price,qty' AS keys FROM lineitem""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1572,6 +1602,8 @@ object Queries {
     ("q67_ivf_kmeans_build", q67, Some(q67Sql)),
     ("q68_asof_forward", q68, Some(q68Sql)),
     ("q69_unpivot_melt", q69, Some(q69Sql)),
-    ("q70_interpolate", q70, Some(q70Sql))
+    ("q70_interpolate", q70, Some(q70Sql)),
+    ("q71_distinct_on", q71, Some(q71Sql)),
+    ("q72_map_columns", q72, Some(q72Sql))
   )
 }

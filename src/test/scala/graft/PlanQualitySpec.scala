@@ -63,6 +63,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), "broadcast cross join expected")
   }
 
+  test("q60: bucketed scan — never a join-key shuffle (agg shuffle only)") {
+    val p = plan("q60_bucketed_join")
+    assert(p.contains("Bucketed: true"), s"scans must use the bucketed layout:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(custkey"),
+      s"bucketed layout must eliminate any join-key shuffle:\n$p")
+  }
+
+  test("q69: unpivot expands without any shuffle") {
+    val p = plan("q69_unpivot_melt")
+    assert(!p.contains("Exchange"), s"melt is a per-row expand, no shuffle:\n$p")
+  }
+
+  test("q66: hash sampling is pure projection (no shuffle, pruned read)") {
+    val p = plan("q66_hash_sample_split")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"only the 2 needed columns read:\n$p")
+  }
+
+  test("q49: one window shuffle keyed on the partition column") {
+    val p = plan("q49_range_frame")
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).length == 1,
+      s"exactly one shuffle, keyed on o_custkey:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     for (q <- Seq("q01_pricing_summary", "q08_derive_rowwise", "q20_text_stats")) {
       val p = executedPlan(q)
