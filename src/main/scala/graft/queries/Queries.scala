@@ -1529,6 +1529,49 @@ object Queries {
     """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price,
       |'price,qty' AS keys FROM lineitem""".stripMargin
 
+  /** Skew-safe replicated (salted) join at the catalog surface: the fact
+    * side salted, the dimension replicated across salt buckets — result
+    * identical to the plain join oracle. The explicit-salting fallback for
+    * hot keys AQE can't fix (e.g. a broadcast-too-big dimension). */
+  val q73: QueryFn = (s, d) => {
+    val events = tbl(s, d, "events")
+    val users = tbl(s, d, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+    Skew.saltedJoin(events, users, Seq("user_id"), saltBuckets = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_total")).as("sum_user_totals"))
+  }
+
+  val q73Sql: String =
+    """WITH users AS (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id)
+      |SELECT event_type, COUNT(*) AS n, SUM(user_total) AS sum_user_totals
+      |FROM events JOIN users USING (user_id)
+      |GROUP BY event_type""".stripMargin
+
+  /** Full outer join: per-nation customer and supplier counts — null keys
+    * surviving from both sides, coalesced. */
+  val q74: QueryFn = (s, d) => {
+    val custs = tbl(s, d, "customer")
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      .filter(col("nk") % 3 =!= 0)
+    val supps = tbl(s, d, "supplier")
+      .groupBy(col("s_nationkey").cast("long").as("nk")).agg(count(lit(1)).as("n_supp"))
+      .filter(col("nk") % 3 =!= 1)
+    custs.join(supps, Seq("nk"), "full_outer")
+      .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val q74Sql: String =
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+      |  GROUP BY 1 HAVING (c_nationkey % 3) <> 0),
+      |s AS (SELECT CAST(s_nationkey AS BIGINT) AS nk, COUNT(*) AS n_supp FROM supplier
+      |  GROUP BY 1 HAVING (CAST(s_nationkey AS BIGINT) % 3) <> 1)
+      |SELECT coalesce(c.nk, s.nk) AS nk,
+      |coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1604,6 +1647,8 @@ object Queries {
     ("q69_unpivot_melt", q69, Some(q69Sql)),
     ("q70_interpolate", q70, Some(q70Sql)),
     ("q71_distinct_on", q71, Some(q71Sql)),
-    ("q72_map_columns", q72, Some(q72Sql))
+    ("q72_map_columns", q72, Some(q72Sql)),
+    ("q73_salted_join", q73, Some(q73Sql)),
+    ("q74_full_outer_join", q74, Some(q74Sql))
   )
 }
