@@ -1572,6 +1572,40 @@ object Queries {
       |coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
       |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks within the preceding hour — both sides watermarked, state
+    * bounded by the interval condition; the oracle is the identical batch
+    * join (streaming must converge to batch on complete data). */
+  val q75: QueryFn = (s, d) => {
+    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    def src(tpe: String, prefix: String) = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .filter(col("event_type") === tpe)
+      .select(
+        col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"),
+        timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = src("purchase", "p").join(src("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+    val name = "q75_stream_join_sink"
+    s.catalog.dropTempView(name)
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  val q75Sql: String =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1649,6 +1683,7 @@ object Queries {
     ("q71_distinct_on", q71, Some(q71Sql)),
     ("q72_map_columns", q72, Some(q72Sql)),
     ("q73_salted_join", q73, Some(q73Sql)),
-    ("q74_full_outer_join", q74, Some(q74Sql))
+    ("q74_full_outer_join", q74, Some(q74Sql)),
+    ("q75_stream_stream_join", q75, Some(q75Sql))
   )
 }
