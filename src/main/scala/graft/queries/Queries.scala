@@ -1606,6 +1606,26 @@ object Queries {
       |  ON p.user_id = c.user_id
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin
 
+  /** Hive-partitioned layout + partition pruning: events written
+    * partitioned by type, read back with a partition predicate — the scan
+    * touches ONE directory (PartitionFilters, asserted in
+    * PlanQualitySpec), the 100 TB first line of defense before any
+    * row-level filter. */
+  val q76: QueryFn = (s, d) => {
+    // fixed scratch path, overwritten per call (bench warm + timed runs)
+    val base = "target/part_layout/events_by_type"
+    tbl(s, d, "events").write.mode("overwrite").partitionBy("event_type").parquet(base)
+    s.read.parquet(base)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+  }
+
+  val q76Sql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+      |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1684,6 +1704,7 @@ object Queries {
     ("q72_map_columns", q72, Some(q72Sql)),
     ("q73_salted_join", q73, Some(q73Sql)),
     ("q74_full_outer_join", q74, Some(q74Sql)),
-    ("q75_stream_stream_join", q75, Some(q75Sql))
+    ("q75_stream_stream_join", q75, Some(q75Sql)),
+    ("q76_partition_pruning", q76, Some(q76Sql))
   )
 }

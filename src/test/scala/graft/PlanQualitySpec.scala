@@ -88,6 +88,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"exactly one shuffle, keyed on o_custkey:\n$p")
   }
 
+  test("q76: partition predicate becomes a PartitionFilter (pruned directories)") {
+    val p = plan("q76_partition_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition predicate must prune at the directory level:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type"),
+      s"partition column must not degrade to a row-level filter:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     for (q <- Seq("q01_pricing_summary", "q08_derive_rowwise", "q20_text_stats")) {
       val p = executedPlan(q)
