@@ -177,8 +177,16 @@ object Dedup {
       .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.as("a")
-    val b = sh.as("b")
+    // A shingle held by only ONE document cannot contribute to any
+    // intersection: semi-join both sides down to shared shingles before
+    // the quadratic step. In natural-text corpora most shingles are
+    // unique, so this prunes the self-join input by ~5-10x (sizes above
+    // are computed from the FULL set — results unchanged).
+    val shared = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("shingle"))
+    val hot = sh.join(shared, "shingle")
+    val a = hot.as("a")
+    val b = hot.as("b")
     val inter = a
       .join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
