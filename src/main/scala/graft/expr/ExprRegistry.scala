@@ -368,14 +368,19 @@ object ExprRegistry {
       substring(c(kw), -n, n)
     },
     "str_strip_prefix" -> rw { kw =>
+      // Spark's substring/length count CODEPOINTS; Scala String.length
+      // counts UTF-16 units — supplementary-plane prefixes would strip one
+      // char too many without codePointCount
       val p = str(kw, "prefix")
-      when(c(kw).startsWith(p), expr(s"substring(${str(kw, "col")}, ${p.length + 1})"))
+      val nCp = p.codePointCount(0, p.length)
+      when(c(kw).startsWith(p), substring(c(kw), lit(nCp + 1), lit(Int.MaxValue)))
         .otherwise(c(kw))
     },
     "str_strip_suffix" -> rw { kw =>
       val sfx = str(kw, "suffix")
+      val nCp = sfx.codePointCount(0, sfx.length)
       when(c(kw).endsWith(sfx),
-        substring(c(kw), lit(1), length(c(kw)) - lit(sfx.length))).otherwise(c(kw))
+        substring(c(kw), lit(1), length(c(kw)) - lit(nCp))).otherwise(c(kw))
     },
     "str_json_path_match" -> rw(kw => get_json_object(c(kw), str(kw, "json_path"))),
     "str_to_date" -> rw(kw => to_date(c(kw), str(kw, "format"))),
@@ -410,8 +415,15 @@ object ExprRegistry {
       expr(s"CASE WHEN size($n) > 0 THEN aggregate(transform($n, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x) / size($n) END")
     },
     "list_reverse" -> rw(kw => reverse(c(kw))),
-    "list_slice" -> rw(kw =>
-      slice(c(kw), intVal(kw, "offset", 0) + 1, intVal(kw, "length", Int.MaxValue))),
+    "list_slice" -> rw { kw =>
+      // no 'length' = rest of the list. Spark's Slice computes start+length
+      // in Int, so a MaxValue default overflows to an empty result — size()
+      // is the safe "unbounded" length.
+      val off = intVal(kw, "offset", 0)
+      val len = kw.get("length").map(v => lit(v.toString.toInt))
+        .getOrElse(greatest(size(c(kw)) - off, lit(0)))
+      slice(c(kw), lit(off + 1), len)
+    },
     "list_head" -> rw(kw => slice(c(kw), 1, intVal(kw, "n", 1))),
     "list_tail" -> rw { kw =>
       val n = intVal(kw, "n", 1)
@@ -435,8 +447,10 @@ object ExprRegistry {
     },
     "list_count_matches" -> rw(kw =>
       size(filter(c(kw), x => x === lit(anyVal(kw))))),
-    "list_any" -> rw(kw => exists(c(kw), x => x === lit(true))),
-    "list_all" -> rw(kw => forall(c(kw), x => x === lit(true))),
+    // polars list.any/list.all ignore null elements — fold SQL's
+    // three-valued logic down to plain booleans
+    "list_any" -> rw(kw => exists(c(kw), x => x.isNotNull && (x === lit(true)))),
+    "list_all" -> rw(kw => forall(c(kw), x => x.isNull || (x === lit(true)))),
 
     // struct ops
     "struct_field" -> rw(kw => c(kw).getField(str(kw, "field"))),
@@ -455,7 +469,10 @@ object ExprRegistry {
     "if_else" -> rw { kw =>
       val thenC = kw.get("then_col").map(v => col(v.toString)).getOrElse(lit(anyVal(kw, "then_value")))
       val elseC = kw.get("else_col").map(v => col(v.toString)).getOrElse(lit(anyVal(kw, "else_value")))
-      when(col(str(kw, "predicate_col")), thenC).otherwise(elseC)
+      // polars when/then/otherwise: a NULL mask yields NULL, not the
+      // else-branch (plain otherwise(else) would silently take else)
+      val p = col(str(kw, "predicate_col"))
+      when(p, thenC).when(!p, elseC)
     },
     "coalesce_cols" -> rw { kw =>
       val cs = strSeq(kw, "cols").map(col)
@@ -468,9 +485,13 @@ object ExprRegistry {
       xxhash64(cs: _*)
     },
     "mean_cols" -> rw { kw =>
+      // polars mean_horizontal IGNORES nulls: sum of non-null values over
+      // the non-null count; all-null rows yield null
       val cs = strSeq(kw, "cols").map(col)
       require(cs.nonEmpty, "mean_cols requires a non-empty 'cols' list")
-      cs.map(_.cast("double")).reduce(_ + _) / lit(cs.size)
+      val total = cs.map(c => coalesce(c.cast("double"), lit(0.0))).reduce(_ + _)
+      val n = cs.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _)
+      when(n > 0, total / n)
     },
 
     // linear interpolation of nulls against a numeric x column (polars
@@ -489,6 +510,9 @@ object ExprRegistry {
       val nx = first(when(v.isNotNull, x), ignoreNulls = true).over(future)
       when(v.isNotNull, v).otherwise(
         when(pv.isNull || nv.isNull, lit(null))
+          // equal x on both neighbors -> zero gap; take the previous value
+          // (ANSI mode would raise DIVIDE_BY_ZERO on 0/0)
+          .when(nx === px, pv)
           .otherwise(pv + (nv - pv) * (x - px) / (nx - px)))
     },
 

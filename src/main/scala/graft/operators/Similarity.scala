@@ -167,11 +167,14 @@ object Similarity {
       k: Int,
       iters: Int
   ): Seq[(Int, Seq[Double])] = {
+    // the k LOWEST ids (not ids numerically < k): corpora whose ids don't
+    // start at 0 must still seed exactly k centroids
     var cents: Seq[(Int, Seq[Double])] = corpus
-      .filter(col(idCol) < k).orderBy(col(idCol))
+      .orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("int"), col(vecCol))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    require(cents.nonEmpty, s"kmeansFit: corpus has no rows to seed $k centroids from")
     (1 to iters).foreach(_ => cents = kmeansUpdate(corpus, vecCol, cents))
     cents
   }

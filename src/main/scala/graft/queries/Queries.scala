@@ -1496,6 +1496,7 @@ object Queries {
       |SELECT event_id, user_id, v AS v_sparse,
       |round(CASE WHEN v IS NOT NULL THEN v
       |  WHEN pv IS NULL OR nv IS NULL THEN NULL
+      |  WHEN nx = px THEN pv
       |  ELSE pv + (nv - pv) * (x - px) / (nx - px) END, 6) AS v_interp
       |FROM w""".stripMargin
 
@@ -1599,12 +1600,17 @@ object Queries {
     s.table(name)
   }
 
+  // The Spark side compares MICROSECOND-floored timestamps (timestamp_micros
+  // of ts div 1000); the oracle floors the same way so a sub-microsecond
+  // component can never classify a boundary pair differently.
   val q75Sql: String =
     """SELECT p.event_id AS p_id, c.event_id AS c_id
-      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events
+      |      WHERE event_type = 'purchase') p
+      |JOIN (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events
+      |      WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id
-      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin
+      | AND c.us >= p.us - 3600000000 AND c.us <= p.us""".stripMargin
 
   /** Hive-partitioned layout + partition pruning: events written
     * partitioned by type, read back with a partition predicate — the scan

@@ -27,6 +27,11 @@ object Bucketing {
       sortCols: Seq[String] = Nil
   ): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    // simple identifiers only: the location guard below derives the
+    // managed path as <warehouse>/<table>, which is wrong for
+    // db-qualified names, and the name is interpolated into SQL
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed expects an unqualified table identifier, got '$table'")
     // A fresh session has an empty in-memory catalog but shares the
     // on-disk warehouse dir: a leftover location from a previous run makes
     // saveAsTable fail with LOCATION_ALREADY_EXISTS. Drop both.

@@ -157,6 +157,38 @@ class ExprRegistrySpec extends AnyFunSuite {
     assert(out.getInt(7) == 12 && out.getInt(8) == 7)
   }
 
+  test("review-pass semantics: slice default, null masks, ignore-null folds") {
+    val df = Seq((
+      Seq(1.0, 2.0, 3.0, 4.0),          // xs
+      Seq(Option(false), None),          // any_bs: polars any -> false
+      Seq(Option(true), None),           // all_bs: polars all -> true
+      Option.empty[Boolean],             // p: null predicate
+      Option.empty[Double], Some(4.0)    // a (null), b
+    )).toDF("xs", "any_bs", "all_bs", "p", "a", "b")
+    val out = derive(
+      "rest" -> DeriveSpec("list_slice", Map("col" -> "xs", "offset" -> 1)),
+      "anyv" -> DeriveSpec("list_any", Map("col" -> "any_bs")),
+      "allv" -> DeriveSpec("list_all", Map("col" -> "all_bs")),
+      "ie" -> DeriveSpec("if_else",
+        Map("predicate_col" -> "p", "then_value" -> 1, "else_value" -> 0)),
+      "mh" -> DeriveSpec("mean_cols", Map("cols" -> Seq("a", "b"))))(df).head()
+    assert(out.getSeq[Double](6) == Seq(2.0, 3.0, 4.0), "offset-only slice = rest of list")
+    assert(!out.getBoolean(7), "list_any ignores nulls")
+    assert(out.getBoolean(8), "list_all ignores nulls")
+    assert(out.isNullAt(9), "null mask yields null, not else-branch")
+    assert(out.getDouble(10) == 4.0, "mean_cols ignores nulls")
+  }
+
+  test("interpolate_by survives equal x around a null (no ANSI divide-by-zero)") {
+    val df = Seq((1L, 10.0, Some(1.0)), (2L, 10.0, Option.empty[Double]),
+      (3L, 10.0, Some(3.0))).toDF("id", "x", "v")
+    val out = Transforms.deriveNewCols(Seq(
+      "vi" -> DeriveSpec("interpolate_by", Map("col" -> "v", "by" -> "x",
+        "order_by" -> Seq("x", "id")))))(df)
+      .orderBy("id").select("vi").collect()
+    assert(out(1).getDouble(0) == 1.0, "zero x-gap takes the previous value")
+  }
+
   test("unknown fn name lists alternatives") {
     val e = intercept[IllegalArgumentException](ExprRegistry.resolve("no_such_fn"))
     assert(e.getMessage.contains("unknown derive fn"))

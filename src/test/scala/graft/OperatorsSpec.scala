@@ -226,6 +226,10 @@ class OperatorsSpec extends AnyFunSuite {
     val cells = pts.withColumn("cell", Similarity.ivfCell(col("v"), fitted))
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(cells == Map(0L -> 0, 2L -> 0, 4L -> 0, 1L -> 1, 3L -> 1))
+    // seeding = the k LOWEST ids, not ids < k: offset ids must still work
+    val offset = pts.withColumn("vec_id", col("vec_id") + 1000L)
+    val fittedOffset = Similarity.kmeansFit(offset, "vec_id", "v", k = 2, iters = 1)
+    assert(fittedOffset.map(_._1) == Seq(1000, 1001))
   }
 
   test("approx sketches land within error bounds of exact answers (q64 contract)") {
