@@ -200,6 +200,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation — the cluster step of near-dup dedup (every doc
+    * in a component shares the component's minimum id as its cluster).
+    *
+    * Scale shape: each iteration is one equi-join + one min-aggregation —
+    * all hash-partitioned on node id, no driver-side graph. Converges in
+    * O(component diameter) iterations (near-dup clusters are shallow);
+    * the driver loop only checks a changed-count, never collects labels.
+    * The same algorithm GraphX's connectedComponents runs, on DataFrames.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 20
+  ): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val sym = fwd.union(fwd.select(col("b"), col("a")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node proposes min(own label, neighbors' labels)
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-band random-hyperplane
     * LSH (classic AND-OR amplification): a pair is a candidate if it agrees
     * on ALL planes of ANY band; candidates are then verified with exact

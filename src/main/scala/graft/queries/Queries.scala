@@ -1632,6 +1632,25 @@ object Queries {
       |CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
       |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin
 
+  /** Near-dup CLUSTERING: connected components over the MinHash LSH pair
+    * graph by iterative min-label propagation — every member of a
+    * component gets the component's minimum doc_id as its cluster. The
+    * oracle computes the same closure with a recursive CTE. */
+  val q77: QueryFn = (s, d) => {
+    val pairs = Dedup.minHashLshPairs(tbl(s, d, "documents"), "doc_id", "text",
+      shingleK = 3, numHashes = 8, bands = 4)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  val q77Sql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT a AS node, a AS root FROM edges
+       |  UNION SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
+       |SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1711,6 +1730,7 @@ object Queries {
     ("q73_salted_join", q73, Some(q73Sql)),
     ("q74_full_outer_join", q74, Some(q74Sql)),
     ("q75_stream_stream_join", q75, Some(q75Sql)),
-    ("q76_partition_pruning", q76, Some(q76Sql))
+    ("q76_partition_pruning", q76, Some(q76Sql)),
+    ("q77_dedup_clusters", q77, Some(q77Sql))
   )
 }

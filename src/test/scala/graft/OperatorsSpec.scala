@@ -209,6 +209,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.select("frame_idx").as[Int].collect().toSet == Set(0, 2, 4))
   }
 
+  test("connectedComponents: chains collapse to min id, components stay separate") {
+    import graft.operators.Dedup
+    // component {1,2,3,9} via a chain, component {5,6}; direction mixed
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("kmeansFit: Lloyd update moves centroids to cluster means, assignment deterministic") {
     import org.apache.spark.sql.functions._
     // assignment is COSINE-based: two clusters by direction, not distance
