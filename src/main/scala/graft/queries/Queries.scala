@@ -1651,6 +1651,43 @@ object Queries {
        |  UNION SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
        |SELECT node AS doc_id, MIN(root) AS cluster FROM reach GROUP BY node""".stripMargin
 
+  /** TF-IDF: term frequency x inverse document frequency, top-3 terms per
+    * doc (weight desc, token asc). Two aggregations + one broadcast of the
+    * corpus size — the classic two-pass corpus weighting, no collect. */
+  val q78: QueryFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = tbl(s, d, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("weight", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("weight"), col("rk"))
+  }
+
+  val q78Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE length(tok) > 0
+      |  GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, tok, tf, df,
+      |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS weight FROM tf
+      |  JOIN dfreq USING (tok) CROSS JOIN n)
+      |SELECT doc_id, tok, tf, df, weight, rk FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY weight DESC, tok ASC) AS INTEGER) AS rk FROM scored)
+      |WHERE rk <= 3""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1731,6 +1768,7 @@ object Queries {
     ("q74_full_outer_join", q74, Some(q74Sql)),
     ("q75_stream_stream_join", q75, Some(q75Sql)),
     ("q76_partition_pruning", q76, Some(q76Sql)),
-    ("q77_dedup_clusters", q77, Some(q77Sql))
+    ("q77_dedup_clusters", q77, Some(q77Sql)),
+    ("q78_tfidf", q78, Some(q78Sql))
   )
 }
