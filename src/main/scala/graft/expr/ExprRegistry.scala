@@ -516,6 +516,42 @@ object ExprRegistry {
           .otherwise(pv + (nv - pv) * (x - px) / (nx - px)))
     },
 
+    // binning: polars cut — label by the first break >= value; labels
+    // default to "(lo, hi]" interval notation
+    "cut" -> rw { kw =>
+      val breaks = kw.get("breaks") match {
+        case Some(s: Seq[_]) => s.map(_.toString.toDouble)
+        case _ => throw new IllegalArgumentException("'cut' requires a 'breaks' list")
+      }
+      require(breaks == breaks.sorted, "'cut' breaks must be ascending")
+      val labels = kw.get("labels") match {
+        case Some(s: Seq[_]) =>
+          require(s.size == breaks.size + 1, "'cut' needs breaks.size + 1 labels")
+          s.map(_.toString)
+        case _ =>
+          val bounds = Double.NegativeInfinity +: breaks :+ Double.PositiveInfinity
+          bounds.sliding(2).map { case Seq(lo, hi) => s"($lo, $hi]" }.toSeq
+      }
+      val v = c(kw)
+      breaks.zip(labels.init).foldRight(when(v.isNotNull, labels.last): Column) {
+        case ((b, l), acc) => when(v <= b, l).otherwise(acc)
+      }
+    },
+
+    // rolling exact median (percentile 0.5 over the trailing frame)
+    "rolling_median" -> rw(kw =>
+      expr(s"percentile(${str(kw, "col")}, 0.5)").over(rollingFrame(kw, "rolling_median"))),
+
+    // polars rank(method='average'): ties share the mean of their positions
+    "avg_rank" -> rw { kw =>
+      val parts = strSeq(kw, "partition_by")
+      val ord = strSeq(kw, "order_by")
+      require(ord.nonEmpty, "'avg_rank' requires an 'order_by' kwarg")
+      val ties = Window.partitionBy((parts ++ ord).map(col): _*)
+      rank().over(orderedWindow(kw, "avg_rank")).cast("double") +
+        (count(lit(1)).over(ties) - 1).cast("double") / 2.0
+    },
+
     // whole-frame aggregates, part 2. first/last demand an explicit order
     // column (Spark rows have no implicit order): value at the min/max of
     // `order_by_col` via min_by/max_by — one pass, no sort.

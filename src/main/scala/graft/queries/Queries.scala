@@ -25,6 +25,10 @@ import graft.expr.RuleParser
   *  - computed integer columns are cast to the same width on both sides
   *    (Spark int <-> DuckDB INTEGER, long <-> BIGINT).
   */
+/** Typed row for the Dataset[T] catalog query (q79) — top-level so the
+  * case-class Encoder derives cleanly. */
+final case class OrderSlice(o_orderkey: Long, o_totalprice: Double, o_orderpriority: String)
+
 object Queries {
 
   type QueryFn = (SparkSession, String) => DataFrame
@@ -1688,6 +1692,24 @@ object Queries {
       |    ORDER BY weight DESC, tok ASC) AS INTEGER) AS rk FROM scored)
       |WHERE rk <= 3""".stripMargin
 
+  /** Typed Dataset[T] surface: case-class encoder, compile-time-typed
+    * filter and groupByKey — the Dataset API working alongside the
+    * DataFrame catalog on the same data. */
+  val q79: QueryFn = (s, d) => {
+    import s.implicits._
+    val ds = tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .as[OrderSlice]
+    ds.filter(_.o_totalprice > 100000.0)
+      .groupByKey(_.o_orderpriority)
+      .count()
+      .toDF("priority", "n")
+  }
+
+  val q79Sql: String =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n FROM orders
+      |WHERE o_totalprice > 100000.0 GROUP BY 1""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1769,6 +1791,7 @@ object Queries {
     ("q75_stream_stream_join", q75, Some(q75Sql)),
     ("q76_partition_pruning", q76, Some(q76Sql)),
     ("q77_dedup_clusters", q77, Some(q77Sql)),
-    ("q78_tfidf", q78, Some(q78Sql))
+    ("q78_tfidf", q78, Some(q78Sql)),
+    ("q79_typed_dataset", q79, Some(q79Sql))
   )
 }

@@ -189,6 +189,21 @@ class ExprRegistrySpec extends AnyFunSuite {
     assert(out(1).getDouble(0) == 1.0, "zero x-gap takes the previous value")
   }
 
+  test("cut / rolling_median / avg_rank") {
+    val df = Seq((1, 5.0), (2, 15.0), (3, 15.0), (4, 40.0)).toDF("t", "v")
+    val out = derive(
+      "bin" -> DeriveSpec("cut", Map("col" -> "v", "breaks" -> Seq(10.0, 30.0),
+        "labels" -> Seq("low", "mid", "high"))),
+      "rm" -> DeriveSpec("rolling_median",
+        Map("col" -> "v", "order_by" -> Seq("t"), "window_size" -> 3)),
+      "ar" -> DeriveSpec("avg_rank", Map("order_by" -> Seq("v"))))(df)
+      .orderBy("t").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("low", "mid", "mid", "high"))
+    assert(out(2).getDouble(3) == 15.0, "median of (5, 15, 15)")
+    // ranks of v=(5,15,15,40): ties at positions 2,3 share 2.5
+    assert(out.map(_.getDouble(4)).toSeq == Seq(1.0, 2.5, 2.5, 4.0))
+  }
+
   test("unknown fn name lists alternatives") {
     val e = intercept[IllegalArgumentException](ExprRegistry.resolve("no_such_fn"))
     assert(e.getMessage.contains("unknown derive fn"))
