@@ -528,7 +528,9 @@ object ExprRegistry {
         case Some(s: Seq[_]) =>
           require(s.size == breaks.size + 1, "'cut' needs breaks.size + 1 labels")
           s.map(_.toString)
-        case _ =>
+        case Some(other) =>
+          throw new IllegalArgumentException(s"'cut' labels must be a list, got $other")
+        case None =>
           val bounds = Double.NegativeInfinity +: breaks :+ Double.PositiveInfinity
           bounds.sliding(2).map { case Seq(lo, hi) => s"($lo, $hi]" }.toSeq
       }

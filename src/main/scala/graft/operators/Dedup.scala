@@ -209,6 +209,11 @@ object Dedup {
     * O(component diameter) iterations (near-dup clusters are shallow);
     * the driver loop only checks a changed-count, never collects labels.
     * The same algorithm GraphX's connectedComponents runs, on DataFrames.
+    *
+    * Throws IllegalStateException if labels have not stabilized after
+    * `maxIters` — a silent partial result would split real clusters.
+    * Caching contract (module header): the returned frame is persisted;
+    * callers should `unpersist()`/`clearCache()` after consuming it.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -242,6 +247,10 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: labels not stable after $maxIters iterations " +
+          "(a component's diameter exceeds maxIters) — raise maxIters")
     labels
   }
 

@@ -26,8 +26,13 @@ import graft.expr.RuleParser
   *    (Spark int <-> DuckDB INTEGER, long <-> BIGINT).
   */
 /** Typed row for the Dataset[T] catalog query (q79) — top-level so the
-  * case-class Encoder derives cleanly. */
-final case class OrderSlice(o_orderkey: Long, o_totalprice: Double, o_orderpriority: String)
+  * case-class Encoder derives cleanly. Numerics are Options: the parquet
+  * columns are nullable, and a primitive field would crash deserialization
+  * on a null row where the SQL oracle's WHERE just filters it. */
+final case class OrderSlice(
+    o_orderkey: Option[Long],
+    o_totalprice: Option[Double],
+    o_orderpriority: String)
 
 object Queries {
 
@@ -1669,9 +1674,13 @@ object Queries {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("tok").asc)
+    // weight is ROUNDED to 4 decimals BEFORE ranking: ln() is the one
+    // non-correctly-rounded op in the oracle compare path (Java Math.log
+    // vs libm may differ in the last ulp); ranking/compare on the rounded
+    // value keeps a last-ulp wobble from ever flipping the top-3 cut
     tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
-      .withColumn("weight", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("weight", round(col("tf") * log(col("n_docs") / col("df")), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("weight"), col("rk"))
@@ -1685,7 +1694,7 @@ object Queries {
       |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
       |scored AS (SELECT doc_id, tok, tf, df,
-      |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS weight FROM tf
+      |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS weight FROM tf
       |  JOIN dfreq USING (tok) CROSS JOIN n)
       |SELECT doc_id, tok, tf, df, weight, rk FROM (
       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
@@ -1700,7 +1709,7 @@ object Queries {
     val ds = tbl(s, d, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       .as[OrderSlice]
-    ds.filter(_.o_totalprice > 100000.0)
+    ds.filter(_.o_totalprice.exists(_ > 100000.0))
       .groupByKey(_.o_orderpriority)
       .count()
       .toDF("priority", "n")
