@@ -212,8 +212,8 @@ object Dedup {
     *
     * Throws IllegalStateException if labels have not stabilized after
     * `maxIters` — a silent partial result would split real clusters.
-    * Caching contract (module header): the returned frame is persisted;
-    * callers should `unpersist()`/`clearCache()` after consuming it.
+    * The returned frame is eagerly local-checkpointed (tiny: one row per
+    * node appearing in `edges`); its blocks free when the frame is GC'd.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -226,22 +226,44 @@ object Dedup {
     val sym = fwd.union(fwd.select(col("b"), col("a")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Iterative frames are EAGERLY snapshotted each round: persist() alone
+    // leaves the growing join lineage inside every new plan and each round
+    // partially recomputes it — measured 40s for a 3-round loop at sf0.1
+    // vs ~4s snapshotted. localCheckpoint is not enough on its own: it
+    // carries the origin plan's constraints (with stale attribute ids)
+    // into the next round's self-union and trips constraint rewriting, so
+    // the plan is fully severed via createDataFrame over the checkpointed
+    // RDD. (On a cluster that must survive executor loss, swap for
+    // reliable checkpoint(dir); same shape.)
+    def snapshot(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(true)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    var labels = snapshot(
+      sym.select(col("a").as("node")).distinct().withColumn("label", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each node proposes min(own label, neighbors' labels)
+      // each node proposes min(own label, neighbors' labels) ...
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
+        // full re-alias (fresh exprIds): unioning a checkpointed frame
+        // with a derivation of itself otherwise shares attribute ids
+        // across union children and trips constraint rewriting
+        .select(col("a").as("node"), col("label").as("label"))
+        .toDF("node", "label")
+      val minNeighbor = labels.unionByName(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // ... then POINTER-JUMPS to its label's own label: every label is a
+      // node id, so one extra self-join doubles the propagation distance
+      // per round — O(log diameter) rounds instead of O(diameter), which
+      // is what bounds the driver loop (each round is a full Spark job)
+      val next = snapshot(minNeighbor.as("x")
+        .join(minNeighbor.select(col("node").as("label"), col("label").as("jumped")),
+          Seq("label"))
+        .select(col("node"), col("jumped").as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") < col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
