@@ -91,6 +91,16 @@ object ExprRegistry {
   private def rw(f: Map[String, Any] => Column): DeriveFn = kw => RowWise(f(kw))
   private def agg(f: Map[String, Any] => Column): DeriveFn = kw => WholeFrameAgg(f(kw))
 
+  /** Aggregate with polars `.over(keys)` semantics: with a `partition_by`
+    * kwarg the aggregate broadcasts per key (an unordered window — one
+    * hash shuffle on the keys, fine at scale when keys are numerous);
+    * without it, the whole-frame agg+broadcast-join path. */
+  private def aggOrOver(f: Map[String, Any] => Column): DeriveFn = kw => {
+    val parts = strSeq(kw, "partition_by")
+    if (parts.isEmpty) WholeFrameAgg(f(kw))
+    else RowWise(f(kw).over(Window.partitionBy(parts.map(col): _*)))
+  }
+
   // ---- horizontal (variadic row-wise) folds --------------------------------
   // Reference: _reduce_horizontal + add/sub/mul/div_cols
   // (src/polars_pipe/core/derive_cols.py:11-33); ValueError on empty list.
@@ -184,20 +194,28 @@ object ExprRegistry {
     // hashing (xxhash64 — signed 64-bit; SURVEY.md §1.3)
     "hash" -> rw(kw => xxhash64(c(kw))),
 
-    // whole-frame scalar aggregates, broadcast to every row.
-    // Computed in ONE df.agg pass + broadcast cross join (see Scaladoc).
-    "mean" -> agg(kw => avg(c(kw))),
-    "sum" -> agg(kw => sum(c(kw))),
-    "min" -> agg(kw => min(c(kw))),
-    "max" -> agg(kw => max(c(kw))),
-    "median" -> agg(kw => expr(s"percentile(${str(kw, "col")}, 0.5)")),
-    "std" -> agg(kw => stddev_samp(c(kw))),
-    "var" -> agg(kw => var_samp(c(kw))),
-    "count" -> agg(kw => count(c(kw))),
-    "len" -> agg(_ => count(lit(1))),
-    "n_unique" -> agg(kw => countDistinct(c(kw))),
-    "approx_n_unique" -> agg(kw => approx_count_distinct(c(kw))),
-    "null_count" -> agg(kw => count(lit(1)) - count(c(kw))),
+    // scalar aggregates broadcast to every row — whole-frame (ONE df.agg
+    // pass + broadcast cross join) or per-key with a `partition_by` kwarg
+    // (polars expr.over(keys): an unordered window, one keyed shuffle)
+    "mean" -> aggOrOver(kw => avg(c(kw))),
+    "sum" -> aggOrOver(kw => sum(c(kw))),
+    "min" -> aggOrOver(kw => min(c(kw))),
+    "max" -> aggOrOver(kw => max(c(kw))),
+    "median" -> aggOrOver(kw => expr(s"percentile(${str(kw, "col")}, 0.5)")),
+    "std" -> aggOrOver(kw => stddev_samp(c(kw))),
+    "var" -> aggOrOver(kw => var_samp(c(kw))),
+    "count" -> aggOrOver(kw => count(c(kw))),
+    "len" -> aggOrOver(_ => count(lit(1))),
+    // n_unique: countDistinct whole-frame (distinct-agg expand, scalable),
+    // but DISTINCT isn't supported inside a window — the per-key path
+    // counts a collected set instead (bounded by per-key cardinality)
+    "n_unique" -> (kw => {
+      val parts = strSeq(kw, "partition_by")
+      if (parts.isEmpty) WholeFrameAgg(countDistinct(c(kw)))
+      else RowWise(size(collect_set(c(kw)).over(Window.partitionBy(parts.map(col): _*))))
+    }),
+    "approx_n_unique" -> aggOrOver(kw => approx_count_distinct(c(kw))),
+    "null_count" -> aggOrOver(kw => count(lit(1)) - count(c(kw))),
 
     // cumulative / running (explicit order_by; optional partition_by)
     "cum_sum" -> rw(kw => sum(c(kw)).over(runningFrame(kw, "cum_sum"))),
@@ -291,13 +309,21 @@ object ExprRegistry {
     "is_infinite" -> rw(kw =>
       c(kw) === lit(Double.PositiveInfinity) || c(kw) === lit(Double.NegativeInfinity)),
 
-    // more whole-frame aggregates
-    "product" -> agg(kw => product(c(kw))),
-    "skew" -> agg(kw => skewness(c(kw))),
-    "kurtosis" -> agg(kw => kurtosis(c(kw))),
-    "quantile" -> agg(kw =>
+    // more aggregates (whole-frame or per-key via partition_by)
+    "product" -> aggOrOver(kw => product(c(kw))),
+    "skew" -> aggOrOver(kw => skewness(c(kw))),
+    "kurtosis" -> aggOrOver(kw => kurtosis(c(kw))),
+    "quantile" -> aggOrOver(kw =>
       expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})")),
-    "mode" -> agg(kw => mode(c(kw))),
+    "mode" -> aggOrOver(kw => mode(c(kw))),
+
+    // list set algebra
+    "list_set_union" -> rw(kw => array_union(c(kw), col(str(kw, "other_col")))),
+    "list_set_intersection" -> rw(kw => array_intersect(c(kw), col(str(kw, "other_col")))),
+    "list_set_difference" -> rw(kw => array_except(c(kw), col(str(kw, "other_col")))),
+
+    // str.splitn: split with a cap on the number of pieces
+    "str_splitn" -> rw(kw => split(c(kw), str(kw, "by"), intVal(kw, "n", -1))),
 
     // more string ops
     "str_starts_with" -> rw(kw => c(kw).startsWith(anyVal(kw).toString)),

@@ -1719,6 +1719,29 @@ object Queries {
     """SELECT o_orderpriority AS priority, COUNT(*) AS n FROM orders
       |WHERE o_totalprice > 100000.0 GROUP BY 1""".stripMargin
 
+  /** polars expr.over(keys): aggregate derive fns broadcast PER KEY when
+    * partition_by is present — unordered windows, one keyed shuffle. */
+  val q80: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .transform(Transforms.deriveNewCols(Seq(
+        "user_mean" -> DeriveSpec("mean",
+          Map("col" -> "value", "partition_by" -> Seq("user_id"))),
+        "user_total" -> DeriveSpec("sum",
+          Map("col" -> "value", "partition_by" -> Seq("user_id"))),
+        "user_types" -> DeriveSpec("n_unique",
+          Map("col" -> "event_type", "partition_by" -> Seq("user_id"))))))
+      .select(col("event_id"), col("user_id"),
+        round(col("user_mean"), 6).as("user_mean"),
+        round(col("user_total"), 6).as("user_total"),
+        col("user_types").cast("long").as("user_types"))
+
+  val q80Sql: String =
+    """SELECT event_id, user_id,
+      |round(avg(value) OVER w, 6) AS user_mean,
+      |round(sum(value) OVER w, 6) AS user_total,
+      |count(DISTINCT event_type) OVER w AS user_types
+      |FROM events WINDOW w AS (PARTITION BY user_id)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1801,6 +1824,7 @@ object Queries {
     ("q76_partition_pruning", q76, Some(q76Sql)),
     ("q77_dedup_clusters", q77, Some(q77Sql)),
     ("q78_tfidf", q78, Some(q78Sql)),
-    ("q79_typed_dataset", q79, Some(q79Sql))
+    ("q79_typed_dataset", q79, Some(q79Sql)),
+    ("q80_grouped_over", q80, Some(q80Sql))
   )
 }

@@ -204,6 +204,31 @@ class ExprRegistrySpec extends AnyFunSuite {
     assert(out.map(_.getDouble(4)).toSeq == Seq(1.0, 2.5, 2.5, 4.0))
   }
 
+  test("aggregates with partition_by broadcast per key (polars over)") {
+    val df = Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)).toDF("id", "g", "v")
+    val out = derive(
+      "grp_mean" -> DeriveSpec("mean", Map("col" -> "v", "partition_by" -> Seq("g"))),
+      "grp_nu" -> DeriveSpec("n_unique", Map("col" -> "v", "partition_by" -> Seq("g"))),
+      "all_mean" -> DeriveSpec("mean", Map("col" -> "v")))(df)
+      .orderBy("id").collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(15.0, 15.0, 30.0))
+    assert(out.map(_.getInt(4)).toSeq == Seq(2, 2, 1))
+    assert(out.forall(_.getDouble(5) == 20.0), "no partition_by = whole frame")
+  }
+
+  test("list set algebra + str_splitn") {
+    val df = Seq((Seq(1, 2, 3), Seq(2, 3, 4), "a,b,c,d")).toDF("xs", "ys", "s")
+    val out = derive(
+      "u" -> DeriveSpec("list_set_union", Map("col" -> "xs", "other_col" -> "ys")),
+      "i" -> DeriveSpec("list_set_intersection", Map("col" -> "xs", "other_col" -> "ys")),
+      "d" -> DeriveSpec("list_set_difference", Map("col" -> "xs", "other_col" -> "ys")),
+      "sp" -> DeriveSpec("str_splitn", Map("col" -> "s", "by" -> ",", "n" -> 3)))(df).head()
+    assert(out.getSeq[Int](3) == Seq(1, 2, 3, 4))
+    assert(out.getSeq[Int](4) == Seq(2, 3))
+    assert(out.getSeq[Int](5) == Seq(1))
+    assert(out.getSeq[String](6) == Seq("a", "b", "c,d"))
+  }
+
   test("unknown fn name lists alternatives") {
     val e = intercept[IllegalArgumentException](ExprRegistry.resolve("no_such_fn"))
     assert(e.getMessage.contains("unknown derive fn"))
