@@ -212,7 +212,29 @@ object ExprRegistry {
     "n_unique" -> (kw => {
       val parts = strSeq(kw, "partition_by")
       if (parts.isEmpty) WholeFrameAgg(countDistinct(c(kw)))
-      else RowWise(size(collect_set(c(kw)).over(Window.partitionBy(parts.map(col): _*))))
+      // cast long: both paths must agree on the result dtype
+      else RowWise(size(collect_set(c(kw)).over(Window.partitionBy(parts.map(col): _*)))
+        .cast("long"))
+    }),
+
+    // exact decimal-routed sum (oracle-stable: immune to FP summation
+    // order), whole-frame or per-key — the registry face of
+    // DoubleToScaled.exactSum / the dsum catalog pattern
+    "sum_exact" -> (kw => {
+      val scale = intVal(kw, "scale", 6)
+      val parts = strSeq(kw, "partition_by")
+      if (parts.isEmpty)
+        WholeFrameAgg(graft.sparkext.DoubleToScaled.exactSum(c(kw), scale))
+      else {
+        val w = Window.partitionBy(parts.map(col): _*)
+        val v = graft.sparkext.DoubleToScaled.scaled(c(kw), scale)
+        val hi = sum(shiftright(v, 20)).over(w)
+        val lo = sum(v.bitwiseAND(lit((1L << 20) - 1))).over(w)
+        val combined = hi.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(1L << 20) +
+          lo.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        RowWise((combined * lit(java.math.BigDecimal.valueOf(1L, scale)))
+          .cast(org.apache.spark.sql.types.DoubleType))
+      }
     }),
     "approx_n_unique" -> aggOrOver(kw => approx_count_distinct(c(kw))),
     "null_count" -> aggOrOver(kw => count(lit(1)) - count(c(kw))),
@@ -322,8 +344,13 @@ object ExprRegistry {
     "list_set_intersection" -> rw(kw => array_intersect(c(kw), col(str(kw, "other_col")))),
     "list_set_difference" -> rw(kw => array_except(c(kw), col(str(kw, "other_col")))),
 
-    // str.splitn: split with a cap on the number of pieces
-    "str_splitn" -> rw(kw => split(c(kw), str(kw, "by"), intVal(kw, "n", -1))),
+    // str.splitn: split on a LITERAL separator with a cap on pieces
+    // (n is required — polars splitn has no uncapped form)
+    "str_splitn" -> rw { kw =>
+      val n = intVal(kw, "n", -1)
+      require(n > 0, "'str_splitn' requires a positive 'n' kwarg")
+      split(c(kw), java.util.regex.Pattern.quote(str(kw, "by")), n)
+    },
 
     // more string ops
     "str_starts_with" -> rw(kw => c(kw).startsWith(anyVal(kw).toString)),
@@ -331,7 +358,10 @@ object ExprRegistry {
     "str_extract" -> rw(kw =>
       regexp_extract(c(kw), str(kw, "pattern"), intVal(kw, "group_index", 1))),
     "str_count_matches" -> rw(kw => regexp_count(c(kw), lit(str(kw, "pattern")))),
-    "str_split" -> rw(kw => split(c(kw), str(kw, "by"))),
+    // polars str.split splits on a LITERAL substring; Spark split() takes
+    // a Java regex — quote it so metachar separators ('.', '|') behave
+    "str_split" -> rw(kw =>
+      split(c(kw), java.util.regex.Pattern.quote(str(kw, "by")))),
     "str_pad_start" -> rw(kw =>
       lpad(c(kw), intVal(kw, "length", 0), kw.getOrElse("fill_char", " ").toString)),
     "str_pad_end" -> rw(kw =>

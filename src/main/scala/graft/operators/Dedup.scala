@@ -222,7 +222,10 @@ object Dedup {
       maxIters: Int = 20
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // null endpoints are meaningless edges — exclude them explicitly
+    // (they would otherwise silently vanish in the pointer-jump join)
     val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
     val sym = fwd.union(fwd.select(col("b"), col("a")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -235,36 +238,39 @@ object Dedup {
     // the plan is fully severed via createDataFrame over the checkpointed
     // RDD. (On a cluster that must survive executor loss, swap for
     // reliable checkpoint(dir); same shape.)
-    def snapshot(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint(true)
-      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    def snapshot(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.localCheckpoint(true).rdd
+      (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
     }
-    var labels = snapshot(
+    var (labels, labelsRdd) = snapshot(
       sym.select(col("a").as("node")).distinct().withColumn("label", col("node")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       // each node proposes min(own label, neighbors' labels) ...
+      // re-alias (fresh exprIds): unioning a checkpointed frame with a
+      // derivation of itself otherwise shares attribute ids across union
+      // children and trips constraint rewriting
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
-        // full re-alias (fresh exprIds): unioning a checkpointed frame
-        // with a derivation of itself otherwise shares attribute ids
-        // across union children and trips constraint rewriting
         .select(col("a").as("node"), col("label").as("label"))
-        .toDF("node", "label")
       val minNeighbor = labels.unionByName(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
       // ... then POINTER-JUMPS to its label's own label: every label is a
       // node id, so one extra self-join doubles the propagation distance
       // per round — O(log diameter) rounds instead of O(diameter), which
       // is what bounds the driver loop (each round is a full Spark job)
-      val next = snapshot(minNeighbor.as("x")
+      val (next, nextRdd) = snapshot(minNeighbor.as("x")
         .join(minNeighbor.select(col("node").as("label"), col("label").as("jumped")),
           Seq("label"))
         .select(col("node"), col("jumped").as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") < col("old")).count()
+      // the superseded round's checkpoint blocks are dead once `changed`
+      // has consumed them — free deterministically, don't wait for GC
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       converged = changed == 0
       i += 1
     }

@@ -1726,19 +1726,22 @@ object Queries {
       .transform(Transforms.deriveNewCols(Seq(
         "user_mean" -> DeriveSpec("mean",
           Map("col" -> "value", "partition_by" -> Seq("user_id"))),
-        "user_total" -> DeriveSpec("sum",
+        "user_total" -> DeriveSpec("sum_exact", // decimal-routed: FP-order-immune
           Map("col" -> "value", "partition_by" -> Seq("user_id"))),
         "user_types" -> DeriveSpec("n_unique",
           Map("col" -> "event_type", "partition_by" -> Seq("user_id"))))))
       .select(col("event_id"), col("user_id"),
-        round(col("user_mean"), 6).as("user_mean"),
+        // mean rounds to 4dp (double window avg: summation-order jitter is
+        // ~1e-11 absolute; a 5e-5 boundary makes a flip ~impossible);
+        // the total is decimal-exact so 6dp is safe
+        round(col("user_mean"), 4).as("user_mean"),
         round(col("user_total"), 6).as("user_total"),
-        col("user_types").cast("long").as("user_types"))
+        col("user_types"))
 
   val q80Sql: String =
     """SELECT event_id, user_id,
-      |round(avg(value) OVER w, 6) AS user_mean,
-      |round(sum(value) OVER w, 6) AS user_total,
+      |round(avg(value) OVER w, 4) AS user_mean,
+      |round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE), 6) AS user_total,
       |count(DISTINCT event_type) OVER w AS user_types
       |FROM events WINDOW w AS (PARTITION BY user_id)""".stripMargin
 

@@ -212,7 +212,8 @@ class ExprRegistrySpec extends AnyFunSuite {
       "all_mean" -> DeriveSpec("mean", Map("col" -> "v")))(df)
       .orderBy("id").collect()
     assert(out.map(_.getDouble(3)).toSeq == Seq(15.0, 15.0, 30.0))
-    assert(out.map(_.getInt(4)).toSeq == Seq(2, 2, 1))
+    // long on BOTH n_unique paths (whole-frame countDistinct and per-key)
+    assert(out.map(_.getLong(4)).toSeq == Seq(2L, 2L, 1L))
     assert(out.forall(_.getDouble(5) == 20.0), "no partition_by = whole frame")
   }
 
