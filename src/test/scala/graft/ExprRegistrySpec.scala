@@ -235,6 +235,11 @@ class ExprRegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown derive fn"))
   }
 
+  test("registry breadth floor: a refactor must not silently drop fns") {
+    assert(ExprRegistry.fns.size >= 180,
+      s"registry shrank to ${ExprRegistry.fns.size} fns (round-2 floor: 180)")
+  }
+
   test("registry covers every family promised in SURVEY §2.2") {
     val promised = Seq(
       "add_cols", "sub_cols", "mul_cols", "div_cols", // horizontal
