@@ -1745,6 +1745,35 @@ object Queries {
       |count(DISTINCT event_type) OVER w AS user_types
       |FROM events WINDOW w AS (PARTITION BY user_id)""".stripMargin
 
+  /** Typed imperative per-group logic (KeyValueGroupedDataset.mapGroups):
+    * max inter-event gap per user, computed by sorting each user's events
+    * in executor memory — the escape hatch for logic a window can't
+    * express (here it CAN, which is exactly what makes it oracle-checkable
+    * via the declarative formulation). Groups must fit in memory; the
+    * shuffle is one hash partition on the group key. */
+  val q81: QueryFn = (s, d) => {
+    import s.implicits._
+    tbl(s, d, "events")
+      .select(col("user_id"), expr("ts div 1000000").as("ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        val times = rows.map(_._2).toArray.sorted
+        val maxGap =
+          if (times.length < 2) None
+          else Some(times.iterator.zip(times.iterator.drop(1)).map(p => p._2 - p._1).max)
+        (user, maxGap)
+      }
+      .toDF("user_id", "max_gap_ms")
+  }
+
+  val q81Sql: String =
+    """SELECT user_id, MAX(gap) AS max_gap_ms FROM (
+      |  SELECT user_id, epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+      |    PARTITION BY user_id ORDER BY ts) AS gap
+      |  FROM events)
+      |GROUP BY user_id""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1828,6 +1857,7 @@ object Queries {
     ("q77_dedup_clusters", q77, Some(q77Sql)),
     ("q78_tfidf", q78, Some(q78Sql)),
     ("q79_typed_dataset", q79, Some(q79Sql)),
-    ("q80_grouped_over", q80, Some(q80Sql))
+    ("q80_grouped_over", q80, Some(q80Sql)),
+    ("q81_typed_mapgroups", q81, Some(q81Sql))
   )
 }
