@@ -596,9 +596,12 @@ object ExprRegistry {
       }
     },
 
-    // rolling exact median (percentile 0.5 over the trailing frame)
+    // rolling exact median / quantile (percentile over the trailing frame)
     "rolling_median" -> rw(kw =>
       expr(s"percentile(${str(kw, "col")}, 0.5)").over(rollingFrame(kw, "rolling_median"))),
+    "rolling_quantile" -> rw(kw =>
+      expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})")
+        .over(rollingFrame(kw, "rolling_quantile"))),
 
     // polars rank(method='average'): ties share the mean of their positions
     "avg_rank" -> rw { kw =>

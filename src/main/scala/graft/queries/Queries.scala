@@ -1774,6 +1774,24 @@ object Queries {
       |  FROM events)
       |GROUP BY user_id""".stripMargin
 
+  /** explode_outer: generator that PRESERVES rows with empty arrays as a
+    * null row — the outer-lateral semantics plain explode drops. Short
+    * docs keep an empty token-sample array; they must survive. */
+  val q82: QueryFn = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") < 50, array())
+          .otherwise(slice(TextAnalysis.tokens(col("text")), 1, 3)).as("sample"))
+      .select(col("doc_id"), explode_outer(col("sample")).as("tok"))
+
+  val q82Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN n_chars < 50 THEN []
+      |       ELSE regexp_split_to_array(lower(trim(text)), '\s+')[1:3] END AS sample
+      |  FROM documents)
+      |SELECT doc_id, unnest(CASE WHEN len(sample) = 0 THEN [NULL] ELSE sample END) AS tok
+      |FROM t""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1858,6 +1876,7 @@ object Queries {
     ("q78_tfidf", q78, Some(q78Sql)),
     ("q79_typed_dataset", q79, Some(q79Sql)),
     ("q80_grouped_over", q80, Some(q80Sql)),
-    ("q81_typed_mapgroups", q81, Some(q81Sql))
+    ("q81_typed_mapgroups", q81, Some(q81Sql)),
+    ("q82_explode_outer", q82, Some(q82Sql))
   )
 }

@@ -200,6 +200,10 @@ class ExprRegistrySpec extends AnyFunSuite {
       .orderBy("t").collect()
     assert(out.map(_.getString(2)).toSeq == Seq("low", "mid", "mid", "high"))
     assert(out(2).getDouble(3) == 15.0, "median of (5, 15, 15)")
+    val q = derive("rq" -> DeriveSpec("rolling_quantile",
+      Map("col" -> "v", "order_by" -> Seq("t"), "window_size" -> 3, "quantile" -> 1.0)))(df)
+      .orderBy("t").collect()
+    assert(q(3).getDouble(2) == 40.0, "rolling q=1.0 == rolling max")
     // ranks of v=(5,15,15,40): ties at positions 2,3 share 2.5
     assert(out.map(_.getDouble(4)).toSeq == Seq(1.0, 2.5, 2.5, 4.0))
   }
