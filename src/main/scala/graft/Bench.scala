@@ -4,13 +4,25 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every catalog query against
   * `SPARK_GRAFT_SF_DIR`, forcing full materialization through the `noop`
   * sink (a bare `.count()` would let Catalyst prune every non-key column
-  * and under-measure projection/compute cost). Prints ONE JSON line. */
+  * and under-measure projection/compute cost). Prints ONE JSON line to
+  * stdout for humans AND writes the same line to
+  * `SPARK_GRAFT_BENCH_OUT` (default `target/bench.json`) — sbt prefixes
+  * stdout with `[info] `, which has defeated the driver's JSON parser two
+  * rounds running; the file is the machine-readable artifact. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional comma-separated name filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // fail FAST on a typo'd filter: a silent empty selection exits 0 with
+    // an empty bench — the silent-empty-output family that keeps biting
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")} " +
+          s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(",")})")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,7 +67,12 @@ object Bench {
     // -1 crash markers stay visible per-query but must not subtract from
     // (or be hidden inside) the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(outPath, json + "\n")
     spark.stop()
   }
 }

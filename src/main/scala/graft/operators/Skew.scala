@@ -18,10 +18,24 @@ import org.apache.spark.sql.functions._
   *    dimension rows to every bucket.
   *
   * Results are identical to the unsalted equivalents (verified by spec);
-  * salt assignment uses `monotonically_increasing_id`, which is
-  * plan-stable within a job and never visible in the output.
+  * salt assignment is `pmod(xxhash64(all columns), saltBuckets)` — a pure
+  * function of row CONTENT. A positional or random salt
+  * (`monotonically_increasing_id`, `rand`) is the classic SPARK-23207
+  * hazard: it is nondeterministic across partial shuffle-stage retries, so
+  * on task recomputation rows re-salt differently and get duplicated or
+  * lost across reducers. Content-derived salt re-hashes identically on
+  * retry. Identical rows share a bucket, which only narrows the spread
+  * when one (key, exact-row) pair dominates — acceptable for correctness
+  * under retry, which a salt must guarantee first.
   */
 object Skew {
+
+  /** Deterministic per-row salt in [0, buckets): content hash of every
+    * column. xxhash64 of zero args is seed-only, so require nonempty. */
+  private def contentSalt(df: DataFrame, buckets: Int): Column = {
+    require(df.columns.nonEmpty, "cannot salt a zero-column frame")
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong))
+  }
 
   /** Two-phase (salted) aggregation. `partialAggs` run per
     * (keys, salt) subgroup; `finalAggs` merge the aliased partials per key.
@@ -37,7 +51,7 @@ object Skew {
       finalAggs: Seq[Column]
   ): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    df.withColumn("__salt", contentSalt(df, saltBuckets))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keys.map(col): _*)
@@ -55,8 +69,7 @@ object Skew {
       saltBuckets: Int
   ): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    val bigS = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val bigS = big.withColumn("__salt", contentSalt(big, saltBuckets))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     bigS.join(smallS, keys :+ "__salt").drop("__salt")

@@ -1333,12 +1333,17 @@ object Queries {
     * countDistinct/percentile would shuffle every value: HLL++ cardinality
     * and quantile sketch, one pass, fixed memory. Engine-specific sketch
     * values — no SQL oracle (driver records a rows-only check); exactness
-    * bounds are asserted in OperatorsSpec instead. */
+    * bounds are asserted in OperatorsSpec instead. Quantiles are projected
+    * as SCALAR columns (not the raw sketch array): the driver's pandas
+    * harness sorts every output column, and an array-typed column is
+    * unhashable there (crashed the rows-only check two rounds running). */
   val q64: QueryFn = (s, d) =>
     tbl(s, d, "lineitem").agg(
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-        .as("approx_price_quantiles"))
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("qs"))
+      .select(col("approx_orders"),
+        element_at(col("qs"), 1).as("approx_p50"),
+        element_at(col("qs"), 2).as("approx_p95"))
 
   /** Within-document repetition signals (Gopher-style quality rule): the
     * fraction of duplicated word 2-grams and 3-grams per document — pure

@@ -36,6 +36,24 @@ class SkewAndAnsiSpec extends AnyFunSuite {
     assert(plain == Set(("hot", "H", 5000L), ("cold", "C", 2L)))
   }
 
+  test("salt expressions are deterministic (SPARK-23207: no re-salt drift on retry)") {
+    // A nondeterministic salt (rand, monotonically_increasing_id) re-salts
+    // rows differently when a shuffle stage is partially recomputed —
+    // duplicating/losing rows across reducers. Assert NO nondeterministic
+    // expression anywhere in either salted plan.
+    val big = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val dim = Seq(("a", "A"), ("b", "B")).toDF("k", "label")
+    val plans = Seq(
+      Skew.saltedJoin(big, dim, Seq("k"), 4).queryExecution.analyzed,
+      Skew.saltedAgg(big, Seq("k"), 4)(
+        Seq(count(lit(1)).as("c")), Seq(sum($"c").as("n"))).queryExecution.analyzed)
+    plans.foreach { plan =>
+      val nondet = plan.collect { case node => node.expressions }.flatten
+        .flatMap(_.collect { case e if !e.deterministic => e })
+      assert(nondet.isEmpty, s"nondeterministic salt expressions: $nondet")
+    }
+  }
+
   test("recast under ANSI mode is strict (errors) like Polars strict_cast; lax otherwise") {
     val df = Seq("12", "not-a-number").toDF("s")
     val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
