@@ -77,16 +77,12 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH candidate pairs: signatures are cut into `bands` bands of
-    * `numHashes / bands` rows; docs agreeing on ALL rows of any band land in
-    * the same bucket; bucket members self-join into candidate pairs
-    * (id_a < id_b, distinct).
-    *
-    * The self-join is on (band_index, band_digest) — at scale bucket sizes
-    * stay small by construction, so the shuffle and the intra-bucket
-    * pairing both stay bounded.
-    */
-  def minHashLshPairs(
+  /** (id, band, digest) LSH bucket membership rows — the shared candidate
+    * stage behind [[minHashLshPairs]] and [[lshOverfullBuckets]]. The
+    * signature frame (#docs × numHashes digests — tiny relative to the
+    * corpus) is persisted so the downstream self-join doesn't recompute the
+    * whole shingle explode + aggregate pipeline per branch. */
+  def lshBuckets(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -96,20 +92,70 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    // signatures are #docs x numHashes digests — tiny relative to the
-    // corpus; persist so the bucket self-join doesn't recompute the whole
-    // shingle explode + aggregate pipeline for each side
     val sig = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
       val members = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", members: _*)).as("digest")).as(s"b$b")
     }
-    val buckets = sig
+    sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.digest").as("digest"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
+  }
+
+  /** Diagnostic twin of [[minHashLshPairs]]'s width cap: the (band, digest,
+    * n) buckets WIDER than `maxBucket`, i.e. exactly what the capped pair
+    * join drops. Pipelines applying a cap should count/log this frame so
+    * truncation is never silent. */
+  def lshOverfullBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 10000
+  ): DataFrame =
+    lshBuckets(df, idCol, textCol, shingleK, numHashes, bands)
+      .groupBy(col("band"), col("digest")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+
+  /** MinHash + LSH candidate pairs: signatures are cut into `bands` bands of
+    * `numHashes / bands` rows; docs agreeing on ALL rows of any band land in
+    * the same bucket; bucket members self-join into candidate pairs
+    * (id_a < id_b, distinct).
+    *
+    * The self-join is on (band_index, band_digest) — bucket sizes stay
+    * small PROBABILISTICALLY, but a mass-duplicated document (the same
+    * boilerplate page crawled f times) puts all f copies in one bucket and
+    * makes the self-join emit f² rows. `maxBucket` bounds that cliff: any
+    * bucket wider than the cap is dropped before pairing, capping one
+    * bucket's contribution at maxBucket². Members of a dropped bucket can
+    * still pair via their other (bands - 1) buckets, so recall degrades
+    * gracefully instead of the job dying; dropped widths are observable via
+    * [[lshOverfullBuckets]] (same inputs), which pipelines should log.
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxBucket > 1, "maxBucket must allow at least a pair")
+    val buckets = lshBuckets(df, idCol, textCol, shingleK, numHashes, bands)
+    // bounded width: the count is one extra agg on the (band, digest) keys
+    // the join shuffles on anyway — same partitioning, re-used exchange
+    val widths = buckets.groupBy(col("band"), col("digest"))
+      .agg(count(lit(1)).as("__bn"))
+    val bounded = buckets
+      .join(widths.filter(col("__bn") <= maxBucket), Seq("band", "digest"))
+      .drop("__bn")
+    val a = bounded.as("a")
+    val b = bounded.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
           col("a.digest") === col("b.digest") &&
@@ -159,14 +205,26 @@ object Dedup {
     * shingle string — frequency-bounded, no all-pairs); |a|,|b| from a
     * per-doc distinct-shingle count; jaccard = inter / (|a|+|b|-inter).
     * Exact integer arithmetic until the final division -> oracle-stable.
+    *
+    * `maxDf` caps the document frequency a shingle may have and still feed
+    * the self-join: a stop-phrase shingle shared by f documents emits f²
+    * join rows, so ONE hot trigram ("all rights reserved") can OOM the job
+    * at corpus scale. Shingles with df > maxDf are excluded from the
+    * intersection counts (per-doc sizes stay exact — they're computed from
+    * the FULL shingle set first). A dropped shingle lowers the measured
+    * jaccard of pairs that shared it, so the cap trades bounded recall loss
+    * on boilerplate-overlap pairs for a hard f·maxDf bound on join fan-out.
+    * Set it above the corpus' real near-dup cluster size.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleK: Int = 3,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxDf: Int = 10000
   ): DataFrame = {
+    require(maxDf > 1, "maxDf must allow at least a pair")
     // The exploded shingle frame feeds 4 plan branches (both self-join
     // sides + two size lookups); persist it once instead of re-running the
     // tokenize/window/explode pipeline per branch. Shingle STRINGS are
@@ -181,9 +239,10 @@ object Dedup {
     // intersection: semi-join both sides down to shared shingles before
     // the quadratic step. In natural-text corpora most shingles are
     // unique, so this prunes the self-join input by ~5-10x (sizes above
-    // are computed from the FULL set — results unchanged).
+    // are computed from the FULL set — results unchanged). The same pass
+    // applies the maxDf hot-shingle cap from above.
     val shared = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).select(col("shingle"))
+      .filter(col("n") > 1 && col("n") <= maxDf).select(col("shingle"))
     val hot = sh.join(shared, "shingle")
     val a = hot.as("a")
     val b = hot.as("b")

@@ -53,6 +53,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("ngram jaccard maxDf cap excludes hot shingles from intersections") {
+    // a boilerplate phrase stamped on EVERY doc: its shingles have df = 6,
+    // the f² fan-out shape the cap exists for
+    val boiler = (0L to 5L).map(i => (i, s"all rights reserved to us $i unique tail number $i"))
+      .toDF("doc_id", "text")
+    // uncapped: every pair shares the 3 boilerplate shingles -> 15 pairs
+    val uncapped = Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 15, s"all 15 pairs share boilerplate: $uncapped")
+    // capped below df=6: the hot shingles drop out of the self-join and no
+    // pair has any remaining shared shingle -> zero candidate pairs
+    val capped = Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.01, maxDf = 5)
+      .collect()
+    assert(capped.isEmpty, "df-6 shingles must be excluded at maxDf=5")
+    // the spec fixture's organic near-dups survive a generous cap unchanged
+    val cappedDocs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedDocs.contains((0L, 1L)) && cappedDocs.contains((0L, 2L)))
+  }
+
+  test("LSH maxBucket cap drops over-wide buckets; other bands still pair") {
+    // 6 identical docs: every band puts all 6 in one bucket (width 6)
+    val dups = (0L to 5L).map(i => (i, "the same exact boilerplate page content every time"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minHashLshPairs(dups, "doc_id", "text", 3, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 15)
+    // cap below the bucket width: ALL buckets are dropped -> no pairs, and
+    // the diagnostic frame reports exactly the dropped (band, digest) widths
+    val capped = Dedup.minHashLshPairs(dups, "doc_id", "text", 3, 8, 4, maxBucket = 5)
+      .collect()
+    assert(capped.isEmpty, "width-6 buckets must be dropped at maxBucket=5")
+    val dropped = Dedup.lshOverfullBuckets(dups, "doc_id", "text", 3, 8, 4, maxBucket = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(dropped.length == 4 && dropped.forall(_._2 == 6L),
+      s"4 bands × width 6 expected: ${dropped.toSeq}")
+    // a generous cap changes nothing on the organic fixture
+    val cappedDocs = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 8, 4, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedDocs.contains((0L, 1L)))
+  }
+
   test("cosine similarity and brute-force top-k") {
     val vecs = Seq(
       (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
