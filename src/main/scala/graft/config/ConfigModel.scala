@@ -158,9 +158,12 @@ object YamlEmit {
       "dst_root" -> cfg.dstRoot,
       "src_file_type" -> cfg.srcFileType.toUpperCase,
       "dst_file_type" -> cfg.dstFileType.toUpperCase,
+      // rule values keep their NATIVE type (not .toString): the emitter
+      // quotes number-like strings, so a stringified 0.0 would round-trip
+      // through ConfigLoader as the string "0.0" instead of a double
       "validation" -> cfg.validation.map(r =>
         scala.collection.immutable.ListMap(
-          r.name -> (Seq(r.col, r.op) ++ r.value.map(_.toString).toSeq))),
+          r.name -> (Seq[Any](r.col, r.op) ++ r.value.toSeq))),
       "transformations" -> transformToMap(cfg.transformations),
       "select_cols" -> cfg.selectCols,
       "transformed_data" -> cfg.transformedDataDir,
@@ -178,7 +181,10 @@ object YamlEmit {
       "recast_map" -> scala.collection.immutable.ListMap(t.recastMap: _*),
       "fill_map" -> scala.collection.immutable.ListMap(t.fillMap: _*),
       "clip_map" -> scala.collection.immutable.ListMap(t.clipMap.map { case (k, (lo, hi)) => k -> Seq(lo, hi) }: _*),
-      "filter_exprs" -> t.filterRules.map(r => Seq(r.col, r.op) ++ r.value.map(_.toString).toSeq),
+      // name-keyed like the reference's filter dict (transform.py:42-44) —
+      // a bare rule list would lose the names on the emit -> load round trip
+      "filter_exprs" -> scala.collection.immutable.ListMap(t.filterRules.map(r =>
+        r.name -> (Seq[Any](r.col, r.op) ++ r.value.toSeq)): _*),
       "new_col_map" -> scala.collection.immutable.ListMap(t.newColMap.map { case (k, d) =>
         k -> scala.collection.immutable.ListMap("fn_name" -> d.fnName, "fn_kwargs" -> d.kwargs)
       }: _*),

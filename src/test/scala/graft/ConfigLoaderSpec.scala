@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.io.FakeIO
+import graft.service.Pipeline
+
+/** Config-from-data loader spec: YAML -> GeneralConfig -> pipeline, the
+  * reference's primary user surface (reference: core/config.py:65-68
+  * from_dict; tests/services/test_basic_pipeline.py:172-287 drive the whole
+  * pipeline from a config dict). */
+class ConfigLoaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val fullCfg = GeneralConfig(
+    processName = "ingest",
+    srcPath = "/src/raw.parquet",
+    dstRoot = "/out",
+    validation = Seq(
+      RuleSpec("name_not_null", "name", "is_not_null"),
+      RuleSpec("bonus_non_neg", "bonus", "ge", Some(0.0))),
+    transformations = TransformConfig(
+      dedupeCols = Seq("*"),
+      unnestCols = Seq("projects"),
+      filterRules = Seq(RuleSpec("not_div_d", "division", "ne", Some("D"))),
+      fillMap = Seq("bonus" -> 0.0),
+      recastMap = Seq("salary" -> "Int64"),
+      clipMap = Seq("salary" -> (10000, 60000)),
+      newColMap = Seq(
+        "mean_salary" -> DeriveSpec("mean", Map("col" -> "salary")),
+        "total_comp" -> DeriveSpec("add_cols", Map("cols" -> Seq("salary", "bonus")))),
+      renameMap = Seq("division" -> "dept")),
+    selectCols = Seq("*"))
+
+  test("YamlEmit -> YamlParse -> ConfigLoader is a fixed point") {
+    val yaml = YamlEmit.emit(YamlEmit.configToMap(fullCfg))
+    val reloaded = ConfigLoader.fromYaml(yaml)
+    // compare via re-emission: numeric widening (Int -> Long) through the
+    // parser is invisible in the canonical emitted form
+    assert(YamlEmit.emit(YamlEmit.configToMap(reloaded)) == yaml)
+    // and the semantically-typed pieces survived exactly
+    assert(reloaded.validation == fullCfg.validation)
+    assert(reloaded.transformations.filterRules == fullCfg.transformations.filterRules)
+    assert(reloaded.transformations.recastMap == fullCfg.transformations.recastMap)
+    assert(reloaded.transformations.newColMap == fullCfg.transformations.newColMap)
+    assert(reloaded.selectCols == Seq("*"))
+  }
+
+  test("unknown keys are dropped, like the reference's from_dict") {
+    val cfg = ConfigLoader.generalFromMap(Map(
+      "process_name" -> "p", "src_path" -> "/s", "dst_root" -> "/d",
+      "mystery_key" -> "ignored", "another" -> Map("nested" -> 1)))
+    assert(cfg.processName == "p" && cfg.srcPath == "/s")
+    val t = ConfigLoader.transformFromMap(Map(
+      "drop_cols" -> Seq("x"), "not_a_stage" -> "ignored"))
+    assert(t.dropCols == Seq("x") && t == TransformConfig(dropCols = Seq("x")))
+  }
+
+  test("bad recast dtype names fail at config-build time, not first use") {
+    val e = intercept[IllegalArgumentException] {
+      ConfigLoader.transformFromMap(Map("recast_map" -> Map("c" -> "NotAType")))
+    }
+    assert(e.getMessage.contains("NotAType"))
+  }
+
+  test("YAML string drives the full pipeline end-to-end (golden case)") {
+    val yaml =
+      """# full-config pipeline, hand-written YAML (reference golden case 1)
+        |process_name: ingest
+        |src_path: /src/raw.parquet
+        |dst_root: /out
+        |src_file_type: parquet
+        |dst_file_type: parquet
+        |validation:
+        |  name_not_null:
+        |    - name
+        |    - is_not_null
+        |  bonus_non_neg:
+        |    - bonus
+        |    - ge
+        |    - 0.0
+        |transformations:
+        |  dedupe_cols:
+        |    - "*"
+        |  unnest_cols:
+        |    - projects
+        |  filter_exprs:
+        |    not_div_d:
+        |      - division
+        |      - ne
+        |      - D
+        |  fill_map:
+        |    bonus: 0.0
+        |  recast_map:
+        |    salary: Int64
+        |  clip_map:
+        |    salary:
+        |      - 10000
+        |      - 60000
+        |  new_col_map:
+        |    mean_salary:
+        |      fn_name: mean
+        |      fn_kwargs:
+        |        col: salary
+        |    total_comp:
+        |      fn_name: add_cols
+        |      fn_kwargs:
+        |        cols:
+        |          - salary
+        |          - bonus
+        |  rename_map:
+        |    division: dept
+        |select_cols: "*"
+        |some_unknown_key: silently dropped
+        |""".stripMargin
+    val cfg = ConfigLoader.fromYaml(yaml)
+
+    val projSchema = StructType(Seq(
+      StructField("project a", DoubleType), StructField("project b", DoubleType),
+      StructField("project c", DoubleType), StructField("project d", DoubleType)))
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("salary", LongType),
+      StructField("division", StringType), StructField("bonus", DoubleType),
+      StructField("projects", projSchema)))
+    def proj(a: Any, b: Any, c: Any, d: Any) = Row(a, b, c, d)
+    val employees = Seq(
+      Row("alice ", 30000L, " B", 10000.0, proj(0.5, 0.5, null, null)),
+      Row("ben", 28000L, "C", 15000.0, proj(null, null, 1.0, 0.0)),
+      Row("charlie", 75000L, "A", null, proj(0.65, 0.35, null, null)),
+      Row(null, 0L, "", 0.0, proj(null, null, 0.45, 0.55)),
+      Row("dani", 50000L, "D", 70000.0, proj(0.95, 0.05, null, null)),
+      Row("dani", 50000L, "D", 70000.0, proj(0.95, 0.05, null, null)),
+      Row("emily", 80000L, "A", -5000.0, proj(null, null, 0.5, 0.5)))
+    val io = new FakeIO()
+    io.frames.put("/src/raw.parquet",
+      spark.createDataFrame(spark.sparkContext.parallelize(employees, 2), schema))
+
+    val res = Pipeline.runPipeline(spark, cfg, io)
+
+    // identical outcomes to the Scala-constructed golden case in
+    // PipelineE2ESpec — the YAML surface adds no behavior drift
+    assert(res.invalid.count() == 2)
+    assert(res.transformed.count() == 4)
+    val rows = res.transformed.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(rows.keySet == Set("alice", "ben", "charlie", "dani"))
+    assert(rows("charlie").getAs[Long]("salary") == 60000L, "clip via YAML-typed [lo, hi]")
+    assert(rows("charlie").getAs[Double]("bonus") == 0.0, "fill via YAML double")
+    assert(rows("dani").getAs[String]("dept") == "d", "rename via YAML map")
+    val means = res.transformed.select("mean_salary").collect().map(_.getDouble(0)).distinct
+    assert(means.toSeq == Seq(42000.0))
+    // the emitted config artifact can itself be re-loaded (config closes
+    // the loop: run -> emit -> load -> run)
+    val emitted = io.texts.values.head
+    val reloaded = ConfigLoader.fromYaml(emitted)
+    assert(reloaded.processName == "ingest" && reloaded.guid == "abc-123")
+    assert(reloaded.transformations.newColMap.map(_._1) == Seq("mean_salary", "total_comp"))
+  }
+}
