@@ -274,13 +274,22 @@ object Dedup {
     * The returned frame is eagerly local-checkpointed (tiny: one row per
     * node appearing in `edges`); its blocks free when the frame is GC'd.
     */
+  /** @param checkpointDir when set, per-round snapshots use RELIABLE
+    *   checkpoints written under this directory (HDFS/object store on a
+    *   cluster) instead of `localCheckpoint`: local checkpoint blocks live
+    *   on executors, so one lost executor kills the whole iterative job at
+    *   the round it died in; reliable checkpoints survive executor loss at
+    *   the cost of a filesystem write per round. Local remains the default
+    *   for single-machine / test runs. */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIters: Int = 20
+      maxIters: Int = 20,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // null endpoints are meaningless edges — exclude them explicitly
     // (they would otherwise silently vanish in the pointer-jump join)
     val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -295,10 +304,11 @@ object Dedup {
     // carries the origin plan's constraints (with stale attribute ids)
     // into the next round's self-union and trips constraint rewriting, so
     // the plan is fully severed via createDataFrame over the checkpointed
-    // RDD. (On a cluster that must survive executor loss, swap for
-    // reliable checkpoint(dir); same shape.)
+    // RDD. With `checkpointDir` set the snapshot is a reliable checkpoint
+    // instead — same shape, survives executor loss.
     def snapshot(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.localCheckpoint(true).rdd
+      val cp = if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      val rdd = cp.rdd
       (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
     }
     var (labels, labelsRdd) = snapshot(

@@ -33,13 +33,26 @@ object Inspect {
   private val coreStats: Seq[String] =
     Seq("count", "null_count", "mean", "std", "min", "25%", "50%", "75%", "max")
 
+  /** @param exactQuantiles exact `percentile` interpolates and is
+    *   value-exact, but its memory grows with the number of DISTINCT values
+    *   per column — at 100 TB that is an executor-OOM path for high-cardinality
+    *   columns. The DEFAULT is the fixed-memory `approx_percentile` sketch
+    *   (single-pass, bounded error, returns a real data value); flip the
+    *   switch where small-data exactness matters (tests, oracles). The same
+    *   trade exists for the `n_unique` custom stat (exact countDistinct) —
+    *   swap in `approx_count_distinct` via `customStats` for 100 TB runs. */
   def describe(
       df: DataFrame,
-      customStats: Seq[(String, StatFn)] = defaultCustomStats
+      customStats: Seq[(String, StatFn)] = defaultCustomStats,
+      exactQuantiles: Boolean = false
   ): DataFrame = {
     val spark: SparkSession = df.sparkSession
     val fields = df.schema.fields.toSeq
     val statNames = coreStats ++ customStats.map(_._1)
+
+    def quantile(name: String, p: Double): Column =
+      if (exactQuantiles) expr(s"percentile(`$name`, $p)")
+      else expr(s"approx_percentile(`$name`, $p, 10000)")
 
     def isNumeric(dt: DataType): Boolean = dt match {
       case _: NumericType => true
@@ -63,9 +76,9 @@ object Inspect {
         num(avg(c)),
         num(stddev_samp(c)),
         ord(min(c)),
-        num(expr(s"percentile(`${f.name}`, 0.25)")),
-        num(expr(s"percentile(`${f.name}`, 0.5)")),
-        num(expr(s"percentile(`${f.name}`, 0.75)")),
+        num(quantile(f.name, 0.25)),
+        num(quantile(f.name, 0.5)),
+        num(quantile(f.name, 0.75)),
         ord(max(c))
       )
       val custom = customStats.map { case (_, fn) => fn(f.name).cast(StringType) }

@@ -12,7 +12,8 @@ class InspectSpec extends AnyFunSuite {
   test("describe: one row per stat, all columns stringly, correct values") {
     val df = Seq((1.0, "a"), (3.0, "b"), (Double.NaN, "b")).toDF("v", "s")
       .select(org.apache.spark.sql.functions.nanvl($"v", org.apache.spark.sql.functions.lit(null)).as("v"), $"s")
-    val stats = Inspect.describe(df).collect()
+    // exactQuantiles: interpolated 50% of {1.0, 3.0} is 2.0
+    val stats = Inspect.describe(df, exactQuantiles = true).collect()
       .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
     assert(stats.keySet == Set("count", "null_count", "mean", "std", "min", "25%", "50%",
       "75%", "max", "null_proportion", "n_unique"))
@@ -22,6 +23,21 @@ class InspectSpec extends AnyFunSuite {
     assert(stats("min")._2.contains("a") && stats("max")._2.contains("b"))
     assert(stats("n_unique")._2.contains("2"))
     assert(stats("50%")._1.contains("2.0"))
+  }
+
+  test("describe DEFAULTS to the approx_percentile sketch (100 TB memory shape)") {
+    // the sketch returns a REAL data value, never the exact interpolation —
+    // observable difference that proves the default is the approx path
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val approx = Inspect.describe(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val p50 = approx("50%").toDouble
+    assert(p50 >= 490.0 && p50 <= 510.0, s"sketch p50 near the median: $p50")
+    assert(p50 == math.rint(p50), "approx_percentile returns an actual data value")
+    // exact interpolated median of 1..1000 is 500.5 — not a data value
+    val exact = Inspect.describe(df, exactQuantiles = true).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(exact("50%").toDouble == 500.5)
   }
 
   test("yaml emit: scalars, nesting, quoting") {

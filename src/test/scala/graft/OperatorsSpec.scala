@@ -260,6 +260,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents reliable-checkpoint path: same labels, files written") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+      val labels = Dedup.connectedComponents(edges, "id_a", "id_b",
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+      // checkpoint data actually landed in the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint must write files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("kmeansFit: Lloyd update moves centroids to cluster means, assignment deterministic") {
     import org.apache.spark.sql.functions._
     // assignment is COSINE-based: two clusters by direction, not distance
