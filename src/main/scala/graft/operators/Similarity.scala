@@ -98,11 +98,30 @@ object Similarity {
     element_at(cids, array_position(scores, array_max(scores)).cast("int"))
   }
 
-  /** IVF (inverted-file) ANN top-k with nProbe=1: corpus rows are assigned
-    * to their nearest coarse-quantizer centroid; a query scans only its own
-    * cell. The centroid list is small (collected once); per-row assignment
-    * is pure projection, the candidate join hash-partitions on the cell id.
-    * The 100 TB alternative to [[lshTopK]] when a trained quantizer exists. */
+  /** The `nProbe` nearest centroid ids for a vector, nearest first
+    * (cosine DESC, centroid id ASC on ties — deterministic). Same
+    * literal-centroid projection shape as [[ivfCell]]: one scores array,
+    * sorted once, sliced — no UDF, no shuffle. */
+  def ivfCells(vec: Column, centroids: Seq[(Int, Seq[Double])], nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe must be in [1, ${centroids.size}]")
+    // array_sort on struct(negated score, cid) = score desc, cid asc
+    val scored = array(centroids.map { case (cid, cvec) =>
+      struct((-cosine(vec, array(cvec.map(lit): _*))).as("neg"), lit(cid).as("cid"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("cid"))
+  }
+
+  /** IVF (inverted-file) ANN top-k: corpus rows are assigned to their
+    * nearest coarse-quantizer centroid; a query scans its `nProbe` nearest
+    * cells (the standard recall knob — nProbe=1 misses neighbors that sit
+    * just across a cell boundary; probing the few next-nearest cells
+    * recovers them for nProbe× scan cost, still never the whole corpus).
+    * The centroid list is small (collected once); per-row assignment is
+    * pure projection, the candidate join hash-partitions on the cell id.
+    * The 100 TB alternative to [[lshTopK]] when a trained quantizer exists.
+    * Each corpus row lives in exactly ONE cell, so a (query, corpus) pair
+    * appears at most once — no post-join dedup needed at any nProbe. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -111,10 +130,13 @@ object Similarity {
       corpusVec: String,
       queryVec: String,
       k: Int,
-      centroids: Seq[(Int, Seq[Double])]
+      centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int = 1
   ): DataFrame = {
     val cb = corpus.withColumn("cell", ivfCell(col(corpusVec), centroids))
-    val qb = queries.withColumn("cell", ivfCell(col(queryVec), centroids))
+    val qb =
+      if (nProbe == 1) queries.withColumn("cell", ivfCell(col(queryVec), centroids))
+      else queries.withColumn("cell", explode(ivfCells(col(queryVec), centroids, nProbe)))
     val joined = cb.join(broadcast(qb), "cell")
     val sim = round(cosine(col(corpusVec), col(queryVec)), 6)
     val w = Window.partitionBy(col(queryId)).orderBy(sim.desc, col(corpusId).asc)

@@ -1797,6 +1797,43 @@ object Queries {
       |SELECT doc_id, unnest(CASE WHEN len(sample) = 0 THEN [NULL] ELSE sample END) AS tok
       |FROM t""".stripMargin
 
+  /** IVF ANN with nProbe=2: each query scans its TWO nearest cells — the
+    * standard recall knob over q31's nProbe=1 (which misses neighbors just
+    * across a cell boundary). Corpus rows still live in exactly one cell,
+    * so no post-join dedup is needed. */
+  val q83: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.ivfTopK(emb, queries, "vec_id", "qid", "v", "qv", k = 10, centroids,
+      nProbe = 2)
+  }
+
+  val q83Sql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+      |scored AS (SELECT c.vec_id, cid,
+      |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS score
+      |  FROM c CROSS JOIN cent),
+      |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |  ORDER BY score DESC, cid ASC) AS rn FROM scored),
+      |cb AS (SELECT c.vec_id, v, cell FROM c JOIN (
+      |  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1) USING (vec_id)),
+      |qb AS (SELECT q.vec_id AS qid, v AS qv, q.cell FROM (
+      |  SELECT vec_id, cid AS cell FROM ranked WHERE rn <= 2 AND vec_id < 5) q
+      |  JOIN c ON c.vec_id = q.vec_id),
+      |s AS (SELECT qid, cb.vec_id,
+      |  round(list_dot_product(v, qv) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      |  FROM cb JOIN qb USING (cell)),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk FROM s)
+      |SELECT qid, vec_id, cosine, rk FROM r WHERE rk <= 10""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1882,6 +1919,7 @@ object Queries {
     ("q79_typed_dataset", q79, Some(q79Sql)),
     ("q80_grouped_over", q80, Some(q80Sql)),
     ("q81_typed_mapgroups", q81, Some(q81Sql)),
-    ("q82_explode_outer", q82, Some(q82Sql))
+    ("q82_explode_outer", q82, Some(q82Sql)),
+    ("q83_ivf_nprobe", q83, Some(q83Sql))
   )
 }

@@ -278,6 +278,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK nProbe=2 recovers the neighbor just across the cell boundary") {
+    // query sits in cell 0; its TRUE nearest neighbor sits in cell 1 —
+    // the exact recall cliff nProbe exists to fix
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val corpus = Seq((10L, Seq(1.0, 0.1)), (11L, Seq(0.9, 1.0))).toDF("vec_id", "v")
+    val q = Seq((1L, Seq(1.0, 0.9))).toDF("qid", "qv")
+    val p1 = Similarity.ivfTopK(corpus, q, "vec_id", "qid", "v", "qv", 2, cents)
+      .select("vec_id").as[Long].collect().toSet
+    assert(p1 == Set(10L), "nProbe=1 scans only the query's own cell")
+    val p2 = Similarity.ivfTopK(corpus, q, "vec_id", "qid", "v", "qv", 2, cents, nProbe = 2)
+      .orderBy("rk").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(p2 == Seq(11L, 10L), "cross-boundary true nearest recovered and ranked first")
+    // probe order is deterministic: nearest cell first, centroid id on ties
+    val cells = corpus.select(Similarity.ivfCells(col("v"), cents, 2).as("cs"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(cells.toSeq == Seq(Seq(0, 1), Seq(1, 0)))
+  }
+
   test("kmeansFit: Lloyd update moves centroids to cluster means, assignment deterministic") {
     import org.apache.spark.sql.functions._
     // assignment is COSINE-based: two clusters by direction, not distance
