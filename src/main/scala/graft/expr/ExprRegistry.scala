@@ -344,12 +344,16 @@ object ExprRegistry {
     "list_set_intersection" -> rw(kw => array_intersect(c(kw), col(str(kw, "other_col")))),
     "list_set_difference" -> rw(kw => array_except(c(kw), col(str(kw, "other_col")))),
 
-    // str.splitn: split on a LITERAL separator with a cap on pieces
-    // (n is required — polars splitn has no uncapped form)
+    // str.splitn: split on a LITERAL separator into EXACTLY n struct
+    // fields, null-padded — polars returns struct{field_0..field_{n-1}}
+    // with missing pieces null, not a variable-length list (n required —
+    // polars splitn has no uncapped form). `get` (not element_at) for the
+    // pad: out-of-bounds get is null under ANSI, element_at errors.
     "str_splitn" -> rw { kw =>
       val n = intVal(kw, "n", -1)
       require(n > 0, "'str_splitn' requires a positive 'n' kwarg")
-      split(c(kw), java.util.regex.Pattern.quote(str(kw, "by")), n)
+      val parts = split(c(kw), java.util.regex.Pattern.quote(str(kw, "by")), n)
+      struct((0 until n).map(i => get(parts, lit(i)).as(s"field_$i")): _*)
     },
 
     // more string ops

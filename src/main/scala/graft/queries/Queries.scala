@@ -672,8 +672,13 @@ object Queries {
     * before it (union-merge + running window — one shuffle, no theta join). */
   val q32: QueryFn = (s, d) => {
     val ev = tbl(s, d, "events")
+    // collapse right-side (user_id, ts) ties to the min-event_id click on
+    // BOTH engines: DuckDB's ASOF JOIN picks an arbitrary row among ties,
+    // our tieBreak picks min event_id — stable only if ties can't differ
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("event_id"),
+        min_by(col("value"), col("event_id")).as("value"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     TemporalJoins.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
@@ -686,7 +691,9 @@ object Queries {
   }
 
   val q32Sql: String =
-    """WITH clicks AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+    """WITH clicks AS (SELECT user_id, ts, MIN(event_id) AS event_id,
+      |  arg_min(value, event_id) AS value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
       |purchases AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
       |SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value,
       |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
@@ -1445,8 +1452,13 @@ object Queries {
     * axis, still one shuffle. */
   val q68: QueryFn = (s, d) => {
     val ev = tbl(s, d, "events")
+    // one click per (user_id, ts), min event_id: DuckDB's ASOF JOIN picks
+    // an ARBITRARY row among right-side time ties while our tieBreak picks
+    // min event_id — identical-only-by-luck. Collapsing ties identically
+    // on both sides makes the oracle comparison unconditionally stable.
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     TemporalJoins.asOfJoinForward(purchases, clicks, Seq("user_id"), "ts", "ts",
@@ -1458,7 +1470,8 @@ object Queries {
   }
 
   val q68Sql: String =
-    """WITH clicks AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+    """WITH clicks AS (SELECT user_id, ts, MIN(event_id) AS event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
       |purchases AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
       |SELECT p.event_id, p.user_id, c.event_id AS next_click_id,
       |  epoch_ms(c.ts) - epoch_ms(p.ts) AS gap_ms

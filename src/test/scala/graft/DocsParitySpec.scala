@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Docs-can't-drift parity: the README's "Pipeline stages" list must match
+  * the actual `.transform(...)` chain in `service/Pipeline.scala`, in
+  * order. The reference enforces the same invariant by REGENERATING its
+  * README from the pipeline source (reference:
+  * dev_tools/update_readme.py:11-42 — regex-extract the `.pipe(...)` stage
+  * names, splice their docstrings into README). A test is the sbt-native
+  * enforcement: adding/removing/reordering a stage without touching the
+  * docs fails the build instead of silently shipping stale docs. */
+class DocsParitySpec extends AnyFunSuite {
+
+  private def read(p: String): String = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+  /** Stage fn names from the pipeline source, chain order — the Scala twin
+    * of update_readme.py's `(?<=pipe\()\s*([^,)\s]+)` extraction. */
+  private def pipelineStages: Seq[String] = {
+    val src = read("src/main/scala/graft/service/Pipeline.scala")
+    "\\.transform\\((?:[A-Za-z]+\\.)?([A-Za-z0-9_]+)".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+  }
+
+  /** Backticked stage names from the README's numbered stage list. */
+  private def readmeStages: Seq[String] = {
+    val md = read("README.md")
+    val section = md.split("## Pipeline stages", 2) match {
+      case Array(_, rest) => rest.split("\n## ", 2).head
+      case _ => fail("README.md has no '## Pipeline stages' section")
+    }
+    "(?m)^\\d+\\. `([A-Za-z0-9_]+)`".r.findAllMatchIn(section).map(_.group(1)).toSeq
+  }
+
+  test("README stage list matches the Pipeline.scala transform chain, in order") {
+    val (code, docs) = (pipelineStages, readmeStages)
+    assert(code.nonEmpty, "no .transform stages extracted — regex or source moved")
+    assert(docs == code,
+      s"""README '## Pipeline stages' drifted from service/Pipeline.scala.
+         |  code : ${code.mkString(", ")}
+         |  docs : ${docs.mkString(", ")}
+         |Update the README list to match the chain (order matters).""".stripMargin)
+  }
+}

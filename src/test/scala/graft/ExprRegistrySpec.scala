@@ -227,11 +227,19 @@ class ExprRegistrySpec extends AnyFunSuite {
       "u" -> DeriveSpec("list_set_union", Map("col" -> "xs", "other_col" -> "ys")),
       "i" -> DeriveSpec("list_set_intersection", Map("col" -> "xs", "other_col" -> "ys")),
       "d" -> DeriveSpec("list_set_difference", Map("col" -> "xs", "other_col" -> "ys")),
-      "sp" -> DeriveSpec("str_splitn", Map("col" -> "s", "by" -> ",", "n" -> 3)))(df).head()
+      "sp" -> DeriveSpec("str_splitn", Map("col" -> "s", "by" -> ",", "n" -> 3)),
+      "sp5" -> DeriveSpec("str_splitn", Map("col" -> "s", "by" -> ",", "n" -> 5)))(df).head()
     assert(out.getSeq[Int](3) == Seq(1, 2, 3, 4))
     assert(out.getSeq[Int](4) == Seq(2, 3))
     assert(out.getSeq[Int](5) == Seq(1))
-    assert(out.getSeq[String](6) == Seq("a", "b", "c,d"))
+    // polars splitn shape: EXACTLY n struct fields, remainder in the last
+    val sp = out.getStruct(6)
+    assert(sp.schema.fieldNames.toSeq == Seq("field_0", "field_1", "field_2"))
+    assert((0 until 3).map(sp.getString) == Seq("a", "b", "c,d"))
+    // short input null-pads to exactly n
+    val sp5 = out.getStruct(7)
+    assert(sp5.schema.fieldNames.toSeq == (0 until 5).map(i => s"field_$i"))
+    assert((0 until 5).map(sp5.getString) == Seq("a", "b", "c", "d", null))
   }
 
   test("unknown fn name lists alternatives") {
