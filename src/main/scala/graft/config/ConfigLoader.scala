@@ -165,11 +165,20 @@ object ConfigLoader {
         throw new IllegalArgumentException(s"config YAML root must be a map, got $other")
     }
 
+  private val knownGeneralKeys = Set(
+    "process_name", "src_path", "dst_root", "src_file_type", "dst_file_type",
+    "validation", "transformations", "custom_transformations", "select_cols",
+    "transformed_data", "error_records", "config", "desc_stats",
+    "guid", "date_time", "pipeline_plan")
+
   /** Build a [[GeneralConfig]] from a plain map. Unknown keys are DROPPED
     * (reference: core/config.py:65-68 `from_dict` filters to known fields);
     * `guid`/`date_time`/`pipeline_plan` are accepted but normally stamped at
     * run time. */
   def generalFromMap(m: Map[String, Any]): GeneralConfig = {
+    val dropped = m.keySet -- knownGeneralKeys
+    if (dropped.nonEmpty)
+      graft.util.Log.warn(s"config: dropping unknown keys ${dropped.toSeq.sorted.mkString(", ")}")
     def str(k: String): Option[String] = m.get(k).collect { case s: String => s }
     def req(k: String): String =
       str(k).getOrElse(throw new IllegalArgumentException(s"config missing required key '$k'"))

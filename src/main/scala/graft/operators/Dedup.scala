@@ -147,13 +147,18 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(maxBucket > 1, "maxBucket must allow at least a pair")
     val buckets = lshBuckets(df, idCol, textCol, shingleK, numHashes, bands)
-    // bounded width: the count is one extra agg on the (band, digest) keys
-    // the join shuffles on anyway — same partitioning, re-used exchange
-    val widths = buckets.groupBy(col("band"), col("digest"))
-      .agg(count(lit(1)).as("__bn"))
+    // bounded width: ONE shuffle on the (band, digest) keys the pair join
+    // needs anyway — a window count per bucket, then filter (an agg+join
+    // formulation costs a second shuffle per consumer). The capped frame
+    // feeds BOTH self-join sides, so persist it — otherwise each side
+    // re-runs the width computation (measured 2x on the sf0.1 bench); it
+    // is #docs x bands short rows.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("digest"))
     val bounded = buckets
-      .join(widths.filter(col("__bn") <= maxBucket), Seq("band", "digest"))
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
       .drop("__bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bounded.as("a")
     val b = bounded.as("b")
     a.join(b,

@@ -48,6 +48,8 @@ object Pipeline {
       .format(java.util.Date.from(io.now()))
     val cfg = cfg0.copy(guid = guid, dateTime = dateTime)
     val outRoot = s"${cfg.dstRoot}/$guid"
+    graft.util.Log.info(s"run_pipeline start: process=${cfg.processName} guid=$guid " +
+      s"src=${cfg.srcPath} dst=$outRoot")
 
     // 2-3. scan (lazy) + static schema expectations (basic_pipeline.py:26-31)
     val raw = io.read(spark, cfg.srcPath, cfg.srcFileType)
@@ -107,6 +109,7 @@ object Pipeline {
       cfg.dstFileType)
 
     annotated.unpersist()
+    graft.util.Log.info(s"run_pipeline done: guid=$guid artifacts at $outRoot")
     PipelineResult(guid, outRoot, transformed, invalid, cfgWithPlan)
   }
 }
