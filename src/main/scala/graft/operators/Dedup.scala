@@ -248,7 +248,11 @@ object Dedup {
     // applies the maxDf hot-shingle cap from above.
     val shared = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxDf).select(col("shingle"))
+    // the pruned frame feeds both self-join sides — persist so the df agg
+    // + semi-join run once, not once per side (same double-compute shape
+    // as the LSH bucket cap; sh alone being cached doesn't cover these)
     val hot = sh.join(shared, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = hot.as("a")
     val b = hot.as("b")
     val inter = a
@@ -361,22 +365,36 @@ object Dedup {
     * on ALL planes of ANY band; candidates are then verified with exact
     * cosine. Candidate generation is a hash-partitioned equi-join on
     * (band, bucket) — never an all-pairs comparison; recall is tuned by
-    * adding bands, precision by adding planes per band. */
+    * adding bands, precision by adding planes per band.
+    *
+    * `maxBucket` bounds the same f² cliff as [[minHashLshPairs]]'s cap: a
+    * mass-duplicated embedding (or a degenerate all-zeros region) puts f
+    * rows in one (band, bucket) and the self-join emits f² candidates.
+    * Over-wide buckets are dropped; members still pair via other bands. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planeSets: Seq[Seq[Seq[Double]]]
+      planeSets: Seq[Seq[Seq[Double]]],
+      maxBucket: Int = 10000
   ): DataFrame = {
+    require(maxBucket > 1, "maxBucket must allow at least a pair")
     val bandCols = planeSets.zipWithIndex.map { case (planes, b) =>
       struct(lit(b).as("band"), Similarity.lshBucket(col(vecCol), planes).as("bucket"))
     }
     val bucketed = df
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
+    // same single-shuffle window cap + both-sides persist as minHashLshPairs
+    val wcap = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val bounded = bucketed
+      .withColumn("__bn", count(lit(1)).over(wcap))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bounded.as("a")
+    val b = bounded.as("b")
     val candidates = a
       .join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

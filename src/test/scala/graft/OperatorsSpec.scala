@@ -131,6 +131,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)), "identical vectors collide in every band")
     assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near vector found")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "far vector filtered by cosine")
+    // maxBucket cap: 6 identical vectors share every band bucket (width 6);
+    // capping below drops all buckets -> no pairs; a generous cap is a no-op
+    val dups = (0L to 5L).map(i => (i, Array(1.0, 0.2, 0.1, 0.0))).toDF("vec_id", "v")
+    assert(Dedup.embeddingNearDupPairs(dups, "vec_id", "v", 0.5, bands).count() == 15)
+    assert(Dedup.embeddingNearDupPairs(dups, "vec_id", "v", 0.5, bands, maxBucket = 5)
+      .collect().isEmpty)
+    val cappedPairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "v", 0.95, bands,
+      maxBucket = 100).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs == pairs)
   }
 
   test("IVF top-k: cell assignment is deterministic, query finds itself first") {
