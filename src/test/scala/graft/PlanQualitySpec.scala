@@ -96,6 +96,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"partition column must not degrade to a row-level filter:\n$p")
   }
 
+  test("q83: nProbe=2 IVF keeps the query side broadcast (corpus never shuffled for the join)") {
+    val p = plan("q83_ivf_nprobe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"exploded query cells must stay the broadcast side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not be shuffled to meet a handful of queries:\n$p")
+  }
+
+  test("q73: salted join carries no nondeterministic expression (retry-safe)") {
+    val df = SparkEntry.queries("q73_salted_join")(spark, sfDir)
+    val nondet = df.queryExecution.analyzed
+      .collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case e if !e.deterministic => e })
+    assert(nondet.isEmpty, s"nondeterministic exprs in salted-join plan: $nondet")
+  }
+
+  test("q24: LSH bucket cap adds no second shuffle over the (band, digest) keys") {
+    val p = plan("q24_dedup_minhash_lsh")
+    // the width count rides the window shuffle; the pair self-join then
+    // shuffles each side once more on the same keys. Anything beyond
+    // 3 (band, digest) exchanges means the cap grew its own extra shuffle.
+    val exchanges = "Exchange hashpartitioning\\(band".r.findAllIn(p).length
+    assert(exchanges <= 3, s"cap must reuse the bucket-key shuffle ($exchanges found):\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     for (q <- Seq("q01_pricing_summary", "q08_derive_rowwise", "q20_text_stats")) {
       val p = executedPlan(q)
