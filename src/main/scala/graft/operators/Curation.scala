@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs beyond dedup:
+  * deterministic stratified sampling and train/eval decontamination.
+  *
+  * Both follow the engine's determinism rules: membership and containment
+  * are pure functions of md5 content hashes — reproducible across runs,
+  * cluster sizes, engines, and the DuckDB oracle; no RNG state anywhere.
+  */
+object Curation {
+
+  /** Uniform [0, 1) hash coordinate of an id: the first 8 hex chars of
+    * md5(id) scaled by 2^32. Same construction as the q66 sampling bucket,
+    * finer-grained so per-stratum fractions can be arbitrary. */
+  def hashCoord(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+
+  /** Deterministic stratified sampling: keep a row iff its id's hash
+    * coordinate falls below its stratum's fraction. The distributed
+    * `sampleBy` replacement for curation pipelines: membership is stable
+    * under reruns, repartitioning, and engine swaps (Bernoulli `sampleBy`
+    * is seeded per-partition — adding one input file reshuffles every
+    * decision). Pure projection + one small map literal: no shuffle, no
+    * RNG, strata not listed in `fractions` are dropped (fraction 0). */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double]
+  ): DataFrame = {
+    require(fractions.nonEmpty, "at least one stratum fraction required")
+    fractions.foreach { case (s, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for stratum '$s' must be in [0, 1], got $f")
+    }
+    // CASE chain over the stratum literals: codegen-friendly, no UDF, and
+    // the whole decision inlines into the scan's filter
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
+      when(col(strataCol) === lit(s), lit(f)).otherwise(acc)
+    }
+    df.filter(hashCoord(col(idCol)) < frac)
+  }
+
+  /** Train/eval decontamination signal: for every eval document, the
+    * fraction of its distinct word k-shingles that also appear ANYWHERE in
+    * the training corpus (n-gram containment, the GPT-3/Dolma-style
+    * overlap test). An eval doc with containment ≥ the chosen threshold is
+    * contaminated — its content leaks into training.
+    *
+    * Scale shape: both sides reduce to DISTINCT (doc, shingle-hash) /
+    * distinct shingle-hash rows; the membership probe is a left-semi
+    * equi-join on the 8-byte hash, counted per eval doc — never a
+    * doc-by-doc comparison. Train-side distinct is the only corpus-sized
+    * shuffle and is map-side combined.
+    */
+  def ngramContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3
+  ): DataFrame = {
+    val trainShingles = Dedup.shingleRows(train, idCol, textCol, shingleK)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    val evalShingles = Dedup.shingleRows(eval, idCol, textCol, shingleK)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+    val totals = evalShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = evalShingles.join(trainShingles, Seq("sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("containment"))
+  }
+}

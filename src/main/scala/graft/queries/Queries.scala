@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{DeriveSpec, RuleSpec}
-import graft.operators.{Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis}
 import graft.stages.{Transforms, Validation}
 import graft.expr.RuleParser
 
@@ -1847,6 +1847,59 @@ object Queries {
       |  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk FROM s)
       |SELECT qid, vec_id, cosine, rk FROM r WHERE rk <= 10""".stripMargin
 
+  /** Deterministic stratified sampling: per-language keep fractions as a
+    * pure function of md5(doc_id) — the reproducible `sampleBy` (Bernoulli
+    * sampleBy reshuffles every decision when partitioning changes). Strata
+    * without a fraction drop out. */
+  val q84: QueryFn = (s, d) =>
+    Curation.stratifiedSampleByHash(tbl(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.25))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val q84Sql: String =
+    """WITH h AS (SELECT doc_id, lang, source,
+      |  list_sum(list_transform(range(1, 9), i ->
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
+      |    * power(16, 8 - i))) / 4294967296.0 AS coord
+      |  FROM documents)
+      |SELECT doc_id, lang, source FROM h
+      |WHERE coord < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+      |  WHEN 'zh' THEN 0.25 ELSE 0.0 END""".stripMargin
+
+  /** Train/eval decontamination: n-gram containment of each eval doc
+    * against the train split (q66's hash split) — the GPT-3/Dolma-style
+    * overlap test. Distinct shingle sets + one semi-join on the shingle;
+    * never doc-by-doc. */
+  val q85: QueryFn = (s, d) => {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    val docs = tbl(s, d, "documents")
+      .withColumn("split", when(bucket < 14, lit("train")).otherwise(lit("eval")))
+    Curation.ngramContamination(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "eval"),
+      "doc_id", "text", shingleK = 3)
+  }
+
+  val q85Sql: String =
+    """WITH b AS (SELECT doc_id, text,
+      |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) AS bk
+      |  FROM documents),
+      |tok AS (SELECT doc_id, bk, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM b),
+      |sh AS (SELECT doc_id, bk, unnest(list_distinct(
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      |  FROM tok),
+      |train AS (SELECT DISTINCT shingle FROM sh WHERE bk < 14),
+      |ev AS (SELECT doc_id, shingle FROM sh WHERE bk >= 14),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+      |hit AS (SELECT ev.doc_id, COUNT(*) AS n_contaminated
+      |  FROM ev SEMI JOIN train USING (shingle) GROUP BY ev.doc_id)
+      |SELECT doc_id, n_shingles, COALESCE(n_contaminated, 0) AS n_contaminated,
+      |  round(COALESCE(n_contaminated, 0) / CAST(n_shingles AS DOUBLE), 6) AS containment
+      |FROM tot LEFT JOIN hit USING (doc_id)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1933,6 +1986,8 @@ object Queries {
     ("q80_grouped_over", q80, Some(q80Sql)),
     ("q81_typed_mapgroups", q81, Some(q81Sql)),
     ("q82_explode_outer", q82, Some(q82Sql)),
-    ("q83_ivf_nprobe", q83, Some(q83Sql))
+    ("q83_ivf_nprobe", q83, Some(q83Sql)),
+    ("q84_stratified_sample", q84, Some(q84Sql)),
+    ("q85_decontaminate", q85, Some(q85Sql))
   )
 }

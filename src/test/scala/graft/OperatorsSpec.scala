@@ -260,6 +260,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.select("frame_idx").as[Int].collect().toSet == Set(0, 2, 4))
   }
 
+  test("stratified hash sampling: deterministic, fraction-faithful, strata-scoped") {
+    import graft.operators.Curation
+    val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val kept = Curation.stratifiedSampleByHash(rows, "id", "lang",
+      Map("en" -> 0.25, "de" -> 1.0))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 2000L, "fraction 1.0 keeps the whole stratum")
+    assert(math.abs(byLang("en") - 500L) < 120, s"~25% of 2000 expected: ${byLang("en")}")
+    // rerun and repartition change NOTHING — membership is content-derived
+    val again = Curation.stratifiedSampleByHash(rows.repartition(13), "id", "lang",
+      Map("en" -> 0.25, "de" -> 1.0)).select("id").as[Long].collect().sorted
+    assert(again.sameElements(kept.select("id").as[Long].collect().sorted))
+    // unlisted strata drop out
+    val scoped = Curation.stratifiedSampleByHash(rows, "id", "lang", Map("en" -> 1.0))
+    assert(scoped.filter($"lang" === "de").count() == 0)
+  }
+
+  test("ngram contamination: copied eval doc = 1.0, novel doc = 0.0, partial in between") {
+    import graft.operators.Curation
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "training corpora contain many common phrases")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+      (11L, "completely novel evaluation material here today"), // clean
+      (12L, "the quick brown fox discusses novel material")) // partial overlap
+      .toDF("doc_id", "text")
+    val out = Curation.ngramContamination(train, eval, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) == 1.0, "verbatim copy fully contained")
+    assert(out(11L) == 0.0, "novel doc has zero containment")
+    assert(out(12L) > 0.0 && out(12L) < 1.0, s"partial overlap strictly between: ${out(12L)}")
+  }
+
   test("connectedComponents: chains collapse to min id, components stay separate") {
     import graft.operators.Dedup
     // component {1,2,3,9} via a chain, component {5,6}; direction mixed
