@@ -43,6 +43,40 @@ object Curation {
     df.filter(hashCoord(col(idCol)) < frac)
   }
 
+  /** Sequence packing (concatenate-and-cut): lay documents end-to-end in a
+    * deterministic order and cut every `budget` tokens — the standard
+    * pretraining batching step ("pack docs into 2048-token rows"). Each doc
+    * gets the bin its FIRST token lands in plus its offset inside that bin;
+    * a doc whose tokens straddle a cut continues into the next bin, exactly
+    * like the training-side concatenation it mirrors.
+    *
+    * Order within a partition is (md5(id), id) — content-derived, so the
+    * packing is reproducible across runs/engines AND is an unbiased
+    * document shuffle (ordering by raw id would pack correlated neighbors
+    * together). `partitionCol` bounds the window: one shuffle on it, and
+    * the running sum never spans partitions — at 100 TB pass a
+    * sharding column of the right granularity (e.g. lang, or
+    * `pmod(xxhash64(id), nShards)`), never a constant.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      partitionCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val start = sum(col(tokenCol)).over(w) - col(tokenCol) // tokens before this doc
+    df.select(col(idCol), col(partitionCol), col(tokenCol),
+      floor(start / lit(budget.toDouble)).as("bin"),
+      (start % lit(budget)).as("bin_offset"))
+  }
+
   /** Train/eval decontamination signal: for every eval document, the
     * fraction of its distinct word k-shingles that also appear ANYWHERE in
     * the training corpus (n-gram containment, the GPT-3/Dolma-style

@@ -1900,6 +1900,30 @@ object Queries {
       |  round(COALESCE(n_contaminated, 0) / CAST(n_shingles AS DOUBLE), 6) AS containment
       |FROM tot LEFT JOIN hit USING (doc_id)""".stripMargin
 
+  /** Sequence packing at the catalog surface: per-language concatenate-
+    * and-cut into 2048-token bins over the deterministic (md5, id) doc
+    * shuffle — one window shuffle on the partition column. */
+  val q86: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    Curation.packSequences(docs, "doc_id", "n_tokens", "lang", budget = 2048L)
+  }
+
+  val q86Sql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |  SUM(n_tokens) OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST(floor(start / 2048.0) AS BIGINT) AS bin,
+      |  start % 2048 AS bin_offset
+      |FROM c""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -1988,6 +2012,7 @@ object Queries {
     ("q82_explode_outer", q82, Some(q82Sql)),
     ("q83_ivf_nprobe", q83, Some(q83Sql)),
     ("q84_stratified_sample", q84, Some(q84Sql)),
-    ("q85_decontaminate", q85, Some(q85Sql))
+    ("q85_decontaminate", q85, Some(q85Sql)),
+    ("q86_pack_sequences", q86, Some(q86Sql))
   )
 }

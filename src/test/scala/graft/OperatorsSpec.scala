@@ -278,6 +278,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scoped.filter($"lang" === "de").count() == 0)
   }
 
+  test("sequence packing: concatenate-and-cut invariants over the hash shuffle") {
+    import graft.operators.Curation
+    val docs = (1L to 50L).map(i => (i, "g", 1L + i % 7)).toDF("id", "grp", "n_tokens")
+    val packed = Curation.packSequences(docs, "id", "n_tokens", "grp", budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // recompute the expected packing driver-side over the same hash order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cum = 0L
+    val expected = (1L to 50L).map(i => (i, 1L + i % 7))
+      .sortBy { case (i, _) => (md5hex(i.toString), i) }
+      .map { case (i, n) => val start = cum; cum += n; (i, n, start / 10L, start % 10L) }
+      .toSet
+    assert(packed.toSet == expected)
+    // invariants: offsets inside the budget; bins start at 0 and are dense
+    assert(packed.forall(_._4 < 10L))
+    val bins = packed.map(_._3).toSet
+    assert(bins.min == 0L && bins == (bins.min to bins.max).toSet, "no empty bins")
+  }
+
   test("ngram contamination: copied eval doc = 1.0, novel doc = 0.0, partial in between") {
     import graft.operators.Curation
     val train = Seq(
