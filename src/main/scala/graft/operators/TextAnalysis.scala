@@ -39,6 +39,17 @@ object TextAnalysis {
       lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
 
+  /** BPE-style PRE-tokenizER segmentation: maximal letter runs, digit runs,
+    * and single other-symbols — the lookahead-free core of the GPT-2
+    * pre-tokenizer split (whitespace dropped; real BPE then merges WITHIN
+    * these segments, so this count upper-bounds nothing but segments the
+    * same boundaries). Disjoint character classes make the alternation
+    * unambiguous — identical leftmost semantics in Java regex and RE2, so
+    * the count is engine-portable. */
+  def preTokens(text: Column): Column =
+    regexp_extract_all(lower(trim(text)),
+      lit("[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]"), lit(0))
+
   /** Per-document quality signals: lengths, ratios, averages. All derived
     * from integer counts -> deterministic doubles (oracle-stable). */
   def qualitySignals(text: Column): Map[String, Column] = {

@@ -1924,6 +1924,26 @@ object Queries {
       |  start % 2048 AS bin_offset
       |FROM c""".stripMargin
 
+  /** Token budgeting three ways: whitespace tokens, BPE-style pre-tokenizer
+    * segments, and the chars/4 subword proxy — all pure codegen'd
+    * expressions, no shuffle. */
+  val q87: QueryFn = (s, d) =>
+    tbl(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      size(TextAnalysis.preTokens(col("text"))).cast("long").as("n_pretokens"),
+      TextAnalysis.subwordCountApprox(col("text")).as("n_subwords_approx"))
+
+  val q87Sql: String =
+    """SELECT doc_id,
+      |CASE WHEN len(trim(text)) = 0 THEN 0
+      |  ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_ws_tokens,
+      |CAST(len(regexp_extract_all(lower(trim(text)),
+      |  '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS BIGINT) AS n_pretokens,
+      |CAST(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |  t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords_approx
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2013,6 +2033,7 @@ object Queries {
     ("q83_ivf_nprobe", q83, Some(q83Sql)),
     ("q84_stratified_sample", q84, Some(q84Sql)),
     ("q85_decontaminate", q85, Some(q85Sql)),
-    ("q86_pack_sequences", q86, Some(q86Sql))
+    ("q86_pack_sequences", q86, Some(q86Sql)),
+    ("q87_token_budgets", q87, Some(q87Sql))
   )
 }

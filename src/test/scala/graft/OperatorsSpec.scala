@@ -226,9 +226,15 @@ class OperatorsSpec extends AnyFunSuite {
       TextAnalysis.fingerprint($"text").as("fp"),
       TextAnalysis.qualityScore($"text").as("q"),
       TextAnalysis.subwordCountApprox($"text").as("sw"),
+      org.apache.spark.sql.functions.size(TextAnalysis.preTokens($"text")).as("pt"),
       TextAnalysis.rollingHash($"text").as("rh")).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(0L).getAs[Int]("toks") == 8)
+    // pre-tokenizer: letter runs, digit runs, single symbols; no whitespace
+    // "the cat and the dog , with 42 tricks !" -> 10 segments
+    assert(out(0L).getAs[Int]("pt") == 10)
+    assert(out(0L).getAs[Int]("pt") == out(2L).getAs[Int]("pt"),
+      "pre-tokenization is whitespace-normalized")
     assert(out(0L).getAs[String]("lang") == "en")
     assert(out(1L).getAs[String]("lang") == "de")
     assert(out(0L).getAs[String]("fp") == out(2L).getAs[String]("fp"),
