@@ -121,6 +121,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 3, s"cap must reuse the bucket-key shuffle ($exchanges found):\n$p")
   }
 
+  test("q84/q87: sampling and token counting are pure projections (no shuffle)") {
+    for (q <- Seq("q84_stratified_sample", "q87_token_budgets")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("q86: sequence packing shuffles exactly once, on the partition column") {
+    val p = plan("q86_pack_sequences")
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(p).length == 1,
+      s"one window shuffle keyed on lang expected:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths") {
     for (q <- Seq("q01_pricing_summary", "q08_derive_rowwise", "q20_text_stats")) {
       val p = executedPlan(q)
