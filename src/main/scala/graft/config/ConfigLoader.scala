@@ -36,7 +36,15 @@ object YamlParse {
       }
       .toVector
     if (lines.isEmpty) ListMap.empty[String, Any]
-    else parseBlock(lines, 0, lines.head.depth)._1
+    else {
+      val (value, next) = parseBlock(lines, 0, lines.head.depth)
+      // a mis-indented key would end the top-level block early; silently
+      // dropping the remainder means a silently-skipped pipeline stage
+      require(next == lines.length,
+        s"line ${lines(next).n}: unreachable content after the top-level block " +
+          s"(mis-indented? '${lines(next).content}')")
+      value
+    }
   }
 
   private final case class Line(depth: Int, content: String, n: Int)
@@ -169,7 +177,7 @@ object ConfigLoader {
     "process_name", "src_path", "dst_root", "src_file_type", "dst_file_type",
     "validation", "transformations", "custom_transformations", "select_cols",
     "transformed_data", "error_records", "config", "desc_stats",
-    "guid", "date_time", "pipeline_plan")
+    "desc_stats_exact", "guid", "date_time", "pipeline_plan")
 
   /** Build a [[GeneralConfig]] from a plain map. Unknown keys are DROPPED
     * (reference: core/config.py:65-68 `from_dict` filters to known fields);
@@ -189,9 +197,12 @@ object ConfigLoader {
       srcFileType = str("src_file_type").getOrElse("parquet").toLowerCase,
       dstFileType = str("dst_file_type").getOrElse("parquet").toLowerCase,
       validation = m.get("validation").map(rules).getOrElse(Nil),
-      transformations = m.get("transformations")
-        .map { case t: collection.Map[_, _] => transformFromMap(anyMap(t)) }
-        .getOrElse(TransformConfig()),
+      transformations = m.get("transformations").map {
+        case t: collection.Map[_, _] => transformFromMap(anyMap(t))
+        case null => TransformConfig() // bare `transformations:` with no block
+        case other =>
+          throw new IllegalArgumentException(s"transformations must be a map, got $other")
+      }.getOrElse(TransformConfig()),
       customTransformations = m.get("custom_transformations").map {
         case cm: collection.Map[_, _] =>
           anyMap(cm).toSeq.map { case (k, v) =>
@@ -213,6 +224,8 @@ object ConfigLoader {
       errorRecordsDir = str("error_records").getOrElse("error_records"),
       configDir = str("config").getOrElse("config"),
       descStatsDir = str("desc_stats").getOrElse("desc_stats"),
+      descStatsExact = m.get("desc_stats_exact").collect { case b: Boolean => b }
+        .getOrElse(false),
       guid = str("guid").getOrElse(""),
       dateTime = str("date_time").getOrElse(""),
       pipelinePlan = m.get("pipeline_plan").collect { case s: Seq[_] => s.map(_.toString) }.getOrElse(Nil)

@@ -61,6 +61,10 @@ final case class GeneralConfig(
     errorRecordsDir: String = "error_records",
     configDir: String = "config",
     descStatsDir: String = "desc_stats",
+    /** Exact (interpolated) describe quantiles like the reference's
+      * `lf.describe()`, vs the default fixed-memory approx_percentile
+      * sketch — the 100 TB-safe default (see Inspect.describe). */
+    descStatsExact: Boolean = false,
     guid: String = "",
     dateTime: String = "",
     pipelinePlan: Seq[String] = Nil
@@ -165,11 +169,18 @@ object YamlEmit {
         scala.collection.immutable.ListMap(
           r.name -> (Seq[Any](r.col, r.op) ++ r.value.toSeq))),
       "transformations" -> transformToMap(cfg.transformations),
+      // name -> kwargs, like the reference's custom_transformations dict —
+      // without this the emit -> load round trip silently dropped the
+      // user's custom stages (the fns themselves are code, looked up by
+      // name from the customFns map at run time)
+      "custom_transformations" -> scala.collection.immutable.ListMap(
+        cfg.customTransformations: _*),
       "select_cols" -> cfg.selectCols,
       "transformed_data" -> cfg.transformedDataDir,
       "error_records" -> cfg.errorRecordsDir,
       "config" -> cfg.configDir,
       "desc_stats" -> cfg.descStatsDir,
+      "desc_stats_exact" -> cfg.descStatsExact,
       "pipeline_plan" -> cfg.pipelinePlan
     )
   }
@@ -181,10 +192,13 @@ object YamlEmit {
       "recast_map" -> scala.collection.immutable.ListMap(t.recastMap: _*),
       "fill_map" -> scala.collection.immutable.ListMap(t.fillMap: _*),
       "clip_map" -> scala.collection.immutable.ListMap(t.clipMap.map { case (k, (lo, hi)) => k -> Seq(lo, hi) }: _*),
-      // name-keyed like the reference's filter dict (transform.py:42-44) —
-      // a bare rule list would lose the names on the emit -> load round trip
-      "filter_exprs" -> scala.collection.immutable.ListMap(t.filterRules.map(r =>
-        r.name -> (Seq[Any](r.col, r.op) ++ r.value.toSeq)): _*),
+      // list of single-key name -> rule maps, the same shape as validation
+      // above: names survive the emit -> load round trip AND duplicate
+      // names can't silently collapse (a name-keyed map kept only the
+      // last rule per name)
+      "filter_exprs" -> t.filterRules.map(r =>
+        scala.collection.immutable.ListMap(
+          r.name -> (Seq[Any](r.col, r.op) ++ r.value.toSeq))),
       "new_col_map" -> scala.collection.immutable.ListMap(t.newColMap.map { case (k, d) =>
         k -> scala.collection.immutable.ListMap("fn_name" -> d.fnName, "fn_kwargs" -> d.kwargs)
       }: _*),

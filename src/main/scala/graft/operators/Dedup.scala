@@ -106,7 +106,11 @@ object Dedup {
   /** Diagnostic twin of [[minHashLshPairs]]'s width cap: the (band, digest,
     * n) buckets WIDER than `maxBucket`, i.e. exactly what the capped pair
     * join drops. Pipelines applying a cap should count/log this frame so
-    * truncation is never silent. */
+    * truncation is never silent. NOTE this convenience overload recomputes
+    * (and persists) the signature pipeline from scratch — when running it
+    * alongside [[minHashLshPairs]], build [[lshBuckets]] ONCE and pass the
+    * frame to [[lshOverfullBucketsFrom]] so the corpus-sized shingle
+    * explode runs a single time. */
   def lshOverfullBuckets(
       df: DataFrame,
       idCol: String,
@@ -116,8 +120,14 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 10000
   ): DataFrame =
-    lshBuckets(df, idCol, textCol, shingleK, numHashes, bands)
-      .groupBy(col("band"), col("digest")).agg(count(lit(1)).as("n"))
+    lshOverfullBucketsFrom(
+      lshBuckets(df, idCol, textCol, shingleK, numHashes, bands), maxBucket)
+
+  /** [[lshOverfullBuckets]] over an already-built [[lshBuckets]] frame
+    * (expects `band`/`digest` columns) — shares the expensive stage with
+    * the pair join instead of recomputing it. */
+  def lshOverfullBucketsFrom(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets.groupBy(col("band"), col("digest")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
 
   /** MinHash + LSH candidate pairs: signatures are cut into `bands` bands of
@@ -289,7 +299,14 @@ object Dedup {
     *   on executors, so one lost executor kills the whole iterative job at
     *   the round it died in; reliable checkpoints survive executor loss at
     *   the cost of a filesystem write per round. Local remains the default
-    *   for single-machine / test runs. */
+    *   for single-machine / test runs. The context's previous checkpoint
+    *   dir is restored on exit (setCheckpointDir is session-global), and
+    *   each superseded round's checkpoint FILES are deleted as soon as the
+    *   next round has consumed them — Spark never cleans reliable
+    *   checkpoints itself, so an unbounded loop would otherwise grow the
+    *   store without limit. Only the FINAL labels' checkpoint survives (the
+    *   returned frame reads from it); it lives under `checkpointDir`, which
+    *   the caller owns and can remove once done with the result. */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String,
@@ -298,7 +315,14 @@ object Dedup {
       checkpointDir: Option[String] = None
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val sc = edges.sparkSession.sparkContext
+    val prevCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def deleteCheckpointFiles(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+      }
     // null endpoints are meaningless edges — exclude them explicitly
     // (they would otherwise silently vanish in the pointer-jump join)
     val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -344,15 +368,19 @@ object Dedup {
         .select(col("node"), col("jumped").as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") < col("old")).count()
-      // the superseded round's checkpoint blocks are dead once `changed`
-      // has consumed them — free deterministically, don't wait for GC
+      // the superseded round's checkpoint blocks AND files are dead once
+      // `changed` has consumed them — free deterministically, don't wait
+      // for GC (reliable checkpoint files are never cleaned by Spark)
       labelsRdd.unpersist(blocking = false)
+      deleteCheckpointFiles(labelsRdd)
       labels = next
       labelsRdd = nextRdd
       converged = changed == 0
       i += 1
     }
     sym.unpersist()
+    // restore the session-global checkpoint dir we overrode
+    if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: labels not stable after $maxIters iterations " +

@@ -31,10 +31,24 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Deterministic per-row salt in [0, buckets): content hash of every
-    * column. xxhash64 of zero args is seed-only, so require nonempty. */
+    * HASHABLE column. Spark's hash expressions reject MapType (element
+    * order is undefined), so map columns — including maps nested in
+    * structs/arrays — are excluded; if literally every column contains a
+    * map, their deterministic json encoding is hashed instead. */
   private def contentSalt(df: DataFrame, buckets: Int): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
     require(df.columns.nonEmpty, "cannot salt a zero-column frame")
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong))
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val inputs: Seq[Column] =
+      if (cols.nonEmpty) cols.toSeq
+      else df.schema.fields.map(f => to_json(struct(col(f.name)))).toSeq
+    pmod(xxhash64(inputs: _*), lit(buckets.toLong))
   }
 
   /** Two-phase (salted) aggregation. `partialAggs` run per

@@ -672,9 +672,11 @@ object Queries {
     * before it (union-merge + running window — one shuffle, no theta join). */
   val q32: QueryFn = (s, d) => {
     val ev = tbl(s, d, "events")
-    // collapse right-side (user_id, ts) ties to the min-event_id click on
-    // BOTH engines: DuckDB's ASOF JOIN picks an arbitrary row among ties,
-    // our tieBreak picks min event_id — stable only if ties can't differ
+    // collapse right-side (user_id, ts) ties to ONE row (min event_id) on
+    // BOTH engines BEFORE the as-of: DuckDB's ASOF JOIN picks an arbitrary
+    // row among right-side time ties and asOfJoin's tieBreak picks the
+    // GREATEST tieBreak value — the two would disagree whenever a tie
+    // exists, so the fixture must make ties impossible, not tie-break them
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts"))
       .agg(min(col("event_id")).as("event_id"),
@@ -1452,10 +1454,11 @@ object Queries {
     * axis, still one shuffle. */
   val q68: QueryFn = (s, d) => {
     val ev = tbl(s, d, "events")
-    // one click per (user_id, ts), min event_id: DuckDB's ASOF JOIN picks
-    // an ARBITRARY row among right-side time ties while our tieBreak picks
-    // min event_id — identical-only-by-luck. Collapsing ties identically
-    // on both sides makes the oracle comparison unconditionally stable.
+    // one click per (user_id, ts), min event_id, on BOTH engines: DuckDB's
+    // ASOF JOIN picks an ARBITRARY row among right-side time ties and
+    // asOfJoinForward's tieBreak picks the GREATEST tieBreak value — so
+    // the comparison was identical-only-by-luck. Collapsing ties the same
+    // way on both sides makes it unconditionally stable.
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts"))
       .agg(min(col("event_id")).as("event_id"))

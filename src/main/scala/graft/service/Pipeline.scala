@@ -67,7 +67,7 @@ object Pipeline {
 
     // 6. pre-transform describe (basic_pipeline.py:43-49)
     io.write(
-      Inspect.describe(valid),
+      Inspect.describe(valid, exactQuantiles = cfg.descStatsExact),
       s"$outRoot/${cfg.descStatsDir}/pre_transform",
       cfg.dstFileType)
 
@@ -104,7 +104,7 @@ object Pipeline {
     if (!invalid.isEmpty) // same limit-1 probe as the reference (basic_pipeline.py:98)
       io.write(invalid, s"$outRoot/${cfg.errorRecordsDir}", cfg.dstFileType)
     io.write(
-      Inspect.describe(transformed),
+      Inspect.describe(transformed, exactQuantiles = cfg.descStatsExact),
       s"$outRoot/${cfg.descStatsDir}/post_transform",
       cfg.dstFileType)
 

@@ -49,6 +49,38 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(reloaded.selectCols == Seq("*"))
   }
 
+  test("custom transformations and duplicate-named filter rules survive the round trip") {
+    val cfg = fullCfg.copy(
+      customTransformations = Seq(
+        "cap_rows" -> Map("n" -> 100),
+        "tag" -> Map.empty[String, Any]),
+      transformations = fullCfg.transformations.copy(filterRules = Seq(
+        RuleSpec("range_check", "salary", "gt", Some(0L)),
+        RuleSpec("range_check", "bonus", "ge", Some(0.0))))) // same name, both must survive
+    val reloaded = ConfigLoader.fromYaml(YamlEmit.emit(YamlEmit.configToMap(cfg)))
+    assert(reloaded.customTransformations.map(_._1) == Seq("cap_rows", "tag"))
+    assert(reloaded.customTransformations.head._2 == Map("n" -> 100L))
+    assert(reloaded.transformations.filterRules.size == 2,
+      "duplicate rule names must not collapse in the emit")
+    assert(reloaded.transformations.filterRules.map(_.col) == Seq("salary", "bonus"))
+  }
+
+  test("mis-indented YAML errors instead of silently dropping trailing keys") {
+    val bad =
+      """process_name: p
+        |src_path: /s
+        |dst_root: /d
+        |transformations:
+        |    drop_cols:
+        |      - x
+        |  rename_map:
+        |    a: b
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](ConfigLoader.fromYaml(bad))
+    assert(e.getMessage.contains("rename_map") || e.getMessage.contains("unreachable"),
+      s"silent truncation would skip the rename stage: ${e.getMessage}")
+  }
+
   test("unknown keys are dropped, like the reference's from_dict") {
     val cfg = ConfigLoader.generalFromMap(Map(
       "process_name" -> "p", "src_path" -> "/s", "dst_root" -> "/d",
