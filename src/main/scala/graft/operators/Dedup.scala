@@ -388,6 +388,32 @@ object Dedup {
     labels
   }
 
+  /** End-to-end fuzzy dedup: MinHash-LSH candidate pairs -> connected
+    * components -> keep exactly the MINIMUM id of every near-dup cluster.
+    *
+    * This is the semantics curation pipelines actually want: the per-pair
+    * drop (q63's apply step) removes `id_b` of every pair, which
+    * over-removes on chains (a~b, b~c drops both b and c even though c
+    * only resembles b); clustering first keeps precisely one exemplar per
+    * transitive group. Cost: the CC label-propagation loop on the PAIR
+    * GRAPH only (near-dup pairs are a tiny fraction of the corpus), then
+    * one anti-join back to the full corpus. */
+  def fuzzyDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, shingleK, numHashes, bands, maxBucket)
+    val clusters = connectedComponents(pairs, "id_a", "id_b")
+    val dups = clusters.filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    df.join(dups, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-band random-hyperplane
     * LSH (classic AND-OR amplification): a pair is a candidate if it agrees
     * on ALL planes of ANY band; candidates are then verified with exact

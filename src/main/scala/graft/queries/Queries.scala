@@ -1947,6 +1947,25 @@ object Queries {
       |  t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords_approx
       |FROM documents""".stripMargin
 
+  /** End-to-end fuzzy dedup: pairs -> connected components -> keep only
+    * each cluster's minimum doc_id. Cluster-correct removal (q63's
+    * per-pair drop over-removes on chains); the oracle computes the same
+    * transitive closure with a recursive CTE. */
+  val q88: QueryFn = (s, d) =>
+    Dedup.fuzzyDedup(tbl(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 8, bands = 4)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val q88Sql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT a AS node, a AS root FROM edges
+       |  UNION SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node, MIN(root) AS cluster FROM reach GROUP BY node)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM labels WHERE cluster <> node)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2037,6 +2056,7 @@ object Queries {
     ("q84_stratified_sample", q84, Some(q84Sql)),
     ("q85_decontaminate", q85, Some(q85Sql)),
     ("q86_pack_sequences", q86, Some(q86Sql)),
-    ("q87_token_budgets", q87, Some(q87Sql))
+    ("q87_token_budgets", q87, Some(q87Sql)),
+    ("q88_fuzzy_dedup", q88, Some(q88Sql))
   )
 }

@@ -266,6 +266,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.select("frame_idx").as[Int].collect().toSet == Set(0, 2, 4))
   }
 
+  test("fuzzyDedup keeps one exemplar per transitive cluster, not per pair") {
+    // chain a~b, b~c (all near-dups): pair-drop would remove b AND c;
+    // cluster-min keeps exactly doc 0 of {0,1,2} and all of the rest
+    val chain = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different content about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDedup(chain, "doc_id", "text", 3, 8, 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.head == 0L && kept.contains(3L), s"cluster min + unrelated doc kept: ${kept.toSeq}")
+    assert(!kept.contains(1L), "near-dup of 0 removed")
+  }
+
   test("stratified hash sampling: deterministic, fraction-faithful, strata-scoped") {
     import graft.operators.Curation
     val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
