@@ -606,6 +606,57 @@ object ExprRegistry {
     "rolling_quantile" -> rw(kw =>
       expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})")
         .over(rollingFrame(kw, "rolling_quantile"))),
+    "rolling_var" -> rw(kw => var_samp(c(kw)).over(rollingFrame(kw, "rolling_var"))),
+
+    // run/peak structure along an explicit order
+    // rle_id: 0-based run id, incrementing whenever the value changes
+    // (null-safe compare; first row of a partition is run 0)
+    "rle_id" -> rw { kw =>
+      val ow = orderedWindow(kw, "rle_id")
+      val x = c(kw)
+      val flag = when(row_number().over(ow) === 1, lit(0L))
+        .otherwise((!(x <=> lag(x, 1).over(ow))).cast("long"))
+      sum(flag).over(orderedWindow(kw, "rle_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    },
+    // peak_max/peak_min: strictly greater/less than both neighbors;
+    // boundary rows compare against their single neighbor (polars semantics)
+    "peak_max" -> rw { kw =>
+      val ow = orderedWindow(kw, "peak_max")
+      val (x, prev, next) = (c(kw), lag(c(kw), 1).over(ow), lead(c(kw), 1).over(ow))
+      (prev.isNull || x > prev) && (next.isNull || x > next)
+    },
+    "peak_min" -> rw { kw =>
+      val ow = orderedWindow(kw, "peak_min")
+      val (x, prev, next) = (c(kw), lag(c(kw), 1).over(ow), lead(c(kw), 1).over(ow))
+      (prev.isNull || x < prev) && (next.isNull || x < next)
+    },
+    // repeat_by: value repeated `by` times into a list (polars repeat_by)
+    "repeat_by" -> rw { kw =>
+      val times = kw.get("by").map(v => col(v.toString))
+        .getOrElse(lit(intVal(kw, "n", -1)))
+      array_repeat(c(kw), times.cast("int"))
+    },
+    // Shannon entropy (natural log, normalized): -Σ p ln p with
+    // p = x / Σx, computed as ln(S) - Σ(x ln x)/S so the whole-frame path
+    // stays ONE distributed agg pass (no per-row p materialization)
+    "entropy" -> { kw =>
+      val x = c(kw).cast("double")
+      val parts = strSeq(kw, "partition_by")
+      if (parts.isEmpty)
+        WholeFrameAgg(log(sum(x)) - sum(x * log(x)) / sum(x))
+      else {
+        val pw = Window.partitionBy(parts.map(col): _*)
+        RowWise(log(sum(x).over(pw)) - sum(x * log(x)).over(pw) / sum(x).over(pw))
+      }
+    },
+    // top_k / bottom_k: the k largest/smallest values of the group as a
+    // sorted list (collect_list order is nondeterministic; sort_array
+    // makes the result deterministic)
+    "top_k" -> aggOrOver(kw =>
+      slice(sort_array(collect_list(c(kw)), asc = false), 1, intVal(kw, "k", 5))),
+    "bottom_k" -> aggOrOver(kw =>
+      slice(sort_array(collect_list(c(kw)), asc = true), 1, intVal(kw, "k", 5))),
 
     // polars rank(method='average'): ties share the mean of their positions
     "avg_rank" -> rw { kw =>
