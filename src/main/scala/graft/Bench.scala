@@ -4,11 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every catalog query against
   * `SPARK_GRAFT_SF_DIR`, forcing full materialization through the `noop`
   * sink (a bare `.count()` would let Catalyst prune every non-key column
-  * and under-measure projection/compute cost). Prints ONE JSON line to
-  * stdout for humans AND writes the same line to
-  * `SPARK_GRAFT_BENCH_OUT` (default `target/bench.json`) — sbt prefixes
-  * stdout with `[info] `, which has defeated the driver's JSON parser two
-  * rounds running; the file is the machine-readable artifact. */
+  * and under-measure projection/compute cost).
+  *
+  * Output contract: the driver captures only the LAST 2000 CHARS of
+  * stdout and parses the JSON line it finds there (BENCH_r02..r04 all
+  * show `"tail"` of exactly 2000 chars with the line's opening `{` cut
+  * off → `"parsed": null` three rounds running). A full-name
+  * full-precision map over 88 queries is ~3 KB and can never fit, so
+  * stdout gets a COMPACT line — `qNN` keys (the unique catalog prefix)
+  * and millisecond precision, ~1.3 KB — and the full-name full-precision
+  * line goes to `SPARK_GRAFT_BENCH_OUT` (default `target/bench.json`)
+  * for humans and local tooling. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,17 +68,29 @@ object Bench {
       val good = times.filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // -1 crash markers stay visible per-query but must not subtract from
     // (or be hidden inside) the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val shortKeys = results.map { case (k, _) => k.takeWhile(_ != '_') }
+    require(shortKeys.distinct.size == shortKeys.size,
+      "catalog qNN prefixes must stay unique — the compact bench line keys on them")
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val jsonShort =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+    val jsonFull =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(outPath, json + "\n")
+    java.nio.file.Files.writeString(outPath, jsonFull + "\n")
+    // print LAST, after all Spark/sbt chatter, so the line lands inside the
+    // driver's 2000-char tail capture
+    println(jsonShort)
     spark.stop()
   }
 }

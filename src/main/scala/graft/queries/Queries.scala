@@ -1576,7 +1576,7 @@ object Queries {
 
   val q73Sql: String =
     """WITH users AS (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id)
-      |SELECT event_type, COUNT(*) AS n, SUM(user_total) AS sum_user_totals
+      |SELECT event_type, COUNT(*) AS n, CAST(SUM(user_total) AS BIGINT) AS sum_user_totals
       |FROM events JOIN users USING (user_id)
       |GROUP BY event_type""".stripMargin
 
@@ -1918,9 +1918,9 @@ object Queries {
       |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (SELECT doc_id, lang, n_tokens,
-      |  SUM(n_tokens) OVER (PARTITION BY lang
+      |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start
       |  FROM t)
       |SELECT doc_id, lang, n_tokens,
       |  CAST(floor(start / 2048.0) AS BIGINT) AS bin,
