@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. sbt's default output strategy routes the forked JVM's stdout through
+// its logger, prefixing every line with "[info] " — which defeated the
+// driver's parser five rounds running (BENCH_r02..r05 all `parsed: null`).
+// StdoutOutput passes the child's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
