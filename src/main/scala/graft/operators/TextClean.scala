@@ -15,16 +15,23 @@ import org.apache.spark.sql.functions._
   * Pattern portability: every regex here uses only syntax with IDENTICAL
   * semantics in Java's engine (Spark) and RE2 (the DuckDB oracle) — no
   * backreferences, no lookahead, no possessive quantifiers. Character
-  * classes are explicit ASCII ranges rather than `\\w`/`\\p{...}` classes
-  * whose Unicode behavior differs across engines.
+  * classes are explicit ASCII ranges rather than `\\w`/`\\s`/`\\p{...}`
+  * classes whose membership differs across engines (Java's `\\s` includes
+  * vertical tab `\\x0B`; RE2's does not — so even "simple" whitespace
+  * collapse diverges on corpus text containing `\\x0B` unless the class
+  * is spelled out).
   */
 object TextClean {
+
+  /** Whitespace as an explicit class (space, tab, LF, FF, CR) — the
+    * engine-portable spelling of `\s` per the header note. */
+  private val Ws = "[ \\t\\n\\f\\r]"
 
   /** HTML/XML tag removal: drops `<...>` spans (non-greedy via the
     * negated-class idiom — portable, unlike lazy quantifier corner cases),
     * then collapses the whitespace runs left behind. */
   def stripHtml(text: Column): Column =
-    regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " ")
+    regexp_replace(regexp_replace(text, "<[^>]*>", " "), Ws + "+", " ")
 
   /** Email addresses -> `<EMAIL>`. */
   def redactEmails(text: Column): Column =
@@ -49,7 +56,7 @@ object TextClean {
     * emails, then phones, then whitespace collapse + trim. */
   def cleanAll(text: Column): Column =
     trim(regexp_replace(
-      redactPhones(redactEmails(redactUrls(stripHtml(text)))), "\\s+", " "))
+      redactPhones(redactEmails(redactUrls(stripHtml(text)))), Ws + "+", " "))
 
   /** Gopher-style composed quality filter: each rule contributes a named
     * reason; a document is kept iff NO rule fires. Returns

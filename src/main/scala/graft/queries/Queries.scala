@@ -382,11 +382,15 @@ object Queries {
     * bearing in the hash compare (a no-op redaction would trivially
     * match). Per-row projection, no shuffle. */
   val q19: QueryFn = (s, d) => {
+    // The in-tag URL is consumed by stripHtml before redactUrls ever runs,
+    // so a BARE url outside any tag is appended too — without it the <URL>
+    // pattern's cross-engine semantics would never reach the hash compare.
     val dirty = concat(col("text"),
       lit(" <a href=\"https://example.com/x?y=1\">link</a> contact user"),
       col("doc_id").cast("string"),
       lit("@mail.example.org or 555-867-530"),
-      pmod(col("doc_id"), lit(10)).cast("string"))
+      pmod(col("doc_id"), lit(10)).cast("string"),
+      lit(" see https://example.com/p?doc="), col("doc_id").cast("string"))
     tbl(s, d, "documents").select(
       col("doc_id"),
       TextClean.cleanAll(dirty).as("cleaned"))
@@ -397,13 +401,14 @@ object Queries {
     """WITH dirty AS (SELECT doc_id,
       |  text || ' <a href="https://example.com/x?y=1">link</a> contact user'
       |    || CAST(doc_id AS VARCHAR) || '@mail.example.org or 555-867-530'
-      |    || CAST(doc_id % 10 AS VARCHAR) AS t FROM documents),
-      |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g') AS t FROM dirty),
+      |    || CAST(doc_id % 10 AS VARCHAR)
+      |    || ' see https://example.com/p?doc=' || CAST(doc_id AS VARCHAR) AS t FROM documents),
+      |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g') AS t FROM dirty),
       |c2 AS (SELECT doc_id, regexp_replace(t, 'https?://[^ \t\n]+', '<URL>', 'g') AS t FROM c1),
       |c3 AS (SELECT doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t FROM c2),
       |c4 AS (SELECT doc_id, regexp_replace(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS t FROM c3)
-      |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS cleaned,
-      |  md5(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS clean_md5 FROM c4""".stripMargin
+      |SELECT doc_id, trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g')) AS cleaned,
+      |  md5(trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g'))) AS clean_md5 FROM c4""".stripMargin
 
   /** Text quality signals + composite score — pure per-row expressions. */
   val q20: QueryFn = (s, d) => {
@@ -1684,7 +1689,13 @@ object Queries {
     // re-writing per call made this the slowest bench entry (7.2 s, ~all
     // write). _SUCCESS marks a complete layout; a partial/failed write
     // leaves no marker and is redone.
-    val base = s"target/part_layout/events_by_type_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    // keyed on an md5 of the CANONICAL absolute path: the old lossy
+    // squash (non-alnum -> '_') collided distinct dirs like sf0.1 vs
+    // sf0_1, silently serving one sf's layout for the other
+    val canon = new java.io.File(d).getCanonicalPath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val base = s"target/part_layout/events_by_type_$key"
     if (!new java.io.File(s"$base/_SUCCESS").exists())
       tbl(s, d, "events").write.mode("overwrite").partitionBy("event_type").parquet(base)
     s.read.parquet(base)
