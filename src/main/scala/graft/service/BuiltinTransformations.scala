@@ -1,0 +1,229 @@
+package graft.service
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, TextClean}
+import graft.stages.Transforms.CustomFn
+
+/** Built-in named custom transformations: the LLM-curation operators as
+  * config-addressable pipeline stages.
+  *
+  * The reference's only user surface is a config dict compiled into a
+  * pipeline; its custom-transformation hook pipes NAMED callables with
+  * kwargs taken from config (reference: src/polars_pipe/core/
+  * transform.py:296-329, core/config.py:65-68). The reference ships that
+  * mechanism with an empty default registry — every custom fn must be
+  * registered in code. This object closes the gap for the operators a
+  * curation pipeline actually wants: a YAML file alone can now run fuzzy
+  * dedup, quality filtering, decontamination, sequence packing, etc.
+  *
+  * Example config fragment:
+  * {{{
+  * custom_transformations:
+  *   quality_filter:
+  *     text_col: text
+  *     min_tokens: 5
+  *   fuzzy_dedup:
+  *     id_col: doc_id
+  *     text_col: text
+  * }}}
+  *
+  * Kwarg values arrive from [[graft.config.YamlParse]] typed as
+  * String / Long / Double / Boolean / nested map; coercions here accept
+  * exactly those shapes (plus Int for programmatic callers) and fail fast
+  * with the kwarg name on anything else — a typo'd config must die at
+  * pipeline build, not produce a silently-wrong corpus.
+  *
+  * User-supplied registries passed to [[Pipeline.runPipeline]] are merged
+  * OVER these defaults, so a user can shadow any builtin by name.
+  */
+object BuiltinTransformations {
+
+  /** Default registry, merged under the caller's `customFns` by
+    * [[Pipeline.runPipeline]]. */
+  val registry: Map[String, CustomFn] = Map(
+    "exact_dedup" -> exactDedup,
+    "fuzzy_dedup" -> fuzzyDedup,
+    "minhash_near_dup" -> minhashNearDup,
+    "quality_filter" -> qualityFilter,
+    "clean_text" -> cleanText,
+    "decontaminate" -> decontaminate,
+    "pack_sequences" -> packSequences,
+    "stratified_sample" -> stratifiedSample
+  )
+
+  // ---------------------------------------------------------------- fns
+
+  /** `exact_dedup(id_col, text_col)` — keep one row per distinct text
+    * fingerprint, min id wins ([[Dedup.exact]]). */
+  private def exactDedup: CustomFn = (df, kw) =>
+    Dedup.exact(df, reqStr("exact_dedup", kw, "id_col"), reqStr("exact_dedup", kw, "text_col"))
+
+  /** `fuzzy_dedup(id_col, text_col, shingle_k=3, num_hashes=8, bands=4,
+    * max_bucket=10000)` — MinHash-LSH pairs -> connected components ->
+    * keep one exemplar per cluster ([[Dedup.fuzzyDedup]]). */
+  private def fuzzyDedup: CustomFn = (df, kw) =>
+    Dedup.fuzzyDedup(
+      df,
+      reqStr("fuzzy_dedup", kw, "id_col"),
+      reqStr("fuzzy_dedup", kw, "text_col"),
+      shingleK = intKw("fuzzy_dedup", kw, "shingle_k", 3),
+      numHashes = intKw("fuzzy_dedup", kw, "num_hashes", 8),
+      bands = intKw("fuzzy_dedup", kw, "bands", 4),
+      maxBucket = intKw("fuzzy_dedup", kw, "max_bucket", 10000))
+
+  /** `minhash_near_dup(id_col, text_col, shingle_k=3, num_hashes=8,
+    * bands=4, max_bucket=10000)` — the simpler pair-drop apply step (every
+    * higher id of a candidate pair is removed; over-removes on chains,
+    * which is sometimes what's wanted — see [[Dedup.fuzzyDedup]]'s doc). */
+  private def minhashNearDup: CustomFn = (df, kw) => {
+    val idCol = reqStr("minhash_near_dup", kw, "id_col")
+    val pairs = Dedup.minHashLshPairs(
+      df,
+      idCol,
+      reqStr("minhash_near_dup", kw, "text_col"),
+      shingleK = intKw("minhash_near_dup", kw, "shingle_k", 3),
+      numHashes = intKw("minhash_near_dup", kw, "num_hashes", 8),
+      bands = intKw("minhash_near_dup", kw, "bands", 4),
+      maxBucket = intKw("minhash_near_dup", kw, "max_bucket", 10000))
+    df.join(pairs.select(col("id_b").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** `quality_filter(text_col, min_tokens=5, max_tokens=100000,
+    * max_punct_ratio=0.2, max_digit_ratio=0.3, min_score=0.1,
+    * action=filter|flag)` — Gopher-style composed quality rules
+    * ([[TextClean.qualityFilterFlags]]). `filter` keeps passing rows;
+    * `flag` appends `quality_keep` / `quality_reasons` columns instead. */
+  private def qualityFilter: CustomFn = (df, kw) => {
+    val (keep, reasons) = TextClean.qualityFilterFlags(
+      col(reqStr("quality_filter", kw, "text_col")),
+      minTokens = intKw("quality_filter", kw, "min_tokens", 5),
+      maxTokens = intKw("quality_filter", kw, "max_tokens", 100000),
+      maxPunctRatio = dblKw("quality_filter", kw, "max_punct_ratio", 0.2),
+      maxDigitRatio = dblKw("quality_filter", kw, "max_digit_ratio", 0.3),
+      minScore = dblKw("quality_filter", kw, "min_score", 0.1))
+    strKw("quality_filter", kw, "action", "filter") match {
+      case "filter" => df.filter(keep)
+      case "flag" =>
+        df.withColumn("quality_keep", keep).withColumn("quality_reasons", reasons)
+      case other =>
+        throw new IllegalArgumentException(
+          s"quality_filter: action must be 'filter' or 'flag', got '$other'")
+    }
+  }
+
+  /** `clean_text(text_col, out_col=text_col)` — HTML strip + URL/email/
+    * phone redaction + whitespace collapse ([[TextClean.cleanAll]]). */
+  private def cleanText: CustomFn = (df, kw) => {
+    val textCol = reqStr("clean_text", kw, "text_col")
+    df.withColumn(strKw("clean_text", kw, "out_col", textCol),
+      TextClean.cleanAll(col(textCol)))
+  }
+
+  /** `decontaminate(eval_path, id_col, text_col, shingle_k=3,
+    * threshold=0.8, eval_file_type=parquet)` — drop every row of the
+    * CURRENT (training) frame whose n-gram containment against the eval
+    * corpus at `eval_path` reaches `threshold`
+    * ([[Curation.ngramContamination]] with the frames swapped: the probe
+    * set here is the training doc, the membership set the eval corpus). */
+  private def decontaminate: CustomFn = (df, kw) => {
+    val idCol = reqStr("decontaminate", kw, "id_col")
+    val evalDf = df.sparkSession.read
+      .format(strKw("decontaminate", kw, "eval_file_type", "parquet"))
+      .load(reqStr("decontaminate", kw, "eval_path"))
+    val cont = Curation.ngramContamination(
+      train = evalDf,
+      eval = df,
+      idCol = idCol,
+      textCol = reqStr("decontaminate", kw, "text_col"),
+      shingleK = intKw("decontaminate", kw, "shingle_k", 3))
+    val contaminated = cont
+      .filter(col("containment") >= dblKw("decontaminate", kw, "threshold", 0.8))
+      .select(col(idCol))
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** `pack_sequences(id_col, token_col, partition_col, budget)` —
+    * concatenate-and-cut packing into `budget`-token bins
+    * ([[Curation.packSequences]]). */
+  private def packSequences: CustomFn = (df, kw) =>
+    Curation.packSequences(
+      df,
+      reqStr("pack_sequences", kw, "id_col"),
+      reqStr("pack_sequences", kw, "token_col"),
+      reqStr("pack_sequences", kw, "partition_col"),
+      longKw("pack_sequences", kw, "budget"))
+
+  /** `stratified_sample(id_col, strata_col, fractions: {stratum: frac})` —
+    * deterministic hash-coordinate sampling
+    * ([[Curation.stratifiedSampleByHash]]). */
+  private def stratifiedSample: CustomFn = (df, kw) => {
+    val fractions = kw.get("fractions") match {
+      case Some(m: collection.Map[_, _]) =>
+        m.map { case (k, v) => k.toString -> num("stratified_sample", s"fractions.$k", v) }.toMap
+      case other =>
+        throw new IllegalArgumentException(
+          s"stratified_sample: 'fractions' must be a map of stratum -> fraction, got $other")
+    }
+    Curation.stratifiedSampleByHash(
+      df,
+      reqStr("stratified_sample", kw, "id_col"),
+      reqStr("stratified_sample", kw, "strata_col"),
+      fractions)
+  }
+
+  // ------------------------------------------------------- kwarg coercion
+
+  private def present(kw: Map[String, Any], k: String): Option[Any] =
+    kw.get(k).filter(_ != null)
+
+  private def reqStr(fn: String, kw: Map[String, Any], k: String): String =
+    present(kw, k) match {
+      case Some(s: String) => s
+      case Some(other) => typeFail(fn, k, "a string", other)
+      case None =>
+        throw new IllegalArgumentException(s"$fn: missing required kwarg '$k'")
+    }
+
+  private def strKw(fn: String, kw: Map[String, Any], k: String, default: String): String =
+    present(kw, k) match {
+      case Some(s: String) => s
+      case Some(other) => typeFail(fn, k, "a string", other)
+      case None => default
+    }
+
+  private def intKw(fn: String, kw: Map[String, Any], k: String, default: Int): Int =
+    present(kw, k) match {
+      case Some(n: Long) if n.isValidInt => n.toInt
+      case Some(n: Int) => n
+      case Some(other) => typeFail(fn, k, "an integer", other)
+      case None => default
+    }
+
+  private def longKw(fn: String, kw: Map[String, Any], k: String): Long =
+    present(kw, k) match {
+      case Some(n: Long) => n
+      case Some(n: Int) => n.toLong
+      case Some(other) => typeFail(fn, k, "an integer", other)
+      case None =>
+        throw new IllegalArgumentException(s"$fn: missing required kwarg '$k'")
+    }
+
+  private def dblKw(fn: String, kw: Map[String, Any], k: String, default: Double): Double =
+    present(kw, k) match {
+      case Some(v) => num(fn, k, v)
+      case None => default
+    }
+
+  private def num(fn: String, k: String, v: Any): Double = v match {
+    case d: Double => d
+    case n: Long => n.toDouble
+    case n: Int => n.toDouble
+    case other => typeFail(fn, k, "a number", other)
+  }
+
+  private def typeFail(fn: String, k: String, want: String, got: Any): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn: kwarg '$k' must be $want, got ${got.getClass.getSimpleName}($got)")
+}

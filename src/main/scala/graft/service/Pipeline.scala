@@ -86,7 +86,10 @@ object Pipeline {
       .transform(Transforms.renameCols(t.renameMap))
       .transform(Transforms.nestCols(t.nestCols))
       .transform(Transforms.dropCols(t.dropCols))
-      .transform(Transforms.pipeCustomTransformations(customFns, cfg.customTransformations))
+      .transform(Transforms.pipeCustomTransformations(
+        // builtins first, caller's registry shadows by name — a YAML config
+        // alone can invoke fuzzy_dedup / quality_filter / decontaminate etc.
+        BuiltinTransformations.registry ++ customFns, cfg.customTransformations))
       .transform(Transforms.finalSelect(cfg.selectCols))
       .transform(Transforms.standardiseColNames)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -65,6 +65,50 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(reloaded.transformations.filterRules.map(_.col) == Seq("salary", "bonus"))
   }
 
+  test("builtin-registry kwargs parse from YAML with the types the fns expect") {
+    val yaml =
+      """process_name: p
+        |src_path: /s
+        |dst_root: /d
+        |custom_transformations:
+        |  fuzzy_dedup:
+        |    id_col: doc_id
+        |    text_col: text
+        |    shingle_k: 2
+        |    max_bucket: 5000
+        |  quality_filter:
+        |    text_col: text
+        |    max_punct_ratio: 0.35
+        |    action: flag
+        |  stratified_sample:
+        |    id_col: doc_id
+        |    strata_col: lang
+        |    fractions:
+        |      en: 0.5
+        |      de: 1.0
+        |  pack_sequences:
+        |    id_col: doc_id
+        |    token_col: n_tokens
+        |    partition_col: lang
+        |    budget: 2048
+        |""".stripMargin
+    val cfg = ConfigLoader.fromYaml(yaml)
+    val ct = cfg.customTransformations.toMap
+    assert(cfg.customTransformations.map(_._1) ==
+      Seq("fuzzy_dedup", "quality_filter", "stratified_sample", "pack_sequences"))
+    // ints arrive as Long (YamlParse), doubles as Double, strings as String
+    assert(ct("fuzzy_dedup")("shingle_k") == 2L && ct("fuzzy_dedup")("max_bucket") == 5000L)
+    assert(ct("quality_filter")("max_punct_ratio") == 0.35)
+    assert(ct("quality_filter")("action") == "flag")
+    assert(ct("pack_sequences")("budget") == 2048L)
+    val fr = ct("stratified_sample")("fractions").asInstanceOf[collection.Map[String, Any]]
+    assert(fr("en") == 0.5 && fr("de") == 1.0)
+    // every name resolves in the default registry
+    cfg.customTransformations.map(_._1).foreach { n =>
+      assert(graft.service.BuiltinTransformations.registry.contains(n), s"missing builtin: $n")
+    }
+  }
+
   test("mis-indented YAML errors instead of silently dropping trailing keys") {
     val bad =
       """process_name: p

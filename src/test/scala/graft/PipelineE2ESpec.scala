@@ -146,4 +146,78 @@ class PipelineE2ESpec extends AnyFunSuite {
   private object Transforms0 {
     def hashed(df: org.apache.spark.sql.DataFrame) = graft.stages.Transforms.addHashCol(df)
   }
+
+  // ---- config-addressable LLM operators (builtin custom-fn registry) ----
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def docsDf = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog today"),
+      Row(2L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      Row(3L, "completely different words about spark distributed engines maybe"),
+      Row(4L, "hi") // too_short -> quality_filter drops it
+    ), 2), docSchema)
+
+  test("YAML config alone drives builtin LLM operators (golden curation case)") {
+    val io = new FakeIO()
+    io.frames.put("/src/docs.parquet", docsDf)
+    // min_score/punct/digit loosened so ONLY too_short can fire — the
+    // assertion then pins rule selection, not heuristic thresholds
+    val yaml =
+      """process_name: curate
+        |src_path: /src/docs.parquet
+        |dst_root: /out
+        |custom_transformations:
+        |  quality_filter:
+        |    text_col: text
+        |    min_tokens: 4
+        |    min_score: 0.0
+        |    max_punct_ratio: 1.0
+        |    max_digit_ratio: 1.0
+        |  fuzzy_dedup:
+        |    id_col: doc_id
+        |    text_col: text
+        |    shingle_k: 2
+        |    num_hashes: 8
+        |    bands: 4
+        |""".stripMargin
+    val cfg = ConfigLoader.fromYaml(yaml)
+    assert(cfg.customTransformations.map(_._1) == Seq("quality_filter", "fuzzy_dedup"),
+      "config order is execution order")
+    val res = Pipeline.runPipeline(spark, cfg, io) // no customFns: builtins only
+    val ids = res.transformed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L),
+      s"expected quality_filter to drop 4 and fuzzy_dedup to collapse {1,2}->1, got $ids")
+  }
+
+  test("user-supplied customFns shadow builtins by name") {
+    val io = new FakeIO()
+    io.frames.put("/src/docs.parquet", docsDf)
+    val cfg = GeneralConfig(processName = "p", srcPath = "/src/docs.parquet", dstRoot = "/out",
+      customTransformations = Seq("quality_filter" -> Map.empty[String, Any]))
+    val shadow: graft.stages.Transforms.CustomFn =
+      (df, _) => df.withColumn("shadowed", org.apache.spark.sql.functions.lit(true))
+    val res = Pipeline.runPipeline(spark, cfg, io, customFns = Map("quality_filter" -> shadow))
+    assert(res.transformed.columns.contains("shadowed"))
+    assert(res.transformed.count() == 4, "shadow fn must have replaced the builtin filter")
+  }
+
+  test("builtin kwarg coercion fails fast with the kwarg name") {
+    val io = new FakeIO()
+    io.frames.put("/src/docs.parquet", docsDf)
+    def run(kwargs: Map[String, Any]): Unit = {
+      val cfg = GeneralConfig(processName = "p", srcPath = "/src/docs.parquet", dstRoot = "/out",
+        customTransformations = Seq("quality_filter" -> kwargs))
+      Pipeline.runPipeline(spark, cfg, io)
+    }
+    val missing = intercept[IllegalArgumentException](run(Map.empty))
+    assert(missing.getMessage.contains("text_col"))
+    val wrongType = intercept[IllegalArgumentException](run(Map("text_col" -> 7L)))
+    assert(wrongType.getMessage.contains("text_col") && wrongType.getMessage.contains("string"))
+    val badAction = intercept[IllegalArgumentException](
+      run(Map("text_col" -> "text", "action" -> "explode")))
+    assert(badAction.getMessage.contains("filter") && badAction.getMessage.contains("flag"))
+  }
 }
