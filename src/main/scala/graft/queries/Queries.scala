@@ -285,12 +285,31 @@ object Queries {
     """SELECT s_suppkey, md5(concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name,
       |CAST(s_nationkey AS VARCHAR))) AS row_md5 FROM supplier""".stripMargin
 
-  /** S4 proper: xxhash64 row hash (engine-private — no SQL oracle; the
-    * driver records a rows-only check). */
-  val q15: QueryFn = (s, d) =>
-    tbl(s, d, "nation")
-      .transform(Transforms.addHashCol)
-      .select(col("n_nationkey"), col("sys_col_row_hash"))
+  /** S4 proper: xxhash64 row hash. Hash VALUES are engine-private (no
+    * other engine computes Spark's xxhash64 over the same encoding), so
+    * the query outputs order-insensitive PROPERTIES of the hash column the
+    * oracle can check exactly: row counts plus distinctness/non-nullness
+    * booleans. The input deliberately unions nation with a null-name
+    * twin of itself: under the reference's null-propagating concat bug
+    * (SURVEY.md §2.3-1) every null-containing row would hash identically
+    * and `hashes_all_distinct` would be FALSE — this pins our documented
+    * sentinel deviation, not just "some hash exists". The DuckDB twin
+    * computes the same counts from the exact relation and asserts the
+    * booleans as literals; the hash comparison then verifies Spark's
+    * booleans actually came out true. */
+  val q15: QueryFn = (s, d) => {
+    val nation = tbl(s, d, "nation")
+    val dirty = nation.withColumn("n_name", lit(null).cast("string"))
+    Transforms.addHashCol(nation.unionByName(dirty)).agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("n_name").isNull, 1)).as("n_null_rows"),
+      (countDistinct(col("sys_col_row_hash")) === count(lit(1))).as("hashes_all_distinct"),
+      (count(when(col("sys_col_row_hash").isNull, 1)) === 0).as("hashes_non_null"))
+  }
+
+  val q15Sql: String =
+    """SELECT count(*) * 2 AS n_rows, count(*) AS n_null_rows,
+      |TRUE AS hashes_all_distinct, TRUE AS hashes_non_null FROM nation""".stripMargin
 
   /** S8: descriptive statistics as an oracle-checkable stats frame
     * (count/null_count/mean/min/max/n_unique, exact decimal-routed mean).
@@ -1375,19 +1394,36 @@ object Queries {
 
   /** Sketch-based approximate aggregates — the 100 TB path where exact
     * countDistinct/percentile would shuffle every value: HLL++ cardinality
-    * and quantile sketch, one pass, fixed memory. Engine-specific sketch
-    * values — no SQL oracle (driver records a rows-only check); exactness
-    * bounds are asserted in OperatorsSpec instead. Quantiles are projected
-    * as SCALAR columns (not the raw sketch array): the driver's pandas
-    * harness sorts every output column, and an array-typed column is
-    * unhashable there (crashed the rows-only check two rounds running). */
+    * and quantile sketch, one pass, fixed memory. Sketch VALUES are
+    * engine-specific, so the query outputs the sketch CONTRACT as
+    * oracle-checkable booleans: the exact distinct count (which any engine
+    * reproduces) plus tolerance checks computed Spark-side against exact
+    * aggregates from the same single pass. The DuckDB twin emits the exact
+    * count and the booleans as literals; the hash comparison then verifies
+    * Spark's tolerance checks actually held. HLL rsd=0.01 against a 5%
+    * gate (5 sigma) and approx_percentile accuracy=1000 against a
+    * [p40,p60]/[p90,p99] band make the booleans deterministic in practice
+    * (sketches are deterministic for a fixed dataset). Scalar columns
+    * only — array outputs crash the driver's pandas harness (round-2/3
+    * lesson). */
   val q64: QueryFn = (s, d) =>
     tbl(s, d, "lineitem").agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("qs"))
-      .select(col("approx_orders"),
-        element_at(col("qs"), 1).as("approx_p50"),
-        element_at(col("qs"), 2).as("approx_p95"))
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("__approx"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("__qs"),
+      expr("percentile(l_extendedprice, array(0.40, 0.60, 0.90, 0.99))").as("__ex"))
+      .select(
+        col("exact_orders"),
+        (abs(col("__approx") - col("exact_orders")).cast("double") / col("exact_orders")
+          <= 0.05).as("card_ok"),
+        element_at(col("__qs"), 1)
+          .between(element_at(col("__ex"), 1), element_at(col("__ex"), 2)).as("p50_ok"),
+        element_at(col("__qs"), 2)
+          .between(element_at(col("__ex"), 3), element_at(col("__ex"), 4)).as("p95_ok"))
+
+  val q64Sql: String =
+    """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      |TRUE AS card_ok, TRUE AS p50_ok, TRUE AS p95_ok FROM lineitem""".stripMargin
 
   /** Within-document repetition signals (Gopher-style quality rule): the
     * fraction of duplicated word 2-grams and 3-grams per document — pure
@@ -2133,7 +2169,7 @@ object Queries {
     ("q12_shift_diff", q12, Some(q12Sql)),
     ("q13_nest_unnest", q13, Some(q13Sql)),
     ("q14_row_fingerprint", q14, Some(q14Sql)),
-    ("q15_row_hash_xxh", q15, None),
+    ("q15_row_hash_xxh", q15, Some(q15Sql)),
     ("q16_describe_stats", q16, Some(q16Sql)),
     ("q17_tpch_q6", q17, Some(q17Sql)),
     ("q18_sessionize", q18, Some(q18Sql)),
@@ -2182,7 +2218,7 @@ object Queries {
     ("q61_stream_dedup", q61, Some(q61Sql)),
     ("q62_frame_sample", q62, Some(q62Sql)),
     ("q63_near_dup_removal", q63, Some(q63Sql)),
-    ("q64_approx_sketches", q64, None),
+    ("q64_approx_sketches", q64, Some(q64Sql)),
     ("q65_repetition_signals", q65, Some(q65Sql)),
     ("q66_hash_sample_split", q66, Some(q66Sql)),
     ("q67_ivf_kmeans_build", q67, Some(q67Sql)),
