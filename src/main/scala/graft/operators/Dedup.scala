@@ -78,7 +78,7 @@ object Dedup {
   }
 
   /** (id, band, digest) LSH bucket membership rows — the shared candidate
-    * stage behind [[minHashLshPairs]] and [[lshOverfullBuckets]]. The
+    * stage behind [[minHashLshPairs]] and [[lshOverfullBucketsFrom]]. The
     * signature frame (#docs × numHashes digests — tiny relative to the
     * corpus) is persisted so the downstream self-join doesn't recompute the
     * whole shingle explode + aggregate pipeline per branch. */
@@ -104,28 +104,15 @@ object Dedup {
   }
 
   /** Diagnostic twin of [[minHashLshPairs]]'s width cap: the (band, digest,
-    * n) buckets WIDER than `maxBucket`, i.e. exactly what the capped pair
-    * join drops. Pipelines applying a cap should count/log this frame so
-    * truncation is never silent. NOTE this convenience overload recomputes
-    * (and persists) the signature pipeline from scratch — when running it
-    * alongside [[minHashLshPairs]], build [[lshBuckets]] ONCE and pass the
-    * frame to [[lshOverfullBucketsFrom]] so the corpus-sized shingle
-    * explode runs a single time. */
-  def lshOverfullBuckets(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleK: Int = 3,
-      numHashes: Int = 8,
-      bands: Int = 4,
-      maxBucket: Int = 10000
-  ): DataFrame =
-    lshOverfullBucketsFrom(
-      lshBuckets(df, idCol, textCol, shingleK, numHashes, bands), maxBucket)
-
-  /** [[lshOverfullBuckets]] over an already-built [[lshBuckets]] frame
-    * (expects `band`/`digest` columns) — shares the expensive stage with
-    * the pair join instead of recomputing it. */
+    * n) buckets WIDER than `maxBucket` in an already-built [[lshBuckets]]
+    * frame (expects `band`/`digest` columns) — i.e. exactly what the capped
+    * pair join drops. Pipelines applying a cap should count/log this frame
+    * so truncation is never silent. Takes the bucket FRAME rather than the
+    * corpus on purpose: build [[lshBuckets]] once and feed both this and
+    * the pair join, so the corpus-sized shingle explode runs a single time
+    * (a corpus-taking convenience overload existed and was removed — it
+    * silently doubled the most expensive stage for exactly the users who
+    * needed the diagnostic). */
   def lshOverfullBucketsFrom(buckets: DataFrame, maxBucket: Int): DataFrame =
     buckets.groupBy(col("band"), col("digest")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
@@ -143,7 +130,8 @@ object Dedup {
     * bucket's contribution at maxBucket². Members of a dropped bucket can
     * still pair via their other (bands - 1) buckets, so recall degrades
     * gracefully instead of the job dying; dropped widths are observable via
-    * [[lshOverfullBuckets]] (same inputs), which pipelines should log.
+    * [[lshOverfullBucketsFrom]] over the same [[lshBuckets]] frame, which
+    * pipelines should log.
     */
   def minHashLshPairs(
       df: DataFrame,

@@ -85,7 +85,10 @@ class OperatorsSpec extends AnyFunSuite {
     val capped = Dedup.minHashLshPairs(dups, "doc_id", "text", 3, 8, 4, maxBucket = 5)
       .collect()
     assert(capped.isEmpty, "width-6 buckets must be dropped at maxBucket=5")
-    val dropped = Dedup.lshOverfullBuckets(dups, "doc_id", "text", 3, 8, 4, maxBucket = 5)
+    // shared-frame path: ONE lshBuckets frame feeds the diagnostic (and
+    // would feed the pair join in a real pipeline — no recompute)
+    val buckets = Dedup.lshBuckets(dups, "doc_id", "text", 3, 8, 4)
+    val dropped = Dedup.lshOverfullBucketsFrom(buckets, maxBucket = 5)
       .collect().map(r => (r.getInt(0), r.getLong(2)))
     assert(dropped.length == 4 && dropped.forall(_._2 == 6L),
       s"4 bands × width 6 expected: ${dropped.toSeq}")
