@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * with typed metadata.
   *
   * The Spark-side plumbing is real — schema, partition-preserving
-  * `mapPartitions` transform, batch shape — while the actual codec step is
-  * STUBBED with a deterministic fake (no image/audio libraries in this
-  * container). The stub is clearly marked; swapping in a real decoder means
-  * replacing ONE function body, nothing structural.
+  * `mapPartitions` transform, batch shape. TWO codec paths share that seam:
+  * [[decodeImagesReal]] is a REAL image decoder built on `javax.imageio`
+  * (JDK built-in — PNG/JPEG/BMP/GIF, no external native libs), and
+  * [[decodeImages]] keeps the original deterministic STUB for payloads
+  * that aren't actual images (the synthetic test corpus) and for hermetic
+  * tests that must not depend on codec behavior. Audio/video decode remains
+  * stubbed ([[sampleFrames]]) — no codec for those ships with the JDK.
   */
 object Multimodal {
 
@@ -38,12 +41,12 @@ object Multimodal {
       channels: Int,
       mean_intensity: Double)
 
-  /** STUB CODEC — deterministic fake in place of a real image decode
-    * (libjpeg/Pillow/javax.imageio are not available in this container).
-    * Derives plausible dimensions and a mean intensity from the payload
-    * bytes so downstream plumbing (schema, partitioning, aggregation) is
-    * fully exercised and testable. Replace this body with the real decoder
-    * to go live. */
+  /** STUB CODEC — deterministic fake that accepts ANY payload (the
+    * synthetic corpus stores text bytes, not images). Derives plausible
+    * dimensions and a mean intensity from the payload bytes so downstream
+    * plumbing (schema, partitioning, aggregation) is fully exercised and
+    * testable independent of codec behavior. The REAL decoder is
+    * [[imageIoDecode]] / [[decodeImagesReal]]. */
   private def fakeDecode(id: Long, content: Array[Byte]): ImageFeatures = {
     val n = content.length
     val sum = content.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -71,6 +74,86 @@ object Multimodal {
           fakeDecode(id, content)
         }
       }
+  }
+
+  /** REAL image decode via `javax.imageio` (JDK built-in): dimensions,
+    * raster band count, and mean sample intensity over every (pixel, band).
+    * Returns None for payloads no registered reader accepts — callers
+    * choose drop vs mark. Pure JVM, no native libs, safe on executors
+    * (ImageIO never needs a display). */
+  def imageIoDecode(id: Long, content: Array[Byte]): Option[ImageFeatures] = {
+    if (content.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { i =>
+      val raster = i.getRaster
+      val (w, h, bands) = (i.getWidth, i.getHeight, raster.getNumBands)
+      var sum = 0.0
+      var b = 0
+      while (b < bands) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSampleDouble(x, y, b); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+      ImageFeatures(id, w, h, bands, sum / (w.toLong * h * bands))
+    }
+  }
+
+  /** [[decodeImages]] with the REAL `javax.imageio` codec: same
+    * partition-preserving per-partition batch seam, rows whose payload no
+    * reader accepts are DROPPED (undecodable crawl bytes are discard-not-
+    * crash at curation scale; count in.count - out.count to observe). */
+  def decodeImagesReal(df: DataFrame, idCol: String, contentCol: String): Dataset[ImageFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        // per-partition codec context: no temp-file cache on executors
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) None
+          else imageIoDecode(r.getLong(0), r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
+  /** Deterministic grayscale-PNG fixture generator: one `w x h` constant-
+    * intensity image per input row, with w/h/intensity pure functions of
+    * the id — so a SQL oracle can predict every decoded feature without
+    * seeing the bytes. Runs on executors through the same per-partition
+    * codec seam as decode (encode IS a codec). Fixture math:
+    * w = 8 + id%9, h = 8 + (3*id)%9, intensity = (37*id)%256. */
+  def synthesizeGrayPngs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 8 + (id % 9).toInt
+          val h = 8 + ((3 * id) % 9).toInt
+          val g = ((37 * id) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF(idCol, "content")
   }
 
   /** Frame-sampling stub for video-like payloads: cut the byte stream into

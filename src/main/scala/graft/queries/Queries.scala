@@ -2150,6 +2150,32 @@ object Queries {
       |    ELSE list_transform(v, x -> CAST(round(x / mx * 127) AS INTEGER)) END, ',')) AS q_digest
       |FROM s""".stripMargin
 
+  /** REAL image decode (javax.imageio, JDK built-in) through the
+    * per-partition codec seam: synthesize one deterministic grayscale PNG
+    * per document id on the executors, then decode the BYTES back through
+    * [[Multimodal.decodeImagesReal]]. Every decoded feature (dims, band
+    * count, mean intensity) is a pure function of doc_id, so DuckDB
+    * predicts them arithmetically without seeing a byte — a real
+    * encode->decode round trip oracle-checked exactly, unlike q29's
+    * honest stub. Lossless format only (PNG): JPEG decode is
+    * value-approximate and belongs in spec tolerance tests, not a
+    * hash-compared oracle. */
+  val q92: QueryFn = (s, d) => {
+    val ids = tbl(s, d, "documents").select(col("doc_id"))
+    val pngs = Multimodal.synthesizeGrayPngs(ids, "doc_id")
+    Multimodal.decodeImagesReal(pngs, "doc_id", "content").toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_intensity"), 6).as("mean_intensity"))
+  }
+
+  val q92Sql: String =
+    """SELECT doc_id,
+      |CAST(8 + doc_id % 9 AS INTEGER) AS width,
+      |CAST(8 + (3 * doc_id) % 9 AS INTEGER) AS height,
+      |CAST(1 AS INTEGER) AS channels,
+      |CAST((37 * doc_id) % 256 AS DOUBLE) AS mean_intensity
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2245,6 +2271,7 @@ object Queries {
     ("q88_fuzzy_dedup", q88, Some(q88Sql)),
     ("q89_quality_filter", q89, Some(q89Sql)),
     ("q90_random_projection", q90, Some(q90Sql)),
-    ("q91_int8_quantize", q91, Some(q91Sql))
+    ("q91_int8_quantize", q91, Some(q91Sql)),
+    ("q92_image_decode_real", q92, Some(q92Sql))
   )
 }

@@ -269,6 +269,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.select("frame_idx").as[Int].collect().toSet == Set(0, 2, 4))
   }
 
+  test("multimodal: REAL javax.imageio decode — PNG exact, JPEG dims, junk dropped") {
+    // PNG round trip: synthesized fixture math must survive encode->decode
+    val ids = Seq(0L, 1L, 5L, 13L).toDF("doc_id")
+    val pngs = Multimodal.synthesizeGrayPngs(ids, "doc_id")
+    val feats = Multimodal.decodeImagesReal(pngs, "doc_id", "content")
+      .collect().map(f => f.id -> f).toMap
+    assert(feats.keySet == Set(0L, 1L, 5L, 13L))
+    feats.values.foreach { f =>
+      assert(f.width == 8 + (f.id % 9).toInt, s"width off for ${f.id}")
+      assert(f.height == 8 + ((3 * f.id) % 9).toInt, s"height off for ${f.id}")
+      assert(f.channels == 1)
+      assert(f.mean_intensity == ((37 * f.id) % 256).toDouble,
+        s"gray PNG must round-trip exactly: ${f.id} -> ${f.mean_intensity}")
+    }
+    // JPEG: dims are exact even though values are lossy; mean of a
+    // constant-gray image stays within codec tolerance
+    val jb = new java.io.ByteArrayOutputStream()
+    val jimg = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val gfx = jimg.createGraphics()
+    gfx.setColor(new java.awt.Color(100, 100, 100)); gfx.fillRect(0, 0, 20, 10); gfx.dispose()
+    assert(javax.imageio.ImageIO.write(jimg, "jpg", jb), "JDK must ship a JPEG writer")
+    val jf = Multimodal.imageIoDecode(7L, jb.toByteArray).get
+    assert(jf.width == 20 && jf.height == 10 && jf.channels == 3)
+    assert(math.abs(jf.mean_intensity - 100.0) < 3.0, s"JPEG mean drifted: ${jf.mean_intensity}")
+    // undecodable payloads are dropped, not crashed on
+    val junk = Seq((1L, "not an image".getBytes("UTF-8")), (2L, Array.empty[Byte]))
+      .toDF("doc_id", "content")
+    assert(Multimodal.decodeImagesReal(junk, "doc_id", "content").count() == 0)
+  }
+
   test("fuzzyDedup keeps one exemplar per transitive cluster, not per pair") {
     // chain a~b, b~c (all near-dups): pair-drop would remove b AND c;
     // cluster-min keeps exactly doc 0 of {0,1,2} and all of the rest
