@@ -51,12 +51,31 @@ object TextClean {
     regexp_replace(text,
       "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>")
 
+  /** The three redaction placeholders, protected by [[cleanAll]]. */
+  private val Placeholders = Seq("URL", "EMAIL", "PHONE")
+
   /** Full cleaning pass in canonical order: tags out first (so URLs/emails
     * inside attributes are seen bare), then URLs (may contain `@`), then
-    * emails, then phones, then whitespace collapse + trim. */
-  def cleanAll(text: Column): Column =
-    trim(regexp_replace(
-      redactPhones(redactEmails(redactUrls(stripHtml(text)))), Ws + "+", " "))
+    * emails, then phones, then whitespace collapse + trim.
+    *
+    * IDEMPOTENT by construction: the redaction placeholders are tag-shaped
+    * (`<URL>` etc.), so a naive second pass would strip them as markup and
+    * silently delete the redaction record — found by PropertySpec's
+    * idempotence property. Pre-existing placeholders are shielded behind a
+    * `\u0001` (SOH) sentinel (a byte no pattern here touches) for the duration
+    * of the pass and restored at the end; lookahead in the strip regex
+    * would be the compact alternative but RE2 (the oracle engine) has
+    * none, per the portability header. */
+  def cleanAll(text: Column): Column = {
+    val shielded = Placeholders.foldLeft(text) { (c, p) =>
+      regexp_replace(c, s"<$p>", s"\u0001$p\u0001")
+    }
+    val cleaned = trim(regexp_replace(
+      redactPhones(redactEmails(redactUrls(stripHtml(shielded)))), Ws + "+", " "))
+    Placeholders.foldLeft(cleaned) { (c, p) =>
+      regexp_replace(c, s"\u0001$p\u0001", s"<$p>")
+    }
+  }
 
   /** Gopher-style composed quality filter: each rule contributes a named
     * reason; a document is kept iff NO rule fires. Returns

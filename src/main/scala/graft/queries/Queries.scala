@@ -422,12 +422,20 @@ object Queries {
       |    || CAST(doc_id AS VARCHAR) || '@mail.example.org or 555-867-530'
       |    || CAST(doc_id % 10 AS VARCHAR)
       |    || ' see https://example.com/p?doc=' || CAST(doc_id AS VARCHAR) AS t FROM documents),
-      |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g') AS t FROM dirty),
+      |sh AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+      |  '<URL>', chr(1) || 'URL' || chr(1), 'g'),
+      |  '<EMAIL>', chr(1) || 'EMAIL' || chr(1), 'g'),
+      |  '<PHONE>', chr(1) || 'PHONE' || chr(1), 'g') AS t FROM dirty),
+      |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g') AS t FROM sh),
       |c2 AS (SELECT doc_id, regexp_replace(t, 'https?://[^ \t\n]+', '<URL>', 'g') AS t FROM c1),
       |c3 AS (SELECT doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t FROM c2),
-      |c4 AS (SELECT doc_id, regexp_replace(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS t FROM c3)
-      |SELECT doc_id, trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g')) AS cleaned,
-      |  md5(trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g'))) AS clean_md5 FROM c4""".stripMargin
+      |c4 AS (SELECT doc_id, regexp_replace(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS t FROM c3),
+      |c5 AS (SELECT doc_id, trim(regexp_replace(t, '[ \t\n\f\r]+', ' ', 'g')) AS t FROM c4),
+      |c6 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+      |  chr(1) || 'URL' || chr(1), '<URL>', 'g'),
+      |  chr(1) || 'EMAIL' || chr(1), '<EMAIL>', 'g'),
+      |  chr(1) || 'PHONE' || chr(1), '<PHONE>', 'g') AS t FROM c5)
+      |SELECT doc_id, t AS cleaned, md5(t) AS clean_md5 FROM c6""".stripMargin
 
   /** Text quality signals + composite score — pure per-row expressions. */
   val q20: QueryFn = (s, d) => {
