@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.service.BuiltinTransformations.registry
+
+/** Direct coverage for every built-in named custom transformation: each
+  * entry is invoked exactly the way `pipeCustomTransformations` does —
+  * `registry(name)(df, kwargs)` with YAML-typed kwargs (Long for ints,
+  * nested maps for maps) — so a config key that parses is guaranteed to
+  * execute. The YAML-to-pipeline path itself is covered by PipelineE2E's
+  * golden curation case. */
+class BuiltinTransformationsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog today", 10L),
+    (2L, "en", "the quick brown fox jumps over the lazy dog today", 10L), // dup of 1
+    (3L, "de", "der hund und die katze sind heute nicht zusammen da", 10L),
+    (4L, "en", "completely different words about spark distributed engines maybe", 9L)
+  ).toDF("doc_id", "lang", "text", "n_tokens")
+
+  test("exact_dedup keeps min id per duplicate text") {
+    val out = registry("exact_dedup")(docs,
+      Map("id_col" -> "doc_id", "text_col" -> "text"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash_near_dup drops the higher id of each candidate pair") {
+    val out = registry("minhash_near_dup")(docs,
+      Map("id_col" -> "doc_id", "text_col" -> "text", "shingle_k" -> 2L))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("clean_text writes to out_col when given, in place otherwise") {
+    val dirty = Seq((1L, "see <b>https://x.io/a</b> now")).toDF("doc_id", "text")
+    val inPlace = registry("clean_text")(dirty, Map("text_col" -> "text"))
+      .select("text").as[String].head()
+    assert(inPlace == "see <URL> now")
+    val toCol = registry("clean_text")(dirty,
+      Map("text_col" -> "text", "out_col" -> "clean"))
+    assert(toCol.columns.contains("clean") &&
+      toCol.select("text").as[String].head().contains("<b>"), "original untouched")
+  }
+
+  test("stratified_sample applies per-stratum fractions (YAML-typed map)") {
+    val out = registry("stratified_sample")(docs,
+      Map("id_col" -> "doc_id", "strata_col" -> "lang",
+        "fractions" -> Map("en" -> 1.0))) // de absent -> fraction 0
+    val langs = out.select("lang").as[String].collect()
+    assert(langs.nonEmpty && langs.forall(_ == "en"))
+  }
+
+  test("pack_sequences bins by token budget") {
+    val out = registry("pack_sequences")(docs,
+      Map("id_col" -> "doc_id", "token_col" -> "n_tokens",
+        "partition_col" -> "lang", "budget" -> 15L))
+    val bins = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(bins.size == 4 && bins.values.forall(_ >= 0))
+    // en stratum holds 29 tokens; at budget 15 the LAST doc starts at
+    // >= 19 whatever the (md5-derived) packing order, so bin 1 is reached
+    assert(out.filter(col("lang") === "en").select(max(col("bin"))).as[Long].head() == 1L)
+  }
+
+  test("decontaminate drops training docs contaminated by the eval corpus") {
+    val evalDir = java.nio.file.Files.createTempDirectory("graft-eval").toString
+    // eval set = doc 4's exact text: doc 4 is fully contaminated
+    Seq((100L, "completely different words about spark distributed engines maybe"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(evalDir)
+    val out = registry("decontaminate")(docs,
+      Map("id_col" -> "doc_id", "text_col" -> "text",
+        "eval_path" -> evalDir, "threshold" -> 0.8))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+}
