@@ -1405,21 +1405,35 @@ object Queries {
     * and quantile sketch, one pass, fixed memory. Sketch VALUES are
     * engine-specific, so the query outputs the sketch CONTRACT as
     * oracle-checkable booleans: the exact distinct count (which any engine
-    * reproduces) plus tolerance checks computed Spark-side against exact
-    * aggregates from the same single pass. The DuckDB twin emits the exact
-    * count and the booleans as literals; the hash comparison then verifies
-    * Spark's tolerance checks actually held. HLL rsd=0.01 against a 5%
-    * gate (5 sigma) and approx_percentile accuracy=1000 against a
-    * [p40,p60]/[p90,p99] band make the booleans deterministic in practice
-    * (sketches are deterministic for a fixed dataset). Scalar columns
-    * only — array outputs crash the driver's pandas harness (round-2/3
-    * lesson). */
-  val q64: QueryFn = (s, d) =>
-    tbl(s, d, "lineitem").agg(
-      countDistinct(col("l_orderkey")).as("exact_orders"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("__approx"),
+    * reproduces) plus tolerance checks computed Spark-side. The DuckDB
+    * twin emits the exact count and the booleans as literals; the hash
+    * comparison then verifies Spark's tolerance checks actually held. HLL
+    * rsd=0.01 against a 5% gate (5 sigma) and approx_percentile
+    * accuracy=1000 against a [p40,p60]/[p90,p99] band whose endpoints come
+    * from an accuracy=10000 sketch make the booleans deterministic in
+    * practice (sketches are deterministic for a fixed dataset). Scalar
+    * columns only — array outputs crash the driver's pandas harness
+    * (round-2/3 lesson). */
+  val q64: QueryFn = (s, d) => {
+    val li = tbl(s, d, "lineitem")
+    // THREE single-pass aggs, 1-row crossJoins: countDistinct is rewritten
+    // through an Expand, and dragging ANY other aggregate through that
+    // rewrite is catastrophic — measured at sf0.1: all four in one agg
+    // 48 s, countDistinct + the HLL alone 6.6 s, each agg separate ~0.5 s
+    // warm. Three scans of a cached-in-page-cache table beat one scan
+    // through a poisoned plan by 20x.
+    val exactCard = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    val approxCard = li.agg(approx_count_distinct(col("l_orderkey"), 0.01).as("__approx"))
+    // reference band endpoints from a 10x-tighter sketch (accuracy 10000,
+    // worst-case rank error 0.01% << the p40..p60 band it bounds): exact
+    // `percentile` materializes a value->count map per partition — the
+    // 100 TB anti-pattern this query exists to avoid, and the slow half
+    // of the single-agg formulation
+    val quants = li.agg(
       expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("__qs"),
-      expr("percentile(l_extendedprice, array(0.40, 0.60, 0.90, 0.99))").as("__ex"))
+      expr("approx_percentile(l_extendedprice, array(0.40, 0.60, 0.90, 0.99), 10000)")
+        .as("__ex"))
+    exactCard.crossJoin(approxCard).crossJoin(quants)
       .select(
         col("exact_orders"),
         (abs(col("__approx") - col("exact_orders")).cast("double") / col("exact_orders")
@@ -1428,6 +1442,7 @@ object Queries {
           .between(element_at(col("__ex"), 1), element_at(col("__ex"), 2)).as("p50_ok"),
         element_at(col("__qs"), 2)
           .between(element_at(col("__ex"), 3), element_at(col("__ex"), 4)).as("p95_ok"))
+  }
 
   val q64Sql: String =
     """SELECT count(DISTINCT l_orderkey) AS exact_orders,
