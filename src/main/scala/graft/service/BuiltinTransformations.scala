@@ -3,7 +3,7 @@ package graft.service
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, TextClean}
+import graft.operators.{Curation, Dedup, TextAnalysis, TextClean}
 import graft.stages.Transforms.CustomFn
 
 /** Built-in named custom transformations: the LLM-curation operators as
@@ -50,7 +50,10 @@ object BuiltinTransformations {
     "clean_text" -> cleanText,
     "decontaminate" -> decontaminate,
     "pack_sequences" -> packSequences,
-    "stratified_sample" -> stratifiedSample
+    "stratified_sample" -> stratifiedSample,
+    "lang_id" -> langId,
+    "text_stats" -> textStats,
+    "doc_fingerprint" -> docFingerprint
   )
 
   // ---------------------------------------------------------------- fns
@@ -172,6 +175,32 @@ object BuiltinTransformations {
       reqStr("stratified_sample", kw, "strata_col"),
       fractions)
   }
+
+  /** `lang_id(text_col, out_col=lang_pred)` — n-gram-marker language ID
+    * ([[TextAnalysis.langId]]); downstream stages can filter on it. */
+  private def langId: CustomFn = (df, kw) =>
+    df.withColumn(strKw("lang_id", kw, "out_col", "lang_pred"),
+      TextAnalysis.langId(col(reqStr("lang_id", kw, "text_col"))))
+
+  /** `text_stats(text_col, prefix="")` — token count + quality signal
+    * columns (`n_tokens`, `punct_ratio`, `digit_ratio`, `quality_score`),
+    * optionally name-prefixed ([[TextAnalysis.qualitySignals]]). */
+  private def textStats: CustomFn = (df, kw) => {
+    val text = col(reqStr("text_stats", kw, "text_col"))
+    val prefix = strKw("text_stats", kw, "prefix", "")
+    val sig = TextAnalysis.qualitySignals(text)
+    df.withColumn(s"${prefix}n_tokens", sig("n_tokens"))
+      .withColumn(s"${prefix}punct_ratio", sig("punct_ratio"))
+      .withColumn(s"${prefix}digit_ratio", sig("digit_ratio"))
+      .withColumn(s"${prefix}quality_score", TextAnalysis.qualityScore(text))
+  }
+
+  /** `doc_fingerprint(text_col, out_col=fingerprint)` — normalized md5
+    * content fingerprint ([[TextAnalysis.fingerprint]]), the join key for
+    * exact dedup across runs/engines. */
+  private def docFingerprint: CustomFn = (df, kw) =>
+    df.withColumn(strKw("doc_fingerprint", kw, "out_col", "fingerprint"),
+      TextAnalysis.fingerprint(col(reqStr("doc_fingerprint", kw, "text_col"))))
 
   // ------------------------------------------------------- kwarg coercion
 

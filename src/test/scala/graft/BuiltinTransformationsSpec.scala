@@ -65,6 +65,22 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(out.filter(col("lang") === "en").select(max(col("bin"))).as[Long].head() == 1L)
   }
 
+  test("lang_id / text_stats / doc_fingerprint append the expected columns") {
+    val out1 = registry("lang_id")(docs, Map("text_col" -> "text"))
+    val preds = out1.select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en" && preds(3L) == "de")
+    val out2 = registry("text_stats")(docs,
+      Map("text_col" -> "text", "prefix" -> "ts_"))
+    assert(Seq("ts_n_tokens", "ts_punct_ratio", "ts_digit_ratio", "ts_quality_score")
+      .forall(out2.columns.contains))
+    assert(out2.filter(col("doc_id") === 1L).select("ts_n_tokens").as[Int].head() == 10)
+    val out3 = registry("doc_fingerprint")(docs, Map("text_col" -> "text"))
+    val fps = out3.select("doc_id", "fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(4L), "fingerprint keys exact dedup")
+  }
+
   test("decontaminate drops training docs contaminated by the eval corpus") {
     val evalDir = java.nio.file.Files.createTempDirectory("graft-eval").toString
     // eval set = doc 4's exact text: doc 4 is fully contaminated
