@@ -141,4 +141,18 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(p.contains("*(1)"), s"$q must run inside codegen:\n$p")
     }
   }
+
+  test("q64: no aggregate mixes the distinct rewrite with the sketches") {
+    // countDistinct in the SAME agg as approx_count_distinct/
+    // approx_percentile drags the sketches through the Expand-based
+    // distinct rewrite: measured 48 s vs ~1 s at sf0.1 (round 7). The
+    // query must keep them in separate 1-row aggregates.
+    val p = plan("q64_approx_sketches")
+    val mixed = p.linesIterator.exists(l =>
+      l.contains("Expand") && (l.contains("percentile") || l.contains("HyperLogLog")))
+    assert(!mixed, s"sketch aggregate routed through the distinct Expand:\n$p")
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r.findAllIn(p).nonEmpty)
+    // each side stays a scalar: the join of 1-row frames must broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), s"1-row aggs must broadcast-join:\n$p")
+  }
 }
