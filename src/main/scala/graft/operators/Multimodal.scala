@@ -76,32 +76,80 @@ object Multimodal {
       }
   }
 
+  /** Decode bomb guard: a malformed-or-hostile header can declare huge
+    * dimensions from a tiny payload; `ImageIO.read` would allocate the
+    * full raster and OOM the executor. 64 MP (≈256 MB as INT_RGB) is far
+    * above any legitimate crawl thumbnail and far below executor heap. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** REAL image decode via `javax.imageio` (JDK built-in): dimensions,
     * raster band count, and mean sample intensity over every (pixel, band).
     * Returns None for payloads no registered reader accepts — callers
     * choose drop vs mark. Pure JVM, no native libs, safe on executors
-    * (ImageIO never needs a display). */
-  def imageIoDecode(id: Long, content: Array[Byte]): Option[ImageFeatures] = {
-    if (content.isEmpty) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
-    Option(img).map { i =>
-      val raster = i.getRaster
-      val (w, h, bands) = (i.getWidth, i.getHeight, raster.getNumBands)
-      var sum = 0.0
-      var b = 0
-      while (b < bands) {
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += raster.getSampleDouble(x, y, b); x += 1 }
-          y += 1
+    * (ImageIO never needs a display).
+    *
+    * Poisoned-record safety (one bad record must not kill a curation job):
+    *   - dimensions are PEEKED from the reader header before any raster
+    *     allocation; images over `maxPixels` are rejected un-decoded
+    *     (decompression-bomb guard);
+    *   - ANY non-fatal throw is treated as undecodable — ImageIO plugin
+    *     readers are known to throw RuntimeExceptions (ArrayIndexOutOf-
+    *     Bounds, IllegalArgument, NegativeArraySize) on malformed-but-
+    *     recognized payloads, not just IOException;
+    *   - palette-indexed images (GIF, palette PNG) are converted through
+    *     their ColorModel to RGB before sampling — raw raster samples
+    *     there are palette INDICES, and a mean index is not an intensity.
+    *     Converted images therefore report channels=3. */
+  def imageIoDecode(id: Long, content: Array[Byte],
+      maxPixels: Long = MaxDecodePixels): Option[ImageFeatures] = {
+    if (content.isEmpty) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // header-only peek: no raster exists yet, so a bomb's declared
+            // dims cost nothing to inspect
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+            else Option(reader.read(0)).map(rasterFeatures(id, _))
+          } finally reader.dispose()
         }
-        b += 1
-      }
-      ImageFeatures(id, w, h, bands, sum / (w.toLong * h * bands))
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Mean-intensity features over a decoded image; indexed color models
+    * are rerouted through an RGB copy first (see [[imageIoDecode]]). */
+  private def rasterFeatures(id: Long, decoded: java.awt.image.BufferedImage): ImageFeatures = {
+    val img = decoded.getColorModel match {
+      case _: java.awt.image.IndexColorModel =>
+        val conv = new java.awt.image.BufferedImage(
+          decoded.getWidth, decoded.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = conv.createGraphics()
+        try g.drawImage(decoded, 0, 0, null) finally g.dispose()
+        conv
+      case _ => decoded
     }
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    var sum = 0.0
+    var b = 0
+    while (b < bands) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSampleDouble(x, y, b); x += 1 }
+        y += 1
+      }
+      b += 1
+    }
+    ImageFeatures(id, w, h, bands, sum / (w.toLong * h * bands))
   }
 
   /** [[decodeImages]] with the REAL `javax.imageio` codec: same

@@ -65,9 +65,18 @@ object TextClean {
     * `\u0001` (SOH) sentinel (a byte no pattern here touches) for the duration
     * of the pass and restored at the end; lookahead in the strip regex
     * would be the compact alternative but RE2 (the oracle engine) has
-    * none, per the portability header. */
+    * none, per the portability header.
+    *
+    * Raw SOH bytes already present in the INPUT (possible in crawl data)
+    * are stripped first — otherwise corpus text that happens to contain a
+    * SOH-wrapped placeholder word (e.g. literal SOH+"URL"+SOH) would be
+    * rewritten to `<URL>` by the restore step, fabricating a redaction
+    * marker that never happened. SOH is a C0 control byte with no textual
+    * meaning, so deleting it is itself a legitimate cleaning step; the
+    * q19 oracle mirrors the strip. */
   def cleanAll(text: Column): Column = {
-    val shielded = Placeholders.foldLeft(text) { (c, p) =>
+    val deSoh = regexp_replace(text, "\\u0001", "")
+    val shielded = Placeholders.foldLeft(deSoh) { (c, p) =>
       regexp_replace(c, s"<$p>", s"\u0001$p\u0001")
     }
     val cleaned = trim(regexp_replace(

@@ -300,6 +300,12 @@ object Queries {
   val q15: QueryFn = (s, d) => {
     val nation = tbl(s, d, "nation")
     val dirty = nation.withColumn("n_name", lit(null).cast("string"))
+    // countDistinct alongside plain aggregates triggers Catalyst's
+    // Expand-based distinct rewrite — the exact plan cliff q64 splits
+    // three ways to dodge (20-50x there). Acceptable HERE because the
+    // input is the 25-row nation table doubled: Expand over 50 rows is
+    // nanoseconds. Do not copy this shape onto a large frame; see q64 and
+    // PlanQualitySpec's sketch-not-under-Expand lock.
     Transforms.addHashCol(nation.unionByName(dirty)).agg(
       count(lit(1)).as("n_rows"),
       count(when(col("n_name").isNull, 1)).as("n_null_rows"),
@@ -422,10 +428,11 @@ object Queries {
       |    || CAST(doc_id AS VARCHAR) || '@mail.example.org or 555-867-530'
       |    || CAST(doc_id % 10 AS VARCHAR)
       |    || ' see https://example.com/p?doc=' || CAST(doc_id AS VARCHAR) AS t FROM documents),
+      |s0 AS (SELECT doc_id, replace(t, chr(1), '') AS t FROM dirty),
       |sh AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
       |  '<URL>', chr(1) || 'URL' || chr(1), 'g'),
       |  '<EMAIL>', chr(1) || 'EMAIL' || chr(1), 'g'),
-      |  '<PHONE>', chr(1) || 'PHONE' || chr(1), 'g') AS t FROM dirty),
+      |  '<PHONE>', chr(1) || 'PHONE' || chr(1), 'g') AS t FROM s0),
       |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'), '[ \t\n\f\r]+', ' ', 'g') AS t FROM sh),
       |c2 AS (SELECT doc_id, regexp_replace(t, 'https?://[^ \t\n]+', '<URL>', 'g') AS t FROM c1),
       |c3 AS (SELECT doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t FROM c2),

@@ -300,6 +300,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImagesReal(junk, "doc_id", "content").count() == 0)
   }
 
+  test("multimodal: palette-indexed images sample COLORS, not palette indices") {
+    // 4x4 image whose every pixel is palette index 0, with index 0 mapping
+    // to gray (200,200,200): a raw raster read would report mean 0 (the
+    // index); the ColorModel-aware path must report 200 (the color)
+    val palette = new java.awt.image.IndexColorModel(8, 2,
+      Array[Byte](200.toByte, 50.toByte), // reds
+      Array[Byte](200.toByte, 50.toByte), // greens
+      Array[Byte](200.toByte, 50.toByte)) // blues
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+    // pixels default to index 0 — assert so, then keep them
+    assert(img.getRaster.getSample(0, 0, 0) == 0)
+    for (fmt <- Seq("png", "gif")) {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must ship a $fmt writer")
+      val f = Multimodal.imageIoDecode(1L, out.toByteArray).get
+      assert(f.width == 4 && f.height == 4)
+      assert(f.channels == 3, s"$fmt: indexed images are rerouted through RGB")
+      assert(f.mean_intensity == 200.0,
+        s"$fmt: mean must be the palette COLOR (200), not the index (0): ${f.mean_intensity}")
+    }
+  }
+
+  test("multimodal: decompression-bomb header is rejected by the peek, not decoded") {
+    // take a real 10x10 PNG and rewrite its IHDR to declare 2^30 x 2^30
+    // pixels (with a valid CRC, so the header parses): ImageIO.read would
+    // try to allocate the raster; the header peek must reject it first
+    val img = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val bytes = out.toByteArray
+    // PNG layout: 8-sig | 4-len | "IHDR" | w(4) h(4) ... | crc over type+data
+    def putInt(off: Int, v: Int): Unit = {
+      bytes(off) = (v >>> 24).toByte; bytes(off + 1) = (v >>> 16).toByte
+      bytes(off + 2) = (v >>> 8).toByte; bytes(off + 3) = v.toByte
+    }
+    putInt(16, 1 << 30) // width
+    putInt(20, 1 << 30) // height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 12, 4 + 13) // chunk type + IHDR data
+    putInt(12 + 4 + 13, crc.getValue.toInt)
+    assert(Multimodal.imageIoDecode(1L, bytes).isEmpty,
+      "declared 2^60 pixels must be rejected un-decoded")
+    // and the default cap still admits ordinary images (the 10x10 original)
+    assert(Multimodal.imageIoDecode(1L, out.toByteArray).isDefined)
+  }
+
   test("fuzzyDedup keeps one exemplar per transitive cluster, not per pair") {
     // chain a~b, b~c (all near-dups): pair-drop would remove b AND c;
     // cluster-min keeps exactly doc 0 of {0,1,2} and all of the rest

@@ -40,6 +40,17 @@ class TextCleanSpec extends AnyFunSuite {
     assert(clean(doc) == "Contact <EMAIL> via <URL> or <PHONE>")
   }
 
+  test("raw SOH in the input cannot fabricate a redaction marker") {
+    // crawl text containing a literal SOH-wrapped placeholder word would
+    // collide with the idempotence shield and be "restored" to <URL>;
+    // the input-side SOH strip prevents the fabrication
+    val soh = 1.toChar
+    val doc = s"see ${soh}URL${soh} and normal words here"
+    assert(clean(doc) == "see URL and normal words here")
+    // genuine placeholders still survive a second pass untouched
+    assert(clean(clean(doc)) == clean(doc))
+  }
+
   test("quality filter fires each rule on a targeted fixture") {
     val fixtures = Seq(
       (1L, "a good plain sentence with enough simple words to pass every rule fine"),
