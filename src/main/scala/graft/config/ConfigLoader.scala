@@ -21,10 +21,13 @@ object YamlParse {
 
   /** Parse a YAML document produced by [[YamlEmit]] (or hand-written in the
     * same subset). Maps come back as insertion-ordered `ListMap` — key order
-    * is semantic (column-creation order is observable in output schemas). */
+    * is semantic (column-creation order is observable in output schemas).
+    * Inline ` # comment` tails are stripped (hand-written configs annotate
+    * stages that way); safe for the round trip because [[YamlEmit]] quotes
+    * every string containing `#`. */
   def parse(text: String): Any = {
     val lines = text.linesIterator.zipWithIndex
-      .map { case (l, i) => (l, i + 1) }
+      .map { case (l, i) => (stripInlineComment(l), i + 1) }
       .filter { case (l, _) =>
         val t = l.trim
         t.nonEmpty && !t.startsWith("#")
@@ -48,6 +51,25 @@ object YamlParse {
   }
 
   private final case class Line(depth: Int, content: String, n: Int)
+
+  /** Cut an unquoted `# ...` tail: a comment starts at `#` at line start or
+    * preceded by whitespace, outside double quotes (YAML's rule — `a#b` is
+    * one scalar, `a #b` is `a` plus a comment). */
+  private def stripInlineComment(l: String): String = {
+    var i = 0
+    var inQuote = false
+    while (i < l.length) {
+      val c = l(i)
+      if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == '"') inQuote = false
+      } else if (c == '"') inQuote = true
+      else if (c == '#' && (i == 0 || l(i - 1) == ' ' || l(i - 1) == '\t'))
+        return l.substring(0, i)
+      i += 1
+    }
+    l
+  }
 
   /** Parse the block starting at `i` whose lines sit at `depth`; returns
     * (value, next index). */

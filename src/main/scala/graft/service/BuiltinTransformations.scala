@@ -3,6 +3,7 @@ package graft.service
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.io.{GraftIO, SparkIO}
 import graft.operators.{Curation, Dedup, TextAnalysis, TextClean}
 import graft.stages.Transforms.CustomFn
 
@@ -40,21 +41,29 @@ import graft.stages.Transforms.CustomFn
   */
 object BuiltinTransformations {
 
-  /** Default registry, merged under the caller's `customFns` by
-    * [[Pipeline.runPipeline]]. */
-  val registry: Map[String, CustomFn] = Map(
+  /** Registry bound to an explicit IO seam: the one builtin that reads a
+    * SECOND input (`decontaminate`'s eval corpus) goes through `io`, so a
+    * `FakeIO`-hermetic test can inject the corpus without touching the
+    * filesystem — the same ports-and-adapters discipline the rest of the
+    * pipeline honors (reference: adapters/io_pl.py:28-36).
+    * [[graft.service.Pipeline.runPipeline]] threads its own io handle. */
+  def registryWith(io: GraftIO): Map[String, CustomFn] = Map(
     "exact_dedup" -> exactDedup,
     "fuzzy_dedup" -> fuzzyDedup,
     "minhash_near_dup" -> minhashNearDup,
     "quality_filter" -> qualityFilter,
     "clean_text" -> cleanText,
-    "decontaminate" -> decontaminate,
+    "decontaminate" -> decontaminate(io),
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
     "text_stats" -> textStats,
     "doc_fingerprint" -> docFingerprint
   )
+
+  /** Default registry on the real filesystem adapter — for direct
+    * programmatic callers and config-only use outside `runPipeline`. */
+  val registry: Map[String, CustomFn] = registryWith(new SparkIO)
 
   // ---------------------------------------------------------------- fns
 
@@ -130,11 +139,11 @@ object BuiltinTransformations {
     * corpus at `eval_path` reaches `threshold`
     * ([[Curation.ngramContamination]] with the frames swapped: the probe
     * set here is the training doc, the membership set the eval corpus). */
-  private def decontaminate: CustomFn = (df, kw) => {
+  private def decontaminate(io: GraftIO): CustomFn = (df, kw) => {
     val idCol = reqStr("decontaminate", kw, "id_col")
-    val evalDf = df.sparkSession.read
-      .format(strKw("decontaminate", kw, "eval_file_type", "parquet"))
-      .load(reqStr("decontaminate", kw, "eval_path"))
+    val evalDf = io.read(df.sparkSession,
+      reqStr("decontaminate", kw, "eval_path"),
+      strKw("decontaminate", kw, "eval_file_type", "parquet"))
     val cont = Curation.ngramContamination(
       train = evalDf,
       eval = df,

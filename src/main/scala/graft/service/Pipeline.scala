@@ -89,7 +89,7 @@ object Pipeline {
       .transform(Transforms.pipeCustomTransformations(
         // builtins first, caller's registry shadows by name — a YAML config
         // alone can invoke fuzzy_dedup / quality_filter / decontaminate etc.
-        BuiltinTransformations.registry ++ customFns, cfg.customTransformations))
+        BuiltinTransformations.registryWith(io) ++ customFns, cfg.customTransformations))
       .transform(Transforms.finalSelect(cfg.selectCols))
       .transform(Transforms.standardiseColNames)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -81,6 +81,21 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(4L), "fingerprint keys exact dedup")
   }
 
+  test("decontaminate reads the eval corpus through the IO seam (FakeIO, no filesystem)") {
+    // the eval corpus is a SECOND pipeline input and must honor the same
+    // ports-and-adapters seam as the primary source: a hermetic test
+    // injects it in memory — zero temp files (VERDICT r7 #7)
+    val io = new graft.io.FakeIO()
+    io.frames.put("/eval/bench.parquet",
+      Seq((100L, "completely different words about spark distributed engines maybe"))
+        .toDF("doc_id", "text"))
+    val out = graft.service.BuiltinTransformations.registryWith(io)("decontaminate")(
+      docs,
+      Map("id_col" -> "doc_id", "text_col" -> "text",
+        "eval_path" -> "/eval/bench.parquet", "threshold" -> 0.8))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("decontaminate drops training docs contaminated by the eval corpus") {
     val evalDir = java.nio.file.Files.createTempDirectory("graft-eval").toString
     // eval set = doc 4's exact text: doc 4 is fully contaminated

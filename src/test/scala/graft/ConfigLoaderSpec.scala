@@ -109,6 +109,16 @@ class ConfigLoaderSpec extends AnyFunSuite {
     }
   }
 
+  test("inline comments are stripped outside quotes, kept inside them") {
+    val parsed = YamlParse.parse(
+      """a: 1          # trailing comment
+        |b: "kept # not a comment"
+        |c: plain#glued   # YAML: '#' without preceding space is scalar text
+        |""".stripMargin)
+    assert(parsed == scala.collection.immutable.ListMap(
+      "a" -> 1L, "b" -> "kept # not a comment", "c" -> "plain#glued"))
+  }
+
   test("mis-indented YAML errors instead of silently dropping trailing keys") {
     val bad =
       """process_name: p

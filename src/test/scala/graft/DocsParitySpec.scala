@@ -43,4 +43,35 @@ class DocsParitySpec extends AnyFunSuite {
          |  docs : ${docs.mkString(", ")}
          |Update the README list to match the chain (order matters).""".stripMargin)
   }
+
+  /** README section text between `## <title>` and the next `## `. */
+  private def section(title: String): String =
+    read("README.md").split(s"## $title", 2) match {
+      case Array(_, rest) => rest.split("\n## ", 2).head
+      case _ => fail(s"README.md has no '## $title' section")
+    }
+
+  test("README built-in transformation list matches BuiltinTransformations.registry exactly") {
+    val documented = "(?m)^- `([a-z0-9_]+)`".r
+      .findAllMatchIn(section("YAML-only curation pipeline"))
+      .map(_.group(1)).toSet
+    val registered = graft.service.BuiltinTransformations.registry.keySet
+    assert(documented == registered,
+      s"""README '### Built-in transformations' drifted from the registry.
+         |  documented only : ${(documented -- registered).toSeq.sorted.mkString(", ")}
+         |  registered only : ${(registered -- documented).toSeq.sorted.mkString(", ")}
+         |Add/remove the bullet(s) to match BuiltinTransformations.registry.""".stripMargin)
+  }
+
+  test("README curation YAML parses and every custom transformation resolves to a builtin") {
+    val block = "(?s)```yaml\\n(.*?)```".r
+      .findFirstMatchIn(section("YAML-only curation pipeline"))
+      .getOrElse(fail("no ```yaml block in the curation section")).group(1)
+    val cfg = graft.config.ConfigLoader.fromYaml(block)
+    val used = cfg.customTransformations.map(_._1)
+    assert(used.nonEmpty, "the documented pipeline must exercise custom transformations")
+    val unknown = used.filterNot(graft.service.BuiltinTransformations.registry.contains)
+    assert(unknown.isEmpty,
+      s"README YAML names non-builtin transformations: ${unknown.mkString(", ")}")
+  }
 }

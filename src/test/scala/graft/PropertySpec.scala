@@ -146,6 +146,132 @@ class PropertySpec extends AnyFunSuite {
     check(prop, 6)
   }
 
+  // ---------------------------------------- builtin registry contract
+
+  /** One kwarg's generator slots: a value the fn accepts and a value whose
+    * TYPE the coercion layer must reject with the kwarg's name. */
+  private case class KwSpec(key: String, required: Boolean,
+      valid: Gen[Any], wrong: Gen[Any])
+
+  private val junkMap: Any = scala.collection.immutable.ListMap("x" -> 1L)
+  private val wrongForStr: Gen[Any] = Gen.oneOf[Any](42L, 1.5, true, junkMap, null)
+  private val wrongForInt: Gen[Any] = Gen.oneOf[Any]("junk", 1.5, true, junkMap, null)
+  private val wrongForNum: Gen[Any] = Gen.oneOf[Any]("junk", true, junkMap, null)
+  private val wrongForMap: Gen[Any] = Gen.oneOf[Any]("junk", 42L, true, null)
+
+  /** Kwarg universe per builtin. Column-name kwargs draw from REAL columns
+    * of the probe frame (a missing column is a legitimate analysis error,
+    * not a coercion bug); numeric kwargs draw values that satisfy operator
+    * invariants (bands | num_hashes, budget > 0) so the only failure the
+    * wrong-slot can trigger is the typed-coercion one. */
+  private def builtinKwSpecs(evalPath: String): Map[String, Seq[KwSpec]] = {
+    def req(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, true, valid, wrong)
+    def opt(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, false, valid, wrong)
+    val idCol = req("id_col", Gen.const("doc_id"), wrongForStr)
+    val textCol = req("text_col", Gen.const("text"), wrongForStr)
+    val shingleK = opt("shingle_k", Gen.chooseNum(1, 5).map(_.toLong), wrongForInt)
+    // (num_hashes, bands) pairs all satisfy bands | num_hashes
+    val hashesBands = Seq(
+      opt("num_hashes", Gen.oneOf(8L, 16L), wrongForInt),
+      opt("bands", Gen.oneOf(4L, 8L), wrongForInt),
+      opt("max_bucket", Gen.oneOf(100L, 10000L), wrongForInt))
+    Map(
+      "exact_dedup" -> Seq(idCol, textCol),
+      "fuzzy_dedup" -> (Seq(idCol, textCol, shingleK) ++ hashesBands),
+      "minhash_near_dup" -> (Seq(idCol, textCol, shingleK) ++ hashesBands),
+      "quality_filter" -> Seq(textCol,
+        opt("min_tokens", Gen.oneOf(0L, 5L), wrongForInt),
+        opt("max_tokens", Gen.oneOf(100L, 100000L), wrongForInt),
+        opt("max_punct_ratio", Gen.chooseNum(0.1, 1.0), wrongForNum),
+        opt("max_digit_ratio", Gen.chooseNum(0.1, 1.0), wrongForNum),
+        opt("min_score", Gen.chooseNum(0.0, 0.5), wrongForNum),
+        opt("action", Gen.oneOf[Any]("filter", "flag"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_action"))),
+      "clean_text" -> Seq(textCol, opt("out_col", Gen.const("cleaned"), wrongForStr)),
+      "decontaminate" -> Seq(
+        req("eval_path", Gen.const(evalPath), wrongForStr),
+        idCol, textCol, shingleK,
+        opt("threshold", Gen.chooseNum(0.1, 1.0), wrongForNum),
+        opt("eval_file_type", Gen.const("parquet"), wrongForStr)),
+      "pack_sequences" -> Seq(idCol,
+        req("token_col", Gen.const("n_tok"), wrongForStr),
+        req("partition_col", Gen.const("lang"), wrongForStr),
+        req("budget", Gen.oneOf(8L, 4096L), wrongForInt)),
+      "stratified_sample" -> Seq(idCol,
+        req("strata_col", Gen.const("lang"), wrongForStr),
+        req("fractions",
+          Gen.oneOf[Any](
+            scala.collection.immutable.ListMap("en" -> 0.5, "fr" -> 1.0),
+            scala.collection.immutable.ListMap("en" -> 0.0)),
+          wrongForMap)),
+      "lang_id" -> Seq(textCol, opt("out_col", Gen.const("lp"), wrongForStr)),
+      "text_stats" -> Seq(textCol, opt("prefix", Gen.oneOf("", "ts_"), wrongForStr)),
+      "doc_fingerprint" -> Seq(textCol, opt("out_col", Gen.const("fp"), wrongForStr))
+    )
+  }
+
+  test("property: every builtin either plan-builds or throws a kwarg-naming IAE") {
+    // the YAML surface's failure contract (VERDICT r7 #6): a typo'd or
+    // wrong-typed kwarg must die at pipeline BUILD with the kwarg's name —
+    // never as a ClassCastException / MatchError / Spark internal from deep
+    // inside a plan. Valid kwargs must analyze clean.
+    import graft.service.BuiltinTransformations
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the dog", "en", 8L),
+      (2L, "le renard brun rapide saute par dessus", "fr", 7L),
+      (3L, "the quick brown fox jumps over the dog", "en", 8L),
+      (4L, "spark engines shuffle data across executors", "en", 6L)
+    ).toDF("doc_id", "text", "lang", "n_tok")
+    val evalDir = java.nio.file.Files.createTempDirectory("prop_eval")
+      .resolve("eval.parquet").toString
+    Seq((100L, "the quick brown fox jumps over the dog"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(evalDir)
+    val specs = builtinKwSpecs(evalDir)
+    assert(specs.keySet == BuiltinTransformations.registry.keySet,
+      "kwarg spec table must cover the registry exactly — update on add/remove")
+
+    // one generated call: pick a builtin, then per kwarg pick valid (60%),
+    // wrong-typed (25%), or omitted (15%); sometimes add an unknown kwarg
+    // (must be ignored, like the reference's from_dict key-filtering)
+    def slotGen(ks: KwSpec): Gen[(String, Option[Any], Boolean)] =
+      Gen.chooseNum(1, 100).flatMap {
+        case p if p <= 60 => ks.valid.map(v => (ks.key, Option(v), true))
+        case p if p <= 85 => ks.wrong.map(v => (ks.key, Option(v), false))
+        case _ => Gen.const((ks.key, None, !ks.required))
+      }
+    val callGen: Gen[(String, Map[String, Any], Boolean)] = for {
+      name <- Gen.oneOf(specs.keys.toSeq)
+      slots <- specs(name).foldLeft(Gen.const(List.empty[(String, Option[Any], Boolean)])) {
+        (acc, ks) => for { l <- acc; s <- slotGen(ks) } yield l :+ s
+      }
+      extra <- Gen.option(Gen.const("bogus_kwarg" -> (7L: Any)))
+    } yield {
+      // wrong-slot nulls surface as Some(null) -> kwargs carry an explicit
+      // null, which the coercion layer treats as absent (missing-kwarg IAE
+      // for required keys, default for optional ones) — both acceptable
+      val kwargs = slots.collect { case (k, Some(v), _) => k -> v }.toMap ++ extra
+      (name, kwargs, slots.forall(_._3))
+    }
+
+    val prop = Prop.forAll(callGen) { case (name, kwargs, allValid) =>
+      val fn = BuiltinTransformations.registry(name)
+      try {
+        fn(df, kwargs).schema // force analysis, no job
+        true // plan-builds — acceptable for valid AND for benign wrong combos
+      } catch {
+        case e: IllegalArgumentException if !allValid =>
+          val msg = Option(e.getMessage).getOrElse("").toLowerCase.replace("_", "")
+          val names = (name +: kwargs.keys.toSeq).map(_.toLowerCase.replace("_", ""))
+          names.exists(msg.contains) ||
+            sys.error(s"IAE without a kwarg/fn name for $name($kwargs): ${e.getMessage}")
+        case e: Throwable =>
+          sys.error(s"contract violation for $name($kwargs) [allValid=$allValid]: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    check(prop, 60)
+  }
+
   // ------------------------------------------------- YAML round trip
 
   private val yKey: Gen[String] = Gen.chooseNum(1, 10)
