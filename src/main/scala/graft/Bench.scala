@@ -23,9 +23,9 @@ import org.apache.spark.sql.SparkSession
   *   - `load_avg_start` / `load_avg_end`: 1-min system load average
   *     around the run (a load far above the core count = contended box);
   *   - `ts_start` / `ts_end`: epoch-second wall-clock bounds;
-  *   - `calibration_sec`: a fixed pure-CPU task (`spark.range(1e9)`
+  *   - `calibration_sec`: a fixed pure-CPU task (single-partition range
   *     sum, min-of-3 after one warm-up) timed before the queries. Its
-  *     idle-box value is stable (measured 0.20 s at local[32] on this
+  *     idle-box value is stable (measured 0.30 s single-task on this
   *     machine; override with `SPARK_GRAFT_CALIBRATION_IDLE_SEC`);
   *   - `contaminated`: true when calibration exceeds 2x the idle
   *     reference — the run's totals must not be read as a trend.
@@ -41,13 +41,17 @@ object Bench {
   private val StreamingQueries: Set[String] =
     Set("q40_stream_window", "q61_stream_dedup", "q75_stream_stream_join")
 
-  /** Pure-CPU calibration: one warm-up then min-of-3 of summing a 1e9
-    * range — whole-stage-codegen loop, no IO, no shuffle, so its runtime
-    * moves only with CPU availability. */
+  /** Pure-CPU calibration: one warm-up then min-of-3 of summing a 2e8
+    * range in a SINGLE partition — one task on one core, so the idle
+    * value is independent of `SPARK_GRAFT_CPUS` (a parallel range would
+    * read "contended" whenever the run uses fewer cores than the idle
+    * reference was measured with). Whole-stage-codegen loop, no IO, no
+    * shuffle: its runtime moves only with per-core CPU availability,
+    * which is exactly what box contention steals. */
   private def calibrate(spark: SparkSession): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      spark.range(1000000000L).selectExpr("sum(id)").collect()
+      spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     once() // warm-up: codegen compile + JIT
@@ -80,7 +84,7 @@ object Bench {
     val loadStart = osBean.getSystemLoadAverage
     val calibrationSec = calibrate(spark)
     val calibrationIdle =
-      sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_IDLE_SEC", "0.20").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_IDLE_SEC", "0.30").toDouble
     val contaminated = calibrationSec > 2.0 * calibrationIdle
     if (contaminated)
       System.err.println(
