@@ -451,4 +451,54 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (public recipe: Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with k-means, compare
+    * pairs ONLY within a cluster, and drop every row that has a LOWER-id
+    * cluster-mate with cosine >= `threshold`. Returns the surviving rows
+    * with their cluster id as `cell`.
+    *
+    * Semantics: pair-drop relative to the cluster (the paper keeps one
+    * exemplar per within-cluster duplicate group; lowest id is the
+    * deterministic choice here) — NOT transitive connected components
+    * across clusters; use [[fuzzyDedup]] when chain semantics are wanted.
+    *
+    * 100 TB shape: the only corpus-sized shuffles are the k-means
+    * assignment (map-only against broadcast centroids) and one hash
+    * repartition on `cell` for the within-cluster self-join — never a
+    * cross-cluster comparison, never a driver loop (centroids are the one
+    * k x dim `collect`, same as the IVF path). In practice k scales with
+    * the corpus (k ~ n / targetClusterSize), keeping clusters constant-
+    * sized; `maxCluster` is the same safety valve as the LSH `maxBucket`:
+    * clusters over the cap are excluded from pairing (their rows all
+    * survive) rather than detonating an f² join, and the cap check is one
+    * window pass on the already-shuffled cell key. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      threshold: Double,
+      maxCluster: Int = 10000
+  ): DataFrame = {
+    require(maxCluster > 1, "maxCluster must allow at least a pair")
+    val assigned = df
+      .withColumn("cell", Similarity.ivfCell(col(vecCol), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wcap = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val bounded = assigned
+      .select(col(idCol), col("cell"), col(vecCol).as("__v"))
+      .withColumn("__cn", count(lit(1)).over(wcap))
+      .filter(col("__cn") <= maxCluster)
+      .drop("__cn")
+    val drops = bounded.select(col(idCol).as("__id_keep"), col("cell"), col("__v").as("__va"))
+      .join(bounded.select(col(idCol).as("__id_drop"), col("cell"), col("__v").as("__vb")),
+        Seq("cell"))
+      .filter(col("__id_keep") < col("__id_drop") &&
+        round(Similarity.cosine(col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("__id_drop").as(idCol))
+      .distinct()
+    assigned.join(drops, Seq(idCol), "left_anti")
+  }
 }

@@ -1527,7 +1527,12 @@ object Queries {
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
   }
 
-  val q67Sql: String =
+  /** Shared oracle CTE chain for the k-means queries (q67, q93): one Lloyd
+    * iteration — seeds = the 8 lowest vec_ids, decimal-exact per-dimension
+    * means rounded to 6 (mirroring `kmeansUpdate`), ending in
+    * `a1(vec_id, cell)`, the assignment AFTER the update. `c` carries
+    * (vec_id, v DOUBLE[]). */
+  private val kmeansOracleCtes: String =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM c WHERE vec_id < 8),
       |s0 AS (SELECT c.vec_id, cid,
@@ -1546,7 +1551,10 @@ object Queries {
       |  FROM c CROSS JOIN cent1),
       |a1 AS (SELECT vec_id, cid AS cell FROM (
       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY score DESC, cid ASC) AS rn FROM s1) WHERE rn = 1)
+      |    ORDER BY score DESC, cid ASC) AS rn FROM s1) WHERE rn = 1)""".stripMargin
+
+  val q67Sql: String = kmeansOracleCtes +
+    """
       |SELECT cell, COUNT(*) AS n_members, MIN(vec_id) AS min_member
       |FROM a1 GROUP BY cell""".stripMargin
 
@@ -2206,6 +2214,29 @@ object Queries {
       |CAST((37 * doc_id) % 256 AS DOUBLE) AS mean_intensity
       |FROM documents""".stripMargin
 
+  /** Semantic dedup (SemDeDup): k-means cells (exactly the q67 fit) +
+    * within-cell cosine pair-drop, lowest id survives. Output = the
+    * surviving (vec_id, cell) rows. The oracle reuses q67's Lloyd CTE
+    * chain, forms the same within-cell pairs, and applies the identical
+    * round-to-6 cosine threshold (the q30 cross-engine parity recipe). */
+  val q93: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val trained = Similarity.kmeansFit(emb, "vec_id", "v", k = 8, iters = 1)
+    Dedup.semanticDedup(emb, "vec_id", "v", trained, threshold = 0.45)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  val q93Sql: String = kmeansOracleCtes +
+    """,
+      |drops AS (SELECT DISTINCT r.vec_id AS vid
+      |  FROM a1 l JOIN a1 r ON l.cell = r.cell AND l.vec_id < r.vec_id
+      |  JOIN c cl ON cl.vec_id = l.vec_id
+      |  JOIN c cr ON cr.vec_id = r.vec_id
+      |  WHERE round(list_dot_product(cl.v, cr.v) /
+      |    (sqrt(list_dot_product(cl.v, cl.v)) * sqrt(list_dot_product(cr.v, cr.v))), 6) >= 0.45)
+      |SELECT vec_id, cell FROM a1 WHERE vec_id NOT IN (SELECT vid FROM drops)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2302,6 +2333,7 @@ object Queries {
     ("q89_quality_filter", q89, Some(q89Sql)),
     ("q90_random_projection", q90, Some(q90Sql)),
     ("q91_int8_quantize", q91, Some(q91Sql)),
-    ("q92_image_decode_real", q92, Some(q92Sql))
+    ("q92_image_decode_real", q92, Some(q92Sql)),
+    ("q93_semantic_dedup", q93, Some(q93Sql))
   )
 }

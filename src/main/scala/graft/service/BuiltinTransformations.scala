@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.{GraftIO, SparkIO}
-import graft.operators.{Curation, Dedup, TextAnalysis, TextClean}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, TextClean}
 import graft.stages.Transforms.CustomFn
 
 /** Built-in named custom transformations: the LLM-curation operators as
@@ -51,6 +51,7 @@ object BuiltinTransformations {
     "exact_dedup" -> exactDedup,
     "fuzzy_dedup" -> fuzzyDedup,
     "minhash_near_dup" -> minhashNearDup,
+    "semantic_dedup" -> semanticDedup,
     "quality_filter" -> qualityFilter,
     "clean_text" -> cleanText,
     "decontaminate" -> decontaminate(io),
@@ -100,6 +101,25 @@ object BuiltinTransformations {
       bands = intKw("minhash_near_dup", kw, "bands", 4),
       maxBucket = intKw("minhash_near_dup", kw, "max_bucket", 10000))
     df.join(pairs.select(col("id_b").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** `semantic_dedup(id_col, vec_col, k=8, iters=1, threshold=0.95,
+    * max_cluster=10000)` — SemDeDup: k-means over the embedding column,
+    * within-cluster cosine pair-drop, lowest id survives
+    * ([[Dedup.semanticDedup]]; the k x dim centroid fit is the one
+    * driver-side collect, as in the IVF path). */
+  private def semanticDedup: CustomFn = (df, kw) => {
+    val idCol = reqStr("semantic_dedup", kw, "id_col")
+    val vecCol = reqStr("semantic_dedup", kw, "vec_col")
+    // embeddings commonly arrive as float[]; the fit + cosine path is
+    // double-typed, so normalize once here
+    val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val cents = Similarity.kmeansFit(typed, idCol, vecCol,
+      k = intKw("semantic_dedup", kw, "k", 8),
+      iters = intKw("semantic_dedup", kw, "iters", 1))
+    Dedup.semanticDedup(typed, idCol, vecCol, cents,
+      threshold = dblKw("semantic_dedup", kw, "threshold", 0.95),
+      maxCluster = intKw("semantic_dedup", kw, "max_cluster", 10000))
   }
 
   /** `quality_filter(text_col, min_tokens=5, max_tokens=100000,

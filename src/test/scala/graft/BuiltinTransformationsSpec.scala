@@ -81,6 +81,20 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(4L), "fingerprint keys exact dedup")
   }
 
+  test("semantic_dedup drops embedding near-dups via k-means cells (float input ok)") {
+    // floats on purpose: the builtin must normalize to array<double> before
+    // the fit; ids 1/2 are near-parallel (cos ~0.9999) -> 2 drops; 3 is a
+    // different direction -> survives
+    val emb = Seq(
+      (1L, Array(1.0f, 0.01f)),
+      (2L, Array(1.0f, 0.02f)),
+      (3L, Array(0.1f, 1.0f))
+    ).toDF("doc_id", "emb")
+    val out = registry("semantic_dedup")(emb,
+      Map("id_col" -> "doc_id", "vec_col" -> "emb", "k" -> 2, "threshold" -> 0.99))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("decontaminate reads the eval corpus through the IO seam (FakeIO, no filesystem)") {
     // the eval corpus is a SECOND pipeline input and must honor the same
     // ports-and-adapters seam as the primary source: a hermetic test

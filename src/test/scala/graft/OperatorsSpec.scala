@@ -348,6 +348,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.imageIoDecode(1L, out.toByteArray).isDefined)
   }
 
+  test("semanticDedup drops within-cell cosine near-dups, lowest id survives") {
+    // two k-means cells on fixed centroids: x-axis (cell 0) and y-axis
+    // (cell 1). Docs 1-3 land in cell 0 and are all near-parallel: pair-
+    // drop semantics remove BOTH 2 and 3 (each has lower-id mate 1).
+    // Doc 4 is alone near the y-axis and survives. Doc 5 is in cell 0 but
+    // nearly orthogonal to 1-3 -> below threshold, survives.
+    val centroids = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Array(1.0, 0.01)),
+      (2L, Array(1.0, 0.02)),
+      (3L, Array(0.9, 0.015)),
+      (4L, Array(0.05, 1.0)),
+      (5L, Array(1.0, 0.9)) // cell 0 (cos 0.83 vs x-axis > 0.69 vs y) but far from 1-3
+    ).toDF("vec_id", "v")
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "v", centroids, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L), s"got $kept")
+    // the maxCluster valve excludes an over-cap cell from pairing entirely:
+    // its members all survive rather than detonating the f² join
+    val keptCapped = Dedup.semanticDedup(vecs, "vec_id", "v", centroids,
+        threshold = 0.99, maxCluster = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(keptCapped == Seq(1L, 2L, 3L, 4L, 5L), s"got $keptCapped")
+  }
+
   test("fuzzyDedup keeps one exemplar per transitive cluster, not per pair") {
     // chain a~b, b~c (all near-dups): pair-drop would remove b AND c;
     // cluster-min keeps exactly doc 0 of {0,1,2} and all of the rest

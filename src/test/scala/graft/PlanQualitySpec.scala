@@ -142,6 +142,16 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q93: semantic dedup pairs only within cells — hash join, never a cartesian") {
+    // the within-cluster self-join must key on the cell equality (hash
+    // exchange / broadcast), NOT degenerate into CartesianProduct or
+    // BroadcastNestedLoopJoin — at corpus scale a cross product here is
+    // the difference between n²/k and n² comparisons
+    val p = plan("q93_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "within-cell join degenerated to a cross product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "within-cell join lost its equi-key")
+  }
+
   test("q64: no aggregate mixes the distinct rewrite with the sketches") {
     // countDistinct in the SAME agg as approx_count_distinct/
     // approx_percentile drags the sketches through the Expand-based

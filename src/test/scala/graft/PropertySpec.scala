@@ -204,6 +204,12 @@ class PropertySpec extends AnyFunSuite {
             scala.collection.immutable.ListMap("en" -> 0.5, "fr" -> 1.0),
             scala.collection.immutable.ListMap("en" -> 0.0)),
           wrongForMap)),
+      "semantic_dedup" -> Seq(idCol,
+        req("vec_col", Gen.const("emb"), wrongForStr),
+        opt("k", Gen.oneOf(2L, 4L), wrongForInt),
+        opt("iters", Gen.const(1L), wrongForInt),
+        opt("threshold", Gen.chooseNum(0.5, 1.0), wrongForNum),
+        opt("max_cluster", Gen.oneOf(100L, 10000L), wrongForInt)),
       "lang_id" -> Seq(textCol, opt("out_col", Gen.const("lp"), wrongForStr)),
       "text_stats" -> Seq(textCol, opt("prefix", Gen.oneOf("", "ts_"), wrongForStr)),
       "doc_fingerprint" -> Seq(textCol, opt("out_col", Gen.const("fp"), wrongForStr))
@@ -217,11 +223,11 @@ class PropertySpec extends AnyFunSuite {
     // inside a plan. Valid kwargs must analyze clean.
     import graft.service.BuiltinTransformations
     val df = Seq(
-      (1L, "the quick brown fox jumps over the dog", "en", 8L),
-      (2L, "le renard brun rapide saute par dessus", "fr", 7L),
-      (3L, "the quick brown fox jumps over the dog", "en", 8L),
-      (4L, "spark engines shuffle data across executors", "en", 6L)
-    ).toDF("doc_id", "text", "lang", "n_tok")
+      (1L, "the quick brown fox jumps over the dog", "en", 8L, Array(1.0, 0.1)),
+      (2L, "le renard brun rapide saute par dessus", "fr", 7L, Array(0.9, 0.2)),
+      (3L, "the quick brown fox jumps over the dog", "en", 8L, Array(0.1, 1.0)),
+      (4L, "spark engines shuffle data across executors", "en", 6L, Array(0.2, 0.8))
+    ).toDF("doc_id", "text", "lang", "n_tok", "emb")
     val evalDir = java.nio.file.Files.createTempDirectory("prop_eval")
       .resolve("eval.parquet").toString
     Seq((100L, "the quick brown fox jumps over the dog"))
