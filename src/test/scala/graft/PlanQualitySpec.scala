@@ -152,6 +152,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "within-cell join lost its equi-key")
   }
 
+  test("catalog-wide: no cartesian products; nested-loop joins only where the cross is intended") {
+    // At 100 TB an accidental CartesianProduct (or an equi-join that lost
+    // its key and fell back to BroadcastNestedLoopJoin) is a job-killer.
+    // Whitelist = queries whose BNLJ is a DELIBERATE broadcast cross of a
+    // tiny side (ANN query fan-out, 1-row aggregate frames).
+    val bnljOk: Set[String] = Set(
+      "q09_derive_agg_broadcast", // 1-row whole-frame aggregate broadcast onto the fact
+      "q27_ann_bruteforce", // query set deliberately broadcast-crossed over the corpus
+      "q64_approx_sketches", // three 1-row sketch frames crossJoined (the Expand dodge)
+      "q78_tfidf" // 1-row corpus-stats frame broadcast onto per-doc scores
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (!bnljOk(name) && p.contains("BroadcastNestedLoopJoin"))
+        Seq(s"$name: BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q64: no aggregate mixes the distinct rewrite with the sketches") {
     // countDistinct in the SAME agg as approx_count_distinct/
     // approx_percentile drags the sketches through the Expand-based
