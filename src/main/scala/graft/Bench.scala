@@ -71,6 +71,10 @@ object Bench {
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")} " +
           s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(",")})")
     }
+    // a renamed streaming query must not silently fall out of the
+    // total_streaming split — fail loudly instead
+    require(StreamingQueries.subsetOf(SparkEntry.queries.keySet),
+      s"StreamingQueries names unknown queries: ${StreamingQueries -- SparkEntry.queries.keySet}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{DeriveSpec, RuleSpec}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis, TextClean}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis, TextClean, TimeSeries}
 import graft.stages.{Transforms, Validation}
 import graft.expr.RuleParser
 
@@ -2237,6 +2237,31 @@ object Queries {
       |    (sqrt(list_dot_product(cl.v, cl.v)) * sqrt(list_dot_product(cr.v, cr.v))), 6) >= 0.45)
       |SELECT vec_id, cell FROM a1 WHERE vec_id NOT IN (SELECT vid FROM drops)""".stripMargin
 
+  /** Exponentially-weighted moving mean per user over the event stream
+    * (polars ewm_mean, adjust=true, alpha=0.5) — the O(n) contiguous-key
+    * scan in [[TimeSeries.ewmMean]]. The oracle states the same quantity
+    * in closed form (Σ decay^(i-j)·x_j / Σ decay^(i-j) via a bounded
+    * self-join on row numbers); recurrence vs closed form agree to far
+    * below the shared round-to-6 (q30 parity recipe). Unique ordering via
+    * the (ts, event_id) tie-break per the repo's window rules. */
+  val q94: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events").select(
+      col("event_id"), col("user_id"), col("ts"),
+      col("value").cast("double").as("value"))
+    TimeSeries.ewmMean(ev, "user_id", Seq("ts", "event_id"), "value", alpha = 0.5)
+      .select(col("event_id"), col("user_id"),
+        round(col("ewm_mean"), 6).as("ewm_mean"))
+  }
+
+  val q94Sql: String =
+    """WITH e AS (SELECT event_id, user_id, value AS v,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT a.event_id, a.user_id,
+      |  round(SUM(b.v * pow(0.5, a.rn - b.rn)) / SUM(pow(0.5, a.rn - b.rn)), 6) AS ewm_mean
+      |FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+      |GROUP BY a.event_id, a.user_id""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2334,6 +2359,7 @@ object Queries {
     ("q90_random_projection", q90, Some(q90Sql)),
     ("q91_int8_quantize", q91, Some(q91Sql)),
     ("q92_image_decode_real", q92, Some(q92Sql)),
-    ("q93_semantic_dedup", q93, Some(q93Sql))
+    ("q93_semantic_dedup", q93, Some(q93Sql)),
+    ("q94_ewm_mean", q94, Some(q94Sql))
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TimeSeries}
 
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -346,6 +346,38 @@ class OperatorsSpec extends AnyFunSuite {
       "declared 2^60 pixels must be rejected un-decoded")
     // and the default cap still admits ordinary images (the 10x10 original)
     assert(Multimodal.imageIoDecode(1L, out.toByteArray).isDefined)
+  }
+
+  test("ewmMean: exact recurrence per key, nulls skipped, partition-invariant") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("ord", LongType),
+      StructField("v", DoubleType)))
+    val rows = Seq(
+      Row("a", 1L, 1.0), Row("a", 2L, 2.0), Row("a", 3L, null), Row("a", 4L, 3.0),
+      Row("b", 1L, 10.0), Row("b", 2L, 10.0))
+    def run(nPart: Int): Map[(String, Long), Option[Double]] = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.reverse, nPart), schema)
+      TimeSeries.ewmMean(df, "k", Seq("ord"), "v", alpha = 0.5)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toMap
+    }
+    val out = run(1)
+    // adjust=true closed form: m2 = (2 + 0.5*1)/(1 + 0.5) = 5/3; the null
+    // at ord=3 yields null WITHOUT advancing decay, so ord=4 sees the
+    // ord<=2 state: (3 + 0.5*2.5)/(1 + 0.5*1.5) = 4.25/1.75
+    assert(out(("a", 1L)) == Some(1.0))
+    assert(out(("a", 2L)).exists(m => math.abs(m - 5.0 / 3) < 1e-12))
+    assert(out(("a", 3L)).isEmpty)
+    assert(out(("a", 4L)).exists(m => math.abs(m - 4.25 / 1.75) < 1e-12))
+    assert(out(("b", 1L)) == Some(10.0) && out(("b", 2L)) == Some(10.0))
+    // content-determinism: same result no matter how the scan split the
+    // input (the operator re-shuffles and re-sorts internally)
+    assert(run(4) == out)
   }
 
   test("semanticDedup drops within-cell cosine near-dups, lowest id survives") {
