@@ -109,4 +109,29 @@ object Curation {
         round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_shingles"), 6)
           .as("containment"))
   }
+
+  /** Cross-batch (incremental) exact dedup — the novelty filter a rolling
+    * crawl ingestion runs per increment: drop every row of `batch` whose
+    * normalized content fingerprint already appears in `seenFingerprints`
+    * (the store written by previous runs), then exact-dedup the remainder
+    * WITHIN the batch (min id wins, [[Dedup.exact]]). Returns the novel
+    * rows; append their fingerprints (`doc_fingerprint` + the pipeline
+    * sink) to the store for the next increment.
+    *
+    * Scale shape: one hash shuffle for the in-batch dedup plus one
+    * left-anti equi-join on the md5 key against the store, which stays
+    * frame-shaped end to end — read like any table (parquet / bucketed),
+    * never collected; AQE may broadcast a small store on its own. */
+  def novelAgainst(
+      batch: DataFrame,
+      seenFingerprints: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpCol: String = "fingerprint"
+  ): DataFrame =
+    Dedup.exact(batch, idCol, textCol)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seenFingerprints.select(col(fpCol).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
 }

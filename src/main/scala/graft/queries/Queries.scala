@@ -2262,6 +2262,33 @@ object Queries {
       |FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
       |GROUP BY a.event_id, a.user_id""".stripMargin
 
+  /** Incremental (cross-batch) dedup: batch B (doc_id >= 250) filtered to
+    * rows novel against the fingerprint store of batch A (doc_id < 300)
+    * AND unique within B — the per-increment novelty filter of a rolling
+    * crawl ingestion ([[Curation.novelAgainst]]). The batch ranges OVERLAP
+    * on 250-299 deliberately: those fingerprints are store-known, so the
+    * anti-join provably fires (the raw corpus has no organic cross-batch
+    * duplicate text — verified; a disjoint split would make the filter a
+    * no-op the oracle can't distinguish from a broken join). Oracle states
+    * both steps over the same md5 normalization as q23's twin. */
+  val q95: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val seen = docs.filter(col("doc_id") < 300)
+      .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    Curation.novelAgainst(docs.filter(col("doc_id") >= 250), seen, "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val q95Sql: String =
+    """WITH fp AS (SELECT doc_id, lang, source,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f FROM documents),
+      |seen AS (SELECT DISTINCT f FROM fp WHERE doc_id < 300),
+      |batch AS (SELECT * FROM fp WHERE doc_id >= 250),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY f)
+      |SELECT doc_id, lang, source FROM batch
+      |WHERE doc_id IN (SELECT doc_id FROM keep)
+      |  AND f NOT IN (SELECT f FROM seen)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2360,6 +2387,7 @@ object Queries {
     ("q91_int8_quantize", q91, Some(q91Sql)),
     ("q92_image_decode_real", q92, Some(q92Sql)),
     ("q93_semantic_dedup", q93, Some(q93Sql)),
-    ("q94_ewm_mean", q94, Some(q94Sql))
+    ("q94_ewm_mean", q94, Some(q94Sql)),
+    ("q95_incremental_dedup", q95, Some(q95Sql))
   )
 }

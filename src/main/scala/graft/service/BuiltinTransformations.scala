@@ -55,6 +55,7 @@ object BuiltinTransformations {
     "quality_filter" -> qualityFilter,
     "clean_text" -> cleanText,
     "decontaminate" -> decontaminate(io),
+    "incremental_dedup" -> incrementalDedup(io),
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
@@ -174,6 +175,24 @@ object BuiltinTransformations {
       .filter(col("containment") >= dblKw("decontaminate", kw, "threshold", 0.8))
       .select(col(idCol))
     df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** `incremental_dedup(id_col, text_col, seen_path, fp_col=fingerprint,
+    * seen_file_type=parquet)` — cross-batch novelty filter: drop rows whose
+    * normalized fingerprint is in the store at `seen_path` (read through
+    * the IO seam, like `decontaminate`'s eval corpus), then exact-dedup
+    * within the batch ([[Curation.novelAgainst]]). Persist the survivors'
+    * fingerprints (`doc_fingerprint` + the sink) as the next store. */
+  private def incrementalDedup(io: GraftIO): CustomFn = (df, kw) => {
+    val seen = io.read(df.sparkSession,
+      reqStr("incremental_dedup", kw, "seen_path"),
+      strKw("incremental_dedup", kw, "seen_file_type", "parquet"))
+    Curation.novelAgainst(
+      df,
+      seen,
+      reqStr("incremental_dedup", kw, "id_col"),
+      reqStr("incremental_dedup", kw, "text_col"),
+      fpCol = strKw("incremental_dedup", kw, "fp_col", "fingerprint"))
   }
 
   /** `pack_sequences(id_col, token_col, partition_col, budget)` —

@@ -95,6 +95,26 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("incremental_dedup drops store-known and in-batch duplicate docs (FakeIO)") {
+    // docs 1/2 duplicate each other (ws/case twins -> min id 1 survives the
+    // in-batch pass); doc 3's fingerprint is already in the store -> novel
+    // output is docs 1 and 4
+    val io = new graft.io.FakeIO()
+    io.frames.put("/state/fingerprints.parquet",
+      docs.filter($"doc_id" === 2L)
+        .select(graft.operators.TextAnalysis.fingerprint($"text").as("fingerprint")))
+    val batch = Seq(
+      (1L, "same exact text here"),
+      (2L, "  Same exact TEXT here "), // normalized twin of 1
+      (3L, "the quick brown fox jumps over the lazy dog today"), // doc 2's text = in store
+      (4L, "genuinely new content never seen before")
+    ).toDF("doc_id", "text")
+    val out = graft.service.BuiltinTransformations.registryWith(io)("incremental_dedup")(
+      batch, Map("id_col" -> "doc_id", "text_col" -> "text",
+        "seen_path" -> "/state/fingerprints.parquet"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("decontaminate reads the eval corpus through the IO seam (FakeIO, no filesystem)") {
     // the eval corpus is a SECOND pipeline input and must honor the same
     // ports-and-adapters seam as the primary source: a hermetic test

@@ -164,7 +164,7 @@ class PropertySpec extends AnyFunSuite {
     * not a coercion bug); numeric kwargs draw values that satisfy operator
     * invariants (bands | num_hashes, budget > 0) so the only failure the
     * wrong-slot can trigger is the typed-coercion one. */
-  private def builtinKwSpecs(evalPath: String): Map[String, Seq[KwSpec]] = {
+  private def builtinKwSpecs(evalPath: String, seenPath: String): Map[String, Seq[KwSpec]] = {
     def req(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, true, valid, wrong)
     def opt(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, false, valid, wrong)
     val idCol = req("id_col", Gen.const("doc_id"), wrongForStr)
@@ -193,6 +193,10 @@ class PropertySpec extends AnyFunSuite {
         idCol, textCol, shingleK,
         opt("threshold", Gen.chooseNum(0.1, 1.0), wrongForNum),
         opt("eval_file_type", Gen.const("parquet"), wrongForStr)),
+      "incremental_dedup" -> Seq(idCol, textCol,
+        req("seen_path", Gen.const(seenPath), wrongForStr),
+        opt("fp_col", Gen.const("fingerprint"), wrongForStr),
+        opt("seen_file_type", Gen.const("parquet"), wrongForStr)),
       "pack_sequences" -> Seq(idCol,
         req("token_col", Gen.const("n_tok"), wrongForStr),
         req("partition_col", Gen.const("lang"), wrongForStr),
@@ -228,11 +232,14 @@ class PropertySpec extends AnyFunSuite {
       (3L, "the quick brown fox jumps over the dog", "en", 8L, Array(0.1, 1.0)),
       (4L, "spark engines shuffle data across executors", "en", 6L, Array(0.2, 0.8))
     ).toDF("doc_id", "text", "lang", "n_tok", "emb")
-    val evalDir = java.nio.file.Files.createTempDirectory("prop_eval")
-      .resolve("eval.parquet").toString
+    val propDir = java.nio.file.Files.createTempDirectory("prop_eval")
+    val evalDir = propDir.resolve("eval.parquet").toString
     Seq((100L, "the quick brown fox jumps over the dog"))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(evalDir)
-    val specs = builtinKwSpecs(evalDir)
+    val seenDir = propDir.resolve("seen.parquet").toString
+    Seq("d41d8cd98f00b204e9800998ecf8427e") // md5 shape; store may be empty-of-matches
+      .toDF("fingerprint").write.mode("overwrite").parquet(seenDir)
+    val specs = builtinKwSpecs(evalDir, seenDir)
     assert(specs.keySet == BuiltinTransformations.registry.keySet,
       "kwarg spec table must cover the registry exactly — update on add/remove")
 
