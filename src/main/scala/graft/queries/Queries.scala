@@ -2289,6 +2289,42 @@ object Queries {
       |WHERE doc_id IN (SELECT doc_id FROM keep)
       |  AND f NOT IN (SELECT f FROM seen)""".stripMargin
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg` / `hll_union_agg`): the corpus is split into
+    * two content-hash "shards", each sketched INDEPENDENTLY, and the
+    * shard sketches are unioned — the pattern that replaces exact distinct
+    * counts at 100 TB (sketch per day/shard at ingest, merge at read; no
+    * re-scan of history). Output is the q64-style contract: the exact
+    * count plus booleans the oracle can assert — BOTH the merged-shards
+    * estimate and the whole-corpus estimate land within 5% of exact.
+    * Deliberately NOT asserted: merged == whole. The registers merge
+    * losslessly, but DataSketches estimates a directly-built sketch with
+    * the HIP estimator and a union result with the composite estimator,
+    * so the two estimates agree only in sparse mode (they diverge at
+    * sf0.1's 1500 distinct users — found by running this query, kept as
+    * documentation). Three separate 1-row aggregates crossJoined, never
+    * countDistinct mixed into a sketch agg (the q64 Expand cliff). */
+  val q96: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events")
+    def shard(n: Int) = ev.filter(pmod(xxhash64(col("event_id")), lit(2)) === n)
+    val skA = shard(0).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val skB = shard(1).agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = skA.union(skB)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val whole = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_whole"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.crossJoin(merged).crossJoin(whole).select(
+      col("n_exact"),
+      (abs(col("est_merged") - col("n_exact")) <= col("n_exact") * lit(0.05))
+        .as("merged_within_5pct"),
+      (abs(col("est_whole") - col("n_exact")) <= col("n_exact") * lit(0.05))
+        .as("whole_within_5pct"))
+  }
+
+  val q96Sql: String =
+    """SELECT count(DISTINCT user_id) AS n_exact,
+      |TRUE AS merged_within_5pct, TRUE AS whole_within_5pct FROM events""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2388,6 +2424,7 @@ object Queries {
     ("q92_image_decode_real", q92, Some(q92Sql)),
     ("q93_semantic_dedup", q93, Some(q93Sql)),
     ("q94_ewm_mean", q94, Some(q94Sql)),
-    ("q95_incremental_dedup", q95, Some(q95Sql))
+    ("q95_incremental_dedup", q95, Some(q95Sql)),
+    ("q96_hll_merge", q96, Some(q96Sql))
   )
 }
