@@ -2325,6 +2325,36 @@ object Queries {
     """SELECT count(DISTINCT user_id) AS n_exact,
       |TRUE AS merged_within_5pct, TRUE AS whole_within_5pct FROM events""".stripMargin
 
+  /** Theta-sketch set algebra (DataSketches via `theta_sketch_agg` /
+    * `theta_intersection` / `theta_difference`): distinct-user overlap
+    * between two event segments WITHOUT joining the raw rows — the
+    * audience-overlap pattern at 100 TB (one sketch per segment at ingest;
+    * intersections/differences at read are sketch-sized, not data-sized).
+    * Below the sketch's nominal entries (4096 default; max 1500 distinct
+    * users here at any SF) theta runs in EXACT mode, so the oracle pins
+    * the actual values, not tolerance booleans. 1-row frames crossJoined
+    * (whitelisted in the BNLJ sweep). */
+  val q97: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events")
+    def seg(t: String) = ev.filter(col("event_type") === t)
+      .agg(expr("theta_sketch_agg(user_id)").as(s"sk_$t"))
+    seg("click").crossJoin(seg("error")).select(
+      expr("cast(round(theta_sketch_estimate(theta_intersection(sk_click, sk_error))) as bigint)")
+        .as("n_click_and_error"),
+      expr("cast(round(theta_sketch_estimate(theta_difference(sk_click, sk_error))) as bigint)")
+        .as("n_click_not_error"),
+      expr("cast(round(theta_sketch_estimate(theta_union(sk_click, sk_error))) as bigint)")
+        .as("n_click_or_error"))
+  }
+
+  val q97Sql: String =
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |SELECT
+      |  (SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM e)) AS n_click_and_error,
+      |  (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM e)) AS n_click_not_error,
+      |  (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM e)) AS n_click_or_error""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2425,6 +2455,7 @@ object Queries {
     ("q93_semantic_dedup", q93, Some(q93Sql)),
     ("q94_ewm_mean", q94, Some(q94Sql)),
     ("q95_incremental_dedup", q95, Some(q95Sql)),
-    ("q96_hll_merge", q96, Some(q96Sql))
+    ("q96_hll_merge", q96, Some(q96Sql)),
+    ("q97_theta_set_algebra", q97, Some(q97Sql))
   )
 }

@@ -146,6 +146,41 @@ class PropertySpec extends AnyFunSuite {
     check(prop, 6)
   }
 
+  // ------------------------------------------------------- TimeSeries
+
+  test("property: ewmMean recurrence equals the closed form on random series") {
+    // the operator computes the O(n) recurrence; the oracle here is the
+    // O(n²) definition Σ decay^(i-j)·x_j / Σ decay^(i-j) — algebraically
+    // equal, so any divergence is a state-carry bug (wrong reset between
+    // keys, decay applied to the wrong accumulator, sort not applied)
+    val series = for {
+      n <- Gen.chooseNum(1, 8)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0).map(v => math.rint(v * 10) / 10))
+    } yield vs
+    val gen = for {
+      perKey <- Gen.listOfN(3, series)
+      alpha <- Gen.oneOf(0.2, 0.5, 0.9)
+    } yield (perKey, alpha)
+    val prop = Prop.forAll(gen) { case (perKey, alpha) =>
+      val rows = perKey.zipWithIndex.flatMap { case (vs, k) =>
+        vs.zipWithIndex.map { case (v, i) => (s"k$k", i.toLong, v) }
+      }
+      val out = graft.operators.TimeSeries
+        .ewmMean(rows.toDF("k", "ord", "v"), "k", Seq("ord"), "v", alpha)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      val decay = 1.0 - alpha
+      perKey.zipWithIndex.forall { case (vs, k) =>
+        vs.indices.forall { i =>
+          val weights = (0 to i).map(j => math.pow(decay, (i - j).toDouble))
+          val expected = (0 to i).map(j => weights(j) * vs(j)).sum / weights.sum
+          math.abs(out((s"k$k", i.toLong)) - expected) < 1e-9
+        }
+      }
+    }
+    check(prop, 8)
+  }
+
   // ---------------------------------------- builtin registry contract
 
   /** One kwarg's generator slots: a value the fn accepts and a value whose
