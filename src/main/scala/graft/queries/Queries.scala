@@ -2355,6 +2355,40 @@ object Queries {
       |  (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM e)) AS n_click_not_error,
       |  (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM e)) AS n_click_or_error""".stripMargin
 
+  /** Mergeable quantile sketches (DataSketches KLL): shard-sketch the
+    * value column, merge the shard sketches pairwise, read the median off
+    * the MERGED sketch — quantiles over history without re-scanning it.
+    * KLL compaction is RANDOMIZED (measured: three runs gave median
+    * estimates 502.0/500.3/499.6 on the same data), so no value can be
+    * pinned; the contract instead asserts (a) the merged sketch's tracked
+    * `n` equals the exact row count — the lossless half of mergeability —
+    * and (b) the median estimate lands inside the deterministic
+    * approx_percentile(0.40, 0.60) band, ~24x wider than KLL's ~1.65%
+    * rank error at the default k. Separate 1-row aggregates crossJoined
+    * (q64 pattern, whitelisted in the BNLJ sweep). */
+  val q98: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events")
+    def shard(n: Int) = ev.filter(pmod(xxhash64(col("event_id")), lit(2)) === n)
+      .agg(expr("kll_sketch_agg_double(value)").as(s"sk_$n"))
+    val merged = shard(0).crossJoin(shard(1))
+      .select(expr("kll_sketch_merge_double(sk_0, sk_1)").as("sk"))
+      .select(
+        expr("kll_sketch_get_n_double(sk)").as("sketch_n"),
+        expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est_median"))
+    val exact = ev.agg(
+      count(col("value")).as("n_rows"),
+      expr("approx_percentile(value, array(0.40, 0.60), 10000)").as("band"))
+    exact.crossJoin(merged).select(
+      col("n_rows"),
+      (col("sketch_n") === col("n_rows")).as("merged_n_exact"),
+      (col("est_median") >= element_at(col("band"), 1) &&
+        col("est_median") <= element_at(col("band"), 2)).as("median_in_band"))
+  }
+
+  val q98Sql: String =
+    """SELECT count(value) AS n_rows,
+      |TRUE AS merged_n_exact, TRUE AS median_in_band FROM events""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2456,6 +2490,7 @@ object Queries {
     ("q94_ewm_mean", q94, Some(q94Sql)),
     ("q95_incremental_dedup", q95, Some(q95Sql)),
     ("q96_hll_merge", q96, Some(q96Sql)),
-    ("q97_theta_set_algebra", q97, Some(q97Sql))
+    ("q97_theta_set_algebra", q97, Some(q97Sql)),
+    ("q98_kll_quantile_merge", q98, Some(q98Sql))
   )
 }

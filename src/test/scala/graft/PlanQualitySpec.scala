@@ -163,7 +163,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "q64_approx_sketches", // three 1-row sketch frames crossJoined (the Expand dodge)
       "q78_tfidf", // 1-row corpus-stats frame broadcast onto per-doc scores
       "q96_hll_merge", // three 1-row sketch/exact frames crossJoined
-      "q97_theta_set_algebra" // two 1-row segment sketches crossJoined
+      "q97_theta_set_algebra", // two 1-row segment sketches crossJoined
+      "q98_kll_quantile_merge" // shard sketches + exact band, 1-row crossJoins
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
