@@ -2389,6 +2389,41 @@ object Queries {
     """SELECT count(value) AS n_rows,
       |TRUE AS merged_n_exact, TRUE AS median_in_band FROM events""".stripMargin
 
+  /** Count-min frequency sketch (`count_min_sketch`, fixed seed):
+    * per-key frequency estimates from a sketch that merges across shards
+    * — the heavy-hitter pattern at 100 TB (CMS per shard at ingest,
+    * merge at read; here one pass suffices). Spark exposes no SQL
+    * estimator for CMS, so the KB-sized sketch and the <=5-row per-type
+    * exact counts are probed driver-side — the same legitimacy class as
+    * the IVF centroid collects (sketch-sized, never data-sized). The
+    * contract pins CMS's math: estimate >= exact ALWAYS (one-sided
+    * guarantee, deterministic), and estimate <= exact + eps*N (holds
+    * deterministically for this dataset + seed; verified at 3 SFs). */
+  val q99: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events")
+    val skBytes = ev
+      .agg(expr("count_min_sketch(event_type, 0.0001d, 0.999d, 42)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = exact.map(_._2).sum
+    val slack = math.ceil(0.0001 * total).toLong
+    import s.implicits._
+    exact.toSeq
+      .map { case (t, n) =>
+        val est = cms.estimateCount(t)
+        (t, n, est >= n, est <= n + slack)
+      }
+      .toDF("event_type", "n_exact", "est_ge_exact", "est_within_eps")
+  }
+
+  val q99Sql: String =
+    """SELECT event_type, count(*) AS n_exact,
+      |TRUE AS est_ge_exact, TRUE AS est_within_eps
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2491,6 +2526,7 @@ object Queries {
     ("q95_incremental_dedup", q95, Some(q95Sql)),
     ("q96_hll_merge", q96, Some(q96Sql)),
     ("q97_theta_set_algebra", q97, Some(q97Sql)),
-    ("q98_kll_quantile_merge", q98, Some(q98Sql))
+    ("q98_kll_quantile_merge", q98, Some(q98Sql)),
+    ("q99_cms_frequency", q99, Some(q99Sql))
   )
 }
