@@ -2,13 +2,13 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, MapType, StructField, StructType}
 
 /** Ordered per-key time-series operators that need a running SCAN rather
   * than a window: Spark window frames re-aggregate the frame per row, so
   * an unbounded exponential decay through them is O(n²) per key — the
   * 100 TB anti-pattern. These run as ONE hash shuffle on the key plus an
-  * in-partition sort, then a single O(n) pass with three scalars of state;
+  * in-partition sort, then a single O(n) pass with four scalars of state;
   * keys are contiguous after the sort so state resets at each key change.
   * (Reference scope: the `ewm_*` family of the polars Expr surface the
   * derive registry mirrors — frame-level here because a running recurrence
@@ -16,22 +16,21 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   */
 object TimeSeries {
 
+  /** Which exponentially-weighted statistic a scan output column carries. */
+  sealed trait EwmStat
+  case object EwmMean extends EwmStat
+  /** Debiased variance (polars/pandas `bias=false` default): the weighted
+    * population variance scaled by S1²/(S1²−S2); null until a key has two
+    * non-null observations (the debias denominator is zero at one). */
+  case object EwmVar extends EwmStat
+  case object EwmStd extends EwmStat
+
   /** Exponentially-weighted moving mean per key (polars `ewm_mean` with
     * `adjust=true`): m_i = Σ_{j<=i} (1-α)^(i-j) x_j / Σ_{j<=i} (1-α)^(i-j),
     * computed by the O(n) recurrence num_i = x_i + (1-α)·num_{i-1},
     * den_i = 1 + (1-α)·den_{i-1} over rows ordered by `ordCols` within
     * `keyCol` (make the ordering unique — include a tie-break id — or the
-    * result is nondeterministic, like any ordered window).
-    *
-    * Null values yield a null output and do NOT advance the decay (the
-    * series behaves as if the null row were absent — polars
-    * `ignore_nulls=true` semantics). `valCol` must already be DoubleType;
-    * cast at the call site so the output schema is explicit.
-    *
-    * This is a justified `mapPartitions` (same class as the multimodal
-    * codec seam): partition-preserving after its single shuffle, per-key
-    * state is three scalars, no driver involvement, no window
-    * re-aggregation. */
+    * result is nondeterministic, like any ordered window). */
   def ewmMean(
       df: DataFrame,
       keyCol: String,
@@ -39,14 +38,87 @@ object TimeSeries {
       valCol: String,
       alpha: Double,
       outCol: String = "ewm_mean"
+  ): DataFrame = ewmStats(df, keyCol, ordCols, valCol, alpha, Seq(outCol -> EwmMean))
+
+  /** Exponentially-weighted moving variance per key (polars `ewm_var`,
+    * `adjust=true, bias=false`): the weighted variance over the same
+    * (1-α)^(i-j) weights as [[ewmMean]], debiased by S1²/(S1²−S2) where
+    * S1 = Σw and S2 = Σw². Null for a key's first non-null observation
+    * (debias denominator is exactly zero — pandas/polars NaN twin). */
+  def ewmVar(
+      df: DataFrame,
+      keyCol: String,
+      ordCols: Seq[String],
+      valCol: String,
+      alpha: Double,
+      outCol: String = "ewm_var"
+  ): DataFrame = ewmStats(df, keyCol, ordCols, valCol, alpha, Seq(outCol -> EwmVar))
+
+  /** Exponentially-weighted moving standard deviation (sqrt of [[ewmVar]]). */
+  def ewmStd(
+      df: DataFrame,
+      keyCol: String,
+      ordCols: Seq[String],
+      valCol: String,
+      alpha: Double,
+      outCol: String = "ewm_std"
+  ): DataFrame = ewmStats(df, keyCol, ordCols, valCol, alpha, Seq(outCol -> EwmStd))
+
+  /** The shared scan: any subset of {mean, var, std} in ONE pass, appended
+    * in `outCols` order. State per key is four scalars — S1 = Σw,
+    * S2 = Σw², S1x = Σw·x, S1x2 = Σw·x² with w = (1-α)^(i-j) — each
+    * advanced by one multiply-add per row, so cost is O(n) regardless of
+    * how many statistics are requested (requesting var+std together costs
+    * one scan, not two).
+    *
+    * Null values yield null outputs and do NOT advance the decay (the
+    * series behaves as if the null row were absent — polars
+    * `ignore_nulls=true` semantics). `valCol` must already be DoubleType;
+    * cast at the call site so the output schema is explicit.
+    *
+    * The variance subtraction S1x2/S1 − mean² can go epsilon-negative in
+    * floating point when a key's values are constant; it is clamped at
+    * zero so `ewm_std` never produces NaN from sqrt(−1e−18).
+    *
+    * Key equality: the contiguous-key reset compares `Any` values, which
+    * is correct for atomic key types but reference-based for binary and
+    * undefined for other complex types — an array-keyed call would
+    * silently reset state on every row. Guarded by a `require` rather
+    * than documentation alone.
+    *
+    * This is a justified `mapPartitions` (same class as the multimodal
+    * codec seam): partition-preserving after its single shuffle, per-key
+    * state is four scalars, no driver involvement, no window
+    * re-aggregation. */
+  def ewmStats(
+      df: DataFrame,
+      keyCol: String,
+      ordCols: Seq[String],
+      valCol: String,
+      alpha: Double,
+      outCols: Seq[(String, EwmStat)]
   ): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(outCols.nonEmpty, "ewmStats: at least one output column required")
+    require(outCols.map(_._1).distinct.size == outCols.size,
+      s"ewmStats: duplicate output column names in ${outCols.map(_._1)}")
     require(df.schema(valCol).dataType == DoubleType,
-      s"ewmMean: '$valCol' must be DoubleType (cast at the call site), " +
+      s"ewmStats: '$valCol' must be DoubleType (cast at the call site), " +
         s"got ${df.schema(valCol).dataType.simpleString}")
-    val outSchema = StructType(df.schema.fields :+ StructField(outCol, DoubleType, nullable = true))
+    df.schema(keyCol).dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType =>
+        throw new IllegalArgumentException(
+          s"ewmStats: key '$keyCol' has a complex/binary type " +
+            s"(${df.schema(keyCol).dataType.simpleString}) whose runtime equality " +
+            "is unreliable for the contiguous-key reset — key on an atomic column " +
+            "(hash complex keys first)")
+      case _ => ()
+    }
+    val outSchema = StructType(df.schema.fields ++
+      outCols.map { case (name, _) => StructField(name, DoubleType, nullable = true) })
     val keyIdx = df.schema.fieldIndex(keyCol)
     val valIdx = df.schema.fieldIndex(valCol)
+    val stats = outCols.map(_._2)
     val decay = 1.0 - alpha
     df.repartition(col(keyCol))
       .sortWithinPartitions((keyCol +: ordCols).map(col): _*)
@@ -54,21 +126,40 @@ object TimeSeries {
         // contiguous-key scan: state lives across rows of one key only
         var started = false
         var curKey: Any = null
-        var num = 0.0
-        var den = 0.0
+        var s1 = 0.0 // Σ w
+        var s2 = 0.0 // Σ w²
+        var s1x = 0.0 // Σ w·x
+        var s1x2 = 0.0 // Σ w·x²
         rows.map { r =>
           val k = r.get(keyIdx)
           if (!started || k != curKey) {
-            started = true; curKey = k; num = 0.0; den = 0.0
+            started = true; curKey = k
+            s1 = 0.0; s2 = 0.0; s1x = 0.0; s1x2 = 0.0
           }
-          val out: Any =
-            if (r.isNullAt(valIdx)) null
+          val outs: Seq[Any] =
+            if (r.isNullAt(valIdx)) stats.map(_ => null)
             else {
-              num = r.getDouble(valIdx) + decay * num
-              den = 1.0 + decay * den
-              num / den
+              val x = r.getDouble(valIdx)
+              s1 = 1.0 + decay * s1
+              s2 = 1.0 + decay * decay * s2
+              s1x = x + decay * s1x
+              s1x2 = x * x + decay * s1x2
+              val mean = s1x / s1
+              // debias denominator is exactly 0.0 at a key's first non-null
+              // row (s1 = s2 = 1); var/std are null there, mean is defined
+              lazy val varDen = s1 * s1 - s2
+              lazy val variance =
+                if (varDen <= 0.0) null
+                else math.max(0.0, s1x2 / s1 - mean * mean) * (s1 * s1) / varDen
+              stats.map {
+                case EwmMean => mean
+                case EwmVar => variance
+                case EwmStd =>
+                  if (variance == null) null
+                  else math.sqrt(variance.asInstanceOf[Double])
+              }
             }
-          Row.fromSeq(r.toSeq :+ out)
+          Row.fromSeq(r.toSeq ++ outs)
         }
       }(Encoders.row(outSchema))
   }

@@ -2253,14 +2253,22 @@ object Queries {
         round(col("ewm_mean"), 6).as("ewm_mean"))
   }
 
+  // null-value rows are EXCLUDED from the rn sequence (matching the
+  // engine's ignore_nulls semantics: a null neither advances the decay nor
+  // gets a value) and re-joined at the end with a null ewm_mean — the
+  // synthetic data is null-free, but the oracle must not silently depend
+  // on that (a bare rn-over-everything denominator would count null rows'
+  // weights while the numerator skipped them)
   val q94Sql: String =
-    """WITH e AS (SELECT event_id, user_id, value AS v,
+    """WITH nn AS (SELECT event_id, user_id, value AS v,
       |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      |  FROM events)
-      |SELECT a.event_id, a.user_id,
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT a.event_id,
       |  round(SUM(b.v * pow(0.5, a.rn - b.rn)) / SUM(pow(0.5, a.rn - b.rn)), 6) AS ewm_mean
-      |FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
-      |GROUP BY a.event_id, a.user_id""".stripMargin
+      |  FROM nn a JOIN nn b ON a.user_id = b.user_id AND b.rn <= a.rn
+      |  GROUP BY a.event_id)
+      |SELECT e.event_id, e.user_id, m.ewm_mean
+      |FROM events e LEFT JOIN m ON e.event_id = m.event_id""".stripMargin
 
   /** Incremental (cross-batch) dedup: batch B (doc_id >= 250) filtered to
     * rows novel against the fingerprint store of batch A (doc_id < 300)
@@ -2424,6 +2432,63 @@ object Queries {
       |TRUE AS est_ge_exact, TRUE AS est_within_eps
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Exponentially-weighted moving variance + std per user (polars
+    * `ewm_var`/`ewm_std`, adjust=true, bias=false) — BOTH columns from ONE
+    * O(n) scan ([[TimeSeries.ewmStats]]), not two. The oracle states the
+    * same debiased quantity in closed form over the (1-α)^(i-j) weights:
+    * var = max(0, S1x2/S1 − (S1x/S1)²) · S1²/(S1²−S2), null at each key's
+    * first row (S1²=S2 exactly).
+    *
+    * Cross-engine rounding parity needs TWO deviations from q94's recipe,
+    * both found by running this query, kept as documentation:
+    *   - the value is scaled by a full-mantissa constant (an FX-style
+    *     1.0934 conversion) BEFORE the scan. Without it the exact
+    *     two-observation variance is (1+decay)/2 · Δvalue² — with
+    *     2-decimal data that TERMINATES at ≤6 decimal digits and lands
+    *     exactly ON x.xxxx5 rounding half-boundaries, where the ±1e−12
+    *     engine-vs-oracle summation-order noise flips the kept digit
+    *     (observed: 7 of 10000 rows, every one at rn=2, e.g. 1951.25045
+    *     hashing as .2504 vs .2505). IEEE multiplication is bit-identical
+    *     in both engines, and fl(1.0934)² is a dyadic whose decimal
+    *     expansion terminates ~100 digits deep — exact half-boundary
+    *     landings become unreachable instead of 50%-likely at rn=2.
+    *     (A non-dyadic alpha does NOT fix this: any finite-decimal decay
+    *     keeps the rn=2 variance finite-decimal. Verified empirically.)
+    *   - rounded to 4 decimals, not 6: S1x2 carries value² magnitudes
+    *     (~2.4e5 here), so the recurrence-vs-SUM divergence is ~1e3×
+    *     larger than the mean's — 4 decimals keeps the compare ~4 orders
+    *     above that noise. */
+  val q100: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events").select(
+      col("event_id"), col("user_id"), col("ts"),
+      (col("value").cast("double") * lit(1.0934)).as("value"))
+    TimeSeries.ewmStats(ev, "user_id", Seq("ts", "event_id"), "value", alpha = 0.6,
+      Seq("ewm_var" -> TimeSeries.EwmVar, "ewm_std" -> TimeSeries.EwmStd))
+      .select(col("event_id"), col("user_id"),
+        round(col("ewm_var"), 4).as("ewm_var"),
+        round(col("ewm_std"), 4).as("ewm_std"))
+  }
+
+  val q100Sql: String =
+    """WITH nn AS (SELECT event_id, user_id, value * 1.0934 AS v,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL),
+      |agg AS (SELECT a.event_id,
+      |  SUM(pow(0.4, a.rn - b.rn)) AS s1,
+      |  SUM(pow(0.16, a.rn - b.rn)) AS s2,
+      |  SUM(b.v * pow(0.4, a.rn - b.rn)) AS s1x,
+      |  SUM(b.v * b.v * pow(0.4, a.rn - b.rn)) AS s1x2
+      |  FROM nn a JOIN nn b ON a.user_id = b.user_id AND b.rn <= a.rn
+      |  GROUP BY a.event_id),
+      |v AS (SELECT event_id,
+      |  CASE WHEN s1 * s1 - s2 <= 0 THEN NULL
+      |       ELSE greatest(0.0, s1x2 / s1 - (s1x / s1) * (s1x / s1))
+      |            * s1 * s1 / (s1 * s1 - s2) END AS vr
+      |  FROM agg)
+      |SELECT e.event_id, e.user_id,
+      |  round(v.vr, 4) AS ewm_var, round(sqrt(v.vr), 4) AS ewm_std
+      |FROM events e LEFT JOIN v ON e.event_id = v.event_id""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2527,6 +2592,7 @@ object Queries {
     ("q96_hll_merge", q96, Some(q96Sql)),
     ("q97_theta_set_algebra", q97, Some(q97Sql)),
     ("q98_kll_quantile_merge", q98, Some(q98Sql)),
-    ("q99_cms_frequency", q99, Some(q99Sql))
+    ("q99_cms_frequency", q99, Some(q99Sql)),
+    ("q100_ewm_var_std", q100, Some(q100Sql))
   )
 }

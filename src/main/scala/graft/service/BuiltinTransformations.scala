@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.{GraftIO, SparkIO}
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, TextClean}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, TextClean, TimeSeries}
 import graft.stages.Transforms.CustomFn
 
 /** Built-in named custom transformations: the LLM-curation operators as
@@ -60,7 +60,10 @@ object BuiltinTransformations {
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
     "text_stats" -> textStats,
-    "doc_fingerprint" -> docFingerprint
+    "doc_fingerprint" -> docFingerprint,
+    "ewm_mean" -> ewm(TimeSeries.EwmMean, "ewm_mean"),
+    "ewm_var" -> ewm(TimeSeries.EwmVar, "ewm_var"),
+    "ewm_std" -> ewm(TimeSeries.EwmStd, "ewm_std")
   )
 
   /** Default registry on the real filesystem adapter — for direct
@@ -250,6 +253,25 @@ object BuiltinTransformations {
     df.withColumn(strKw("doc_fingerprint", kw, "out_col", "fingerprint"),
       TextAnalysis.fingerprint(col(reqStr("doc_fingerprint", kw, "text_col"))))
 
+  /** `ewm_mean|ewm_var|ewm_std(key_col, order_by, val_col, alpha,
+    * out_col=<fn name>)` — the exponentially-weighted family as one O(n)
+    * contiguous-key scan ([[TimeSeries.ewmStats]]; polars `ewm_*` with
+    * adjust=true, bias=false, ignore_nulls=true). `order_by` is a column
+    * name or a list of names — include a unique tie-break or the result is
+    * nondeterministic, like any ordered window. The value column is cast
+    * to double on a shadow column so the input column's type survives. */
+  private def ewm(stat: TimeSeries.EwmStat, name: String): CustomFn = (df, kw) => {
+    val valCol = reqStr(name, kw, "val_col")
+    TimeSeries.ewmStats(
+      df.withColumn("__ewm_v", col(valCol).cast("double")),
+      reqStr(name, kw, "key_col"),
+      strSeqKw(name, kw, "order_by"),
+      "__ewm_v",
+      alpha = dblReq(name, kw, "alpha"),
+      outCols = Seq(strKw(name, kw, "out_col", name) -> stat)
+    ).drop("__ewm_v")
+  }
+
   // ------------------------------------------------------- kwarg coercion
 
   private def present(kw: Map[String, Any], k: String): Option[Any] =
@@ -291,6 +313,24 @@ object BuiltinTransformations {
     present(kw, k) match {
       case Some(v) => num(fn, k, v)
       case None => default
+    }
+
+  private def dblReq(fn: String, kw: Map[String, Any], k: String): Double =
+    present(kw, k) match {
+      case Some(v) => num(fn, k, v)
+      case None =>
+        throw new IllegalArgumentException(s"$fn: missing required kwarg '$k'")
+    }
+
+  /** A name or a YAML list of names (YAML lists arrive as `Seq[Any]`). */
+  private def strSeqKw(fn: String, kw: Map[String, Any], k: String): Seq[String] =
+    present(kw, k) match {
+      case Some(s: String) => Seq(s)
+      case Some(xs: Seq[_]) if xs.nonEmpty && xs.forall(_.isInstanceOf[String]) =>
+        xs.map(_.asInstanceOf[String])
+      case Some(other) => typeFail(fn, k, "a column name or list of column names", other)
+      case None =>
+        throw new IllegalArgumentException(s"$fn: missing required kwarg '$k'")
     }
 
   private def num(fn: String, k: String, v: Any): Double = v match {

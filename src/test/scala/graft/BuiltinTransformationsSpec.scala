@@ -95,6 +95,64 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("semantic_dedup is deterministic: same frame, same YAML, identical survivors") {
+    // the reproducibility property curation users rely on: re-running the
+    // same config over the same corpus must keep exactly the same rows.
+    // Holds by construction — the k-means fit seeds with the k lowest-id
+    // vectors and every Lloyd mean routes through the exact decimal sum
+    // (Similarity.kmeansFit), the cosine pair-drop keys on ids — but a
+    // seeded-RNG regression anywhere in that chain would break it silently,
+    // so it is pinned here by invoking the builtin twice
+    val emb = (1L to 40L).map { i =>
+      (i, Array((math.sin(i * 7.0) * 100).toFloat, (math.cos(i * 3.0) * 100).toFloat,
+        ((i % 5) * 10).toFloat))
+    }.toDF("doc_id", "emb")
+    val kwargs = Map[String, Any]("id_col" -> "doc_id", "vec_col" -> "emb",
+      "k" -> 4L, "iters" -> 2L, "threshold" -> 0.9)
+    def run() = registry("semantic_dedup")(emb, kwargs)
+      .select("doc_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val first = run()
+    assert(first.nonEmpty && first.size < 40, "fixture must actually drop some rows")
+    assert(run() == first, "second invocation diverged — determinism contract broken")
+  }
+
+  test("ewm_mean/ewm_var/ewm_std builtins: YAML-typed kwargs, list order_by, exact values") {
+    // alpha 0.5 on the en series (10, 10, 9 ordered by doc_id) has a hand-
+    // checkable closed form; order_by arrives as a YAML list (Seq) here and
+    // as a plain string in the ewm_std case — both shapes must work
+    val meanOut = registry("ewm_mean")(docs,
+      Map("key_col" -> "lang", "order_by" -> Seq("doc_id"), "val_col" -> "n_tokens",
+        "alpha" -> 0.5))
+    assert(meanOut.columns.last == "ewm_mean" &&
+      !meanOut.columns.contains("__ewm_v"), "shadow cast column must not leak")
+    val means = meanOut.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ewm_mean")).toMap
+    assert(math.abs(means(1L) - 10.0) < 1e-9)
+    assert(math.abs(means(2L) - 10.0) < 1e-9)
+    assert(math.abs(means(4L) - 16.5 / 1.75) < 1e-9) // (9 + .5*10 + .25*10)/1.75
+    assert(math.abs(means(3L) - 10.0) < 1e-9) // de series resets state
+
+    val varOut = registry("ewm_var")(docs,
+      Map("key_col" -> "lang", "order_by" -> Seq("doc_id"), "val_col" -> "n_tokens",
+        "alpha" -> 0.5, "out_col" -> "v"))
+    val vars = varOut.collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[Any]("v"))).toMap
+    assert(vars(1L).isEmpty && vars(3L).isEmpty, "first obs per key: null var")
+    assert(math.abs(vars(2L).get.asInstanceOf[Double] - 0.0) < 1e-9)
+    // s1=1.75 s2=1.3125 s1x=16.5 s1x2=156: biased = 156/1.75 - (66/7)^2 =
+    // 12/49, debias factor s1^2/(s1^2-s2) = 1.75 -> var = 3/7
+    assert(math.abs(vars(4L).get.asInstanceOf[Double] - 3.0 / 7.0) < 1e-9)
+
+    val stdOut = registry("ewm_std")(docs,
+      Map("key_col" -> "lang", "order_by" -> "doc_id", "val_col" -> "n_tokens",
+        "alpha" -> 0.5))
+    val stds = stdOut.collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[Any]("ewm_std"))).toMap
+    assert(stds(1L).isEmpty)
+    assert(math.abs(stds(4L).get.asInstanceOf[Double] - math.sqrt(3.0 / 7.0)) < 1e-9)
+  }
+
   test("incremental_dedup drops store-known and in-batch duplicate docs (FakeIO)") {
     // docs 1/2 duplicate each other (ws/case twins -> min id 1 survives the
     // in-batch pass); doc 3's fingerprint is already in the store -> novel
