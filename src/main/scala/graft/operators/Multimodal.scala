@@ -82,6 +82,25 @@ object Multimodal {
     * above any legitimate crawl thumbnail and far below executor heap. */
   val MaxDecodePixels: Long = 64L * 1024 * 1024
 
+  /** Byte-estimate companion to [[MaxDecodePixels]]: the pixel cap alone
+    * assumes ~4 B/pixel, but a hostile header can declare a 16-bit
+    * multi-band or float sample model whose raster allocates several times
+    * that at the same pixel count — so the estimated raster BYTES
+    * (pixels x bits-per-pixel from the header's ImageTypeSpecifier, still
+    * no raster allocated) are bounded too. 256 MB = the old implicit
+    * ceiling (64 MP x 4 B), now enforced for every sample model. */
+  val MaxDecodeBytes: Long = 256L * 1024 * 1024
+
+  /** Pure admission predicate for a declared image header: positive dims,
+    * pixel count under `maxPixels`, AND estimated raster bytes (pixels x
+    * bits-per-pixel) under [[MaxDecodeBytes]]. Factored out of
+    * [[imageIoDecode]] so the byte bound is testable without crafting a
+    * 300 MB fixture. */
+  private[graft] def headerAdmissible(
+      w: Int, h: Int, bitsPerPixel: Int, maxPixels: Long = MaxDecodePixels): Boolean =
+    w > 0 && h > 0 && w.toLong * h <= maxPixels &&
+      w.toLong * h * math.max(1, bitsPerPixel) / 8 <= MaxDecodeBytes
+
   /** REAL image decode via `javax.imageio` (JDK built-in): dimensions,
     * raster band count, and mean sample intensity over every (pixel, band).
     * Returns None for payloads no registered reader accepts — callers
@@ -116,7 +135,21 @@ object Multimodal {
             // header-only peek: no raster exists yet, so a bomb's declared
             // dims cost nothing to inspect
             val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+            // bits-per-pixel from the declared sample model (raw type when
+            // the plugin exposes it, else the first decode target); 32 is
+            // the conservative INT_RGB fallback when neither is available
+            val bpp =
+              try {
+                Option(reader.getRawImageType(0))
+                  .orElse {
+                    val it = reader.getImageTypes(0)
+                    if (it != null && it.hasNext) Option(it.next()) else None
+                  }
+                  .map(_.getColorModel.getPixelSize)
+                  .filter(_ > 0)
+                  .getOrElse(32)
+              } catch { case scala.util.control.NonFatal(_) => 32 }
+            if (!headerAdmissible(w, h, bpp, maxPixels)) None
             else Option(reader.read(0)).map(rasterFeatures(id, _))
           } finally reader.dispose()
         }

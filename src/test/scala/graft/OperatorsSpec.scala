@@ -348,6 +348,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.imageIoDecode(1L, out.toByteArray).isDefined)
   }
 
+  test("multimodal: byte bound rejects high-bits-per-pixel headers the pixel cap admits") {
+    // 8192x7000 = 57.3 MP, under the 64 MP pixel cap: admissible at the
+    // 4 B/px INT_RGB assumption (229 MB), but a header declaring 16-bit
+    // RGB (48 bpp -> 344 MB) or RGBA64 (64 bpp -> 458 MB) must be refused
+    // by the byte estimate — the ADVICE r8 over-allocation hole
+    assert(Multimodal.headerAdmissible(8192, 7000, 32))
+    assert(!Multimodal.headerAdmissible(8192, 7000, 48))
+    assert(!Multimodal.headerAdmissible(8192, 7000, 64))
+    // pixel cap still binds independently of bpp
+    assert(!Multimodal.headerAdmissible(1 << 15, 1 << 15, 1))
+    // degenerate headers refused; unknown bpp (0) falls back safely
+    assert(!Multimodal.headerAdmissible(0, 10, 8) && !Multimodal.headerAdmissible(10, -1, 8))
+    assert(Multimodal.headerAdmissible(10, 10, 0))
+    // end-to-end: a real 16-bit-per-channel RGB PNG decodes fine at sane
+    // dims (the guard targets declared size, not sample depth)
+    val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_sRGB)
+    val cm = new java.awt.image.ComponentColorModel(cs, false, false,
+      java.awt.Transparency.OPAQUE, java.awt.image.DataBuffer.TYPE_USHORT)
+    val img = new java.awt.image.BufferedImage(
+      cm, cm.createCompatibleWritableRaster(6, 4), false, null)
+    val out16 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out16), "JDK PNG writer handles 16-bit RGB")
+    val f = Multimodal.imageIoDecode(2L, out16.toByteArray)
+    assert(f.exists(x => x.width == 6 && x.height == 4))
+  }
+
   test("ewmMean: exact recurrence per key, nulls skipped, partition-invariant") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
