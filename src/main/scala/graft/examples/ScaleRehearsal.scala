@@ -3,10 +3,12 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+
 /** Scale rehearsal for the dedup path: synthesize an `M`x corpus from the
-  * sf0.1 documents fixture, run the heavy dedup queries at 1x and Mx, and
-  * report observed scaling exponents — empirical evidence for the O(n)
-  * claims the operator docs make from plan shapes alone.
+  * sf0.1 documents + embeddings fixtures, run the heavy dedup operators at
+  * 1x and Mx, and report observed scaling exponents — empirical evidence
+  * for the O(n) claims the operator docs make from plan shapes alone.
   *
   * Corpus synthesis preserves the duplicate STRUCTURE without creating
   * cross-copy near-dups: copy `i` suffixes every token with `_i`, so every
@@ -27,13 +29,37 @@ import org.apache.spark.sql.functions._
   * MARGINAL exponent between the two largest points — the data-dominated
   * estimate where exponent ~1 actually validates O(n).
   *
+  * ROUND-9 ADDITIONS — the two round-8 operators with caps but no
+  * measured exponents:
+  *
+  *   - `semantic_dedup_scaled`: [[Dedup.semanticDedupAssigned]] at
+  *     CONSTANT cluster size — the k ∝ n contract the operator's scale
+  *     story rests on (SemDeDup keeps clusters constant-sized by growing
+  *     k with the corpus). Embedding copies keep the base vectors and
+  *     shift ids; cells are the 1x k-means cells OFFSET per copy
+  *     (`cell + copyIdx*k`), i.e. copy-pure — the id-arithmetic stand-in
+  *     for the 8M-centroid quantizer a production system would train
+  *     offline on a sample. Within-cell geometry (pairs, drops,
+  *     survivors) mirrors the base exactly, so the workload scales by
+  *     exactly M. What is MEASURED is the within-cell self-join + cap
+  *     window + anti-join — exactly the shape that detonates (f² per
+  *     cell) when cluster sizes drift; centroid assignment is excluded
+  *     deliberately: it is map-only dense compute with no data-dependent
+  *     blowup, and its brute-force O(k)/row cost is a quantizer-design
+  *     question (hierarchical/ANN assignment at large k), not a join-
+  *     scaling one.
+  *   - `novel_against_scaled`: [[Curation.novelAgainst]] with BOTH sides
+  *     growing — batch rows and the seen-fingerprint store scale by M
+  *     (the store of a rolling ingestion grows with history). Expected
+  *     ~linear: one in-batch hash shuffle + one anti-join on the store.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_MULTS=10,100 \
   *   sbt "runMain graft.examples.ScaleRehearsal"
   * Prints one JSON line per query with per-scale times and both exponents.
   */
 object ScaleRehearsal {
 
-  private val RehearsalQueries =
+  private val CatalogQueries =
     Seq("q24_dedup_minhash_lsh", "q26_dedup_ngram_jaccard",
       "q77_dedup_clusters", "q88_fuzzy_dedup")
 
@@ -45,6 +71,10 @@ object ScaleRehearsal {
         .split(",").map(_.trim.toInt).toSeq)
       .sorted
     require(mults.nonEmpty && mults.forall(_ > 1), s"multipliers must be > 1: $mults")
+    // duplicate multipliers would divide by log(1) = 0 in the marginal
+    // exponent and print Infinity/NaN — refuse instead
+    require(mults.distinct.size == mults.size,
+      s"multipliers must be strictly increasing: $mults")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,8 +91,22 @@ object ScaleRehearsal {
       m -> d
     }
 
-    val results = RehearsalQueries.map { name =>
-      val fn = graft.SparkEntry.queries(name)
+    // base-corpus constants shared by the operator rehearsals: the 1x
+    // k-means fit (q93's exact quantizer) and the id strides that locate
+    // each synthesized copy
+    val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.kmeansFit(baseEmb, "vec_id", "v", k = 8, iters = 1)
+    val vidStride = baseEmb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val docStride = spark.read.parquet(s"$baseDir/documents.parquet")
+      .agg(max(col("doc_id"))).head().getLong(0) + 1
+
+    val rehearsals: Seq[(String, (SparkSession, String) => DataFrame)] =
+      CatalogQueries.map(n => n -> graft.SparkEntry.queries(n)) ++ Seq(
+        "semantic_dedup_scaled" -> semanticAtScale(cents, k = 8, vidStride),
+        "novel_against_scaled" -> novelAtScale(docStride))
+
+    val results = rehearsals.map { case (name, fn) =>
       def time(dir: String): Double = {
         fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
         spark.catalog.clearCache()
@@ -93,8 +137,44 @@ object ScaleRehearsal {
     spark.stop()
   }
 
-  /** Write the Mx documents corpus: copy 0 is the original; copy i>0 gets
-    * ids shifted by i*(maxId+1) and every token suffixed `_i`. */
+  /** Semantic dedup at constant cluster size (the k ∝ n contract): q93's
+    * threshold and cap over copy-pure cells — base cell + copyIdx*k, where
+    * copyIdx falls out of the synthesized id stride. On the base corpus
+    * every copyIdx is 0 and this is exactly q93's dedup stage. */
+  private def semanticAtScale(
+      cents: Seq[(Int, Seq[Double])],
+      k: Int,
+      vidStride: Long): (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val assigned = emb.withColumn("cell",
+      (Similarity.ivfCell(col("v"), cents) +
+        (floor(col("vec_id") / vidStride) * k).cast("int")).cast("int"))
+    Dedup.semanticDedupAssigned(assigned, "vec_id", "v",
+      threshold = 0.45, maxCluster = 10000)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Cross-batch novelty filter with both sides scaling: q95's overlapping
+    * batch split applied per copy via the id stride (store = fingerprints
+    * of ids < 300 within each copy, batch = ids >= 250 within each copy),
+    * so store rows and batch rows both grow by exactly M. */
+  private def novelAtScale(docStride: Long): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val baseId = pmod(col("doc_id"), lit(docStride))
+      val seen = docs.filter(baseId < 300)
+        .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      Curation.novelAgainst(docs.filter(baseId >= 250), seen, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }
+
+  /** Write the Mx corpus: copy 0 is the original; copy i>0 gets ids
+    * shifted by i*stride. Documents additionally get every token suffixed
+    * `_i` (distinct shingles/fingerprints per copy — see the header);
+    * embeddings keep the base vectors unchanged, because the semantic
+    * rehearsal separates copies by CELL, not by geometry, and identical
+    * per-copy geometry is exactly what makes its workload scale by M. */
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
@@ -109,5 +189,15 @@ object ScaleRehearsal {
     copies.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val maxVid = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val embCopies = (0 until mult).map { i =>
+      if (i == 0) emb
+      else emb.withColumn("vec_id", col("vec_id") + lit(i * maxVid))
+    }
+    embCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 }

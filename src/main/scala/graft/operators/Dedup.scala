@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle. MinHash uses the lexicographic MIN of per-seed md5 hex
   * digests — a valid uniform min-hash family with engine-portable semantics.
   *
-  * Caching contract: [[minHashLshPairs]] and [[ngramJaccardPairs]] persist
-  * a small reused intermediate (signatures / exploded shingles) because it
-  * feeds multiple self-join branches; the returned frame is lazy, so the
-  * operator cannot unpersist it itself. Long-lived sessions calling these
-  * repeatedly should `spark.catalog.clearCache()` (or unpersist) after
-  * consuming each result — Verify and Bench do exactly that.
+  * Caching contract: [[minHashLshPairs]], [[ngramJaccardPairs]],
+  * [[embeddingNearDupPairs]], and [[semanticDedup]] persist a small reused
+  * intermediate (signatures / exploded shingles / bucketed or
+  * cell-assigned rows) because it feeds multiple self-join branches; the
+  * returned frame is lazy, so the operator cannot unpersist it itself.
+  * Long-lived sessions calling these repeatedly (including through the
+  * `semantic_dedup` builtin) should `spark.catalog.clearCache()` (or
+  * unpersist) after consuming each result — Verify and Bench do exactly
+  * that.
   */
 object Dedup {
 
@@ -481,10 +484,26 @@ object Dedup {
       centroids: Seq[(Int, Seq[Double])],
       threshold: Double,
       maxCluster: Int = 10000
+  ): DataFrame = semanticDedupAssigned(
+    df.withColumn("cell", Similarity.ivfCell(col(vecCol), centroids)),
+    idCol, vecCol, threshold, maxCluster)
+
+  /** [[semanticDedup]] over an ALREADY cell-assigned frame (`cell` column
+    * present): the within-cluster cap + pair-drop + anti-join, without the
+    * centroid assignment. Exists for callers that bring their own
+    * quantizer assignment — a persisted IVF index, a hierarchical coarse
+    * quantizer, or the scale-rehearsal harness, which pins the self-join's
+    * scaling at constant cluster size (the k ∝ n contract) independent of
+    * how cells were produced. */
+  def semanticDedupAssigned(
+      dfWithCell: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxCluster: Int = 10000
   ): DataFrame = {
     require(maxCluster > 1, "maxCluster must allow at least a pair")
-    val assigned = df
-      .withColumn("cell", Similarity.ivfCell(col(vecCol), centroids))
+    val assigned = dfWithCell
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wcap = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
     val bounded = assigned
