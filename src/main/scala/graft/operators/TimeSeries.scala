@@ -64,6 +64,98 @@ object TimeSeries {
       outCol: String = "ewm_std"
   ): DataFrame = ewmStats(df, keyCol, ordCols, valCol, alpha, Seq(outCol -> EwmStd))
 
+  /** Exponentially-weighted mean over IRREGULAR time (polars
+    * `ewm_mean_by`): weights decay with the actual time gap rather than
+    * the row count — w_j = 0.5^((t_i − t_j)/halfLife) — so a burst of
+    * events keeps near-full weight while a quiet gap fades history, the
+    * correct semantics for real event streams. Same O(n) recurrence shape
+    * as [[ewmStats]] with a per-step decay: d_i = 0.5^((t_i − t_prev)/
+    * halfLife), num_i = x_i + d_i·num_{i−1}, den_i = 1 + d_i·den_{i−1}.
+    *
+    * `timeCol` must be DoubleType (cast at the call site — epoch seconds,
+    * nanos, whatever, as long as `halfLife` is in the same unit; it must
+    * be non-null and non-decreasing under the scan's sort, which holds by
+    * construction since the scan sorts by it). Rows are ordered by
+    * (timeCol, ordCols...) within the key: when ties are possible, pass a
+    * unique tie-break in `ordCols` — tied rows carry decay 1 toward each
+    * other, so which of them "precedes" changes each one's OWN output
+    * even though later rows see the same state.
+    *
+    * Null values: output null, state untouched — and unlike the row-count
+    * family, skipping a null costs nothing to correctness because decay
+    * derives from the TIME GAP to the last non-null row, not from a
+    * per-row multiply. */
+  def ewmMeanBy(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      ordCols: Seq[String],
+      valCol: String,
+      halfLife: Double,
+      outCol: String = "ewm_mean_by"
+  ): DataFrame = {
+    require(halfLife > 0.0, s"halfLife must be positive, got $halfLife")
+    require(df.schema(valCol).dataType == DoubleType,
+      s"ewmMeanBy: '$valCol' must be DoubleType (cast at the call site), " +
+        s"got ${df.schema(valCol).dataType.simpleString}")
+    require(df.schema(timeCol).dataType == DoubleType,
+      s"ewmMeanBy: '$timeCol' must be DoubleType (cast at the call site), " +
+        s"got ${df.schema(timeCol).dataType.simpleString}")
+    requireScanKey(df, keyCol, "ewmMeanBy")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, DoubleType, nullable = true))
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val timeIdx = df.schema.fieldIndex(timeCol)
+    val valIdx = df.schema.fieldIndex(valCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions((Seq(keyCol, timeCol) ++ ordCols).map(col): _*)
+      .mapPartitions { rows =>
+        var started = false
+        var curKey: Any = null
+        var haveObs = false
+        var prevT = 0.0
+        var num = 0.0
+        var den = 0.0
+        rows.map { r =>
+          val k = r.get(keyIdx)
+          if (!started || k != curKey) {
+            started = true; curKey = k
+            haveObs = false; prevT = 0.0; num = 0.0; den = 0.0
+          }
+          val out: Any =
+            if (r.isNullAt(valIdx)) null
+            else {
+              val t = r.getDouble(timeIdx)
+              val x = r.getDouble(valIdx)
+              if (haveObs) {
+                val d = math.pow(0.5, (t - prevT) / halfLife)
+                num = x + d * num
+                den = 1.0 + d * den
+              } else {
+                haveObs = true; num = x; den = 1.0
+              }
+              prevT = t
+              num / den
+            }
+          Row.fromSeq(r.toSeq :+ out)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** The complex/binary-key guard shared by every contiguous-key scan:
+    * runtime `Any` equality is unreliable there and would silently reset
+    * per-key state on every row. */
+  private def requireScanKey(df: DataFrame, keyCol: String, fn: String): Unit =
+    df.schema(keyCol).dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType =>
+        throw new IllegalArgumentException(
+          s"$fn: key '$keyCol' has a complex/binary type " +
+            s"(${df.schema(keyCol).dataType.simpleString}) whose runtime equality " +
+            "is unreliable for the contiguous-key reset — key on an atomic column " +
+            "(hash complex keys first)")
+      case _ => ()
+    }
+
   /** The shared scan: any subset of {mean, var, std} in ONE pass, appended
     * in `outCols` order. State per key is four scalars — S1 = Σw,
     * S2 = Σw², S1x = Σw·x, S1x2 = Σw·x² with w = (1-α)^(i-j) — each
@@ -105,15 +197,7 @@ object TimeSeries {
     require(df.schema(valCol).dataType == DoubleType,
       s"ewmStats: '$valCol' must be DoubleType (cast at the call site), " +
         s"got ${df.schema(valCol).dataType.simpleString}")
-    df.schema(keyCol).dataType match {
-      case _: ArrayType | _: MapType | _: StructType | BinaryType =>
-        throw new IllegalArgumentException(
-          s"ewmStats: key '$keyCol' has a complex/binary type " +
-            s"(${df.schema(keyCol).dataType.simpleString}) whose runtime equality " +
-            "is unreliable for the contiguous-key reset — key on an atomic column " +
-            "(hash complex keys first)")
-      case _ => ()
-    }
+    requireScanKey(df, keyCol, "ewmStats")
     val outSchema = StructType(df.schema.fields ++
       outCols.map { case (name, _) => StructField(name, DoubleType, nullable = true) })
     val keyIdx = df.schema.fieldIndex(keyCol)

@@ -2489,6 +2489,49 @@ object Queries {
       |  round(v.vr, 4) AS ewm_var, round(sqrt(v.vr), 4) AS ewm_std
       |FROM events e LEFT JOIN v ON e.event_id = v.event_id""".stripMargin
 
+  /** Exponentially-weighted mean over IRREGULAR time (polars
+    * `ewm_mean_by`, half-life 24h): decay follows the ACTUAL gap between
+    * events — w = 0.5^(Δt/86400s) — not the row count, the correct
+    * semantics for real event streams (median inter-event gap here is
+    * ~7.3h, so each step retains ~0.8 weight while a quiet day halves it).
+    *
+    * Cross-engine parity notes (the q94/q100 recipe, adapted):
+    *   - the time coordinate is cast(long-nanos -> double) THEN divided by
+    *     1e9 in BOTH engines (Spark long/double promotes the same way
+    *     DuckDB's BIGINT/DOUBLE does), so t is bit-identical even though
+    *     raw nanos exceed 2^53;
+    *   - the oracle's rn orders by the SAME computed t plus the event_id
+    *     tie-break, mirroring the scan's sort exactly;
+    *   - rounded to 5 decimals: the closed form evaluates pow(0.5, Δt/hl)
+    *     directly while the recurrence chains per-step pows, so the two
+    *     sides differ by ~1e-11 — 5 decimals keeps six orders of margin
+    *     and the irrational exponents make exact half-boundary landings
+    *     a non-event (unlike q100's terminating decimals). */
+  val q101: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events").select(
+      col("event_id"), col("user_id"),
+      (col("ts").cast("double") / lit(1e9)).as("t"),
+      col("value").cast("double").as("value"))
+    TimeSeries.ewmMeanBy(ev, "user_id", "t", Seq("event_id"), "value",
+      halfLife = 86400.0)
+      .select(col("event_id"), col("user_id"),
+        round(col("ewm_mean_by"), 5).as("ewm_mean_by"))
+  }
+
+  val q101Sql: String =
+    """WITH nn AS (SELECT event_id, user_id, value AS v,
+      |  CAST(epoch_ns(ts) AS DOUBLE) / 1e9 AS t,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY CAST(epoch_ns(ts) AS DOUBLE) / 1e9, event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT a.event_id,
+      |  round(SUM(b.v * pow(0.5, (a.t - b.t) / 86400.0)) /
+      |        SUM(pow(0.5, (a.t - b.t) / 86400.0)), 5) AS ewm_mean_by
+      |  FROM nn a JOIN nn b ON a.user_id = b.user_id AND b.rn <= a.rn
+      |  GROUP BY a.event_id)
+      |SELECT e.event_id, e.user_id, m.ewm_mean_by
+      |FROM events e LEFT JOIN m ON e.event_id = m.event_id""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2593,6 +2636,7 @@ object Queries {
     ("q97_theta_set_algebra", q97, Some(q97Sql)),
     ("q98_kll_quantile_merge", q98, Some(q98Sql)),
     ("q99_cms_frequency", q99, Some(q99Sql)),
-    ("q100_ewm_var_std", q100, Some(q100Sql))
+    ("q100_ewm_var_std", q100, Some(q100Sql)),
+    ("q101_ewm_mean_by", q101, Some(q101Sql))
   )
 }

@@ -63,7 +63,8 @@ object BuiltinTransformations {
     "doc_fingerprint" -> docFingerprint,
     "ewm_mean" -> ewm(TimeSeries.EwmMean, "ewm_mean"),
     "ewm_var" -> ewm(TimeSeries.EwmVar, "ewm_var"),
-    "ewm_std" -> ewm(TimeSeries.EwmStd, "ewm_std")
+    "ewm_std" -> ewm(TimeSeries.EwmStd, "ewm_std"),
+    "ewm_mean_by" -> ewmMeanBy
   )
 
   /** Default registry on the real filesystem adapter — for direct
@@ -253,6 +254,28 @@ object BuiltinTransformations {
     df.withColumn(strKw("doc_fingerprint", kw, "out_col", "fingerprint"),
       TextAnalysis.fingerprint(col(reqStr("doc_fingerprint", kw, "text_col"))))
 
+  /** `ewm_mean_by(key_col, time_col, val_col, half_life,
+    * order_by=[], out_col=ewm_mean_by)` — exponential decay over the
+    * ACTUAL time gaps, polars `ewm_mean_by` twin ([[TimeSeries.ewmMeanBy]];
+    * half_life in the time column's own unit). `order_by` is the tie-break
+    * within equal timestamps — pass a unique column when times can tie.
+    * Time and value are cast to double on shadow columns. */
+  private def ewmMeanBy: CustomFn = (df, kw) => {
+    val name = "ewm_mean_by"
+    val valCol = reqStr(name, kw, "val_col")
+    val timeCol = reqStr(name, kw, "time_col")
+    TimeSeries.ewmMeanBy(
+      df.withColumn("__ewm_v", col(valCol).cast("double"))
+        .withColumn("__ewm_t", col(timeCol).cast("double")),
+      reqStr(name, kw, "key_col"),
+      "__ewm_t",
+      strSeqKwOpt(name, kw, "order_by"),
+      "__ewm_v",
+      halfLife = dblReq(name, kw, "half_life"),
+      outCol = strKw(name, kw, "out_col", name)
+    ).drop("__ewm_v", "__ewm_t")
+  }
+
   /** `ewm_mean|ewm_var|ewm_std(key_col, order_by, val_col, alpha,
     * out_col=<fn name>)` — the exponentially-weighted family as one O(n)
     * contiguous-key scan ([[TimeSeries.ewmStats]]; polars `ewm_*` with
@@ -331,6 +354,14 @@ object BuiltinTransformations {
       case Some(other) => typeFail(fn, k, "a column name or list of column names", other)
       case None =>
         throw new IllegalArgumentException(s"$fn: missing required kwarg '$k'")
+    }
+
+  /** Optional [[strSeqKw]]: absent -> empty (an empty YAML list is still
+    * rejected — an explicitly empty tie-break is almost certainly a typo). */
+  private def strSeqKwOpt(fn: String, kw: Map[String, Any], k: String): Seq[String] =
+    present(kw, k) match {
+      case None => Nil
+      case _ => strSeqKw(fn, kw, k)
     }
 
   private def num(fn: String, k: String, v: Any): Double = v match {

@@ -153,6 +153,22 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(math.abs(stds(4L).get.asInstanceOf[Double] - math.sqrt(3.0 / 7.0)) < 1e-9)
   }
 
+  test("ewm_mean_by builtin: time-gap decay, YAML-typed kwargs") {
+    // time = doc_id, half_life = 1.0 -> weight halves per id step; en
+    // series (t=1,2,4; v=10,10,9): at t=4 the gap of 2 gives d=0.25, so
+    // num = 9 + 0.25*15 = 12.75, den = 1 + 0.25*1.5 = 1.375 -> 102/11
+    val out = registry("ewm_mean_by")(docs,
+      Map("key_col" -> "lang", "time_col" -> "doc_id", "val_col" -> "n_tokens",
+        "half_life" -> 1.0, "order_by" -> Seq("doc_id")))
+    assert(!out.columns.exists(_.startsWith("__ewm")), "shadow columns must not leak")
+    val means = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ewm_mean_by")).toMap
+    assert(math.abs(means(1L) - 10.0) < 1e-9)
+    assert(math.abs(means(2L) - 10.0) < 1e-9)
+    assert(math.abs(means(4L) - 102.0 / 11.0) < 1e-9)
+    assert(math.abs(means(3L) - 10.0) < 1e-9) // de key resets
+  }
+
   test("incremental_dedup drops store-known and in-batch duplicate docs (FakeIO)") {
     // docs 1/2 duplicate each other (ws/case twins -> min id 1 survives the
     // in-batch pass); doc 3's fingerprint is already in the store -> novel

@@ -242,6 +242,40 @@ class PropertySpec extends AnyFunSuite {
     check(prop, 8)
   }
 
+  test("property: ewmMeanBy recurrence equals the time-weighted closed form") {
+    // irregular-gap twin of the ewmMean property: w_j = 0.5^((t_i-t_j)/hl)
+    // with random positive gaps INCLUDING zero (ties) — a tie means decay
+    // exactly 1 toward the tied predecessor, and the tie-break ordering is
+    // the row index, mirroring the operator's (time, ord) sort
+    val series = for {
+      n <- Gen.chooseNum(1, 8)
+      gaps <- Gen.listOfN(n, Gen.oneOf(0.0, 0.5, 1.0, 3.0, 10.0))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0).map(v => math.rint(v * 10) / 10))
+    } yield gaps.scanLeft(0.0)(_ + _).tail.zip(vs)
+    val gen = for {
+      perKey <- Gen.listOfN(3, series)
+      hl <- Gen.oneOf(0.7, 2.0, 25.0)
+    } yield (perKey, hl)
+    val prop = Prop.forAll(gen) { case (perKey, hl) =>
+      val rows = perKey.zipWithIndex.flatMap { case (tv, k) =>
+        tv.zipWithIndex.map { case ((t, v), i) => (s"k$k", t, i.toLong, v) }
+      }
+      val out = graft.operators.TimeSeries
+        .ewmMeanBy(rows.toDF("k", "t", "ord", "v"), "k", "t", Seq("ord"), "v", hl)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(4)).toMap
+      perKey.zipWithIndex.forall { case (tv, k) =>
+        tv.indices.forall { i =>
+          val ti = tv(i)._1
+          val w = (0 to i).map(j => math.pow(0.5, (ti - tv(j)._1) / hl))
+          val expected = (0 to i).map(j => w(j) * tv(j)._2).sum / w.sum
+          math.abs(out((s"k$k", i.toLong)) - expected) < 1e-9
+        }
+      }
+    }
+    check(prop, 8)
+  }
+
   test("ewmStats rejects complex-typed key columns") {
     // Any-equality on an array key is reference-based at runtime — the
     // contiguous-key reset would silently fire per row; the operator must
@@ -326,7 +360,16 @@ class PropertySpec extends AnyFunSuite {
       "doc_fingerprint" -> Seq(textCol, opt("out_col", Gen.const("fp"), wrongForStr)),
       "ewm_mean" -> ewmSpecs(req, opt),
       "ewm_var" -> ewmSpecs(req, opt),
-      "ewm_std" -> ewmSpecs(req, opt)
+      "ewm_std" -> ewmSpecs(req, opt),
+      "ewm_mean_by" -> Seq(
+        req("key_col", Gen.const("lang"), wrongForStr),
+        req("time_col", Gen.const("doc_id"), wrongForStr),
+        req("val_col", Gen.const("n_tok"), wrongForStr),
+        req("half_life", Gen.chooseNum(0.5, 100.0), wrongForNum),
+        opt("order_by",
+          Gen.oneOf[Any]("doc_id", List("doc_id")),
+          Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String])),
+        opt("out_col", Gen.const("ewm_by_out"), wrongForStr))
     )
   }
 
