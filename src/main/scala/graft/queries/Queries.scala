@@ -2532,6 +2532,49 @@ object Queries {
       |SELECT e.event_id, e.user_id, m.ewm_mean_by
       |FROM events e LEFT JOIN m ON e.event_id = m.event_id""".stripMargin
 
+  /** STREAMING ewm over irregular time ([[graft.streaming.Streaming
+    * .ewmMeanByStream]]): the q101 statistic maintained incrementally with
+    * three scalars of state per user — the canonical streaming statistic,
+    * no window buffer, state hash-partitioned across executors. Same
+    * 24h half-life, same bit-identical time coordinate, same round-5
+    * contract; the oracle is q101's closed form restricted to non-null
+    * rows (an append-mode stream emits only computed points — there is no
+    * left-join row to carry a null through). StreamingSpec additionally
+    * proves the cross-batch state carry equals the batch scan. */
+  val q102: QueryFn = (s, d) => {
+    import s.implicits._
+    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    val events = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        (col("ts").cast("double") / lit(1e9)).as("t"),
+        col("value").cast("double").as("value"))
+      .as[graft.streaming.Streaming.EwmEvent]
+    val out = graft.streaming.Streaming.ewmMeanByStream(events, halfLife = 86400.0)
+      .select(col("event_id"), col("user_id"),
+        round(col("ewm_mean_by"), 5).as("ewm_mean_by"))
+    val name = "q102_stream_ewm_sink"
+    s.catalog.dropTempView(name)
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  val q102Sql: String =
+    """WITH nn AS (SELECT event_id, user_id, value AS v,
+      |  CAST(epoch_ns(ts) AS DOUBLE) / 1e9 AS t,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY CAST(epoch_ns(ts) AS DOUBLE) / 1e9, event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT a.event_id, a.user_id,
+      |  round(SUM(b.v * pow(0.5, (a.t - b.t) / 86400.0)) /
+      |        SUM(pow(0.5, (a.t - b.t) / 86400.0)), 5) AS ewm_mean_by
+      |FROM nn a JOIN nn b ON a.user_id = b.user_id AND b.rn <= a.rn
+      |GROUP BY a.event_id, a.user_id""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2637,6 +2680,7 @@ object Queries {
     ("q98_kll_quantile_merge", q98, Some(q98Sql)),
     ("q99_cms_frequency", q99, Some(q99Sql)),
     ("q100_ewm_var_std", q100, Some(q100Sql)),
-    ("q101_ewm_mean_by", q101, Some(q101Sql))
+    ("q101_ewm_mean_by", q101, Some(q101Sql)),
+    ("q102_stream_ewm", q102, Some(q102Sql))
   )
 }

@@ -67,6 +67,60 @@ object Streaming {
     * user, hash-partitioned on user_id across executors. The streaming
     * analogue of the batch sessionize query (q18).
     */
+  final case class EwmEvent(user_id: Long, event_id: Long, t: Double, value: Double)
+
+  final case class EwmState(num: Double, den: Double, prevT: Double)
+
+  final case class EwmPoint(user_id: Long, event_id: Long, ewm_mean_by: Double)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.ewmMeanBy]]: the
+    * time-decayed mean is THE canonical incrementally-maintainable
+    * statistic — per-key state is exactly three scalars (num, den, last
+    * timestamp), so a 100M-key stream carries a few GB of state
+    * hash-partitioned across executors, with no window buffer at all.
+    * Each micro-batch's rows are sorted by (t, event_id) within the key
+    * group; the recurrence then continues from the carried state, so the
+    * emitted per-event values equal the batch operator's output on the
+    * same prefix (asserted in StreamingSpec across multiple batches).
+    *
+    * Ordering contract: like every incremental statistic, correctness
+    * across batches assumes per-key event-time-ordered arrival (late data
+    * would decay from the wrong anchor). Front with a watermark-buffered
+    * sort — or accept the approximation — for out-of-order sources; the
+    * batch operator is the replay/backfill path either way. */
+  def ewmMeanByStream(
+      events: Dataset[EwmEvent],
+      halfLife: Double
+  ): Dataset[EwmPoint] = {
+    import events.sparkSession.implicits._
+    require(halfLife > 0.0, s"halfLife must be positive, got $halfLife")
+
+    def update(
+        userId: Long,
+        batch: Iterator[EwmEvent],
+        state: GroupState[EwmState]
+    ): Iterator[EwmPoint] = {
+      val sorted = batch.toSeq.sortBy(e => (e.t, e.event_id))
+      var st = state.getOption
+      val out = sorted.map { e =>
+        val next = st match {
+          case Some(s) =>
+            val d = math.pow(0.5, (e.t - s.prevT) / halfLife)
+            EwmState(e.value + d * s.num, 1.0 + d * s.den, e.t)
+          case None => EwmState(e.value, 1.0, e.t)
+        }
+        st = Some(next)
+        EwmPoint(userId, e.event_id, next.num / next.den)
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   def sessionize(
       events: Dataset[SessionEvent],
       gapMs: Long = 30L * 60 * 1000,

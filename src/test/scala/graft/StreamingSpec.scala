@@ -66,6 +66,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ewm carries decay state across batches and equals the batch scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.EwmEvent]
+    val out = Streaming.ewmMeanByStream(input.toDS(), halfLife = 2.0)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ewm_stream").start()
+    try {
+      // batch 1: user 1 at t=0,1 (unsorted on purpose — the group sorts);
+      // user 2 single point
+      input.addData(
+        Streaming.EwmEvent(1L, 2, 1.0, 20.0), Streaming.EwmEvent(1L, 1, 0.0, 10.0),
+        Streaming.EwmEvent(2L, 3, 0.0, 5.0))
+      q.processAllAvailable()
+      // batch 2: user 1 continues at t=3 — decay must anchor on the
+      // CARRIED prevT=1 (gap 2 = one half-life), not restart
+      input.addData(Streaming.EwmEvent(1L, 4, 3.0, 40.0))
+      q.processAllAvailable()
+      val got = spark.table("ewm_stream").as[Streaming.EwmPoint].collect()
+        .map(p => p.event_id -> p.ewm_mean_by).toMap
+      // batch-operator oracle on the full (in-order) series
+      val batchDf = Seq(
+        (1L, 1L, 0.0, 10.0), (1L, 2L, 1.0, 20.0), (1L, 4L, 3.0, 40.0),
+        (2L, 3L, 0.0, 5.0)
+      ).toDF("user_id", "event_id", "t", "v")
+      val expected = graft.operators.TimeSeries
+        .ewmMeanBy(batchDf, "user_id", "t", Seq("event_id"), "v", halfLife = 2.0)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewm_mean_by")).toMap
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (eid, e) =>
+        assert(math.abs(got(eid) - e) < 1e-12, s"event $eid: stream ${got(eid)} vs batch $e")
+      }
+      // spot value: event 4 = (40 + d*(20 + d'*10)) / (1 + d*(1 + d'*1))
+      // with d' = 0.5^(1/2), d = 0.5^(2/2) = 0.5
+      val dp = math.pow(0.5, 0.5)
+      val e4 = (40.0 + 0.5 * (20.0 + dp * 10.0)) / (1.0 + 0.5 * (1.0 + dp))
+      assert(math.abs(got(4L) - e4) < 1e-12)
+    } finally q.stop()
+  }
+
   test("batch transforms compose unchanged on a streaming frame") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
