@@ -406,6 +406,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(4) == out)
   }
 
+  test("ewmMeanBy: nulls emit null and decay anchors on the last NON-NULL row's time") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("t", DoubleType),
+      StructField("ord", LongType), StructField("v", DoubleType)))
+    // the null at t=2 must not become a decay anchor: the t=3 row decays
+    // from t=1 (gap 2 = one half-life at hl=2), not from t=2
+    val rows = Seq(
+      Row("a", 1.0, 1L, 10.0), Row("a", 2.0, 2L, null), Row("a", 3.0, 3L, 30.0),
+      Row("b", 5.0, 4L, 7.0))
+    def run(nPart: Int): Map[Long, Option[Double]] = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.reverse, nPart), schema)
+      TimeSeries.ewmMeanBy(df, "k", "t", Seq("ord"), "v", halfLife = 2.0)
+        .collect()
+        .map(r => r.getLong(2) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .toMap
+    }
+    val out = run(1)
+    assert(out(1L) == Some(10.0))
+    assert(out(2L).isEmpty, "null value -> null output")
+    // d = 0.5^((3-1)/2) = 0.5: m = (30 + 0.5*10)/(1 + 0.5) = 35/1.5
+    assert(out(3L).exists(m => math.abs(m - 35.0 / 1.5) < 1e-12))
+    assert(out(4L) == Some(7.0), "fresh key starts clean")
+    assert(run(4) == out, "partition-invariant (operator re-shuffles + re-sorts)")
+  }
+
   test("semanticDedup drops within-cell cosine near-dups, lowest id survives") {
     // two k-means cells on fixed centroids: x-axis (cell 0) and y-axis
     // (cell 1). Docs 1-3 land in cell 0 and are all near-parallel: pair-
