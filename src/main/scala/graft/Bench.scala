@@ -78,35 +78,18 @@ object Bench {
     * reference was measured with). Whole-stage-codegen loop, no IO, no
     * shuffle: its runtime moves only with per-core CPU availability,
     * which is exactly what box contention steals. */
-  private def calibrate(spark: SparkSession): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 1).selectExpr("sum(id)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once() // warm-up: codegen compile + JIT
-    (1 to 3).map(_ => once()).min
-  }
+  private def calibrate(spark: SparkSession): Double =
+    graft.util.Calibration.singleLane(spark)
 
   /** Parallel calibration lane (round 9): the same 2e8-per-task range sum,
     * but `cpus` tasks AT ONCE. Idle-box wall time ≈ the single lane's
     * (every task gets its own core); a partially contended box — the
     * r8 blind spot, where one core was free but many were stolen — queues
     * tasks and inflates this lane while leaving the single lane clean.
-    * The summand is bounded (`id % 100000`) so the cpus-scaled range can
-    * never overflow the Long sum under ANSI mode; only the loop's wall
-    * time matters, so the extra modulo just folds into this lane's own
-    * idle reference. */
-  private def calibratePar(spark: SparkSession, cpus: Int): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L * cpus, 1L, cpus)
-        .selectExpr("sum(id % 100000)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once() // warm-up: codegen compile + JIT
-    (1 to 3).map(_ => once()).min
-  }
+    * Lane mechanics live in [[graft.util.Calibration]], shared with the
+    * scale rehearsal's per-query evidence stamps. */
+  private def calibratePar(spark: SparkSession, cpus: Int): Double =
+    graft.util.Calibration.parallelLane(spark, cpus)
 
   /** Per-query medians from a prior clean bench JSON (the full-precision
     * `SPARK_GRAFT_BENCH_OUT` file or the compact stdout line — keys are

@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, TimeSeries}
 
 /** Scale rehearsal for the dedup path: synthesize an `M`x corpus from the
   * sf0.1 documents + embeddings fixtures, run the heavy dedup operators at
@@ -52,6 +52,11 @@ import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
   *     growing — batch rows and the seen-fingerprint store scale by M
   *     (the store of a rolling ingestion grows with history). Expected
   *     ~linear: one in-batch hash shuffle + one anti-join on the store.
+  *   - `ewm_mean_by_scaled` (round 9): the O(n) contiguous-key scan over
+  *     an Mx events corpus — copies shift user_id and event_id, so keys
+  *     scale by M at constant per-key series length (the realistic growth
+  *     axis: more users, not longer histories). One hash shuffle + one
+  *     in-partition sort + the scan; expected ~linear.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_MULTS=10,100 \
   *   sbt "runMain graft.examples.ScaleRehearsal"
@@ -81,6 +86,7 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -104,9 +110,25 @@ object ScaleRehearsal {
     val rehearsals: Seq[(String, (SparkSession, String) => DataFrame)] =
       CatalogQueries.map(n => n -> graft.SparkEntry.queries(n)) ++ Seq(
         "semantic_dedup_scaled" -> semanticAtScale(cents, k = 8, vidStride),
-        "novel_against_scaled" -> novelAtScale(docStride))
+        "novel_against_scaled" -> novelAtScale(docStride),
+        "ewm_mean_by_scaled" -> ewmAtScale)
 
+    // Contention evidence (round 9): a ladder run takes ~15 minutes and
+    // contention can arrive MID-RUN — observed: one run where q24's points
+    // were clean and q26's x100 read 3x its reference, which a single
+    // start-of-run check would have blessed. Each query row therefore
+    // stamps the parallel calibration lane (idle ~0.75 s here, see
+    // graft.util.Calibration) measured right before its timings, plus the
+    // 1-min load average, and self-flags `suspect` at 2x the idle
+    // reference — the same gate Bench applies run-wide.
+    val parIdle =
+      sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_PAR_IDLE_SEC", "0.75").toDouble
+    graft.util.Calibration.parallelLane(spark, cpus.toInt, runs = 1) // JIT warm
     val results = rehearsals.map { case (name, fn) =>
+      val calPar = graft.util.Calibration.parallelLane(spark, cpus.toInt,
+        runs = 2, warm = false)
+      val load = graft.util.Calibration.loadAvg()
+      val suspect = calPar > 2.0 * parIdle
       def time(dir: String): Double = {
         fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
         spark.catalog.clearCache()
@@ -129,11 +151,12 @@ object ScaleRehearsal {
       val marginal = math.log(tTop / tPrev) / math.log(mTop.toDouble / mPrev)
       val timesJson = scaled.map { case (m, t) => f""""x$m":$t%.2f""" }.mkString("{", ",", "}")
       println(
-        f"""{"query":"$name","t_base":$tBase%.2f,"times":$timesJson,"exponent_overall":$overall%.2f,"exponent_marginal":$marginal%.2f}""")
-      (name, marginal)
+        f"""{"query":"$name","t_base":$tBase%.2f,"times":$timesJson,"exponent_overall":$overall%.2f,"exponent_marginal":$marginal%.2f,"cal_par":$calPar%.2f,"load_avg":$load%.2f,"suspect":$suspect}""")
+      (name, marginal, suspect)
     }
     val worst = results.maxBy(_._2)
-    println(f"""{"metric":"max_marginal_exponent","query":"${worst._1}","value":${worst._2}%.2f}""")
+    val nSuspect = results.count(_._3)
+    println(f"""{"metric":"max_marginal_exponent","query":"${worst._1}","value":${worst._2}%.2f,"suspect_queries":$nSuspect}""")
     spark.stop()
   }
 
@@ -169,6 +192,18 @@ object ScaleRehearsal {
         .select(col("doc_id"), col("lang"), col("source"))
     }
 
+  /** q101's scan over the synthesized events corpus: M-times the users at
+    * constant per-key series length. */
+  private def ewmAtScale: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = s.read.parquet(s"$dir/events.parquet").select(
+      col("event_id"), col("user_id"),
+      (col("ts").cast("double") / lit(1e9)).as("t"),
+      col("value").cast("double").as("value"))
+    TimeSeries.ewmMeanBy(ev, "user_id", "t", Seq("event_id"), "value",
+      halfLife = 86400.0)
+      .select(col("event_id"), col("user_id"), col("ewm_mean_by"))
+  }
+
   /** Write the Mx corpus: copy 0 is the original; copy i>0 gets ids
     * shifted by i*stride. Documents additionally get every token suffixed
     * `_i` (distinct shingles/fingerprints per copy — see the header);
@@ -199,5 +234,20 @@ object ScaleRehearsal {
     embCopies.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // events: copies shift BOTH ids, keeping each synthetic user's series
+    // identical to its base twin — M-times the keys, constant series length
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val maxUid = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val maxEid = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val evCopies = (0 until mult).map { i =>
+      if (i == 0) ev
+      else ev
+        .withColumn("user_id", col("user_id") + lit(i * maxUid))
+        .withColumn("event_id", col("event_id") + lit(i * maxEid))
+    }
+    evCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 }

@@ -101,6 +101,9 @@ object TimeSeries {
     require(df.schema(timeCol).dataType == DoubleType,
       s"ewmMeanBy: '$timeCol' must be DoubleType (cast at the call site), " +
         s"got ${df.schema(timeCol).dataType.simpleString}")
+    require(!df.columns.contains(outCol),
+      s"ewmMeanBy: output column '$outCol' already exists — appending it would " +
+        "create a duplicate-name schema that fails only at the next select")
     requireScanKey(df, keyCol, "ewmMeanBy")
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, DoubleType, nullable = true))
@@ -194,6 +197,11 @@ object TimeSeries {
     require(outCols.nonEmpty, "ewmStats: at least one output column required")
     require(outCols.map(_._1).distinct.size == outCols.size,
       s"ewmStats: duplicate output column names in ${outCols.map(_._1)}")
+    outCols.foreach { case (name, _) =>
+      require(!df.columns.contains(name),
+        s"ewmStats: output column '$name' already exists — appending it would " +
+          "create a duplicate-name schema that fails only at the next select")
+    }
     require(df.schema(valCol).dataType == DoubleType,
       s"ewmStats: '$valCol' must be DoubleType (cast at the call site), " +
         s"got ${df.schema(valCol).dataType.simpleString}")

@@ -151,6 +151,15 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[Any]("ewm_std"))).toMap
     assert(stds(1L).isEmpty)
     assert(math.abs(stds(4L).get.asInstanceOf[Double] - math.sqrt(3.0 / 7.0)) < 1e-9)
+
+    // an out_col colliding with an existing column must die at build with
+    // a clear message, not produce a duplicate-name schema
+    val collide = intercept[IllegalArgumentException] {
+      registry("ewm_mean")(docs,
+        Map("key_col" -> "lang", "order_by" -> "doc_id", "val_col" -> "n_tokens",
+          "alpha" -> 0.5, "out_col" -> "text"))
+    }
+    assert(collide.getMessage.contains("already exists"))
   }
 
   test("ewm_mean_by builtin: time-gap decay, YAML-typed kwargs") {
