@@ -192,6 +192,48 @@ class PipelineE2ESpec extends AnyFunSuite {
       s"expected quality_filter to drop 4 and fuzzy_dedup to collapse {1,2}->1, got $ids")
   }
 
+  test("YAML config alone drives the ewm family end-to-end (time-series curation)") {
+    import spark.implicits._
+    val io = new FakeIO()
+    io.frames.put("/src/series.parquet", Seq(
+      (1L, "u1", 0.0, 10.0), (2L, "u1", 1.0, 20.0), (3L, "u1", 3.0, 40.0),
+      (4L, "u2", 0.0, 5.0)
+    ).toDF("event_id", "key", "t", "v"))
+    // YAML list form for order_by plus a numeric half_life: the exact
+    // shapes ConfigLoader produces must reach TimeSeries unharmed
+    val yaml =
+      """process_name: ewm_e2e
+        |src_path: /src/series.parquet
+        |dst_root: /out
+        |custom_transformations:
+        |  ewm_mean:
+        |    key_col: key
+        |    order_by:
+        |      - t
+        |      - event_id
+        |    val_col: v
+        |    alpha: 0.5
+        |  ewm_mean_by:
+        |    key_col: key
+        |    time_col: t
+        |    val_col: v
+        |    half_life: 2.0
+        |    order_by: event_id
+        |""".stripMargin
+    val res = Pipeline.runPipeline(spark, ConfigLoader.fromYaml(yaml), io)
+    val rows = res.transformed
+      .select("event_id", "ewm_mean", "ewm_mean_by").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // ewm_mean (row-count, alpha .5) at event 3: (40+.5*20+.25*10)/1.75
+    assert(math.abs(rows(3L)._1 - 52.5 / 1.75) < 1e-9)
+    // ewm_mean_by (half_life 2) at event 3: gap 2 from t=1 -> d=.5 over
+    // the carried (num=20+d'*10, den=1+d') with d'=0.5^(1/2)
+    val dp = math.pow(0.5, 0.5)
+    val e3 = (40.0 + 0.5 * (20.0 + dp * 10.0)) / (1.0 + 0.5 * (1.0 + dp))
+    assert(math.abs(rows(3L)._2 - e3) < 1e-9)
+    assert(rows(4L)._1 == 5.0 && rows(4L)._2 == 5.0, "fresh key")
+  }
+
   test("user-supplied customFns shadow builtins by name") {
     val io = new FakeIO()
     io.frames.put("/src/docs.parquet", docsDf)
