@@ -81,10 +81,13 @@ object TimeSeries {
     * other, so which of them "precedes" changes each one's OWN output
     * even though later rows see the same state.
     *
-    * Null values: output null, state untouched — and unlike the row-count
-    * family, skipping a null costs nothing to correctness because decay
-    * derives from the TIME GAP to the last non-null row, not from a
-    * per-row multiply. */
+    * Null values — and rows whose TIME is null, which have no place on
+    * the decay axis at all: output null, state untouched. Unlike the
+    * row-count family, skipping costs nothing to correctness because
+    * decay derives from the TIME GAP to the last observed row, not from
+    * a per-row multiply. (A null time must not reach the recurrence: it
+    * would unbox as an NPE deep in an executor; it is handled as an
+    * explicit skip instead.) */
   def ewmMeanBy(
       df: DataFrame,
       keyCol: String,
@@ -126,7 +129,7 @@ object TimeSeries {
             haveObs = false; prevT = 0.0; num = 0.0; den = 0.0
           }
           val out: Any =
-            if (r.isNullAt(valIdx)) null
+            if (r.isNullAt(valIdx) || r.isNullAt(timeIdx)) null
             else {
               val t = r.getDouble(timeIdx)
               val x = r.getDouble(valIdx)

@@ -2546,7 +2546,9 @@ object Queries {
     val schema = tbl(s, d, "events").schema // also sets nanosAsLong
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .filter(col("value").isNotNull)
+      // both: EwmEvent's primitive fields would NPE at deserialization on
+      // a null, and a null-ts row has no place on the decay axis anyway
+      .filter(col("value").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         (col("ts").cast("double") / lit(1e9)).as("t"),

@@ -435,6 +435,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(4) == out, "partition-invariant (operator re-shuffles + re-sorts)")
   }
 
+  test("ewmMeanBy: a null TIMESTAMP is a skip, never an executor NPE") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("t", DoubleType),
+      StructField("ord", LongType), StructField("v", DoubleType)))
+    val rows = Seq(
+      Row("a", 1.0, 1L, 10.0), Row("a", null, 2L, 99.0), Row("a", 3.0, 3L, 30.0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = TimeSeries.ewmMeanBy(df, "k", "t", Seq("ord"), "v", halfLife = 2.0)
+      .collect()
+      .map(r => r.getLong(2) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(out(2L).isEmpty, "a row with no place on the decay axis emits null")
+    // and it must not have advanced the state: ord=3 still decays from t=1
+    assert(out(3L).exists(m => math.abs(m - 35.0 / 1.5) < 1e-12))
+  }
+
   test("semanticDedup drops within-cell cosine near-dups, lowest id survives") {
     // two k-means cells on fixed centroids: x-axis (cell 0) and y-axis
     // (cell 1). Docs 1-3 land in cell 0 and are all near-parallel: pair-
