@@ -152,6 +152,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "within-cell join lost its equi-key")
   }
 
+  test("q94/q100/q101: ewm scans are one exchange + one sort + MapPartitions, no Window") {
+    // the family's whole scale claim: ONE hash shuffle on the key, an
+    // in-partition sort, then the O(n) scan — never a window frame
+    // (re-aggregation would be O(n²)/key) and never a second exchange
+    for (q <- Seq("q94_ewm_mean", "q100_ewm_var_std", "q101_ewm_mean_by")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+        s"$q: exactly one hash exchange on the key expected:\n$p")
+      assert("(?m)^\\s*\\+?-? ?Sort ".r.findAllIn(p).length == 1,
+        s"$q: exactly one in-partition sort expected:\n$p")
+      assert(p.contains("MapPartitions"), s"$q: the scan seam must be present:\n$p")
+      assert(!p.contains("Window"), s"$q: no window re-aggregation allowed:\n$p")
+      assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint," +
+        "user_id:bigint,value:double>"), s"$q: scan must prune to 4 columns:\n$p")
+    }
+  }
+
   test("catalog-wide: no cartesian products; nested-loop joins only where the cross is intended") {
     // At 100 TB an accidental CartesianProduct (or an equi-join that lost
     // its key and fell back to BroadcastNestedLoopJoin) is a job-killer.
