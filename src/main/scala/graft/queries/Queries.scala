@@ -1608,25 +1608,41 @@ object Queries {
   /** Linear interpolation of sparse values against the time axis
     * (interpolate_by from the derive registry): interior nulls fill
     * linearly between neighbors, boundary nulls stay null. */
+  // Two rounding-parity guards, both added after a sf0.1 hash flip
+  // exposed them (pre-existing latent divergences, kept as documentation):
+  //   - the interpolation coordinate is MICROSECONDS (`ts div 1000`), not
+  //     raw nanos: DuckDB's parquet reader truncates TIMESTAMP(NANOS) to
+  //     µs, so an ns-coordinate engine diverges from the oracle by the
+  //     sub-µs remainder — ~3e-10 of a typical gap, which is a ~3e-8
+  //     value error, far above round-6 resolution. Ordering still uses
+  //     the full-ns ts (identical order both sides: the minimum observed
+  //     inter-event gap is seconds, so µs truncation never creates ties);
+  //   - the value is scaled by a full-mantissa constant (q100's guard):
+  //     whole-second gaps make interpolation fractions small rationals,
+  //     so exact interpolated values TERMINATE in decimal and land ON
+  //     round-6 half-boundaries, where the engines' round() disagree on
+  //     adjacent doubles (observed: 212.7881005 as .788101 vs .7881).
   val q70: QueryFn = (s, d) =>
     tbl(s, d, "events")
       .withColumn("v_sparse",
-        when(col("event_type") === "view", lit(null).cast("double")).otherwise(col("value")))
+        when(col("event_type") === "view", lit(null).cast("double"))
+          .otherwise(col("value") * lit(1.0934)))
+      .withColumn("ts_us", expr("ts div 1000"))
       .transform(Transforms.deriveNewCols(Seq(
-        "v_interp" -> DeriveSpec("interpolate_by", Map("col" -> "v_sparse", "by" -> "ts",
+        "v_interp" -> DeriveSpec("interpolate_by", Map("col" -> "v_sparse", "by" -> "ts_us",
           "partition_by" -> Seq("user_id"), "order_by" -> Seq("ts", "event_id"))))))
       .select(col("event_id"), col("user_id"), col("v_sparse"),
         round(col("v_interp"), 6).as("v_interp"))
 
   val q70Sql: String =
     """WITH s AS (SELECT event_id, user_id, ts,
-      |  CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v FROM events),
+      |  CASE WHEN event_type = 'view' THEN NULL ELSE value * 1.0934 END AS v FROM events),
       |w AS (SELECT event_id, user_id, v,
-      |  CAST(epoch_ns(ts) AS DOUBLE) AS x,
+      |  CAST(epoch_us(ts) AS DOUBLE) AS x,
       |  last_value(v IGNORE NULLS) OVER past AS pv,
-      |  last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_ns(ts) AS DOUBLE) END IGNORE NULLS) OVER past AS px,
+      |  last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS) OVER past AS px,
       |  first_value(v IGNORE NULLS) OVER fut AS nv,
-      |  first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_ns(ts) AS DOUBLE) END IGNORE NULLS) OVER fut AS nx
+      |  first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS) OVER fut AS nx
       |  FROM s WINDOW
       |  past AS (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -1863,26 +1879,31 @@ object Queries {
 
   /** polars expr.over(keys): aggregate derive fns broadcast PER KEY when
     * partition_by is present — unordered windows, one keyed shuffle. */
+  // the MEAN is computed over a full-mantissa-scaled value (q100's
+  // rounding-parity guard, applied after a sf0.1 flip): a user's exact
+  // mean of 2-decimal values TERMINATES whenever the count's odd part
+  // divides the sum (observed: 3147.69/56 = 56.208750 exactly), landing
+  // ON the round-4 half-boundary where the engines' round() disagree on
+  // adjacent doubles. The exact TOTAL needs no guard: decimal-routed sums
+  // of 2-decimal data terminate at 2 decimals, never at a 6dp boundary.
   val q80: QueryFn = (s, d) =>
     tbl(s, d, "events")
+      .withColumn("value_eur", col("value") * lit(1.0934))
       .transform(Transforms.deriveNewCols(Seq(
         "user_mean" -> DeriveSpec("mean",
-          Map("col" -> "value", "partition_by" -> Seq("user_id"))),
+          Map("col" -> "value_eur", "partition_by" -> Seq("user_id"))),
         "user_total" -> DeriveSpec("sum_exact", // decimal-routed: FP-order-immune
           Map("col" -> "value", "partition_by" -> Seq("user_id"))),
         "user_types" -> DeriveSpec("n_unique",
           Map("col" -> "event_type", "partition_by" -> Seq("user_id"))))))
       .select(col("event_id"), col("user_id"),
-        // mean rounds to 4dp (double window avg: summation-order jitter is
-        // ~1e-11 absolute; a 5e-5 boundary makes a flip ~impossible);
-        // the total is decimal-exact so 6dp is safe
         round(col("user_mean"), 4).as("user_mean"),
         round(col("user_total"), 6).as("user_total"),
         col("user_types"))
 
   val q80Sql: String =
     """SELECT event_id, user_id,
-      |round(avg(value) OVER w, 4) AS user_mean,
+      |round(avg(value * 1.0934) OVER w, 4) AS user_mean,
       |round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE), 6) AS user_total,
       |count(DISTINCT event_type) OVER w AS user_types
       |FROM events WINDOW w AS (PARTITION BY user_id)""".stripMargin
