@@ -65,29 +65,35 @@ object TimeSeries {
   ): DataFrame = ewmStats(df, keyCol, ordCols, valCol, alpha, Seq(outCol -> EwmStd))
 
   /** Exponentially-weighted mean over IRREGULAR time (polars
-    * `ewm_mean_by`): weights decay with the actual time gap rather than
-    * the row count — w_j = 0.5^((t_i − t_j)/halfLife) — so a burst of
-    * events keeps near-full weight while a quiet gap fades history, the
-    * correct semantics for real event streams. Same O(n) recurrence shape
-    * as [[ewmStats]] with a per-step decay: d_i = 0.5^((t_i − t_prev)/
-    * halfLife), num_i = x_i + d_i·num_{i−1}, den_i = 1 + d_i·den_{i−1}.
+    * `ewm_mean_by` — the UNADJUSTED recurrence polars uses, which differs
+    * from pandas' `ewm(times=…, adjust=True)`): decay follows the actual
+    * time gap rather than the row count. y_first = x_first, then
+    * y_i = a_i·y_{i−1} + (1 − a_i)·x_i with a_i = 0.5^((t_i − t_prev)/
+    * halfLife) — one scalar of state, O(n) per key. A burst of events
+    * keeps near-full weight while a quiet gap fades history; a ZERO-gap
+    * (tied-time) row has a_i = 1 and therefore contributes weight 0 to
+    * its own output (y_i = y_{i−1}) — polars' tie semantics, the opposite
+    * of the adjusted/normalized sum(w·x)/sum(w) form where a tied row
+    * gets full weight. (Divergence flagged by the round-9 advisor;
+    * polars reference: `Expr.ewm_mean_by` docs, y_i = x_i + α_i·(y_{i−1}
+    * − x_i), α_i = 0.5^(Δt/half_life).)
     *
     * `timeCol` must be DoubleType (cast at the call site — epoch seconds,
     * nanos, whatever, as long as `halfLife` is in the same unit; it must
     * be non-null and non-decreasing under the scan's sort, which holds by
     * construction since the scan sorts by it). Rows are ordered by
     * (timeCol, ordCols...) within the key: when ties are possible, pass a
-    * unique tie-break in `ordCols` — tied rows carry decay 1 toward each
-    * other, so which of them "precedes" changes each one's OWN output
-    * even though later rows see the same state.
+    * unique tie-break in `ordCols` — a tied row's own output is its
+    * predecessor's y, so the tie-break decides which row "precedes".
     *
-    * Null values — and rows whose TIME is null, which have no place on
-    * the decay axis at all: output null, state untouched. Unlike the
-    * row-count family, skipping costs nothing to correctness because
-    * decay derives from the TIME GAP to the last observed row, not from
-    * a per-row multiply. (A null time must not reach the recurrence: it
-    * would unbox as an NPE deep in an executor; it is handled as an
-    * explicit skip instead.) */
+    * Null values — and rows whose TIME is null or NaN, which have no
+    * place on the decay axis at all: output null, state untouched.
+    * Skipping costs nothing to correctness because decay derives from the
+    * TIME GAP to the last observed row, not from a per-row multiply. (A
+    * null time must not reach the recurrence: it would unbox as an NPE
+    * deep in an executor. A NaN time is the same hazard one step later —
+    * it would poison prevT and every subsequent decay for the key — so
+    * both are the same explicit skip.) */
   def ewmMeanBy(
       df: DataFrame,
       keyCol: String,
@@ -120,28 +126,27 @@ object TimeSeries {
         var curKey: Any = null
         var haveObs = false
         var prevT = 0.0
-        var num = 0.0
-        var den = 0.0
+        var y = 0.0
         rows.map { r =>
           val k = r.get(keyIdx)
           if (!started || k != curKey) {
             started = true; curKey = k
-            haveObs = false; prevT = 0.0; num = 0.0; den = 0.0
+            haveObs = false; prevT = 0.0; y = 0.0
           }
           val out: Any =
-            if (r.isNullAt(valIdx) || r.isNullAt(timeIdx)) null
+            if (r.isNullAt(valIdx) || r.isNullAt(timeIdx)
+              || r.getDouble(timeIdx).isNaN) null
             else {
               val t = r.getDouble(timeIdx)
               val x = r.getDouble(valIdx)
               if (haveObs) {
-                val d = math.pow(0.5, (t - prevT) / halfLife)
-                num = x + d * num
-                den = 1.0 + d * den
+                val a = math.pow(0.5, (t - prevT) / halfLife)
+                y = a * y + (1.0 - a) * x
               } else {
-                haveObs = true; num = x; den = 1.0
+                haveObs = true; y = x
               }
               prevT = t
-              num / den
+              y
             }
           Row.fromSeq(r.toSeq :+ out)
         }

@@ -2512,26 +2512,44 @@ object Queries {
 
   /** Exponentially-weighted mean over IRREGULAR time (polars
     * `ewm_mean_by`, half-life 24h): decay follows the ACTUAL gap between
-    * events — w = 0.5^(Δt/86400s) — not the row count, the correct
-    * semantics for real event streams (median inter-event gap here is
-    * ~7.3h, so each step retains ~0.8 weight while a quiet day halves it).
+    * events, not the row count, via polars' UNADJUSTED recurrence
+    * y_i = a_i·y_{i−1} + (1−a_i)·x_i, a_i = 0.5^(Δt/86400s) — NOT the
+    * adjusted/normalized sum(w·x)/sum(w) (pandas `adjust=True`) form;
+    * the two differ on every row after the first and have opposite
+    * tied-time semantics (round-9 advisor finding, fixed round 10).
+    *
+    * The oracle runs the SAME recurrence as a recursive CTE (per-user
+    * chains are ≤ ~100 rows, so the keyed recursion is cheap) rather
+    * than a telescoped closed form. This is deliberate, not stylistic:
+    * unlike the row-count family (q94/q100), whose alpha=dyadic weights
+    * make every intermediate EXACT, the time-gap weights here are
+    * irrational (0.5^(Δt/hl)), so a closed-form Σ accumulates in a
+    * different order than the chained recurrence and the two sides drift
+    * ~1e-12 apart — which round(…,5) turns into a coin flip whenever a
+    * value lands within that distance of a half boundary (observed at
+    * sf0.1: one row in 100k). With the oracle chaining the identical
+    * a·y + (1−a)·x steps, the only residual divergence is last-bit pow()
+    * noise (~1e-16 relative, and contractive under the recurrence), nine
+    * orders inside the round-5 margin.
     *
     * Cross-engine parity notes (the q94/q100 recipe, adapted):
-    *   - the time coordinate is cast(long-nanos -> double) THEN divided by
-    *     1e9 in BOTH engines (Spark long/double promotes the same way
-    *     DuckDB's BIGINT/DOUBLE does), so t is bit-identical even though
-    *     raw nanos exceed 2^53;
+    *   - the time coordinate is MICROSECONDS: DuckDB's parquet reader
+    *     truncates TIMESTAMP(NANOS) to µs, so its epoch_ns() is really
+    *     µs·1000 while Spark (nanosAsLong) keeps full ns — a /1e9 ns
+    *     coordinate diverges by up to 1e-6 s per gap, which the decay
+    *     chain amplifies to ~4e-10 on y (observed: ONE sf0.1 row landing
+    *     on a round-5 half boundary). `ts DIV 1000` (Spark) ==
+    *     epoch_us(ts) (DuckDB) exactly, µs fits in 2^53, and the /1e6
+    *     double division promotes identically — t is bit-identical;
     *   - the oracle's rn orders by the SAME computed t plus the event_id
     *     tie-break, mirroring the scan's sort exactly;
-    *   - rounded to 5 decimals: the closed form evaluates pow(0.5, Δt/hl)
-    *     directly while the recurrence chains per-step pows, so the two
-    *     sides differ by ~1e-11 — 5 decimals keeps six orders of margin
-    *     and the irrational exponents make exact half-boundary landings
-    *     a non-event (unlike q100's terminating decimals). */
+    *   - the oracle's step expression is written in the engine's exact
+    *     operand order (a·y first, then (1−a)·x) so no reassociation can
+    *     creep in. */
   val q101: QueryFn = (s, d) => {
     val ev = tbl(s, d, "events").select(
       col("event_id"), col("user_id"),
-      (col("ts").cast("double") / lit(1e9)).as("t"),
+      (expr("ts DIV 1000").cast("double") / lit(1e6)).as("t"),
       col("value").cast("double").as("value"))
     TimeSeries.ewmMeanBy(ev, "user_id", "t", Seq("event_id"), "value",
       halfLife = 86400.0)
@@ -2540,28 +2558,33 @@ object Queries {
   }
 
   val q101Sql: String =
-    """WITH nn AS (SELECT event_id, user_id, value AS v,
-      |  CAST(epoch_ns(ts) AS DOUBLE) / 1e9 AS t,
-      |  row_number() OVER (PARTITION BY user_id
-      |    ORDER BY CAST(epoch_ns(ts) AS DOUBLE) / 1e9, event_id) AS rn
-      |  FROM events WHERE value IS NOT NULL),
-      |m AS (SELECT a.event_id,
-      |  round(SUM(b.v * pow(0.5, (a.t - b.t) / 86400.0)) /
-      |        SUM(pow(0.5, (a.t - b.t) / 86400.0)), 5) AS ewm_mean_by
-      |  FROM nn a JOIN nn b ON a.user_id = b.user_id AND b.rn <= a.rn
-      |  GROUP BY a.event_id)
-      |SELECT e.event_id, e.user_id, m.ewm_mean_by
-      |FROM events e LEFT JOIN m ON e.event_id = m.event_id""".stripMargin
+    """WITH RECURSIVE nn AS (SELECT event_id, user_id, value AS v,
+      |  CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t,
+      |  row_number() OVER w AS rn
+      |  FROM events WHERE value IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY CAST(epoch_us(ts) AS DOUBLE) / 1e6, event_id)),
+      |rec AS (
+      |  SELECT event_id, user_id, t, rn, v AS y FROM nn WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_id, n.user_id, n.t, n.rn,
+      |    pow(0.5, (n.t - r.t) / 86400.0) * r.y
+      |      + (1.0 - pow(0.5, (n.t - r.t) / 86400.0)) * n.v AS y
+      |  FROM rec r JOIN nn n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+      |SELECT e.event_id, e.user_id, round(rec.y, 5) AS ewm_mean_by
+      |FROM events e LEFT JOIN rec ON e.event_id = rec.event_id""".stripMargin
 
   /** STREAMING ewm over irregular time ([[graft.streaming.Streaming
     * .ewmMeanByStream]]): the q101 statistic maintained incrementally with
-    * three scalars of state per user — the canonical streaming statistic,
-    * no window buffer, state hash-partitioned across executors. Same
-    * 24h half-life, same bit-identical time coordinate, same round-5
-    * contract; the oracle is q101's closed form restricted to non-null
-    * rows (an append-mode stream emits only computed points — there is no
-    * left-join row to carry a null through). StreamingSpec additionally
-    * proves the cross-batch state carry equals the batch scan. */
+    * two scalars of state per user (polars' unadjusted recurrence — see
+    * q101) — the canonical streaming statistic, no window buffer, state
+    * hash-partitioned across executors. Same 24h half-life, same
+    * bit-identical time coordinate, same round-5 contract; the oracle is
+    * q101's recursive recurrence restricted to non-null rows (an append-mode
+    * stream emits only computed points — there is no left-join row to
+    * carry a null through). StreamingSpec additionally proves the
+    * cross-batch state carry equals the batch scan and that
+    * cross-batch LATE rows are counted-dropped, never folded. */
   val q102: QueryFn = (s, d) => {
     import s.implicits._
     val schema = tbl(s, d, "events").schema // also sets nanosAsLong
@@ -2572,7 +2595,7 @@ object Queries {
       .filter(col("value").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
-        (col("ts").cast("double") / lit(1e9)).as("t"),
+        (expr("ts DIV 1000").cast("double") / lit(1e6)).as("t"),
         col("value").cast("double").as("value"))
       .as[graft.streaming.Streaming.EwmEvent]
     val out = graft.streaming.Streaming.ewmMeanByStream(events, halfLife = 86400.0)
@@ -2587,16 +2610,20 @@ object Queries {
   }
 
   val q102Sql: String =
-    """WITH nn AS (SELECT event_id, user_id, value AS v,
-      |  CAST(epoch_ns(ts) AS DOUBLE) / 1e9 AS t,
-      |  row_number() OVER (PARTITION BY user_id
-      |    ORDER BY CAST(epoch_ns(ts) AS DOUBLE) / 1e9, event_id) AS rn
-      |  FROM events WHERE value IS NOT NULL)
-      |SELECT a.event_id, a.user_id,
-      |  round(SUM(b.v * pow(0.5, (a.t - b.t) / 86400.0)) /
-      |        SUM(pow(0.5, (a.t - b.t) / 86400.0)), 5) AS ewm_mean_by
-      |FROM nn a JOIN nn b ON a.user_id = b.user_id AND b.rn <= a.rn
-      |GROUP BY a.event_id, a.user_id""".stripMargin
+    """WITH RECURSIVE nn AS (SELECT event_id, user_id, value AS v,
+      |  CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t,
+      |  row_number() OVER w AS rn
+      |  FROM events WHERE value IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY CAST(epoch_us(ts) AS DOUBLE) / 1e6, event_id)),
+      |rec AS (
+      |  SELECT event_id, user_id, t, rn, v AS y FROM nn WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_id, n.user_id, n.t, n.rn,
+      |    pow(0.5, (n.t - r.t) / 86400.0) * r.y
+      |      + (1.0 - pow(0.5, (n.t - r.t) / 86400.0)) * n.v AS y
+      |  FROM rec r JOIN nn n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+      |SELECT event_id, user_id, round(y, 5) AS ewm_mean_by FROM rec""".stripMargin
 
   // ======================================================================
   // Catalog

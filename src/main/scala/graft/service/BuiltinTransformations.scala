@@ -64,7 +64,8 @@ object BuiltinTransformations {
     "ewm_mean" -> ewm(TimeSeries.EwmMean, "ewm_mean"),
     "ewm_var" -> ewm(TimeSeries.EwmVar, "ewm_var"),
     "ewm_std" -> ewm(TimeSeries.EwmStd, "ewm_std"),
-    "ewm_mean_by" -> ewmMeanBy
+    "ewm_mean_by" -> ewmMeanBy,
+    "rle" -> rle
   )
 
   /** Default registry on the real filesystem adapter — for direct
@@ -256,7 +257,8 @@ object BuiltinTransformations {
 
   /** `ewm_mean_by(key_col, time_col, val_col, half_life,
     * order_by=[], out_col=ewm_mean_by)` — exponential decay over the
-    * ACTUAL time gaps, polars `ewm_mean_by` twin ([[TimeSeries.ewmMeanBy]];
+    * ACTUAL time gaps, polars `ewm_mean_by` twin — the UNADJUSTED
+    * y ← a·y + (1−a)·x recurrence polars uses ([[TimeSeries.ewmMeanBy]];
     * half_life in the time column's own unit). `order_by` is the tie-break
     * within equal timestamps — pass a unique column when times can tie.
     * Time and value are cast to double on shadow columns. */
@@ -264,6 +266,7 @@ object BuiltinTransformations {
     val name = "ewm_mean_by"
     val valCol = reqStr(name, kw, "val_col")
     val timeCol = reqStr(name, kw, "time_col")
+    rejectShadow(name, df, "__ewm_v", "__ewm_t")
     TimeSeries.ewmMeanBy(
       df.withColumn("__ewm_v", col(valCol).cast("double"))
         .withColumn("__ewm_t", col(timeCol).cast("double")),
@@ -285,6 +288,7 @@ object BuiltinTransformations {
     * to double on a shadow column so the input column's type survives. */
   private def ewm(stat: TimeSeries.EwmStat, name: String): CustomFn = (df, kw) => {
     val valCol = reqStr(name, kw, "val_col")
+    rejectShadow(name, df, "__ewm_v")
     TimeSeries.ewmStats(
       df.withColumn("__ewm_v", col(valCol).cast("double")),
       reqStr(name, kw, "key_col"),
@@ -294,6 +298,63 @@ object BuiltinTransformations {
       outCols = Seq(strKw(name, kw, "out_col", name) -> stat)
     ).drop("__ewm_v")
   }
+
+  /** `rle(col, order_by, partition_by=[])` — run-length encode: the frame
+    * COMPRESSES to one row per run of consecutive equal values along
+    * `order_by` (within each `partition_by` group), with columns
+    * (partition cols..., `rle_id` 0-based run index, `len` run length,
+    * `value` the run's value — polars `Expr.rle`'s struct fields, plus the
+    * id so runs stay addressable after the shuffle). Null values form runs
+    * like any other value (null-safe change detection).
+    *
+    * This is the FRAME-LEVEL home for polars `rle` because the derive
+    * registry cannot host it: `rle` is length-CHANGING (one output row per
+    * run), and the reference applies every derive fn via `with_columns`
+    * (transform.py:287-293) — a config naming `rle` there would throw a
+    * polars ShapeError, so there is no row-aligned behavior to mirror. The
+    * per-row run INDEX (length-preserving) is the derive registry's
+    * `rle_id`, same change-detection expression.
+    *
+    * Scale shape: one window (hash-shuffle on partition keys or a single
+    * global sort when partition_by is empty — pass keys at scale) + one
+    * hash aggregation keyed on (partition, run id); grouping includes
+    * `value`, constant within a run, so no first()/any_value()
+    * non-determinism. */
+  private def rle: CustomFn = (df, kw) => {
+    import org.apache.spark.sql.expressions.Window
+    val name = "rle"
+    val valCol = reqStr(name, kw, "col")
+    val ord = strSeqKw(name, kw, "order_by")
+    val parts = strSeqKwOpt(name, kw, "partition_by")
+    rejectShadow(name, df, "__rle_id")
+    Seq("rle_id", "len", "value").filter(parts.contains).foreach(n =>
+      throw new IllegalArgumentException(
+        s"$name: partition column '$n' collides with an output column — rename it first"))
+    val ow =
+      if (parts.nonEmpty) Window.partitionBy(parts.map(col): _*).orderBy(ord.map(col): _*)
+      else Window.partitionBy().orderBy(ord.map(col): _*)
+    val x = col(valCol)
+    val chg = when(row_number().over(ow) === 1, lit(0L))
+      .otherwise((!(x <=> lag(x, 1).over(ow))).cast("long"))
+    val rid = sum(chg).over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__rle_id", rid)
+      .groupBy((parts.map(col) :+ col("__rle_id").as("rle_id")) :+ x.as("value"): _*)
+      .agg(count(lit(1)).as("len"))
+      .select(parts.map(col) ++ Seq(col("rle_id"), col("len"), col("value")): _*)
+  }
+
+  /** The ewm builtins stage their double-cast inputs on `__ewm_*` shadow
+    * columns and drop them afterwards — a frame that ALREADY carries a
+    * column by one of those names would be silently overwritten and then
+    * destroyed. Reject it up front, consistent with the out_col
+    * already-exists guard (round-9 advisor finding). */
+  private def rejectShadow(fn: String, df: DataFrame, names: String*): Unit =
+    names.find(df.columns.contains).foreach { n =>
+      throw new IllegalArgumentException(
+        s"$fn: input frame already has a column named '$n', which this " +
+          "builtin uses as an internal shadow column and would drop — " +
+          "rename it first")
+    }
 
   // ------------------------------------------------------- kwarg coercion
 

@@ -69,28 +69,33 @@ object Streaming {
     */
   final case class EwmEvent(user_id: Long, event_id: Long, t: Double, value: Double)
 
-  final case class EwmState(num: Double, den: Double, prevT: Double)
+  final case class EwmState(y: Double, prevT: Double)
 
   final case class EwmPoint(user_id: Long, event_id: Long, ewm_mean_by: Double)
 
-  /** Streaming twin of [[graft.operators.TimeSeries.ewmMeanBy]]: the
-    * time-decayed mean is THE canonical incrementally-maintainable
-    * statistic — per-key state is exactly three scalars (num, den, last
-    * timestamp), so a 100M-key stream carries a few GB of state
-    * hash-partitioned across executors, with no window buffer at all.
-    * Each micro-batch's rows are sorted by (t, event_id) within the key
-    * group; the recurrence then continues from the carried state, so the
-    * emitted per-event values equal the batch operator's output on the
-    * same prefix (asserted in StreamingSpec across multiple batches).
+  /** Streaming twin of [[graft.operators.TimeSeries.ewmMeanBy]] (polars'
+    * UNADJUSTED `ewm_mean_by` recurrence — y ← a·y + (1−a)·x with
+    * a = 0.5^(Δt/halfLife)): the time-decayed mean is THE canonical
+    * incrementally-maintainable statistic — per-key state is exactly two
+    * scalars (y, last timestamp), so a 100M-key stream carries a few GB
+    * of state hash-partitioned across executors, with no window buffer at
+    * all. Each micro-batch's rows are sorted by (t, event_id) within the
+    * key group; the recurrence then continues from the carried state, so
+    * the emitted per-event values equal the batch operator's output on
+    * the same prefix (asserted in StreamingSpec across multiple batches).
     *
-    * Ordering contract: like every incremental statistic, correctness
-    * across batches assumes per-key event-time-ordered arrival (late data
-    * would decay from the wrong anchor). Front with a watermark-buffered
-    * sort — or accept the approximation — for out-of-order sources; the
-    * batch operator is the replay/backfill path either way. */
+    * Ordering contract — ENFORCED, not just documented: a row arriving in
+    * a later micro-batch with t < the carried prevT has no valid place on
+    * the decay axis (folding it would apply a negative-gap weight > 1 —
+    * silent wrongness). Such rows are DROPPED and counted in
+    * `lateEvents` (register a LongAccumulator to observe; pass None to
+    * drop silently). t == prevT is a valid tie (weight 0), not late. The
+    * batch operator is the replay/backfill path for late data either
+    * way. */
   def ewmMeanByStream(
       events: Dataset[EwmEvent],
-      halfLife: Double
+      halfLife: Double,
+      lateEvents: Option[org.apache.spark.util.LongAccumulator] = None
   ): Dataset[EwmPoint] = {
     import events.sparkSession.implicits._
     require(halfLife > 0.0, s"halfLife must be positive, got $halfLife")
@@ -102,15 +107,21 @@ object Streaming {
     ): Iterator[EwmPoint] = {
       val sorted = batch.toSeq.sortBy(e => (e.t, e.event_id))
       var st = state.getOption
-      val out = sorted.map { e =>
-        val next = st match {
+      val out = sorted.flatMap { e =>
+        st match {
+          case Some(s) if e.t < s.prevT =>
+            lateEvents.foreach(_.add(1L))
+            None
           case Some(s) =>
-            val d = math.pow(0.5, (e.t - s.prevT) / halfLife)
-            EwmState(e.value + d * s.num, 1.0 + d * s.den, e.t)
-          case None => EwmState(e.value, 1.0, e.t)
+            val a = math.pow(0.5, (e.t - s.prevT) / halfLife)
+            val next = EwmState(a * s.y + (1.0 - a) * e.value, e.t)
+            st = Some(next)
+            Some(EwmPoint(userId, e.event_id, next.y))
+          case None =>
+            val next = EwmState(e.value, e.t)
+            st = Some(next)
+            Some(EwmPoint(userId, e.event_id, next.y))
         }
-        st = Some(next)
-        EwmPoint(userId, e.event_id, next.num / next.den)
       }
       st.foreach(state.update)
       out.iterator

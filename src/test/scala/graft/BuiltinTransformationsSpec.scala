@@ -164,8 +164,8 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
 
   test("ewm_mean_by builtin: time-gap decay, YAML-typed kwargs") {
     // time = doc_id, half_life = 1.0 -> weight halves per id step; en
-    // series (t=1,2,4; v=10,10,9): at t=4 the gap of 2 gives d=0.25, so
-    // num = 9 + 0.25*15 = 12.75, den = 1 + 0.25*1.5 = 1.375 -> 102/11
+    // series (t=1,2,4; v=10,10,9), polars unadjusted recurrence: at t=4
+    // the gap of 2 gives a=0.25, so y = 0.25*10 + 0.75*9 = 9.25
     val out = registry("ewm_mean_by")(docs,
       Map("key_col" -> "lang", "time_col" -> "doc_id", "val_col" -> "n_tokens",
         "half_life" -> 1.0, "order_by" -> Seq("doc_id")))
@@ -174,8 +174,27 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ewm_mean_by")).toMap
     assert(math.abs(means(1L) - 10.0) < 1e-9)
     assert(math.abs(means(2L) - 10.0) < 1e-9)
-    assert(math.abs(means(4L) - 102.0 / 11.0) < 1e-9)
+    assert(math.abs(means(4L) - 9.25) < 1e-9)
     assert(math.abs(means(3L) - 10.0) < 1e-9) // de key resets
+  }
+
+  test("ewm builtins reject frames that already carry a __ewm_* shadow name") {
+    // the builtins stage casts on __ewm_v/__ewm_t and drop them afterwards
+    // — a user column by that name would be silently destroyed
+    val poisoned = docs.withColumn("__ewm_v", org.apache.spark.sql.functions.lit(1.0))
+    val e = intercept[IllegalArgumentException] {
+      registry("ewm_mean")(poisoned,
+        Map("key_col" -> "lang", "order_by" -> "doc_id",
+          "val_col" -> "n_tokens", "alpha" -> 0.5))
+    }
+    assert(e.getMessage.contains("__ewm_v"))
+    val poisonedT = docs.withColumn("__ewm_t", org.apache.spark.sql.functions.lit(1.0))
+    val e2 = intercept[IllegalArgumentException] {
+      registry("ewm_mean_by")(poisonedT,
+        Map("key_col" -> "lang", "time_col" -> "doc_id",
+          "val_col" -> "n_tokens", "half_life" -> 1.0))
+    }
+    assert(e2.getMessage.contains("__ewm_t"))
   }
 
   test("incremental_dedup drops store-known and in-batch duplicate docs (FakeIO)") {

@@ -429,10 +429,46 @@ class OperatorsSpec extends AnyFunSuite {
     val out = run(1)
     assert(out(1L) == Some(10.0))
     assert(out(2L).isEmpty, "null value -> null output")
-    // d = 0.5^((3-1)/2) = 0.5: m = (30 + 0.5*10)/(1 + 0.5) = 35/1.5
-    assert(out(3L).exists(m => math.abs(m - 35.0 / 1.5) < 1e-12))
+    // polars unadjusted: a = 0.5^((3-1)/2) = 0.5 -> y = 0.5*10 + 0.5*30 = 20
+    assert(out(3L).exists(m => math.abs(m - 20.0) < 1e-12))
     assert(out(4L) == Some(7.0), "fresh key starts clean")
     assert(run(4) == out, "partition-invariant (operator re-shuffles + re-sorts)")
+  }
+
+  test("ewmMeanBy: a zero time gap gives the tied row weight 0 (polars ties)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("t", DoubleType),
+      StructField("ord", LongType), StructField("v", DoubleType)))
+    // t=5 twice: the second tied row's a = 0.5^0 = 1, so its own value
+    // contributes NOTHING — y stays at the predecessor's 10 (the opposite
+    // of adjusted semantics, where a tied row gets full weight)
+    val rows = Seq(Row("a", 5.0, 1L, 10.0), Row("a", 5.0, 2L, 99.0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = TimeSeries.ewmMeanBy(df, "k", "t", Seq("ord"), "v", halfLife = 2.0)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(out(1L) == 10.0 && out(2L) == 10.0)
+  }
+
+  test("ewmMeanBy: a NaN TIMESTAMP is a skip, never a poisoned decay anchor") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("t", DoubleType),
+      StructField("ord", LongType), StructField("v", DoubleType)))
+    // NaN passes an isNullAt check — without the explicit guard it would
+    // become prevT and every later decay for the key would be NaN
+    val rows = Seq(
+      Row("a", 1.0, 1L, 10.0), Row("a", Double.NaN, 2L, 99.0), Row("a", 3.0, 3L, 30.0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val out = TimeSeries.ewmMeanBy(df, "k", "t", Seq("ord"), "v", halfLife = 2.0)
+      .collect()
+      .map(r => r.getLong(2) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(out(2L).isEmpty, "NaN time emits null like a null time")
+    // state untouched: ord=3 decays from t=1 -> y = 0.5*10 + 0.5*30 = 20
+    assert(out(3L).exists(m => math.abs(m - 20.0) < 1e-12))
   }
 
   test("ewmMeanBy: a null TIMESTAMP is a skip, never an executor NPE") {
@@ -450,7 +486,8 @@ class OperatorsSpec extends AnyFunSuite {
       .toMap
     assert(out(2L).isEmpty, "a row with no place on the decay axis emits null")
     // and it must not have advanced the state: ord=3 still decays from t=1
-    assert(out(3L).exists(m => math.abs(m - 35.0 / 1.5) < 1e-12))
+    // (polars unadjusted: y = 0.5*10 + 0.5*30)
+    assert(out(3L).exists(m => math.abs(m - 20.0) < 1e-12))
   }
 
   test("semanticDedup drops within-cell cosine near-dups, lowest id survives") {

@@ -226,10 +226,10 @@ class PipelineE2ESpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     // ewm_mean (row-count, alpha .5) at event 3: (40+.5*20+.25*10)/1.75
     assert(math.abs(rows(3L)._1 - 52.5 / 1.75) < 1e-9)
-    // ewm_mean_by (half_life 2) at event 3: gap 2 from t=1 -> d=.5 over
-    // the carried (num=20+d'*10, den=1+d') with d'=0.5^(1/2)
+    // ewm_mean_by (half_life 2, polars unadjusted) at event 3: gap 2 from
+    // t=1 -> a=.5 over the carried y2 = dp*10 + (1-dp)*20, dp=0.5^(1/2)
     val dp = math.pow(0.5, 0.5)
-    val e3 = (40.0 + 0.5 * (20.0 + dp * 10.0)) / (1.0 + 0.5 * (1.0 + dp))
+    val e3 = 0.5 * (dp * 10.0 + (1.0 - dp) * 20.0) + 0.5 * 40.0
     assert(math.abs(rows(3L)._2 - e3) < 1e-9)
     assert(rows(4L)._1 == 5.0 && rows(4L)._2 == 5.0, "fresh key")
   }

@@ -243,10 +243,12 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("property: ewmMeanBy recurrence equals the time-weighted closed form") {
-    // irregular-gap twin of the ewmMean property: w_j = 0.5^((t_i-t_j)/hl)
-    // with random positive gaps INCLUDING zero (ties) — a tie means decay
-    // exactly 1 toward the tied predecessor, and the tie-break ordering is
-    // the row index, mirroring the operator's (time, ord) sort
+    // irregular-gap twin of the ewmMean property, polars UNADJUSTED form:
+    // y_i = Σ_{j<=i} c_j · 0.5^((t_i-t_j)/hl) · x_j with c_0 = 1 and
+    // c_j = 1 − 0.5^((t_j-t_{j-1})/hl) — random gaps INCLUDING zero
+    // (ties): a tied row has c_j = 0, i.e. weight 0 toward its own output
+    // (polars tie semantics); the tie-break ordering is the row index,
+    // mirroring the operator's (time, ord) sort
     val series = for {
       n <- Gen.chooseNum(1, 8)
       gaps <- Gen.listOfN(n, Gen.oneOf(0.0, 0.5, 1.0, 3.0, 10.0))
@@ -267,8 +269,12 @@ class PropertySpec extends AnyFunSuite {
       perKey.zipWithIndex.forall { case (tv, k) =>
         tv.indices.forall { i =>
           val ti = tv(i)._1
-          val w = (0 to i).map(j => math.pow(0.5, (ti - tv(j)._1) / hl))
-          val expected = (0 to i).map(j => w(j) * tv(j)._2).sum / w.sum
+          val c = tv.indices.map { j =>
+            if (j == 0) 1.0
+            else 1.0 - math.pow(0.5, (tv(j)._1 - tv(j - 1)._1) / hl)
+          }
+          val expected = (0 to i)
+            .map(j => c(j) * math.pow(0.5, (ti - tv(j)._1) / hl) * tv(j)._2).sum
           math.abs(out((s"k$k", i.toLong)) - expected) < 1e-9
         }
       }
