@@ -243,6 +243,21 @@ object Bench {
       System.err.println(
         s"[bench] WARNING: ${outliers.size} queries >3x their reference: " +
           outliers.map { case (n, m, r) => f"$n $m%.2fs (ref $r%.2fs)" }.mkString(", "))
+    // freshness guard (round-10): a query the reference has never seen
+    // gets NO outlier check — silently, which reads as "all clean" when
+    // it's really "not checked". Stamp the unchecked names so a stale
+    // reference is visible in the artifact itself; the fix is re-running
+    // Bench on an idle box and committing scripts/bench_ref.json (see the
+    // verify skill's bench section).
+    val refMissing = results.collect {
+      case (name, _, _) if ref.nonEmpty && !ref.contains(name.takeWhile(_ != '_')) =>
+        name.takeWhile(_ != '_')
+    }
+    if (refMissing.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: ${refMissing.size} catalog queries absent from the " +
+          s"outlier reference (no regression check ran for them): " +
+          refMissing.mkString(", ") + " — re-commit scripts/bench_ref.json from an idle run")
     val shortKeys = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
     require(shortKeys.distinct.size == shortKeys.size,
       "catalog qNN prefixes must stay unique — the compact bench line keys on them")
@@ -266,6 +281,9 @@ object Bench {
     val outliersFull = outliers
       .map { case (n, m, r) => s""""$n":{"sec":$m,"ref":$r}""" }
       .mkString("{", ",", "}")
+    val refMissingShort = strArr(
+      refMissing.take(8) ++
+        (if (refMissing.size > 8) Seq(s"+${refMissing.size - 8}") else Nil))
     val envFields =
       s""""load_avg_start":${fmt(loadStart)},"load_avg_pre_warmup":${fmt(loadPreWarmup)},""" +
         s""""load_avg_end":${fmt(loadEnd)},""" +
@@ -281,9 +299,9 @@ object Bench {
     // file only — the compact stdout line must stay inside the driver's
     // 2000-char tail capture
     val jsonShort =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3",$envFields,"outliers":$outliersShort,"queries":$qsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3",$envFields,"outliers":$outliersShort,"ref_missing":$refMissingShort,"queries":$qsShort,"sf":"$sfDir"}"""
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3",$envFields,"outliers":$outliersFull,"queries":$qsFull,"best":$bestFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3",$envFields,"outliers":$outliersFull,"ref_missing":${strArr(refMissing)},"queries":$qsFull,"best":$bestFull,"sf":"$sfDir"}"""
     if (jsonShort.length > 1950)
       System.err.println(s"[bench] WARNING: compact stdout line is ${jsonShort.length} chars — " +
         "the driver captures only the last 2000; trim fields or precision")

@@ -35,6 +35,12 @@ object ExprRegistry {
   final case class RowWise(col: Column) extends Derived
   /** A whole-frame scalar aggregate to broadcast onto every row. */
   final case class WholeFrameAgg(agg: Column) extends Derived
+  /** A whole-frame aggregate feeding a row-wise post-expression (`qcut`:
+    * quantile breakpoints → per-row bin label). The derive stage computes
+    * `agg` in a distributed pass, broadcast-cross-joins the 1-row result
+    * under a temp name, applies `row` to it, and drops the temp — same
+    * two-scan shape as [[WholeFrameAgg]], zero single-partition stages. */
+  final case class AggThenRow(agg: Column, row: Column => Column) extends Derived
 
   type DeriveFn = Map[String, Any] => Derived
 
@@ -86,6 +92,47 @@ object ExprRegistry {
     val k = intVal(kw, "window_size", -1)
     require(k > 0, s"'$fn' requires a positive 'window_size' kwarg")
     orderedWindow(kw, fn).rowsBetween(-(k.toLong - 1), Window.currentRow)
+  }
+
+  /** TIME-windowed rolling frame (polars `rolling_*_by`): the frame spans
+    * an interval of the `by` axis ending at the current row, not a row
+    * count — a RANGE frame, so tied `by` values share one deterministic
+    * frame and no tie-break is needed. `by` must be an INTEGER column
+    * (epoch seconds/micros — the `dt_epoch_*` derive fns produce one):
+    * the closed-bound arithmetic shifts range endpoints by ±1 unit, which
+    * only means "exclusive" on an integer grid. `window_size` is either a
+    * plain integer in `by`'s own units or a `"<n>s|m|h|d"` duration
+    * string (which assumes `by` is epoch SECONDS). `closed` ∈ right
+    * (default, polars') | both | left | none. */
+  private def rollingByFrame(kw: Map[String, Any], fn: String): WindowSpec = {
+    val by = str(kw, "by")
+    val w = kw.getOrElse("window_size",
+      throw new IllegalArgumentException(s"'$fn' requires a 'window_size' kwarg")) match {
+      case s: String if s.nonEmpty && s.last.isLetter =>
+        val n = s.init.toLong
+        s.last match {
+          case 's' => n
+          case 'm' => n * 60L
+          case 'h' => n * 3600L
+          case 'd' => n * 86400L
+          case u => throw new IllegalArgumentException(
+            s"'$fn' window_size unit '$u' not in s/m/h/d")
+        }
+      case v => v.toString.toLong
+    }
+    require(w > 0, s"'$fn' requires a positive 'window_size', got $w")
+    val parts = strSeq(kw, "partition_by")
+    val base =
+      if (parts.nonEmpty) Window.partitionBy(parts.map(col): _*).orderBy(col(by))
+      else Window.partitionBy().orderBy(col(by))
+    kw.getOrElse("closed", "right").toString match {
+      case "right" => base.rangeBetween(-(w - 1), 0) // (t-w, t]
+      case "both" => base.rangeBetween(-w, 0) // [t-w, t]
+      case "left" => base.rangeBetween(-w, -1) // [t-w, t)
+      case "none" => base.rangeBetween(-(w - 1), -1) // (t-w, t)
+      case other => throw new IllegalArgumentException(
+        s"'$fn' closed='$other' not in right/both/left/none")
+    }
   }
 
   private def rw(f: Map[String, Any] => Column): DeriveFn = kw => RowWise(f(kw))
@@ -280,6 +327,13 @@ object ExprRegistry {
     "rolling_min" -> rw(kw => min(c(kw)).over(rollingFrame(kw, "rolling_min"))),
     "rolling_max" -> rw(kw => max(c(kw)).over(rollingFrame(kw, "rolling_max"))),
     "rolling_std" -> rw(kw => stddev_samp(c(kw)).over(rollingFrame(kw, "rolling_std"))),
+
+    // time-windowed rolling (polars rolling_*_by): RANGE frame over an
+    // integer `by` axis — see rollingByFrame for the closed/unit contract
+    "rolling_mean_by" -> rw(kw => avg(c(kw)).over(rollingByFrame(kw, "rolling_mean_by"))),
+    "rolling_sum_by" -> rw(kw => sum(c(kw)).over(rollingByFrame(kw, "rolling_sum_by"))),
+    "rolling_min_by" -> rw(kw => min(c(kw)).over(rollingByFrame(kw, "rolling_min_by"))),
+    "rolling_max_by" -> rw(kw => max(c(kw)).over(rollingByFrame(kw, "rolling_max_by"))),
 
     // strings (additive: the reference uses these internally — trim/lower/
     // to_json/concat_ws — even though .str.* is not config-facing there)
@@ -597,6 +651,64 @@ object ExprRegistry {
       val v = c(kw)
       breaks.zip(labels.init).foldRight(when(v.isNotNull, labels.last): Column) {
         case ((b, l), acc) => when(v <= b, l).otherwise(acc)
+      }
+    },
+
+    // quantile binning: polars qcut — the breakpoints are the exact
+    // linear-interpolation quantiles of the WHOLE frame (computed in the
+    // derive stage's distributed agg pass, never a single-partition
+    // window), the label is the bin the value falls in. `quantiles` is a
+    // list of probabilities or an integer bin count k (→ k equal-frequency
+    // bins); bins are (b_i, b_{i+1}] unless left_closed. Pass `labels`
+    // (quantiles.size + 1 strings) for stable output: the default label is
+    // the bin INDEX as a string, NOT polars' "(lo, hi]" interval strings —
+    // float formatting is engine-specific, so interval labels would be
+    // repr-unstable across engines.
+    "qcut" -> (kw => {
+      val qs: Seq[Double] = kw.get("quantiles") match {
+        case Some(s: Seq[_]) => s.map(_.toString.toDouble)
+        case Some(n) =>
+          val k = n.toString.toInt
+          require(k > 1, s"'qcut' integer quantiles must be > 1, got $k")
+          (1 until k).map(_.toDouble / k)
+        case None => throw new IllegalArgumentException("'qcut' requires a 'quantiles' kwarg")
+      }
+      require(qs == qs.sorted && qs.forall(q => q > 0.0 && q < 1.0),
+        "'qcut' quantiles must be ascending probabilities in (0, 1)")
+      val labels: Option[Seq[String]] = kw.get("labels").map {
+        case s: Seq[_] =>
+          require(s.size == qs.size + 1, s"'qcut' needs ${qs.size + 1} labels")
+          s.map(_.toString)
+        case other =>
+          throw new IllegalArgumentException(s"'qcut' labels must be a list, got $other")
+      }
+      val leftClosed = kw.get("left_closed").exists(_.toString.toBoolean)
+      val x = c(kw)
+      AggThenRow(
+        expr(s"percentile(${str(kw, "col")}, array(${qs.mkString(", ")}))"),
+        bks => {
+          val idx = size(filter(bks, b => if (leftClosed) b <= x else b < x))
+          val lbl = labels match {
+            case Some(ls) => element_at(array(ls.map(lit): _*), idx + 1)
+            case None => idx.cast("string")
+          }
+          when(x.isNotNull, lbl)
+        })
+    }),
+
+    // search_sorted: the insertion index keeping the column sorted — a
+    // whole-frame scalar broadcast to every row (polars broadcasts its
+    // length-1 result the same way). Assumes ascending nulls-FIRST order
+    // (the polars sort default): side left/any = count of nulls + values
+    // strictly below `element`; right = nulls + values <= `element`.
+    "search_sorted" -> agg { kw =>
+      val e = lit(anyVal(kw, "element"))
+      val x = c(kw)
+      kw.getOrElse("side", "any").toString match {
+        case "left" | "any" => count(when(x.isNull || x < e, lit(1)))
+        case "right" => count(when(x.isNull || x <= e, lit(1)))
+        case other => throw new IllegalArgumentException(
+          s"'search_sorted' side='$other' not in any/left/right")
       }
     },
 

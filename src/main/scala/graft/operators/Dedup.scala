@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * cell-assigned rows) because it feeds multiple self-join branches; the
   * returned frame is lazy, so the operator cannot unpersist it itself.
   * Long-lived sessions calling these repeatedly (including through the
-  * `semantic_dedup` builtin) should `spark.catalog.clearCache()` (or
-  * unpersist) after consuming each result — Verify and Bench do exactly
-  * that.
+  * `semantic_dedup` builtin) should consume each result inside a
+  * [[graft.util.CacheScope.withPersisted]] scope, which unpersists exactly
+  * the caches the call created (never the session's own); one-shot drivers
+  * may instead `spark.catalog.clearCache()` between queries — Verify and
+  * Bench do exactly that.
   */
 object Dedup {
 

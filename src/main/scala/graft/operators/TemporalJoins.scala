@@ -29,6 +29,13 @@ object TemporalJoins {
     *
     * Among right rows sharing the exact same (keys, time), the greatest
     * `tieBreak` value wins — deterministic by construction.
+    *
+    * `tolerance` (polars `join_asof(tolerance=)`): when set, a backward
+    * match further than `leftTime - rightTime > tolerance` is rejected —
+    * the row is dropped (inner semantics), exactly as if no right row
+    * preceded it. Requires numeric time columns (the subtraction); applied
+    * as a post-filter on the merged match, so the plan shape is unchanged
+    * (one shuffle, one window pass).
     */
   def asOfJoin(
       left: DataFrame,
@@ -37,7 +44,8 @@ object TemporalJoins {
       leftTime: String,
       rightTime: String,
       tieBreak: String,
-      rightPrefix: String = "asof_"
+      rightPrefix: String = "asof_",
+      tolerance: Option[Double] = None
   ): DataFrame = {
     val rightPayCols = right.columns.toSeq.filterNot(keys.contains)
     val leftCols = left.columns.toSeq
@@ -70,9 +78,15 @@ object TemporalJoins {
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val withinTol = tolerance match {
+      case None => lit(true)
+      // the matched right time rides inside the payload struct; the
+      // subtraction is non-negative by construction (rt <= lt in-merge)
+      case Some(tol) => col("__t") - col("__m").getField(rightTime) <= lit(tol)
+    }
     r2.unionByName(l2)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .filter(col("__side") === 1 && col("__m").isNotNull && withinTol)
       .select(
         leftCols.map(c => col(s"__l.`$c`").as(c)) ++
           rightPayCols.map(c => col(s"__m.`$c`").as(s"$rightPrefix$c")): _*)
@@ -90,13 +104,105 @@ object TemporalJoins {
       leftTime: String,
       rightTime: String,
       tieBreak: String,
-      rightPrefix: String = "asof_"
+      rightPrefix: String = "asof_",
+      tolerance: Option[Double] = None
   ): DataFrame = {
     val l2 = left.withColumn(leftTime, -col(leftTime))
     val r2 = right.withColumn(rightTime, -col(rightTime))
-    asOfJoin(l2, r2, keys, leftTime, rightTime, tieBreak, rightPrefix)
+    // tolerance passes through unchanged: on the negated axis the merge's
+    // (-lt) - (-rt) = rt - lt is exactly the forward distance
+    asOfJoin(l2, r2, keys, leftTime, rightTime, tieBreak, rightPrefix, tolerance)
       .withColumn(leftTime, -col(leftTime))
       .withColumn(s"$rightPrefix$rightTime", -col(s"$rightPrefix$rightTime"))
+  }
+
+  /** Nearest as-of (polars `join_asof(strategy="nearest")`): for every
+    * left row, the right row minimizing |rightTime − leftTime| within the
+    * key group; an exact distance TIE prefers the BACKWARD (earlier) row.
+    * Optional `tolerance` rejects matches farther than it on either side.
+    * Inner semantics: left rows with no in-tolerance right row drop.
+    *
+    * Shape: the same union-merge as [[asOfJoin]] — ONE shuffle on the
+    * keys, then TWO window passes over the same sorted run (a running
+    * `last` looking back, a `min(struct)` looking forward), a per-row
+    * distance comparison, zero joins. Equal-time rights sort BEFORE left
+    * rows, so the backward leg owns time ties (distance 0 — nearest by
+    * definition); the forward leg is strictly-greater times only.
+    *
+    * Both time columns AND `tieBreak` must be numeric: the forward leg
+    * picks its candidate with a lexicographic `min(struct(t, -tb, p))`,
+    * so the greatest-tieBreak-wins convention of [[asOfJoin]] holds on
+    * both legs. */
+  def asOfJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String,
+      rightPrefix: String = "asof_",
+      tolerance: Option[Double] = None
+  ): DataFrame = {
+    val rightPayCols = right.columns.toSeq.filterNot(keys.contains)
+    val leftCols = left.columns.toSeq
+    val rightPayType =
+      right.select(struct(rightPayCols.map(col): _*)).schema.head.dataType
+    val leftPayType =
+      left.select(struct(leftCols.map(col): _*)).schema.head.dataType
+    val tieBreakType = right.select(col(tieBreak)).schema.head.dataType
+
+    val r2 = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast("double").as("__t"),
+        col(tieBreak).as("__tb"),
+        lit(0).as("__side"),
+        struct(rightPayCols.map(col): _*).as("__p"),
+        lit(null).cast(leftPayType).as("__l")): _*)
+    val l2 = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).cast("double").as("__t"),
+        lit(null).cast(tieBreakType).as("__tb"),
+        lit(1).as("__side"),
+        lit(null).cast(rightPayType).as("__p"),
+        struct(leftCols.map(col): _*).as("__l")): _*)
+
+    val ord = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(1L, Window.unboundedFollowing)
+
+    // forward candidate: lexicographic min over (t, -tb, payload) of the
+    // STRICTLY-following right rows = smallest time, then greatest
+    // tieBreak — the aggregate min skips the nulls left rows contribute
+    val fwdCand = min(when(col("__side") === 0,
+      struct(col("__t").as("t"), (-col("__tb").cast("double")).as("ntb"), col("__p").as("p"))))
+
+    // backward candidate must be NULL on left rows (a struct of null
+    // fields is still non-null, so wrap in a side guard before last())
+    val backCand = last(when(col("__side") === 0,
+      struct(col("__t").as("t"), col("__p").as("p"))), ignoreNulls = true)
+
+    val merged = r2.unionByName(l2)
+      .withColumn("__mb", backCand.over(back))
+      .withColumn("__mf", fwdCand.over(fwd))
+      .filter(col("__side") === 1)
+
+    val bDist = col("__t") - col("__mb").getField("t")
+    val fDist = col("__mf").getField("t") - col("__t")
+    val tol = tolerance.map(lit).getOrElse(lit(Double.MaxValue))
+    val bOk = col("__mb").isNotNull && bDist <= tol
+    val fOk = col("__mf").isNotNull && fDist <= tol
+    // exact-distance tie -> backward
+    val chosen = when(bOk && (!fOk || bDist <= fDist), col("__mb").getField("p"))
+      .when(fOk, col("__mf").getField("p"))
+
+    merged
+      .withColumn("__m", chosen)
+      .filter(col("__m").isNotNull)
+      .select(
+        leftCols.map(c => col(s"__l.`$c`").as(c)) ++
+          rightPayCols.map(c => col(s"__m.`$c`").as(s"$rightPrefix$c")): _*)
   }
 
   /** Pairs with |leftVal - rightVal| <= band (numeric columns, band > 0):

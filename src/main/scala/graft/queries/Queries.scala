@@ -2625,6 +2625,271 @@ object Queries {
       |  FROM rec r JOIN nn n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
       |SELECT event_id, user_id, round(y, 5) AS ewm_mean_by FROM rec""".stripMargin
 
+  /** polars `join_asof(tolerance=)`: q32's purchase←click backward as-of
+    * with matches farther than 6 hours REJECTED (inner semantics — the
+    * purchase drops as if no click preceded it). The time axis is
+    * MICROSECONDS on both engines: `ts DIV 1000` == DuckDB `epoch_us`
+    * exactly (DuckDB truncates TIMESTAMP(NANOS) to µs at read — see
+    * q101's parity note), so the tolerance boundary is integer-exact and
+    * cannot coin-flip. Same one-shuffle union-merge plan as q32; the
+    * tolerance is a post-filter on the merged match. */
+  val q103: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events").withColumn("t_us", expr("ts DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("t_us"))
+      .agg(min(col("event_id")).as("event_id"),
+        min_by(col("value"), col("event_id")).as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"), col("event_id"), col("value"))
+    TemporalJoins.asOfJoin(purchases, clicks, Seq("user_id"), "t_us", "t_us",
+        tieBreak = "event_id", rightPrefix = "c_",
+        tolerance = Some(6.0 * 3600 * 1e6))
+      .select(col("event_id"), col("user_id"),
+        col("c_event_id").as("click_id"), col("c_value").as("click_value"),
+        (col("t_us") - col("c_t_us")).as("gap_us"))
+  }
+
+  val q103Sql: String =
+    """WITH ev AS (SELECT *, epoch_us(ts) AS t_us FROM events),
+      |clicks AS (SELECT user_id, t_us, MIN(event_id) AS event_id,
+      |  arg_min(value, event_id) AS value
+      |  FROM ev WHERE event_type = 'click' GROUP BY user_id, t_us),
+      |purchases AS (SELECT user_id, t_us, event_id, value FROM ev
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, c.event_id AS click_id,
+      |  c.value AS click_value, p.t_us - c.t_us AS gap_us
+      |FROM purchases p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.t_us >= c.t_us
+      |WHERE p.t_us - c.t_us <= 21600000000""".stripMargin
+
+  /** STREAMING ewm variance/std ([[graft.streaming.Streaming
+    * .ewmStatsStream]]): q100's row-count var/std maintained incrementally
+    * with four scalars of state per user — closing the batch-vs-stream
+    * parity gap (round-9 review #5). Same alpha 0.6, same 1.0934
+    * full-mantissa input scale, same round-4 contract as q100; the oracle
+    * is q100's closed form restricted to non-null rows (append-mode
+    * streams emit only computed points). A key's first row emits null
+    * var/std on both engines (debias denominator exactly zero).
+    * StreamingSpec proves the cross-batch state carry equals the batch
+    * scan and that late rows are counted-dropped. */
+  val q104: QueryFn = (s, d) => {
+    import s.implicits._
+    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    val events = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        // ordering coordinate only (row-count decay): µs stays exact in
+        // a double; ns would not, and sub-µs order is tie-broken anyway
+        (expr("ts DIV 1000").cast("double")).as("t"),
+        (col("value").cast("double") * lit(1.0934)).as("value"))
+      .as[graft.streaming.Streaming.EwmEvent]
+    val out = graft.streaming.Streaming.ewmStatsStream(events, alpha = 0.6)
+      .select(col("event_id"), col("user_id"),
+        round(col("ewm_var"), 4).as("ewm_var"),
+        round(col("ewm_std"), 4).as("ewm_std"))
+    val name = "q104_stream_ewm_var_sink"
+    s.catalog.dropTempView(name)
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  val q104Sql: String =
+    """WITH nn AS (SELECT event_id, user_id, value * 1.0934 AS v,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL),
+      |agg AS (SELECT a.event_id, a.user_id,
+      |  SUM(pow(0.4, a.rn - b.rn)) AS s1,
+      |  SUM(pow(0.16, a.rn - b.rn)) AS s2,
+      |  SUM(b.v * pow(0.4, a.rn - b.rn)) AS s1x,
+      |  SUM(b.v * b.v * pow(0.4, a.rn - b.rn)) AS s1x2
+      |  FROM nn a JOIN nn b ON a.user_id = b.user_id AND b.rn <= a.rn
+      |  GROUP BY a.event_id, a.user_id),
+      |v AS (SELECT event_id, user_id,
+      |  CASE WHEN s1 * s1 - s2 <= 0 THEN NULL
+      |       ELSE greatest(0.0, s1x2 / s1 - (s1x / s1) * (s1x / s1))
+      |            * s1 * s1 / (s1 * s1 - s2) END AS vr
+      |  FROM agg)
+      |SELECT event_id, user_id,
+      |  round(vr, 4) AS ewm_var, round(sqrt(vr), 4) AS ewm_std
+      |FROM v""".stripMargin
+
+  /** polars `join_asof(strategy="nearest")`: each purchase takes the
+    * click MINIMIZING |Δt| in its user group — backward and forward legs
+    * resolved in ONE union-merge pass (two window frames over one sorted
+    * run, no second shuffle, no join), exact-distance ties preferring the
+    * backward row. The oracle is the union-of-both-directions form: a
+    * backward ASOF LEFT JOIN, a forward (strictly-greater) ASOF LEFT
+    * JOIN, and a per-purchase CASE on the distances — the compositional
+    * definition the single-pass operator must reproduce. µs axis
+    * throughout (q103's parity note). */
+  val q105: QueryFn = (s, d) => {
+    val ev = tbl(s, d, "events").withColumn("t_us", expr("ts DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("t_us"))
+      .agg(min(col("event_id")).as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"), col("event_id"))
+    TemporalJoins.asOfJoinNearest(purchases, clicks, Seq("user_id"), "t_us",
+        "t_us", tieBreak = "event_id", rightPrefix = "c_")
+      .select(col("event_id"), col("user_id"),
+        col("c_event_id").as("click_id"),
+        abs(col("t_us") - col("c_t_us")).as("dist_us"))
+  }
+
+  val q105Sql: String =
+    """WITH ev AS (SELECT *, epoch_us(ts) AS t_us FROM events),
+      |clicks AS (SELECT user_id, t_us, MIN(event_id) AS event_id
+      |  FROM ev WHERE event_type = 'click' GROUP BY user_id, t_us),
+      |purchases AS (SELECT user_id, t_us, event_id FROM ev
+      |  WHERE event_type = 'purchase'),
+      |b AS (SELECT p.event_id, c.event_id AS click_id, c.t_us AS ct
+      |  FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.t_us >= c.t_us),
+      |f AS (SELECT p.event_id, c.event_id AS click_id, c.t_us AS ct
+      |  FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.t_us < c.t_us)
+      |SELECT p.event_id, p.user_id,
+      |  CASE WHEN b.click_id IS NOT NULL
+      |            AND (f.click_id IS NULL OR (p.t_us - b.ct) <= (f.ct - p.t_us))
+      |       THEN b.click_id ELSE f.click_id END AS click_id,
+      |  CASE WHEN b.click_id IS NOT NULL
+      |            AND (f.click_id IS NULL OR (p.t_us - b.ct) <= (f.ct - p.t_us))
+      |       THEN p.t_us - b.ct ELSE f.ct - p.t_us END AS dist_us
+      |FROM purchases p
+      |LEFT JOIN b ON p.event_id = b.event_id
+      |LEFT JOIN f ON p.event_id = f.event_id
+      |WHERE b.click_id IS NOT NULL OR f.click_id IS NOT NULL""".stripMargin
+
+  /** Time-windowed rolling family (polars `rolling_{mean,sum,min,max}_by`,
+    * S16 widened): trailing doc_id-RANGE windows per language — the frame
+    * is an interval of the `by` axis, not a row count, so sparse regions
+    * shrink the window and dense ones widen it. Also exercises the
+    * registry's `rle_id` (source-change run index along doc_id). All
+    * aggregates are over BIGINT n_chars: sums/min/max are exact integers
+    * and the mean is one double division of exact integers, so no
+    * rounding is needed anywhere — the outputs are bit-identical by
+    * construction. */
+  val q106: QueryFn = (s, d) =>
+    tbl(s, d, "documents")
+      .transform(Transforms.deriveNewCols(Seq(
+        "roll_mean" -> DeriveSpec("rolling_mean_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500, "partition_by" -> Seq("lang"))),
+        "roll_sum" -> DeriveSpec("rolling_sum_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500, "partition_by" -> Seq("lang"))),
+        "roll_min" -> DeriveSpec("rolling_min_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500, "partition_by" -> Seq("lang"))),
+        "roll_max" -> DeriveSpec("rolling_max_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500, "partition_by" -> Seq("lang"),
+          "closed" -> "both")),
+        "src_run" -> DeriveSpec("rle_id", Map("col" -> "source",
+          "order_by" -> Seq("doc_id"), "partition_by" -> Seq("lang"))))))
+      .select(col("doc_id"), col("lang"), col("roll_mean"), col("roll_sum"),
+        col("roll_min"), col("roll_max"), col("src_run"))
+
+  val q106Sql: String =
+    """SELECT doc_id, lang,
+      |  avg(n_chars) OVER w AS roll_mean,
+      |  sum(n_chars) OVER w AS roll_sum,
+      |  min(n_chars) OVER w AS roll_min,
+      |  max(n_chars) OVER wb AS roll_max,
+      |  sum(chg) OVER (PARTITION BY lang ORDER BY doc_id) AS src_run
+      |FROM (SELECT *, CASE WHEN row_number() OVER (PARTITION BY lang ORDER BY doc_id) = 1
+      |    THEN 0
+      |    WHEN source IS NOT DISTINCT FROM lag(source)
+      |      OVER (PARTITION BY lang ORDER BY doc_id) THEN 0
+      |    ELSE 1 END AS chg
+      |  FROM documents)
+      |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+      |    RANGE BETWEEN 499 PRECEDING AND CURRENT ROW),
+      |  wb AS (PARTITION BY lang ORDER BY doc_id
+      |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** polars `qcut`: whole-frame quantile binning — labeled price
+    * quartiles plus default-labeled (bin index) quantity deciles via the
+    * integer-count form. The breakpoints are EXACT linear-interpolation
+    * quantiles (Spark `percentile` == DuckDB `quantile_cont`, same
+    * position formula p·(n−1)), computed in the derive stage's
+    * distributed agg pass and broadcast back — never a single-partition
+    * window. Bins are (b_i, b_{i+1}] (left_closed=false). */
+  val q107: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .transform(Transforms.deriveNewCols(Seq(
+        "price_q" -> DeriveSpec("qcut", Map("col" -> "l_extendedprice",
+          "quantiles" -> Seq(0.25, 0.5, 0.75),
+          "labels" -> Seq("q1", "q2", "q3", "q4"))),
+        "qty_decile" -> DeriveSpec("qcut", Map("col" -> "l_quantity",
+          "quantiles" -> 10)))))
+      .select(col("l_orderkey"), col("l_linenumber"), col("price_q"),
+        col("qty_decile"))
+
+  val q107Sql: String =
+    """WITH b AS (SELECT
+      |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS pb,
+      |  quantile_cont(l_quantity,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_extendedprice IS NULL THEN NULL
+      |    ELSE (['q1', 'q2', 'q3', 'q4'])[
+      |      len(list_filter(b.pb, x -> x < l_extendedprice)) + 1] END AS price_q,
+      |  CASE WHEN l_quantity IS NULL THEN NULL
+      |    ELSE CAST(len(list_filter(b.qb, x -> x < l_quantity)) AS VARCHAR)
+      |    END AS qty_decile
+      |FROM lineitem, b""".stripMargin
+
+  /** polars `search_sorted`: the insertion index of a probe value in the
+    * sorted column — a whole-frame scalar (left and right sides differ by
+    * tie inclusion), broadcast the way polars broadcasts its length-1
+    * result; distinct() collapses the catalog output to the one scalar
+    * row. Nulls count as smaller than everything (ascending nulls-first,
+    * the polars sort default). */
+  val q108: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .transform(Transforms.deriveNewCols(Seq(
+        "ss_left" -> DeriveSpec("search_sorted", Map("col" -> "l_quantity",
+          "element" -> 25, "side" -> "left")),
+        "ss_right" -> DeriveSpec("search_sorted", Map("col" -> "l_quantity",
+          "element" -> 25, "side" -> "right")))))
+      .select(col("ss_left"), col("ss_right")).distinct()
+
+  val q108Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_quantity IS NULL OR l_quantity < 25) AS ss_left,
+      |  (SELECT count(*) FROM lineitem
+      |    WHERE l_quantity IS NULL OR l_quantity <= 25) AS ss_right""".stripMargin
+
+  /** polars `Expr.rle` as the frame-level `rle` builtin: each user's
+    * event_type stream COMPRESSES to one row per run of consecutive equal
+    * values — (user_id, 0-based run index, run length, run value). The
+    * derive registry cannot host rle (length-changing; the reference's
+    * with_columns application would throw a polars ShapeError — see the
+    * builtin's doc), so the config-addressable home is the custom-
+    * transformation registry, same as fuzzy_dedup. Oracle: the classic
+    * gaps-and-islands rewrite. One window + one hash agg, keyed per user. */
+  val q109: QueryFn = (s, d) =>
+    graft.service.BuiltinTransformations.registry("rle")(tbl(s, d, "events"),
+      Map("col" -> "event_type", "order_by" -> Seq("ts", "event_id"),
+        "partition_by" -> Seq("user_id")))
+      .select(col("user_id"), col("rle_id"), col("len"), col("value"))
+
+  val q109Sql: String =
+    """WITH o AS (SELECT user_id, event_type AS v,
+      |  row_number() OVER w AS rn,
+      |  CASE WHEN row_number() OVER w = 1 THEN 0
+      |       WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER w THEN 0
+      |       ELSE 1 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (SELECT user_id, v,
+      |  sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS rle_id FROM o)
+      |SELECT user_id, rle_id, count(*) AS len, v AS value
+      |FROM r GROUP BY user_id, rle_id, v""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -2731,6 +2996,13 @@ object Queries {
     ("q99_cms_frequency", q99, Some(q99Sql)),
     ("q100_ewm_var_std", q100, Some(q100Sql)),
     ("q101_ewm_mean_by", q101, Some(q101Sql)),
-    ("q102_stream_ewm", q102, Some(q102Sql))
+    ("q102_stream_ewm", q102, Some(q102Sql)),
+    ("q103_asof_tolerance", q103, Some(q103Sql)),
+    ("q104_stream_ewm_var", q104, Some(q104Sql)),
+    ("q105_asof_nearest", q105, Some(q105Sql)),
+    ("q106_rolling_by", q106, Some(q106Sql)),
+    ("q107_qcut", q107, Some(q107Sql)),
+    ("q108_search_sorted", q108, Some(q108Sql)),
+    ("q109_rle", q109, Some(q109Sql))
   )
 }

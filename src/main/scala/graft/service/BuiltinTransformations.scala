@@ -325,6 +325,8 @@ object BuiltinTransformations {
     val name = "rle"
     val valCol = reqStr(name, kw, "col")
     val ord = strSeqKw(name, kw, "order_by")
+    require(ord.nonEmpty, s"$name: 'order_by' must name at least one column — " +
+      "runs are only defined along an explicit order")
     val parts = strSeqKwOpt(name, kw, "partition_by")
     rejectShadow(name, df, "__rle_id")
     Seq("rle_id", "len", "value").filter(parts.contains).foreach(n =>

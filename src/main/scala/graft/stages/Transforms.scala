@@ -213,6 +213,14 @@ object Transforms {
             else (acc, pending :+ (n -> a))
           case ((acc, pending), (n, ExprRegistry.RowWise(c))) =>
             (flush(acc, pending).withColumn(n, c), Nil)
+          case ((acc, pending), (n, ExprRegistry.AggThenRow(a, rowFn))) =>
+            // agg pass + broadcast join like WholeFrameAgg, but the joined
+            // 1-row result lands under a temp name that the row-wise
+            // post-expression consumes (qcut: breakpoints -> bin label)
+            val flushed = flush(acc, pending)
+            val tmp = s"__agg_then_row_$n"
+            val joined = flushed.crossJoin(broadcast(flushed.agg(a.as(tmp))))
+            (joined.withColumn(n, rowFn(col(tmp))).drop(tmp), Nil)
         }
       val derived = flush(lastAcc, lastPending)
       // restore declared column order (cross joins append agg columns out

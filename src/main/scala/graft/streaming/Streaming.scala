@@ -132,6 +132,81 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** State for the streaming row-count ewm family: the four running sums
+    * of [[graft.operators.TimeSeries.ewmStats]]'s scan (S1 = Σw, S2 = Σw²,
+    * S1x = Σw·x, S1x2 = Σw·x², w = (1-α)^(i-j)) plus the last-seen sort
+    * coordinate for the late-row guard. */
+  final case class EwmStatsState(s1: Double, s2: Double, s1x: Double, s1x2: Double, lastT: Double)
+
+  final case class EwmStatsPoint(
+      user_id: Long, event_id: Long,
+      ewm_mean: Double, ewm_var: Option[Double], ewm_std: Option[Double])
+
+  /** Streaming twin of the batch [[graft.operators.TimeSeries.ewmStats]]
+    * scan: mean/var/std in one pass with FOUR scalars of state per key
+    * (plus the ordering coordinate) — the var/std counterpart of
+    * [[ewmMeanByStream]], closing the batch-vs-stream parity gap the
+    * round-9 review flagged. Each micro-batch sorts its rows by
+    * (t, event_id) within the key and advances the identical multiply-add
+    * recurrence, so emitted values equal the batch operator's on the same
+    * prefix; var/std are None at a key's first row (debias denominator is
+    * exactly zero there), and the epsilon-negative variance clamp matches
+    * the batch scan.
+    *
+    * Ordering contract — enforced like [[ewmMeanByStream]]: a row arriving
+    * in a later micro-batch with t < the carried coordinate has already
+    * been passed by the row-count decay; folding it would corrupt every
+    * later statistic, so it is DROPPED and counted in `lateEvents`
+    * (t == lastT ties are valid rows — the tie-break ordering inside one
+    * batch is event_id, and across batches arrival order stands). The
+    * batch operator is the replay path for late data. Value nulls cannot
+    * reach here ([[EwmEvent]] is primitive — filter upstream, as q104
+    * does); the batch twin's null-skip contract lives at that filter. */
+  def ewmStatsStream(
+      events: Dataset[EwmEvent],
+      alpha: Double,
+      lateEvents: Option[org.apache.spark.util.LongAccumulator] = None
+  ): Dataset[EwmStatsPoint] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val decay = 1.0 - alpha
+
+    def update(
+        userId: Long,
+        batch: Iterator[EwmEvent],
+        state: GroupState[EwmStatsState]
+    ): Iterator[EwmStatsPoint] = {
+      val sorted = batch.toSeq.sortBy(e => (e.t, e.event_id))
+      var st = state.getOption
+      val out = sorted.flatMap { e =>
+        if (st.exists(s => e.t < s.lastT)) {
+          lateEvents.foreach(_.add(1L))
+          None
+        } else {
+          val p = st.getOrElse(EwmStatsState(0.0, 0.0, 0.0, 0.0, e.t))
+          val x = e.value
+          val s1 = 1.0 + decay * p.s1
+          val s2 = 1.0 + decay * decay * p.s2
+          val s1x = x + decay * p.s1x
+          val s1x2 = x * x + decay * p.s1x2
+          st = Some(EwmStatsState(s1, s2, s1x, s1x2, e.t))
+          val mean = s1x / s1
+          val varDen = s1 * s1 - s2
+          val variance =
+            if (varDen <= 0.0) None
+            else Some(math.max(0.0, s1x2 / s1 - mean * mean) * (s1 * s1) / varDen)
+          Some(EwmStatsPoint(userId, e.event_id, mean, variance, variance.map(math.sqrt)))
+        }
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   def sessionize(
       events: Dataset[SessionEvent],
       gapMs: Long = 30L * 60 * 1000,

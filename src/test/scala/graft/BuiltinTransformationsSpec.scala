@@ -95,6 +95,34 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("withPersisted: dedup builtins leave ZERO new cached RDDs; pre-existing survive") {
+    import graft.util.CacheScope
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val keepMe = docs.persist() // a frame the session cached ON PURPOSE
+    keepMe.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before >= 1)
+    val emb = Seq((1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, 0.02f)),
+      (3L, Array(0.1f, 1.0f))).toDF("doc_id", "emb")
+    val (fuzzy, sem) = CacheScope.withPersisted(spark) {
+      val f = registry("fuzzy_dedup")(docs,
+        Map("id_col" -> "doc_id", "text_col" -> "text")).collect()
+      val s = registry("semantic_dedup")(emb,
+        Map("id_col" -> "doc_id", "vec_col" -> "emb", "k" -> 2, "threshold" -> 0.99))
+        .collect()
+      assert(spark.sparkContext.getPersistentRDDs.size > before,
+        "fixture must actually exercise the operators' internal persists")
+      (f, s)
+    }
+    assert(fuzzy.nonEmpty && sem.nonEmpty)
+    // non-blocking unpersist: the entries leave the persistent-RDD map
+    // immediately even though block eviction is async
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "scope exit must drop exactly the caches the body created")
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty, "pre-existing cache untouched")
+    keepMe.unpersist(blocking = true)
+  }
+
   test("semantic_dedup is deterministic: same frame, same YAML, identical survivors") {
     // the reproducibility property curation users rely on: re-running the
     // same config over the same corpus must keep exactly the same rows.
@@ -176,6 +204,31 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(math.abs(means(2L) - 10.0) < 1e-9)
     assert(math.abs(means(4L) - 9.25) < 1e-9)
     assert(math.abs(means(3L) - 10.0) < 1e-9) // de key resets
+  }
+
+  test("rle compresses runs per key: 0-based ids, null runs, guards") {
+    val df = Seq(
+      (1L, 1L, Some("a")), (1L, 2L, Some("a")), (1L, 3L, Some("b")),
+      (1L, 4L, None), (1L, 5L, None), (1L, 6L, Some("a")),
+      (2L, 1L, Some("z"))).toDF("k", "ord", "v")
+    val out = registry("rle")(df,
+      Map("col" -> "v", "order_by" -> Seq("ord"), "partition_by" -> Seq("k")))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("rle_id")) ->
+        (r.getAs[Long]("len"), r.getAs[String]("value"))).toMap
+    assert(out((1L, 0L)) == (2L, "a"), "first run: aa")
+    assert(out((1L, 1L)) == (1L, "b"))
+    assert(out((1L, 2L)) == (2L, null), "nulls form a run (null-safe compare)")
+    assert(out((1L, 3L)) == (1L, "a"), "re-appearing value = NEW run")
+    assert(out((2L, 0L)) == (1L, "z"), "fresh key restarts at run 0")
+    assert(out.size == 5)
+    intercept[IllegalArgumentException] { // output-name collision
+      registry("rle")(df.withColumnRenamed("k", "len"),
+        Map("col" -> "v", "order_by" -> Seq("ord"), "partition_by" -> Seq("len")))
+    }
+    intercept[IllegalArgumentException] { // shadow-name collision
+      registry("rle")(df.withColumn("__rle_id", lit(1)),
+        Map("col" -> "v", "order_by" -> Seq("ord"), "partition_by" -> Seq("k")))
+    }
   }
 
   test("ewm builtins reject frames that already carry a __ewm_* shadow name") {

@@ -242,6 +242,91 @@ class ExprRegistrySpec extends AnyFunSuite {
     assert((0 until 5).map(sp5.getString) == Seq("a", "b", "c", "d", null))
   }
 
+  test("rolling_*_by: RANGE frames over the by axis, closed variants") {
+    // by gaps: 1,2,10 — a row-count window would always see 2 rows; the
+    // time window must shrink across the 10-gap
+    val df = Seq((1L, 1.0), (2L, 2.0), (4L, 4.0), (14L, 8.0)).toDF("t", "v")
+    val out = derive(
+      "s_right" -> DeriveSpec("rolling_sum_by",
+        Map("col" -> "v", "by" -> "t", "window_size" -> 3)),
+      "s_both" -> DeriveSpec("rolling_sum_by",
+        Map("col" -> "v", "by" -> "t", "window_size" -> 3, "closed" -> "both")),
+      "s_left" -> DeriveSpec("rolling_sum_by",
+        Map("col" -> "v", "by" -> "t", "window_size" -> 3, "closed" -> "left")),
+      "s_none" -> DeriveSpec("rolling_sum_by",
+        Map("col" -> "v", "by" -> "t", "window_size" -> 3, "closed" -> "none")))(df)
+      .orderBy("t").collect()
+    // right (t-3, t]: t=4 sees {2,4}; both [t-3, t]: t=4 also sees t=1
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 3.0, 6.0, 8.0))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 3.0, 7.0, 8.0))
+    // left [t-3, t): t=4 sees {1,2}; none (t-3, t): t=4 sees {2}
+    assert(out(2).getDouble(4) == 3.0 && out(2).getDouble(5) == 2.0)
+    assert(out(3).isNullAt(4) && out(3).isNullAt(5), "empty frame -> null sum")
+    // duration strings parse against an epoch-seconds axis
+    val dur = derive("m" -> DeriveSpec("rolling_mean_by",
+      Map("col" -> "v", "by" -> "t", "window_size" -> "1m")))(
+      Seq((0L, 2.0), (59L, 4.0), (61L, 6.0)).toDF("t", "v"))
+      .orderBy("t").select("m").as[Double].collect()
+    assert(dur.toSeq == Seq(2.0, 3.0, 5.0))
+    intercept[IllegalArgumentException] {
+      ExprRegistry.resolve("rolling_sum_by")(
+        Map("col" -> "v", "by" -> "t", "window_size" -> 3, "closed" -> "sideways"))
+    }
+  }
+
+  test("qcut: quantile bins with labels, integer form, null passthrough") {
+    val df = (1 to 8).map(i => (i, i.toDouble)).toDF("id", "v")
+      .union(Seq((9, Option.empty[Double])).toDF("id", "v"))
+    val out = derive(
+      "quart" -> DeriveSpec("qcut", Map("col" -> "v",
+        "quantiles" -> Seq(0.25, 0.5, 0.75),
+        "labels" -> Seq("a", "b", "c", "d"))),
+      "half" -> DeriveSpec("qcut", Map("col" -> "v", "quantiles" -> 2)))(df)
+      .orderBy("id").collect()
+    // exact quantiles of 1..8: q25=2.75, q50=4.5, q75=6.25
+    assert(out.take(8).map(_.getString(2)).toSeq ==
+      Seq("a", "a", "b", "b", "c", "c", "d", "d"))
+    assert(out.take(8).map(_.getString(3)).toSeq ==
+      Seq("0", "0", "0", "0", "1", "1", "1", "1"))
+    assert(out(8).isNullAt(2) && out(8).isNullAt(3), "null value -> null bin")
+    intercept[IllegalArgumentException] { // labels arity
+      ExprRegistry.resolve("qcut")(Map("col" -> "v",
+        "quantiles" -> Seq(0.5), "labels" -> Seq("only_one")))
+    }
+    intercept[IllegalArgumentException] { // probabilities outside (0,1)
+      ExprRegistry.resolve("qcut")(Map("col" -> "v", "quantiles" -> Seq(0.0, 0.5)))
+    }
+  }
+
+  test("qcut left_closed flips the boundary bin") {
+    // breakpoint q50 of 1..4 = 2.5 is not a data point, so make one:
+    // values {1,2,2,3}: q50 = 2.0 exactly — left_closed decides bin of 2.0
+    val df = Seq((1, 1.0), (2, 2.0), (3, 2.0), (4, 3.0)).toDF("id", "v")
+    val out = derive(
+      "rc" -> DeriveSpec("qcut", Map("col" -> "v", "quantiles" -> Seq(0.5))),
+      "lc" -> DeriveSpec("qcut", Map("col" -> "v", "quantiles" -> Seq(0.5),
+        "left_closed" -> true)))(df).orderBy("id").collect()
+    assert(out(1).getString(2) == "0", "(−inf, 2] keeps 2.0 in bin 0")
+    assert(out(1).getString(3) == "1", "[2, +inf) pushes 2.0 to bin 1")
+  }
+
+  test("search_sorted: sides, null-first convention, whole-frame broadcast") {
+    val df = Seq(Some(1.0), Some(3.0), Some(3.0), Some(7.0), None).toDF("v")
+    val out = derive(
+      "l" -> DeriveSpec("search_sorted", Map("col" -> "v", "element" -> 3, "side" -> "left")),
+      "r" -> DeriveSpec("search_sorted", Map("col" -> "v", "element" -> 3, "side" -> "right")),
+      "a" -> DeriveSpec("search_sorted", Map("col" -> "v", "element" -> 3)))(df)
+    val row = out.select("l", "r", "a").distinct().head()
+    // sorted nulls-first: [null, 1, 3, 3, 7] — left inserts 3 at idx 2,
+    // right after the ties at idx 4, any == left
+    assert(row.getLong(0) == 2L && row.getLong(1) == 4L && row.getLong(2) == 2L)
+    assert(out.count() == 5, "scalar broadcasts to every row")
+    intercept[IllegalArgumentException] {
+      ExprRegistry.resolve("search_sorted")(
+        Map("col" -> "v", "element" -> 3, "side" -> "middle"))
+    }
+  }
+
   test("unknown fn name lists alternatives") {
     val e = intercept[IllegalArgumentException](ExprRegistry.resolve("no_such_fn"))
     assert(e.getMessage.contains("unknown derive fn"))
@@ -262,7 +347,10 @@ class ExprRegistrySpec extends AnyFunSuite {
       "fill_null", "fill_nan", "is_null", "is_not_null",
       "gt", "ge", "lt", "le", "eq", "ne", "is_in", "is_between", "not_", "and_", "or_", "xor",
       "cast", "clip", "clip_min", "clip_max", "hash",
-      "is_duplicated", "is_unique", "rolling_mean")
+      "is_duplicated", "is_unique", "rolling_mean",
+      // round-10 tail: the last config-addressable pl.Expr stragglers
+      "rle_id", "qcut", "search_sorted",
+      "rolling_mean_by", "rolling_sum_by", "rolling_min_by", "rolling_max_by")
     val missing = promised.filterNot(ExprRegistry.fns.contains)
     assert(missing.isEmpty, s"missing registry fns: $missing")
   }

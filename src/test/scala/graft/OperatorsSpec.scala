@@ -173,6 +173,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("after") == (102L, "r20b"), "latest right; greatest tieBreak on ties")
   }
 
+  test("asOfJoin tolerance: matches farther than the bound drop (both directions)") {
+    import graft.operators.TemporalJoins
+    val right = Seq((1L, 10L, 100L)).toDF("k", "t", "rid")
+    val left = Seq((1L, 12L, "near"), (1L, 25L, "far")).toDF("k", "t", "name")
+    val back = TemporalJoins.asOfJoin(left, right, Seq("k"), "t", "t", "rid",
+      tolerance = Some(5.0))
+      .collect().map(_.getAs[String]("name")).toSet
+    assert(back == Set("near"), "backward: gap 15 > 5 rejected, gap 2 kept")
+    val leftF = Seq((1L, 8L, "near"), (1L, 1L, "far")).toDF("k", "t", "name")
+    val fwd = TemporalJoins.asOfJoinForward(leftF, right, Seq("k"), "t", "t", "rid",
+      tolerance = Some(5.0))
+      .collect().map(_.getAs[String]("name")).toSet
+    assert(fwd == Set("near"), "forward distance measured on the restored axis")
+  }
+
+  test("asOfJoinNearest: closer side wins, ties prefer backward, tolerance prunes") {
+    import graft.operators.TemporalJoins
+    val right = Seq((1L, 10L, 100L, "b"), (1L, 20L, 101L, "f"), (2L, 7L, 102L, "o"))
+      .toDF("k", "t", "rid", "tag")
+    val left = Seq(
+      (1L, 13L, "closer-back"), // |13-10|=3 < |20-13|=7
+      (1L, 18L, "closer-fwd"), // |18-10|=8 > |20-18|=2
+      (1L, 15L, "tie"), // 5 == 5 -> backward
+      (1L, 10L, "exact"), // distance 0 backward
+      (1L, 3L, "before-all"), // only forward exists (matches t=10, tag b)
+      (1L, 99L, "after-all"), // only backward exists (matches t=20, tag f)
+      (3L, 10L, "no-key")).toDF("k", "t", "name")
+    val out = TemporalJoins.asOfJoinNearest(left, right, Seq("k"), "t", "t", "rid")
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("asof_tag"), r.getAs[Long]("asof_t"))).toMap
+    assert(out("closer-back") == ("b", 10L) && out("closer-fwd") == ("f", 20L))
+    assert(out("tie") == ("b", 10L), "exact-distance tie prefers the backward row")
+    assert(out("exact") == ("b", 10L))
+    assert(out("before-all") == ("b", 10L), "forward-only left row still matches")
+    assert(out("after-all") == ("f", 20L), "backward-only left row still matches")
+    assert(!out.contains("no-key"), "inner semantics")
+    // tolerance prunes each leg independently: before-all's forward match
+    // is 7 away, after-all's backward match is 79 away
+    val tol = TemporalJoins.asOfJoinNearest(left, right, Seq("k"), "t", "t", "rid",
+      tolerance = Some(5.0))
+      .collect().map(_.getAs[String]("name")).toSet
+    assert(tol == Set("closer-back", "closer-fwd", "tie", "exact"))
+  }
+
+  test("asOfJoinNearest: equal-time right ties resolve to the greatest tieBreak") {
+    import graft.operators.TemporalJoins
+    val right = Seq((1L, 10L, 100L, "lo"), (1L, 10L, 101L, "hi"),
+      (1L, 20L, 102L, "flo"), (1L, 20L, 103L, "fhi")).toDF("k", "t", "rid", "tag")
+    val left = Seq((1L, 12L, "back-side"), (1L, 19L, "fwd-side")).toDF("k", "t", "name")
+    val out = TemporalJoins.asOfJoinNearest(left, right, Seq("k"), "t", "t", "rid")
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("asof_tag")).toMap
+    assert(out("back-side") == "hi", "backward leg: greatest tieBreak at equal time")
+    assert(out("fwd-side") == "fhi", "forward leg: greatest tieBreak at equal time")
+  }
+
   test("asOfJoinForward: smallest right time at-or-after, restored time signs") {
     import graft.operators.TemporalJoins
     val right = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L))

@@ -181,7 +181,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "q78_tfidf", // 1-row corpus-stats frame broadcast onto per-doc scores
       "q96_hll_merge", // three 1-row sketch/exact frames crossJoined
       "q97_theta_set_algebra", // two 1-row segment sketches crossJoined
-      "q98_kll_quantile_merge" // shard sketches + exact band, 1-row crossJoins
+      "q98_kll_quantile_merge", // shard sketches + exact band, 1-row crossJoins
+      "q107_qcut", // 1-row quantile-breakpoint frames broadcast (AggThenRow)
+      "q108_search_sorted" // 1-row whole-frame scalars broadcast onto rows
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

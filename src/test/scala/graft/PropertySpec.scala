@@ -375,7 +375,15 @@ class PropertySpec extends AnyFunSuite {
         opt("order_by",
           Gen.oneOf[Any]("doc_id", List("doc_id")),
           Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String])),
-        opt("out_col", Gen.const("ewm_by_out"), wrongForStr))
+        opt("out_col", Gen.const("ewm_by_out"), wrongForStr)),
+      "rle" -> Seq(
+        req("col", Gen.const("lang"), wrongForStr),
+        req("order_by",
+          Gen.oneOf[Any]("doc_id", List("doc_id")),
+          Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String])),
+        opt("partition_by",
+          Gen.oneOf[Any]("lang", List("lang")),
+          Gen.oneOf[Any](42L, 1.5, true, junkMap)))
     )
   }
 

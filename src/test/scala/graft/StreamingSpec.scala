@@ -135,6 +135,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ewm var/std carries 4-scalar state across batches, equals batch scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val late = spark.sparkContext.longAccumulator("lateEwmStats")
+    val input = MemoryStream[Streaming.EwmEvent]
+    val out = Streaming.ewmStatsStream(input.toDS(), alpha = 0.6, lateEvents = Some(late))
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ewm_stats_stream").start()
+    try {
+      input.addData(
+        Streaming.EwmEvent(1L, 2, 1.0, 20.0), Streaming.EwmEvent(1L, 1, 0.0, 10.0),
+        Streaming.EwmEvent(2L, 3, 0.0, 5.0))
+      q.processAllAvailable()
+      // batch 2: continuation + one LATE row (t=0.5 < carried 1.0)
+      input.addData(
+        Streaming.EwmEvent(1L, 4, 3.0, 40.0), Streaming.EwmEvent(1L, 9, 0.5, 99.0))
+      q.processAllAvailable()
+      val got = spark.table("ewm_stats_stream").as[Streaming.EwmStatsPoint].collect()
+        .map(p => p.event_id -> p).toMap
+      assert(!got.contains(9L) && late.value == 1L, "late row counted-dropped")
+      // batch-operator oracle on the same in-order series
+      val batchDf = Seq(
+        (1L, 1L, 0.0, 10.0), (1L, 2L, 1.0, 20.0), (1L, 4L, 3.0, 40.0),
+        (2L, 3L, 0.0, 5.0)).toDF("user_id", "event_id", "t", "v")
+      val expected = graft.operators.TimeSeries.ewmStats(batchDf, "user_id",
+          Seq("t", "event_id"), "v", alpha = 0.6,
+          Seq("m" -> graft.operators.TimeSeries.EwmMean,
+            "vr" -> graft.operators.TimeSeries.EwmVar,
+            "sd" -> graft.operators.TimeSeries.EwmStd))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Double]("m"),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (eid, (m, vr, sd)) =>
+        val p = got(eid)
+        assert(math.abs(p.ewm_mean - m) < 1e-12, s"event $eid mean")
+        (p.ewm_var, vr) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"event $eid var")
+          case (a, b) => assert(a == b, s"event $eid var presence: $a vs $b")
+        }
+        (p.ewm_std, sd) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"event $eid std")
+          case (a, b) => assert(a == b, s"event $eid std presence: $a vs $b")
+        }
+      }
+      assert(got(1L).ewm_var.isEmpty && got(3L).ewm_var.isEmpty,
+        "first row per key: debias denominator 0 -> no variance")
+      assert(got(4L).ewm_var.exists(_ > 0.0))
+    } finally q.stop()
+  }
+
   test("batch transforms compose unchanged on a streaming frame") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
