@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, MapType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DoubleType, LongType, MapType, StructField, StructType}
 
 /** Ordered per-key time-series operators that need a running SCAN rather
   * than a window: Spark window frames re-aggregate the frame per row, so
@@ -149,6 +149,210 @@ object TimeSeries {
               y
             }
           Row.fromSeq(r.toSeq :+ out)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Segmented twin of [[ewmMeanBy]] for MEGA-KEY corpora (round-9 review
+    * #3): the standard scan needs each key's whole history in ONE
+    * partition — right for many medium keys, a straggler when one
+    * pathological key holds e.g. 10M rows. The recurrence is an affine map
+    * y ← a·y + (1−a)·x, and affine maps compose associatively, so a key's
+    * history can be cut into TIME segments (seg = floor(t/segmentSpan) —
+    * deterministic from data values alone, so shuffle-retry safe, unlike
+    * sampled range boundaries), each segment reduced to its composed map
+    * (aRest, bRest) plus its first observation, the per-segment incoming
+    * states prefix-combined in a summary-sized job, and every segment then
+    * replayed in parallel from its incoming state.
+    *
+    * Cost model: a summary scan (one shuffle on (key, seg)), the prefix
+    * combine (one shuffle on key over SUMMARY rows — segments, not data),
+    * and the replay (a join against the incoming states + one shuffle on
+    * (key, seg)) — ~2x the single-pass shuffle volume. Pay that when a
+    * key's history outgrows a partition; keep [[ewmMeanBy]] otherwise.
+    * All three stages stay fully distributed: nothing key-shaped ever
+    * reaches the driver.
+    *
+    * Equals [[ewmMeanBy]] exactly in real arithmetic; in floats the
+    * boundary composition aRest·y + bRest reassociates (~1e-15 relative
+    * per segment boundary; the ScalaCheck property pins 1e-9 over random
+    * chunkings). Null-value and null/NaN-time rows: the identical skip
+    * contract (null out, state untouched) — a skip-only segment carries
+    * state through unchanged. */
+  def ewmMeanBySegmented(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      ordCols: Seq[String],
+      valCol: String,
+      halfLife: Double,
+      segmentSpan: Double,
+      outCol: String = "ewm_mean_by"
+  ): DataFrame = {
+    require(halfLife > 0.0, s"halfLife must be positive, got $halfLife")
+    require(segmentSpan > 0.0, s"segmentSpan must be positive, got $segmentSpan")
+    require(df.schema(valCol).dataType == DoubleType,
+      s"ewmMeanBySegmented: '$valCol' must be DoubleType (cast at the call site), " +
+        s"got ${df.schema(valCol).dataType.simpleString}")
+    require(df.schema(timeCol).dataType == DoubleType,
+      s"ewmMeanBySegmented: '$timeCol' must be DoubleType (cast at the call site), " +
+        s"got ${df.schema(timeCol).dataType.simpleString}")
+    require(!df.columns.contains(outCol),
+      s"ewmMeanBySegmented: output column '$outCol' already exists")
+    Seq("__seg", "__in_have", "__in_y", "__in_t").filter(df.columns.contains).foreach(n =>
+      throw new IllegalArgumentException(
+        s"ewmMeanBySegmented: input frame already has internal column '$n' — rename it"))
+    requireScanKey(df, keyCol, "ewmMeanBySegmented")
+
+    // NaN would throw on the ANSI long cast; null/NaN-time rows land in a
+    // null segment whose state is never consulted (they emit null anyway)
+    val seg = when(col(timeCol).isNull || isnan(col(timeCol)), lit(null))
+      .otherwise(floor(col(timeCol) / lit(segmentSpan)).cast("long"))
+    val rows = df.withColumn("__seg", seg)
+
+    val keyIdx = rows.schema.fieldIndex(keyCol)
+    val segIdx = rows.schema.fieldIndex("__seg")
+    val timeIdx = rows.schema.fieldIndex(timeCol)
+    val valIdx = rows.schema.fieldIndex(valCol)
+    val keyType = rows.schema(keyCol).dataType
+
+    def obs(r: Row): Boolean =
+      !r.isNullAt(valIdx) && !r.isNullAt(timeIdx) && !r.getDouble(timeIdx).isNaN
+
+    // ---- pass 1: one summary row per (key, seg) over its observed rows
+    val sumSchema = StructType(Seq(
+      StructField(keyCol, keyType),
+      StructField("__seg", LongType, nullable = true),
+      StructField("n_obs", LongType, nullable = false),
+      StructField("t_first", DoubleType, nullable = false),
+      StructField("x_first", DoubleType, nullable = false),
+      StructField("a_rest", DoubleType, nullable = false),
+      StructField("b_rest", DoubleType, nullable = false),
+      StructField("t_last", DoubleType, nullable = false)))
+    val summaries = rows
+      .repartition(col(keyCol), col("__seg"))
+      .sortWithinPartitions((Seq(keyCol, "__seg", timeCol) ++ ordCols).map(col): _*)
+      .mapPartitions { it =>
+        new Iterator[Row] {
+          private val rs = it.buffered
+          def hasNext: Boolean = rs.hasNext
+          def next(): Row = {
+            val first = rs.next()
+            val k = first.get(keyIdx)
+            val s = if (first.isNullAt(segIdx)) null else first.get(segIdx)
+            var nObs = 0L
+            var tFirst = 0.0; var xFirst = 0.0
+            var aRest = 1.0; var bRest = 0.0
+            var prevT = 0.0; var tLast = 0.0
+            def fold(r: Row): Unit = if (obs(r)) {
+              val t = r.getDouble(timeIdx); val x = r.getDouble(valIdx)
+              if (nObs == 0L) { tFirst = t; xFirst = x }
+              else {
+                val a = math.pow(0.5, (t - prevT) / halfLife)
+                aRest *= a
+                bRest = a * bRest + (1.0 - a) * x
+              }
+              nObs += 1L; prevT = t; tLast = t
+            }
+            fold(first)
+            while (rs.hasNext && rs.head.get(keyIdx) == k &&
+              (if (s == null) rs.head.isNullAt(segIdx)
+               else !rs.head.isNullAt(segIdx) && rs.head.get(segIdx) == s)) {
+              fold(rs.next())
+            }
+            Row(k, s, nObs, tFirst, xFirst, aRest, bRest, tLast)
+          }
+        }
+      }(Encoders.row(sumSchema))
+
+    // ---- prefix combine per key: the state each segment STARTS from.
+    // Runs over summary rows only (segments, not data) — one small shuffle.
+    val inSchema = StructType(Seq(
+      StructField(keyCol, keyType),
+      StructField("__seg", LongType, nullable = true),
+      StructField("__in_have", BooleanType, nullable = false),
+      StructField("__in_y", DoubleType, nullable = false),
+      StructField("__in_t", DoubleType, nullable = false)))
+    val sKeyIdx = 0; val sSegIdx = 1
+    val inStates = summaries
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col("__seg").asc_nulls_first)
+      .mapPartitions { it =>
+        var started = false
+        var curKey: Any = null
+        var haveObs = false; var y = 0.0; var prevT = 0.0
+        it.map { sr =>
+          val k = sr.get(sKeyIdx)
+          if (!started || k != curKey) {
+            started = true; curKey = k
+            haveObs = false; y = 0.0; prevT = 0.0
+          }
+          val out = Row(k, if (sr.isNullAt(sSegIdx)) null else sr.get(sSegIdx),
+            haveObs, y, prevT)
+          val nObs = sr.getLong(2)
+          if (nObs > 0L) {
+            val tFirst = sr.getDouble(3); val xFirst = sr.getDouble(4)
+            val aRest = sr.getDouble(5); val bRest = sr.getDouble(6)
+            if (!haveObs) { y = aRest * xFirst + bRest; haveObs = true }
+            else {
+              val a1 = math.pow(0.5, (tFirst - prevT) / halfLife)
+              y = aRest * (a1 * y + (1.0 - a1) * xFirst) + bRest
+            }
+            prevT = sr.getDouble(7)
+          }
+          out
+        }
+      }(Encoders.row(inSchema))
+
+    // ---- pass 2: replay each (key, seg) run from its incoming state.
+    // Left join: a null-seg group (or an AQE-pruned empty state) starts
+    // fresh, which is exactly right — its rows emit null regardless.
+    val joined = rows.join(inStates, Seq(keyCol, "__seg"), "left")
+    val jSchema = joined.schema
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, DoubleType, nullable = true))
+    val jKeyIdx = jSchema.fieldIndex(keyCol)
+    val jSegIdx = jSchema.fieldIndex("__seg")
+    val jTimeIdx = jSchema.fieldIndex(timeCol)
+    val jValIdx = jSchema.fieldIndex(valCol)
+    val jHaveIdx = jSchema.fieldIndex("__in_have")
+    val jYIdx = jSchema.fieldIndex("__in_y")
+    val jTIdx = jSchema.fieldIndex("__in_t")
+    // the USING join reorders columns (join keys first): project back into
+    // the INPUT's declared order by name so the encoder rows line up
+    val keep = df.schema.fields.map(f => jSchema.fieldIndex(f.name)).toSeq
+    joined
+      .repartition(col(keyCol), col("__seg"))
+      .sortWithinPartitions((Seq(keyCol, "__seg", timeCol) ++ ordCols).map(col): _*)
+      .mapPartitions { it =>
+        var started = false
+        var curKey: Any = null; var curSeg: Any = null
+        var haveObs = false; var y = 0.0; var prevT = 0.0
+        it.map { r =>
+          val k = r.get(jKeyIdx)
+          val s = if (r.isNullAt(jSegIdx)) null else r.get(jSegIdx)
+          if (!started || k != curKey || s != curSeg) {
+            started = true; curKey = k; curSeg = s
+            if (!r.isNullAt(jHaveIdx) && r.getBoolean(jHaveIdx)) {
+              haveObs = true; y = r.getDouble(jYIdx); prevT = r.getDouble(jTIdx)
+            } else { haveObs = false; y = 0.0; prevT = 0.0 }
+          }
+          val out: Any =
+            if (r.isNullAt(jValIdx) || r.isNullAt(jTimeIdx)
+              || r.getDouble(jTimeIdx).isNaN) null
+            else {
+              val t = r.getDouble(jTimeIdx)
+              val x = r.getDouble(jValIdx)
+              if (haveObs) {
+                val a = math.pow(0.5, (t - prevT) / halfLife)
+                y = a * y + (1.0 - a) * x
+              } else {
+                haveObs = true; y = x
+              }
+              prevT = t
+              y
+            }
+          Row.fromSeq(keep.map(r.get) :+ out)
         }
       }(Encoders.row(outSchema))
   }
