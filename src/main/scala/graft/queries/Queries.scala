@@ -39,11 +39,35 @@ object Queries {
   type QueryFn = (SparkSession, String) => DataFrame
 
   private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long (ns since epoch) — ordering and
-    // epoch arithmetic still line up with DuckDB's TIMESTAMP_NS.
+    // events.parquet's ts column differs across driver testdata
+    // generations: TIMESTAMP(NANOS) (vectorized reader rejects it →
+    // nanosAsLong reads ns-since-epoch long) or TIMESTAMP(MICROS) (read
+    // natively as TIMESTAMP_NTZ). Every consumer in this catalog is
+    // written against the ns-since-epoch LONG contract, so normalize
+    // whatever arrives back to it (normTs). NTZ wall-clock is interpreted
+    // as UTC — session tz pinned here — matching DuckDB's epoch_*() on a
+    // naive TIMESTAMP read from the same file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    normTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Normalize a timestamp-typed `ts` column to ns-since-epoch long
+    * (the catalog-wide contract); no-op when already long or absent. */
+  private def normTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+
+  /** Raw FILE schema for streaming reads (readStream needs an explicit
+    * schema and it must match the file bytes — the normalized long `ts`
+    * of [[tbl]] would not); [[normTs]] is applied to the stream after. */
+  private def rawSchema(spark: SparkSession, sfDir: String, name: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(s"$sfDir/$name.parquet").schema
   }
 
   /** Exact decimal-routed sum of a double expression, surfaced as double.
@@ -884,9 +908,10 @@ object Queries {
     * is the equivalent BATCH aggregation in DuckDB — streaming and batch
     * semantics must agree on complete data. */
   val q40: QueryFn = (s, d) => {
-    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    val schema = rawSchema(s, d, "events")
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(normTs)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = events
       .withWatermark("ts", "1 hour")
@@ -1351,9 +1376,10 @@ object Queries {
     * sources unioned) through dropDuplicates keyed state, then aggregated —
     * must collapse to exactly the single-copy batch answer. */
   val q61: QueryFn = (s, d) => {
-    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    val schema = rawSchema(s, d, "events")
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(normTs)
     val agg = src.unionByName(src)
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
@@ -1733,9 +1759,10 @@ object Queries {
     * bounded by the interval condition; the oracle is the identical batch
     * join (streaming must converge to batch on complete data). */
   val q75: QueryFn = (s, d) => {
-    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    val schema = rawSchema(s, d, "events")
     def src(tpe: String, prefix: String) = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(normTs)
       .filter(col("event_type") === tpe)
       .select(
         col("event_id").as(s"${prefix}_id"),
@@ -2587,9 +2614,10 @@ object Queries {
     * cross-batch LATE rows are counted-dropped, never folded. */
   val q102: QueryFn = (s, d) => {
     import s.implicits._
-    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    val schema = rawSchema(s, d, "events")
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(normTs)
       // both: EwmEvent's primitive fields would NPE at deserialization on
       // a null, and a null-ts row has no place on the decay axis anyway
       .filter(col("value").isNotNull && col("ts").isNotNull)
@@ -2674,9 +2702,10 @@ object Queries {
     * scan and that late rows are counted-dropped. */
   val q104: QueryFn = (s, d) => {
     import s.implicits._
-    val schema = tbl(s, d, "events").schema // also sets nanosAsLong
+    val schema = rawSchema(s, d, "events")
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(normTs)
       .filter(col("value").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
@@ -2793,10 +2822,10 @@ object Queries {
   val q106Sql: String =
     """SELECT doc_id, lang,
       |  avg(n_chars) OVER w AS roll_mean,
-      |  sum(n_chars) OVER w AS roll_sum,
+      |  CAST(sum(n_chars) OVER w AS BIGINT) AS roll_sum,
       |  min(n_chars) OVER w AS roll_min,
       |  max(n_chars) OVER wb AS roll_max,
-      |  sum(chg) OVER (PARTITION BY lang ORDER BY doc_id) AS src_run
+      |  CAST(sum(chg) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS src_run
       |FROM (SELECT *, CASE WHEN row_number() OVER (PARTITION BY lang ORDER BY doc_id) = 1
       |    THEN 0
       |    WHEN source IS NOT DISTINCT FROM lag(source)
@@ -2886,7 +2915,7 @@ object Queries {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |r AS (SELECT user_id, v,
-      |  sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS rle_id FROM o)
+      |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS rle_id FROM o)
       |SELECT user_id, rle_id, count(*) AS len, v AS value
       |FROM r GROUP BY user_id, rle_id, v""".stripMargin
 

@@ -164,8 +164,14 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q: exactly one in-partition sort expected:\n$p")
       assert(p.contains("MapPartitions"), s"$q: the scan seam must be present:\n$p")
       assert(!p.contains("Window"), s"$q: no window re-aggregation allowed:\n$p")
+      // ts arrives as bigint (legacy nanos) or timestamp_ntz (micros)
+      // depending on the testdata generation — pruning to 4 columns is
+      // the invariant, not the physical type of ts
       assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint," +
-        "user_id:bigint,value:double>"), s"$q: scan must prune to 4 columns:\n$p")
+        "user_id:bigint,value:double>") ||
+        p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp_ntz," +
+          "user_id:bigint,value:double>"),
+        s"$q: scan must prune to 4 columns:\n$p")
     }
   }
 
