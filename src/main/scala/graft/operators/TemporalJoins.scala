@@ -123,11 +123,15 @@ object TemporalJoins {
     * Inner semantics: left rows with no in-tolerance right row drop.
     *
     * Shape: the same union-merge as [[asOfJoin]] — ONE shuffle on the
-    * keys, then TWO window passes over the same sorted run (a running
-    * `last` looking back, a `min(struct)` looking forward), a per-row
-    * distance comparison, zero joins. Equal-time rights sort BEFORE left
-    * rows, so the backward leg owns time ties (distance 0 — nearest by
-    * definition); the forward leg is strictly-greater times only.
+    * keys, then TWO running-window passes (a running `last` looking back
+    * on the ascending sort, a running `min(struct)` on the DESCENDING
+    * sort standing in for the forward look — both
+    * UnboundedPreceding..CurrentRow frames Spark maintains incrementally,
+    * O(n log n) total; never an UnboundedFollowing frame, which WindowExec
+    * re-aggregates per row, O(n²)/key), a per-row distance comparison,
+    * zero joins. Equal-time rights sort BEFORE left rows, so the backward
+    * leg owns time ties (distance 0 — nearest by definition); the forward
+    * leg is strictly-greater times only.
     *
     * Both time columns AND `tieBreak` must be numeric: the forward leg
     * picks its candidate with a lexicographic `min(struct(t, -tb, p))`,
@@ -170,11 +174,27 @@ object TemporalJoins {
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_last)
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = ord.rowsBetween(1L, Window.unboundedFollowing)
+    // Forward leg on the REVERSED sort: a running min over
+    // UnboundedPreceding..CurrentRow, which Spark maintains incrementally
+    // (O(n) per key group). The naive formulation — min over
+    // rowsBetween(1, unboundedFollowing) on the ascending sort — is an
+    // UnboundedFollowing frame that WindowExec re-aggregates from scratch
+    // for EVERY row: O(n²) on a hot key, a 100 TB scale-killer
+    // (PlanQualitySpec pins the q105 plan frame-shape). Membership is
+    // identical: descending by (t, side), a left row's preceding rows are
+    // exactly the strictly-greater (t, side) rows — equal-time rights
+    // sort side-desc AFTER the left row, so they stay with the backward
+    // leg (time ties are distance 0 there by definition). The current
+    // (left) row itself contributes null through the side guard.
+    val fwd = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").desc, col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // forward candidate: lexicographic min over (t, -tb, payload) of the
-    // STRICTLY-following right rows = smallest time, then greatest
-    // tieBreak — the aggregate min skips the nulls left rows contribute
+    // strictly-later right rows = smallest time, then greatest tieBreak —
+    // the aggregate min skips the nulls left rows contribute (frame
+    // membership is order-reversed but min() is order-insensitive)
     val fwdCand = min(when(col("__side") === 0,
       struct(col("__t").as("t"), (-col("__tb").cast("double")).as("ntb"), col("__p").as("p"))))
 

@@ -175,6 +175,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q105: nearest as-of uses only running frames — no UnboundedFollowing re-aggregation") {
+    // An UnboundedFollowing window frame is re-aggregated from scratch by
+    // WindowExec for every row: O(n²) per key group, a scale-killer on a
+    // hot key. The forward leg must ride a running (UnboundedPreceding)
+    // frame over the reversed sort instead.
+    val p = plan("q105_asof_nearest")
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"q105: no UnboundedFollowing frame allowed:\n$p")
+    // the merge itself is ONE key-only shuffle shared by both window
+    // passes (the second exchange in the full plan is the fixture's
+    // tie-collapse groupBy(user_id, ts) — keyed on (user_id, t_us))
+    assert("Exchange hashpartitioning\\(user_id#[^,]+, \\d+\\)".r.findAllIn(p).length == 1,
+      s"q105: the union-merge must stay one key-only shuffle:\n$p")
+  }
+
   test("catalog-wide: no cartesian products; nested-loop joins only where the cross is intended") {
     // At 100 TB an accidental CartesianProduct (or an equi-join that lost
     // its key and fell back to BroadcastNestedLoopJoin) is a job-killer.
