@@ -72,6 +72,25 @@ object ExprRegistry {
   private def other(kw: Map[String, Any]): Column =
     kw.get("other_col").map(v => col(v.toString)).getOrElse(lit(anyVal(kw)))
 
+  /** (old, new) pairs for replace/replace_strict: a `mapping` {old: new}
+    * map, or parallel `old`/`new` lists (the polars two-list form — also
+    * the only way to express non-string keys from Scala callers, since
+    * YAML map keys arrive as strings). */
+  private def replacePairs(kw: Map[String, Any]): Seq[(Any, Any)] =
+    kw.get("mapping") match {
+      case Some(m: Map[_, _]) => m.toSeq.map { case (k, v) => (k: Any, v: Any) }
+      case Some(other) =>
+        throw new IllegalArgumentException(s"'mapping' must be a map, got $other")
+      case None =>
+        (kw.get("old"), kw.get("new")) match {
+          case (Some(o: Seq[_]), Some(n: Seq[_])) =>
+            require(o.size == n.size, s"'old'/'new' lengths differ: ${o.size} vs ${n.size}")
+            o.zip(n)
+          case _ => throw new IllegalArgumentException(
+            "replace needs a 'mapping' map or parallel 'old'/'new' lists")
+        }
+    }
+
   /** Window for ordered ops. `order_by` mandatory; `partition_by` optional
     * but strongly recommended at scale (a global ordered window is a single
     * partition). `desc: true` reverses the order. */
@@ -435,6 +454,9 @@ object ExprRegistry {
     "list_join" -> rw(kw => array_join(c(kw), kw.getOrElse("separator", ",").toString)),
     "list_min" -> rw(kw => array_min(c(kw))),
     "list_max" -> rw(kw => array_max(c(kw))),
+    // polars Expr.flatten / list.explode-free flattening of one nesting
+    // level: list<list<T>> -> list<T> (Spark's native flatten)
+    "flatten" -> rw(kw => flatten(c(kw))),
     "list_get" -> rw(kw => element_at(c(kw), intVal(kw, "index", 0) + 1)),
 
     // more unary math (hyperbolic inverses via composition where absent)
@@ -579,6 +601,68 @@ object ExprRegistry {
     "shift_right" -> rw(kw => shiftright(c(kw), intVal(kw, "n", 0))),
     "bit_count" -> rw(kw => bit_count(c(kw))),
 
+    // value remapping (polars Expr.replace / replace_strict,
+    // reference: derive_cols.py reflective registry). `mapping` is a
+    // {old: new} map (or parallel `old`/`new` lists); matching is
+    // null-safe (<=>) so a null key can be remapped. The chain is literal
+    // when/otherwise — codegen'd, no UDF, no join; config mappings are
+    // categorical recodes (small), a broadcast-map join would only pay
+    // off at thousands of entries.
+    "replace" -> rw { kw =>
+      val x = c(kw)
+      val pairs = replacePairs(kw)
+      require(pairs.nonEmpty, "'replace' requires a non-empty mapping")
+      pairs.tail.foldLeft(when(x <=> lit(pairs.head._1), lit(pairs.head._2))) {
+        case (acc, (o, n)) => acc.when(x <=> lit(o), lit(n))
+      }.otherwise(x)
+    },
+    // replace_strict: every value MUST be mapped — an unmapped value (null
+    // included) takes `default` if given, else raises (ANSI-style
+    // fail-fast, polars' strict contract).
+    "replace_strict" -> rw { kw =>
+      val x = c(kw)
+      val pairs = replacePairs(kw)
+      require(pairs.nonEmpty, "'replace_strict' requires a non-empty mapping")
+      val chain = pairs.tail.foldLeft(when(x <=> lit(pairs.head._1), lit(pairs.head._2))) {
+        case (acc, (o, n)) => acc.when(x <=> lit(o), lit(n))
+      }
+      kw.get("default") match {
+        case Some(d) => chain.otherwise(lit(d))
+        case None => chain.otherwise(raise_error(concat(
+          lit("replace_strict: unmapped value '"),
+          coalesce(x.cast("string"), lit("null")), lit("'"))))
+      }
+    },
+
+    // index-of-extreme (polars arg_max/arg_min): distributed frames have
+    // no implicit row position, so the caller names the identity column
+    // (`idx_col`, numeric, unique) whose value at the extreme row comes
+    // back — the whole-frame agg + broadcast shape (AggThenRow family,
+    // never a global window). Value ties break to the SMALLEST idx; null
+    // values never win (their ordering key is null → ignored by max_by).
+    "arg_max" -> agg { kw =>
+      val x = c(kw)
+      val idx = col(str(kw, "idx_col")).cast("long")
+      max_by(when(x.isNotNull, idx), when(x.isNotNull, struct(x, -idx)))
+    },
+    "arg_min" -> agg { kw =>
+      val x = c(kw)
+      val idx = col(str(kw, "idx_col")).cast("long")
+      min_by(when(x.isNotNull, idx), when(x.isNotNull, struct(x, idx)))
+    },
+
+    // round to n significant figures (polars round_sig_figs): dynamic
+    // per-value scale, so the literal-scale round() builtin can't express
+    // it — scale by 10^(digits-1-floor(log10|x|)), round, unscale. Zero
+    // and null pass through; digits >= 1.
+    "round_sig_figs" -> rw { kw =>
+      val digits = intVal(kw, "digits", -1)
+      require(digits >= 1, s"'round_sig_figs' requires a 'digits' kwarg >= 1")
+      val x = c(kw).cast("double")
+      val m = pow(lit(10.0), lit(digits.toDouble - 1.0) - floor(log10(abs(x))))
+      when(x === 0.0, x).otherwise(round(x * m) / m)
+    },
+
     // conditional / variadic misc
     "if_else" -> rw { kw =>
       val thenC = kw.get("then_col").map(v => col(v.toString)).getOrElse(lit(anyVal(kw, "then_value")))
@@ -683,9 +767,28 @@ object ExprRegistry {
           throw new IllegalArgumentException(s"'qcut' labels must be a list, got $other")
       }
       val leftClosed = kw.get("left_closed").exists(_.toString.toBoolean)
+      // method: "exact" (default; polars-faithful linear-interpolation
+      // quantiles — but Spark's exact percentile buffers a value→count
+      // map per partition, memory ∝ distinct values: a 100 TB hazard on
+      // high-cardinality columns) or "approx" (approx_percentile /
+      // KLL-style bounded-memory sketch; `accuracy` kwarg, default 10000
+      // → ≤ 1/10000 rank error — polars itself documents qcut
+      // breakpoints as estimable). Same home as Inspect.describe's
+      // exactQuantiles switch.
+      val breakpoints = kw.getOrElse("method", "exact").toString match {
+        case "exact" => expr(s"percentile(${str(kw, "col")}, array(${qs.mkString(", ")}))")
+        case "approx" =>
+          val acc = kw.get("accuracy").map(_.toString.toInt).getOrElse(10000)
+          expr(s"approx_percentile(${str(kw, "col")}, array(${qs.mkString(", ")}), $acc)")
+            // approx_percentile returns the input type; breakpoints must
+            // compare as double like the exact path's
+            .cast("array<double>")
+        case other => throw new IllegalArgumentException(
+          s"'qcut' method must be 'exact' or 'approx', got '$other'")
+      }
       val x = c(kw)
       AggThenRow(
-        expr(s"percentile(${str(kw, "col")}, array(${qs.mkString(", ")}))"),
+        breakpoints,
         bks => {
           val idx = size(filter(bks, b => if (leftClosed) b <= x else b < x))
           val lbl = labels match {

@@ -2919,6 +2919,96 @@ object Queries {
       |SELECT user_id, rle_id, count(*) AS len, v AS value
       |FROM r GROUP BY user_id, rle_id, v""".stripMargin
 
+  /** The SEGMENTED ewm scan ([[TimeSeries.ewmMeanBySegmented]], via the
+    * `ewm_mean_by` builtin's `segment_span` kwarg): q101's statistic with
+    * each user's history cut into 7-day time segments processed in
+    * parallel (affine-map composition across boundaries) — the mega-key
+    * straggler escape hatch. Same oracle math as q101 (the segmented path
+    * equals the single-pass scan to 1e-9 — PropertySpec — far below the
+    * round-5 contract). */
+  val q110: QueryFn = (s, d) =>
+    graft.service.BuiltinTransformations.registry("ewm_mean_by")(
+      tbl(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          (expr("ts DIV 1000").cast("double") / lit(1e6)).as("t"),
+          col("value").cast("double").as("value")),
+      Map("key_col" -> "user_id", "time_col" -> "t", "val_col" -> "value",
+        "order_by" -> Seq("event_id"), "half_life" -> 86400.0,
+        "segment_span" -> 604800.0, "out_col" -> "ewm_seg"))
+      .select(col("event_id"), col("user_id"),
+        round(col("ewm_seg"), 5).as("ewm_seg"))
+
+  val q110Sql: String =
+    """WITH RECURSIVE nn AS (SELECT event_id, user_id, value AS v,
+      |  CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t,
+      |  row_number() OVER w AS rn
+      |  FROM events WHERE value IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY CAST(epoch_us(ts) AS DOUBLE) / 1e6, event_id)),
+      |rec AS (
+      |  SELECT event_id, user_id, t, rn, v AS y FROM nn WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_id, n.user_id, n.t, n.rn,
+      |    pow(0.5, (n.t - r.t) / 86400.0) * r.y
+      |      + (1.0 - pow(0.5, (n.t - r.t) / 86400.0)) * n.v AS y
+      |  FROM rec r JOIN nn n ON n.user_id = r.user_id AND n.rn = r.rn + 1)
+      |SELECT e.event_id, e.user_id, round(rec.y, 5) AS ewm_seg
+      |FROM events e LEFT JOIN rec ON e.event_id = rec.event_id""".stripMargin
+
+  /** Registry tail: value remapping (polars Expr.replace /
+    * replace_strict — literal when-chain, codegen'd, no join) and
+    * index-of-extreme (arg_max/arg_min — whole-frame agg + broadcast,
+    * never a global window; `idx_col` supplies the row identity a
+    * distributed frame lacks, ties to the smallest idx). replace leaves
+    * unmapped types untouched; replace_strict's mapping is total here —
+    * strictness (raise on unmapped) is pinned by ExprRegistrySpec. */
+  val q111: QueryFn = (s, d) =>
+    tbl(s, d, "events")
+      .transform(Transforms.deriveNewCols(Seq(
+        "etype_code" -> DeriveSpec("replace", Map("col" -> "event_type",
+          "mapping" -> Map("click" -> "C", "view" -> "V", "purchase" -> "P"))),
+        "etype_rank" -> DeriveSpec("replace_strict", Map("col" -> "event_type",
+          "mapping" -> Map("click" -> 1, "view" -> 2, "purchase" -> 3,
+            "error" -> 4, "signup" -> 5))),
+        "best_event" -> DeriveSpec("arg_max", Map("col" -> "value", "idx_col" -> "event_id")),
+        "worst_event" -> DeriveSpec("arg_min", Map("col" -> "value", "idx_col" -> "event_id")))))
+      .select(col("event_id"), col("etype_code"), col("etype_rank"),
+        col("best_event"), col("worst_event"))
+
+  val q111Sql: String =
+    """SELECT event_id,
+      |  CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
+      |    WHEN 'purchase' THEN 'P' ELSE event_type END AS etype_code,
+      |  CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+      |    WHEN 'purchase' THEN 3 WHEN 'error' THEN 4 WHEN 'signup' THEN 5
+      |    END AS etype_rank,
+      |  (SELECT min(event_id) FROM events
+      |    WHERE value = (SELECT max(value) FROM events)) AS best_event,
+      |  (SELECT min(event_id) FROM events
+      |    WHERE value = (SELECT min(value) FROM events)) AS worst_event
+      |FROM events""".stripMargin
+
+  /** value_counts builtin (length-changing frame op, the `rle` family):
+    * one hash aggregation with map-side partials. */
+  val q112: QueryFn = (s, d) =>
+    graft.service.BuiltinTransformations.registry("value_counts")(
+      tbl(s, d, "events"), Map("col" -> "event_type"))
+
+  val q112Sql: String =
+    """SELECT event_type AS value, count(*) AS count FROM events GROUP BY 1""".stripMargin
+
+  /** unique_counts builtin: value_counts + the polars first-appearance
+    * order made EXPLICIT (`first_seen` ordinal from min(order_by) per
+    * group — rank window over group rows only, never data rows). */
+  val q113: QueryFn = (s, d) =>
+    graft.service.BuiltinTransformations.registry("unique_counts")(
+      tbl(s, d, "documents"), Map("col" -> "lang", "order_by" -> Seq("doc_id")))
+
+  val q113Sql: String =
+    """SELECT lang AS value, count(*) AS count,
+      |CAST(row_number() OVER (ORDER BY min(doc_id)) AS BIGINT) AS first_seen
+      |FROM documents GROUP BY lang""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3032,6 +3122,10 @@ object Queries {
     ("q106_rolling_by", q106, Some(q106Sql)),
     ("q107_qcut", q107, Some(q107Sql)),
     ("q108_search_sorted", q108, Some(q108Sql)),
-    ("q109_rle", q109, Some(q109Sql))
+    ("q109_rle", q109, Some(q109Sql)),
+    ("q110_ewm_segmented", q110, Some(q110Sql)),
+    ("q111_replace_argextreme", q111, Some(q111Sql)),
+    ("q112_value_counts", q112, Some(q112Sql)),
+    ("q113_unique_counts", q113, Some(q113Sql))
   )
 }

@@ -65,7 +65,10 @@ object BuiltinTransformations {
     "ewm_var" -> ewm(TimeSeries.EwmVar, "ewm_var"),
     "ewm_std" -> ewm(TimeSeries.EwmStd, "ewm_std"),
     "ewm_mean_by" -> ewmMeanBy,
-    "rle" -> rle
+    "rle" -> rle,
+    "value_counts" -> valueCounts,
+    "unique_counts" -> uniqueCounts,
+    "sort_by" -> sortBy
   )
 
   /** Default registry on the real filesystem adapter — for direct
@@ -261,22 +264,33 @@ object BuiltinTransformations {
     * y ← a·y + (1−a)·x recurrence polars uses ([[TimeSeries.ewmMeanBy]];
     * half_life in the time column's own unit). `order_by` is the tie-break
     * within equal timestamps — pass a unique column when times can tie.
-    * Time and value are cast to double on shadow columns. */
+    * Time and value are cast to double on shadow columns.
+    *
+    * Optional `segment_span` (same unit as the time column) routes to
+    * [[TimeSeries.ewmMeanBySegmented]]: each key's history is cut into
+    * time segments processed in PARALLEL (affine-map composition across
+    * boundaries) instead of one partition per key — pay ~2x the shuffle
+    * volume to kill the mega-key straggler when a single key's history
+    * outgrows a partition. Identical semantics (PropertySpec pins 1e-9
+    * against the single-pass scan over random spans). */
   private def ewmMeanBy: CustomFn = (df, kw) => {
     val name = "ewm_mean_by"
     val valCol = reqStr(name, kw, "val_col")
     val timeCol = reqStr(name, kw, "time_col")
     rejectShadow(name, df, "__ewm_v", "__ewm_t")
-    TimeSeries.ewmMeanBy(
-      df.withColumn("__ewm_v", col(valCol).cast("double"))
-        .withColumn("__ewm_t", col(timeCol).cast("double")),
-      reqStr(name, kw, "key_col"),
-      "__ewm_t",
-      strSeqKwOpt(name, kw, "order_by"),
-      "__ewm_v",
-      halfLife = dblReq(name, kw, "half_life"),
-      outCol = strKw(name, kw, "out_col", name)
-    ).drop("__ewm_v", "__ewm_t")
+    val prepared = df.withColumn("__ewm_v", col(valCol).cast("double"))
+      .withColumn("__ewm_t", col(timeCol).cast("double"))
+    val key = reqStr(name, kw, "key_col")
+    val ord = strSeqKwOpt(name, kw, "order_by")
+    val hl = dblReq(name, kw, "half_life")
+    val out = strKw(name, kw, "out_col", name)
+    val res = kw.get("segment_span") match {
+      case Some(_) => TimeSeries.ewmMeanBySegmented(prepared, key, "__ewm_t",
+        ord, "__ewm_v", hl, segmentSpan = dblReq(name, kw, "segment_span"), outCol = out)
+      case None => TimeSeries.ewmMeanBy(prepared, key, "__ewm_t",
+        ord, "__ewm_v", hl, outCol = out)
+    }
+    res.drop("__ewm_v", "__ewm_t")
   }
 
   /** `ewm_mean|ewm_var|ewm_std(key_col, order_by, val_col, alpha,
@@ -343,6 +357,60 @@ object BuiltinTransformations {
       .groupBy((parts.map(col) :+ col("__rle_id").as("rle_id")) :+ x.as("value"): _*)
       .agg(count(lit(1)).as("len"))
       .select(parts.map(col) ++ Seq(col("rle_id"), col("len"), col("value")): _*)
+  }
+
+  /** `value_counts(col)` — one row per distinct value of `col` with its
+    * occurrence count (polars Expr.value_counts; length-changing, so a
+    * frame-level builtin like `rle`, not a derive fn). Output columns:
+    * (value, count) — polars' struct field names, flattened. Scale shape:
+    * one hash aggregation with map-side partial counts; nulls count as a
+    * group, like polars. */
+  private def valueCounts: CustomFn = (df, kw) => {
+    val name = "value_counts"
+    df.groupBy(col(reqStr(name, kw, "col")).as("value"))
+      .agg(count(lit(1)).as("count"))
+  }
+
+  /** `unique_counts(col, order_by)` — like value_counts but polars'
+    * unique_counts contract orders groups by FIRST APPEARANCE; a
+    * distributed frame has no implicit appearance order, so `order_by`
+    * (a list of columns, include a unique one) defines it and the rank
+    * comes back as an explicit `first_seen` ordinal (1 = first distinct
+    * value to appear) instead of an implicit row order. Scale shape: one
+    * hash aggregation (count + min appearance key), then a rank window
+    * over GROUP rows (distinct values, not data rows). */
+  private def uniqueCounts: CustomFn = (df, kw) => {
+    import org.apache.spark.sql.expressions.Window
+    val name = "unique_counts"
+    val ord = strSeqKw(name, kw, "order_by")
+    require(ord.nonEmpty, s"$name: 'order_by' must name at least one column — " +
+      "first-appearance order is undefined without an explicit order")
+    val grouped = df
+      .groupBy(col(reqStr(name, kw, "col")).as("value"))
+      .agg(count(lit(1)).as("count"),
+        min(struct(ord.map(col): _*)).as("__first_key"))
+    grouped
+      .withColumn("first_seen",
+        row_number().over(Window.partitionBy().orderBy(col("__first_key"))).cast("long"))
+      .drop("__first_key")
+  }
+
+  /** `sort_by(by, desc=false)` — total frame sort (polars sort_by /
+    * DataFrame.sort). The artifact is ORDER, which a parquet sink
+    * preserves per file: at scale this is a range-partitioned sort
+    * (sampling pass + shuffle), the standard Spark total ordering — use
+    * only when a downstream consumer genuinely needs sorted output. */
+  private def sortBy: CustomFn = (df, kw) => {
+    val name = "sort_by"
+    val by = strSeqKw(name, kw, "by")
+    require(by.nonEmpty, s"$name: 'by' must name at least one column")
+    val desc = present(kw, "desc") match {
+      case Some(b: Boolean) => b
+      case Some(s: String) if s == "true" || s == "false" => s.toBoolean
+      case Some(other) => typeFail(name, "desc", "a boolean", other)
+      case None => false
+    }
+    df.orderBy(by.map(n => if (desc) col(n).desc else col(n).asc): _*)
   }
 
   /** The ewm builtins stage their double-cast inputs on `__ewm_*` shadow

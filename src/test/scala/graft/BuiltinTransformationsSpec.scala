@@ -231,6 +231,37 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     }
   }
 
+  test("value_counts / unique_counts: group counts, explicit first-appearance rank") {
+    val df = Seq((1L, "b"), (2L, "a"), (3L, "b"), (4L, null.asInstanceOf[String]),
+      (5L, "c"), (6L, "b")).toDF("id", "v")
+    val vc = registry("value_counts")(df, Map("col" -> "v"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(vc == Map(Some("b") -> 3L, Some("a") -> 1L, Some("c") -> 1L, None -> 1L),
+      "nulls count as a group, like polars")
+    val uc = registry("unique_counts")(df, Map("col" -> "v", "order_by" -> List("id")))
+      .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(uc == Map(Some("b") -> ((3L, 1L)), Some("a") -> ((1L, 2L)),
+      None -> ((1L, 3L)), Some("c") -> ((1L, 4L))),
+      "first_seen ordinal follows first appearance along order_by")
+    intercept[IllegalArgumentException] {
+      registry("unique_counts")(df, Map("col" -> "v"))
+    }
+  }
+
+  test("sort_by orders the frame; desc flips; bad desc dies with the kwarg name") {
+    val df = Seq((2L, "b"), (1L, "a"), (3L, "c")).toDF("id", "v")
+    val asc = registry("sort_by")(df, Map("by" -> "id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(asc == Seq(1L, 2L, 3L))
+    val desc = registry("sort_by")(df, Map("by" -> List("id"), "desc" -> true))
+      .collect().map(_.getLong(0)).toSeq
+    assert(desc == Seq(3L, 2L, 1L))
+    val e = intercept[IllegalArgumentException] {
+      registry("sort_by")(df, Map("by" -> "id", "desc" -> 42L))
+    }
+    assert(e.getMessage.contains("desc"))
+  }
+
   test("ewm builtins reject frames that already carry a __ewm_* shadow name") {
     // the builtins stage casts on __ewm_v/__ewm_t and drop them afterwards
     // — a user column by that name would be silently destroyed

@@ -298,6 +298,27 @@ class ExprRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("qcut method=approx: sketch breakpoints bin identically at default accuracy") {
+    // at accuracy 10000 over 1k distinct values the KLL-style sketch is
+    // exact, so approx must reproduce the exact path bin-for-bin; the
+    // switch exists for the 100 TB path where exact percentile's
+    // per-partition value->count map is the memory hazard
+    val df = (1 to 1000).map(i => (i, i.toDouble)).toDF("id", "v")
+    val out = derive(
+      "ex" -> DeriveSpec("qcut", Map("col" -> "v", "quantiles" -> 4)),
+      "ap" -> DeriveSpec("qcut", Map("col" -> "v", "quantiles" -> 4,
+        "method" -> "approx")),
+      "ap_acc" -> DeriveSpec("qcut", Map("col" -> "v", "quantiles" -> 4,
+        "method" -> "approx", "accuracy" -> 100)))(df).collect()
+    assert(out.forall(r => r.getString(2) == r.getString(3)),
+      "approx must agree with exact here")
+    assert(out.forall(r => !r.isNullAt(4)), "low-accuracy path still bins")
+    intercept[IllegalArgumentException] {
+      ExprRegistry.resolve("qcut")(Map("col" -> "v", "quantiles" -> 2,
+        "method" -> "guess"))
+    }
+  }
+
   test("qcut left_closed flips the boundary bin") {
     // breakpoint q50 of 1..4 = 2.5 is not a data point, so make one:
     // values {1,2,2,3}: q50 = 2.0 exactly — left_closed decides bin of 2.0
@@ -325,6 +346,79 @@ class ExprRegistrySpec extends AnyFunSuite {
       ExprRegistry.resolve("search_sorted")(
         Map("col" -> "v", "element" -> 3, "side" -> "middle"))
     }
+  }
+
+  test("replace: mapping + old/new lists remap, unmapped and null pass through") {
+    val df = Seq((1, Some("a")), (2, Some("b")), (3, Some("z")), (4, None))
+      .toDF("id", "v")
+    val out = derive(
+      "m" -> DeriveSpec("replace", Map("col" -> "v",
+        "mapping" -> Map("a" -> "alpha", "b" -> "beta"))),
+      "l" -> DeriveSpec("replace", Map("col" -> "v",
+        "old" -> Seq("a", "z"), "new" -> Seq("A", "Z"))))(df)
+      .orderBy("id").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("alpha", "beta", "z", null))
+    assert(out.map(_.getString(3)).toSeq == Seq("A", "b", "Z", null))
+    // null-safe matching: a null KEY in the mapping rewrites null rows
+    val nulled = derive("n" -> DeriveSpec("replace", Map("col" -> "v",
+      "old" -> Seq(null), "new" -> Seq("was_null"))))(df).orderBy("id").collect()
+    assert(nulled.map(_.getString(2)).toSeq == Seq("a", "b", "z", "was_null"))
+    intercept[IllegalArgumentException] {
+      ExprRegistry.resolve("replace")(Map("col" -> "v", "old" -> Seq("a"), "new" -> Nil))
+    }
+    intercept[IllegalArgumentException] {
+      ExprRegistry.resolve("replace")(Map("col" -> "v"))
+    }
+  }
+
+  test("replace_strict: total mapping maps, unmapped raises, default rescues") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val ok = derive("r" -> DeriveSpec("replace_strict", Map("col" -> "v",
+      "mapping" -> Map("a" -> 10, "b" -> 20))))(df).orderBy("id").collect()
+    assert(ok.map(_.getInt(2)).toSeq == Seq(10, 20))
+    val withDefault = derive("r" -> DeriveSpec("replace_strict", Map("col" -> "v",
+      "mapping" -> Map("a" -> 10), "default" -> -1)))(df).orderBy("id").collect()
+    assert(withDefault.map(_.getInt(2)).toSeq == Seq(10, -1))
+    val e = intercept[Exception] {
+      derive("r" -> DeriveSpec("replace_strict", Map("col" -> "v",
+        "mapping" -> Map("a" -> 10))))(df).collect()
+    }
+    assert(e.getMessage.contains("unmapped value"), s"got: ${e.getMessage}")
+  }
+
+  test("arg_max/arg_min: idx at the extreme, ties to smallest idx, nulls never win") {
+    val df = Seq(
+      (1L, Some(5.0)), (2L, Some(9.0)), (3L, Some(9.0)),
+      (4L, Some(1.0)), (5L, Some(1.0)), (6L, None)
+    ).toDF("idx", "v")
+    val out = derive(
+      "amax" -> DeriveSpec("arg_max", Map("col" -> "v", "idx_col" -> "idx")),
+      "amin" -> DeriveSpec("arg_min", Map("col" -> "v", "idx_col" -> "idx")))(df)
+    val row = out.select("amax", "amin").distinct().head()
+    assert(row.getLong(0) == 2L, "max 9.0 first seen at idx 2")
+    assert(row.getLong(1) == 4L, "min 1.0 first seen at idx 4")
+    assert(out.count() == 6, "whole-frame scalar broadcasts to every row")
+  }
+
+  test("round_sig_figs: dynamic per-value scale; zero/null pass through") {
+    val df = Seq((1, Some(1234.567)), (2, Some(0.0012345)), (3, Some(-98765.0)),
+      (4, Some(0.0)), (5, None)).toDF("id", "v")
+    val out = derive("s" -> DeriveSpec("round_sig_figs",
+      Map("col" -> "v", "digits" -> 3)))(df).orderBy("id").collect()
+    assert(math.abs(out(0).getDouble(2) - 1230.0) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) - 0.00123) < 1e-12)
+    assert(math.abs(out(2).getDouble(2) - -98800.0) < 1e-7)
+    assert(out(3).getDouble(2) == 0.0)
+    assert(out(4).isNullAt(2))
+    intercept[IllegalArgumentException] {
+      ExprRegistry.resolve("round_sig_figs")(Map("col" -> "v"))
+    }
+  }
+
+  test("flatten: one nesting level of list<list<T>>") {
+    val df = Seq((1, Seq(Seq(1, 2), Seq(3)))).toDF("id", "v")
+    val out = derive("f" -> DeriveSpec("flatten", Map("col" -> "v")))(df).head()
+    assert(out.getSeq[Int](2) == Seq(1, 2, 3))
   }
 
   test("unknown fn name lists alternatives") {

@@ -197,6 +197,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // tiny side (ANN query fan-out, 1-row aggregate frames).
     val bnljOk: Set[String] = Set(
       "q09_derive_agg_broadcast", // 1-row whole-frame aggregate broadcast onto the fact
+      "q111_replace_argextreme", // arg_max/arg_min: same 1-row AggThenRow broadcast shape
       "q27_ann_bruteforce", // query set deliberately broadcast-crossed over the corpus
       "q64_approx_sketches", // three 1-row sketch frames crossJoined (the Expand dodge)
       "q78_tfidf", // 1-row corpus-stats frame broadcast onto per-doc scores

@@ -282,6 +282,47 @@ class PropertySpec extends AnyFunSuite {
     check(prop, 8)
   }
 
+  test("property: ewmMeanBySegmented equals ewmMeanBy within 1e-9 over random chunkings") {
+    // the affine-map composition across segment boundaries reassociates
+    // FP arithmetic; this pins it within 1e-9 of the single-pass scan for
+    // arbitrary segmentSpan — spans that put a whole key in one segment,
+    // spans that isolate nearly every row, and spans that cut mid-series —
+    // with null values skipping identically on both paths (a skip-only
+    // segment must carry state through unchanged)
+    val series = for {
+      n <- Gen.chooseNum(1, 8)
+      gaps <- Gen.listOfN(n, Gen.oneOf(0.0, 0.5, 1.0, 3.0, 10.0))
+      vs <- Gen.listOfN(n, Gen.option(
+        Gen.chooseNum(-100.0, 100.0).map(v => math.rint(v * 10) / 10)))
+    } yield gaps.scanLeft(0.0)(_ + _).tail.zip(vs)
+    val gen = for {
+      perKey <- Gen.listOfN(3, series)
+      hl <- Gen.oneOf(0.7, 2.0, 25.0)
+      span <- Gen.oneOf(0.4, 1.0, 5.0, 50.0)
+    } yield (perKey, hl, span)
+    val prop = Prop.forAll(gen) { case (perKey, hl, span) =>
+      val rows = perKey.zipWithIndex.flatMap { case (tv, k) =>
+        tv.zipWithIndex.map { case ((t, v), i) => (s"k$k", t, i.toLong, v) }
+      }
+      val df = rows.toDF("k", "t", "ord", "v")
+      def collectOut(out: org.apache.spark.sql.DataFrame) = out.collect()
+        .map(r => (r.getString(0), r.getLong(2)) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      val base = collectOut(
+        graft.operators.TimeSeries.ewmMeanBy(df, "k", "t", Seq("ord"), "v", hl))
+      val seg = collectOut(graft.operators.TimeSeries
+        .ewmMeanBySegmented(df, "k", "t", Seq("ord"), "v", hl, segmentSpan = span))
+      base.keySet == seg.keySet && base.forall { case (key, b) =>
+        (b, seg(key)) match {
+          case (None, None) => true
+          case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+          case _ => false
+        }
+      }
+    }
+    check(prop, 8)
+  }
+
   test("ewmStats rejects complex-typed key columns") {
     // Any-equality on an array key is reference-based at runtime — the
     // contiguous-key reset would silently fire per row; the operator must
@@ -375,6 +416,7 @@ class PropertySpec extends AnyFunSuite {
         opt("order_by",
           Gen.oneOf[Any]("doc_id", List("doc_id")),
           Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String])),
+        opt("segment_span", Gen.chooseNum(1.0, 100.0), wrongForNum),
         opt("out_col", Gen.const("ewm_by_out"), wrongForStr)),
       "rle" -> Seq(
         req("col", Gen.const("lang"), wrongForStr),
@@ -383,7 +425,19 @@ class PropertySpec extends AnyFunSuite {
           Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String])),
         opt("partition_by",
           Gen.oneOf[Any]("lang", List("lang")),
-          Gen.oneOf[Any](42L, 1.5, true, junkMap)))
+          Gen.oneOf[Any](42L, 1.5, true, junkMap))),
+      "value_counts" -> Seq(req("col", Gen.const("lang"), wrongForStr)),
+      "unique_counts" -> Seq(
+        req("col", Gen.const("lang"), wrongForStr),
+        req("order_by",
+          Gen.oneOf[Any]("doc_id", List("doc_id")),
+          Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String]))),
+      "sort_by" -> Seq(
+        req("by",
+          Gen.oneOf[Any]("doc_id", List("lang", "doc_id")),
+          Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String])),
+        opt("desc", Gen.oneOf[Any](true, false),
+          Gen.oneOf[Any](42L, 1.5, junkMap, "bogus")))
     )
   }
 
