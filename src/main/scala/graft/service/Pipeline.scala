@@ -21,7 +21,16 @@ import graft.stages.{Inspect, Transforms, Validation}
   *  - sinks are single distributed partitioned writes (no driver-side
   *    chunk loop, no extra count scan — adapters/io_pl.py:65-92);
   *  - whole-frame aggregate derive columns use one agg pass + broadcast
-  *    join, not a single-partition window (§7.4-4).
+  *    join, not a single-partition window (§7.4-4);
+  *  - the whole run executes inside a [[graft.util.CacheScope
+  *    .withPersisted]] scope: every cache the run creates — the pipeline's
+  *    own two persists AND any internal persist of a dedup builtin
+  *    (`fuzzy_dedup` / `semantic_dedup` pair generators) — is dropped at
+  *    exit, so a long-lived session invoking `runPipeline` repeatedly
+  *    accumulates ZERO dead cached frames; caches the session created
+  *    BEFORE the call are untouched. Every sink is materialized inside
+  *    the scope; the returned frames stay correct afterwards (Spark
+  *    recomputes evicted blocks), they just aren't pinned.
   */
 object Pipeline {
 
@@ -39,7 +48,7 @@ object Pipeline {
       cfg0: GeneralConfig,
       io: GraftIO,
       customFns: Map[String, Transforms.CustomFn] = Map.empty
-  ): PipelineResult = {
+  ): PipelineResult = graft.util.CacheScope.withPersisted(spark) {
     // 1. session context: guid + timestamp stamped into config
     //    (basic_pipeline.py:20-22)
     val guid = io.newGuid()

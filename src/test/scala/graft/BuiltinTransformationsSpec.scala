@@ -262,6 +262,46 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("desc"))
   }
 
+  test("runPipeline leaves ZERO new persistent RDDs, dedup builtins included") {
+    // the long-lived-session contract (round-10 review #8): the whole run
+    // executes inside CacheScope.withPersisted, so the pipeline's own two
+    // persists AND fuzzy_dedup's internal pair-generator persists all
+    // drop at exit — repeated runPipeline calls accumulate nothing, while
+    // caches the session made beforehand survive. No post-scope actions
+    // on the result frames here: an action would legitimately re-populate
+    // the (still-registered) cache and fog the leak signal.
+    import graft.config.ConfigLoader
+    import graft.io.FakeIO
+    import graft.service.Pipeline
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val keepMe = docs.persist()
+    keepMe.count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(before.nonEmpty)
+    val io = new FakeIO()
+    io.frames.put("/src/docs.parquet", docs)
+    val yaml =
+      """process_name: cachescope
+        |src_path: /src/docs.parquet
+        |dst_root: /out
+        |custom_transformations:
+        |  fuzzy_dedup:
+        |    id_col: doc_id
+        |    text_col: text
+        |    shingle_k: 2
+        |    num_hashes: 8
+        |    bands: 4
+        |""".stripMargin
+    val res = Pipeline.runPipeline(spark, ConfigLoader.fromYaml(yaml), io)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == before,
+      s"pipeline must not leak caches; leaked RDD ids: ${after -- before}")
+    // the sinks were materialized INSIDE the scope (FakeIO collects)
+    assert(io.frames.keys.exists(_.contains("transformed")), "sink written")
+    assert(res.guid.nonEmpty)
+    keepMe.unpersist(blocking = true)
+  }
+
   test("ewm builtins reject frames that already carry a __ewm_* shadow name") {
     // the builtins stage casts on __ewm_v/__ewm_t and drop them afterwards
     // — a user column by that name would be silently destroyed
