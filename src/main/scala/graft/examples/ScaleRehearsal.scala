@@ -57,6 +57,13 @@ import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, TimeSeries}
   *     scale by M at constant per-key series length (the realistic growth
   *     axis: more users, not longer histories). One hash shuffle + one
   *     in-partition sort + the scan; expected ~linear.
+  *   - `ewm_mega_key_scaled` / `ewm_segmented_mega_scaled` (round 12):
+  *     the OTHER growth axis — the Mx corpus folded onto 8 keys, so
+  *     per-key history grows by M (the straggler fixture). The first row
+  *     is the single-pass scan (at most 8 busy cores, the baseline); the
+  *     second is [[TimeSeries.ewmMeanBySegmented]] with 1-day segments
+  *     ((8 x segments)-way parallel replay) — its time vs the baseline's
+  *     at the same multiplier IS the mega-key win, measured.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_MULTS=10,100 \
   *   sbt "runMain graft.examples.ScaleRehearsal"
@@ -111,7 +118,9 @@ object ScaleRehearsal {
       CatalogQueries.map(n => n -> graft.SparkEntry.queries(n)) ++ Seq(
         "semantic_dedup_scaled" -> semanticAtScale(cents, k = 8, vidStride),
         "novel_against_scaled" -> novelAtScale(docStride),
-        "ewm_mean_by_scaled" -> ewmAtScale)
+        "ewm_mean_by_scaled" -> ewmAtScale,
+        "ewm_mega_key_scaled" -> ewmMegaAtScale,
+        "ewm_segmented_mega_scaled" -> ewmSegMegaAtScale)
 
     // Contention evidence (round 9): a ladder run takes ~15 minutes and
     // contention can arrive MID-RUN — observed: one run where q24's points
@@ -192,17 +201,60 @@ object ScaleRehearsal {
         .select(col("doc_id"), col("lang"), col("source"))
     }
 
+  /** events.ts in SECONDS as a double, across both testdata generations:
+    * TIMESTAMP(MICROS) (timestamp-typed column, round 11+) and the legacy
+    * ns-since-epoch long (TIMESTAMP(NANOS) + nanosAsLong). */
+  private def tsSeconds(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col("ts").cast("timestamp")).cast("double") / lit(1e6)
+      case _ => col("ts").cast("double") / lit(1e9)
+    }
+
   /** q101's scan over the synthesized events corpus: M-times the users at
     * constant per-key series length. */
   private def ewmAtScale: (SparkSession, String) => DataFrame = (s, dir) => {
-    val ev = s.read.parquet(s"$dir/events.parquet").select(
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(
       col("event_id"), col("user_id"),
-      (col("ts").cast("double") / lit(1e9)).as("t"),
+      tsSeconds(raw).as("t"),
       col("value").cast("double").as("value"))
     TimeSeries.ewmMeanBy(ev, "user_id", "t", Seq("event_id"), "value",
       halfLife = 86400.0)
       .select(col("event_id"), col("user_id"), col("ewm_mean_by"))
   }
+
+  /** MEGA-KEY fixture (round 12): the Mx events corpus folded onto 8 keys
+    * (`user_id % 8`), so per-key history grows by M instead of the key
+    * count — the straggler axis the segmented scan exists for. Ties from
+    * fold-collapsed copies are event_id-broken, fine for a timing
+    * workload. */
+  private def megaEvents(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.select(
+      pmod(col("user_id"), lit(8L)).as("user_id"),
+      col("event_id"),
+      tsSeconds(raw).as("t"),
+      col("value").cast("double").as("value"))
+  }
+
+  /** The single-pass scan on the mega-key corpus: 8 keys = at most 8 busy
+    * cores regardless of cluster width — wall time grows ~linearly with M
+    * (the straggler baseline the segmented twin is measured against). */
+  private def ewmMegaAtScale: (SparkSession, String) => DataFrame = (s, dir) =>
+    TimeSeries.ewmMeanBy(megaEvents(s, dir), "user_id", "t", Seq("event_id"),
+      "value", halfLife = 86400.0)
+      .select(col("event_id"), col("user_id"), col("ewm_mean_by"))
+
+  /** [[TimeSeries.ewmMeanBySegmented]] on the same mega-key corpus: 1-day
+    * segments turn 8 key-runs into (8 x segments) parallel units — the
+    * mega-key win is this row's time vs `ewm_mega_key_scaled`'s at the
+    * same multiplier. */
+  private def ewmSegMegaAtScale: (SparkSession, String) => DataFrame = (s, dir) =>
+    TimeSeries.ewmMeanBySegmented(megaEvents(s, dir), "user_id", "t",
+      Seq("event_id"), "value", halfLife = 86400.0, segmentSpan = 86400.0)
+      .select(col("event_id"), col("user_id"), col("ewm_mean_by"))
 
   /** Write the Mx corpus: copy 0 is the original; copy i>0 gets ids
     * shifted by i*stride. Documents additionally get every token suffixed

@@ -25,12 +25,20 @@ object StreamingExample {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // file-source streaming read of the real events parquet (ns ts -> timestamp)
+    // file-source streaming read of the real events parquet; ts arrives as
+    // ns-long (legacy nanos testdata) or timestamp (micros testdata) —
+    // normalize to TimestampType either way
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsToTimestamp: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source wants a dir
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(tsToTimestamp)
 
     val winQ = Streaming.windowedEventStats(events, windowDur = "6 hours", slideDur = "6 hours")
       .writeStream.outputMode("complete").format("memory").queryName("win").start()
