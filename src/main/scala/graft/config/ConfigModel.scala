@@ -82,9 +82,13 @@ object FileType {
   val Parquet = "parquet"
   val Csv = "csv"
   val Json = "json"
+  /** Beyond the reference's parquet/csv/json (adapters/io_pl.py:28-36):
+    * ORC is Spark-native (columnar, predicate pushdown, splittable) and
+    * costs one dispatch arm — a 100 TB lakehouse routinely carries it. */
+  val Orc = "orc"
   val Yaml = "yaml"
   /** Formats a pipeline source/sink can dispatch on. */
-  val data: Set[String] = Set(Parquet, Csv, Json)
+  val data: Set[String] = Set(Parquet, Csv, Json, Orc)
   val all: Set[String] = data + Yaml
 }
 

@@ -34,6 +34,7 @@ class SparkIO extends GraftIO {
       case FileType.Csv =>
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case FileType.Json => spark.read.json(path)
+      case FileType.Orc => spark.read.orc(path)
       case other => throw new IllegalArgumentException(s"unsupported source file type '$other'")
     }
 
@@ -57,6 +58,7 @@ class SparkIO extends GraftIO {
       case FileType.Parquet => writer.parquet(path)
       case FileType.Csv => writer.option("header", "true").csv(path)
       case FileType.Json => writer.json(path)
+      case FileType.Orc => writer.orc(path)
       case other => throw new IllegalArgumentException(s"unsupported sink file type '$other'")
     }
   }

@@ -2955,6 +2955,26 @@ object Queries {
       |SELECT e.event_id, e.user_id, round(rec.y, 5) AS ewm_seg
       |FROM events e LEFT JOIN rec ON e.event_id = rec.event_id""".stripMargin
 
+  /** ORC source/sink (beyond the reference's parquet/csv/json — Spark
+    * gives the columnar format one dispatch arm): customer routed through
+    * an ORC roundtrip, then aggregated — the roundtrip must be lossless
+    * for the hash to match the parquet-read oracle. Fixed scratch path,
+    * like q43. */
+  val q114: QueryFn = (s, d) => {
+    val io = new graft.io.SparkIO
+    val base = "target/fmt_roundtrip"
+    io.write(tbl(s, d, "customer"), s"$base/customer_orc", "orc")
+    io.read(s, s"$base/customer_orc", "orc")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+  }
+
+  val q114Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
   /** Registry tail: value remapping (polars Expr.replace /
     * replace_strict — literal when-chain, codegen'd, no join) and
     * index-of-extreme (arg_max/arg_min — whole-frame agg + broadcast,
@@ -3126,6 +3146,7 @@ object Queries {
     ("q110_ewm_segmented", q110, Some(q110Sql)),
     ("q111_replace_argextreme", q111, Some(q111Sql)),
     ("q112_value_counts", q112, Some(q112Sql)),
-    ("q113_unique_counts", q113, Some(q113Sql))
+    ("q113_unique_counts", q113, Some(q113Sql)),
+    ("q114_orc_roundtrip", q114, Some(q114Sql))
   )
 }

@@ -18,9 +18,9 @@ class IOSpec extends AnyFunSuite {
     d
   }
 
-  test("parquet/csv/json write-read round trips") {
+  test("parquet/csv/json/orc write-read round trips") {
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
-    for (fmt <- Seq("parquet", "csv", "json")) {
+    for (fmt <- Seq("parquet", "csv", "json", "orc")) {
       val dir = tmpDir(s"io_$fmt") + "/data"
       io.write(df, dir, fmt)
       val back = io.read(spark, dir, fmt)
