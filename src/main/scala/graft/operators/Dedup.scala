@@ -249,12 +249,34 @@ object Dedup {
     // unique, so this prunes the self-join input by ~5-10x (sizes above
     // are computed from the FULL set — results unchanged). The same pass
     // applies the maxDf hot-shingle cap from above.
-    val shared = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxDf).select(col("shingle"))
+    val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = dfCounts.select(col("shingle"))
+    // Size the quadratic stage's exchange to the workload it will carry:
+    // the self-join emits Σ df² pair-rows, and the partial aggregate
+    // feeding `inter` builds its hash map over exactly that stream. At
+    // the fixed session default (≈ cores) a heavy-sharing corpus packs
+    // tens of millions of pair-rows per task — the partial hash aggregate
+    // falls back to sort-based + spill and throughput collapses ~5x
+    // (measured round 12: the regenerated corpus at x100 — 280M
+    // pair-rows over 32 partitions — ran 202 s on an idle box; the same
+    // operator at x10 sustained 4.6x the per-row throughput). Σ df² is
+    // one cheap agg over the (persisted) df-count frame — one summary row
+    // per shared shingle — and caps each task's pair slice at ~4M rows.
+    val pairVolume = Option(
+      dfCounts.agg(sum(col("n") * col("n"))).head().get(0))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+    val quadParts = math.min(4096L,
+      math.max(defaultPar.toLong, pairVolume / 4_000_000L + 1L)).toInt
     // the pruned frame feeds both self-join sides — persist so the df agg
     // + semi-join run once, not once per side (same double-compute shape
-    // as the LSH bucket cap; sh alone being cached doesn't cover these)
+    // as the LSH bucket cap; sh alone being cached doesn't cover these);
+    // repartitioned on the join key so BOTH sides reuse one size-aware
+    // exchange
     val hot = sh.join(shared, "shingle")
+      .repartition(quadParts, col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = hot.as("a")
     val b = hot.as("b")
