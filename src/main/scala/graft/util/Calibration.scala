@@ -39,16 +39,28 @@ object Calibration {
     * into this lane's own idle reference. Set `warm = false` when the
     * lane already ran in this session (codegen is cached). */
   def parallelLane(spark: SparkSession, cpus: Int, runs: Int = 3,
-      warm: Boolean = true): Double = {
+      warm: Boolean = true, perTask: Long = 200000000L): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 200000000L * cpus, 1L, cpus)
+      spark.range(0L, perTask * cpus, 1L, cpus)
         .selectExpr("sum(id % 100000)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     if (warm) once()
     (1 to runs).map(_ => once()).min
   }
+
+  /** Mini parallel lane (round 13): the parallel lane with 10x less work
+    * per task (2e7), cheap enough (~0.1 s idle) to run BEFORE EVERY bench
+    * query so a contaminated run can name WHICH queries ran under
+    * contention instead of poisoning the whole artifact — the round-12
+    * driver bench was unusable for exactly this reason (201.8 s total, all
+    * 114 queries suspect, adjudicated clean only by a human re-run).
+    * Single run, no warm-up: the full lanes already compiled the codegen
+    * in this session, and the signal only needs to catch multi-second
+    * external load, not 10 ms jitter. */
+  def miniLane(spark: SparkSession, cpus: Int): Double =
+    parallelLane(spark, cpus, runs = 1, warm = false, perTask = 20000000L)
 
   /** 1-minute system load average (-1 when the platform can't say). */
   def loadAvg(): Double =
