@@ -26,6 +26,23 @@ import org.apache.spark.sql.functions._
   * kwarg: Spark DataFrames have no implicit row order (SURVEY.md §2.3-2).
   * `partition_by` is supported everywhere it makes sense — at scale a
   * cumulative op should be per-key, not global.
+  *
+  * DELIBERATE EXCLUSIONS from the reflective `pl.Expr` surface (documented
+  * round 13 so a registry miss points somewhere):
+  *   - `sample` / `shuffle`: non-deterministic by definition — the
+  *     engine's oracle contract (hash-compare vs DuckDB) and the
+  *     reproducible-pipeline goal exclude them. Deterministic substitutes:
+  *     the `stratified_sample` builtin (seeded hash-threshold sampling)
+  *     and `hash_split` (graft.operators.Curation) — same statistical
+  *     role, stable under re-runs and repartitioning.
+  *   - `ewm_mean` / `ewm_var` / `ewm_std` (and the `_by` time-decay
+  *     family) live as FRAME-LEVEL builtins in
+  *     [[graft.service.BuiltinTransformations]], not as derive fns:
+  *     polars spells them inside `with_columns`, but the Spark
+  *     implementation is an O(n) per-key ordered scan, not a Column
+  *     expression, so a registry entry could not return one. Functional
+  *     parity exists — only the config spelling differs (a
+  *     `custom_transformations` stage instead of a `derive_new_cols` row).
   */
 object ExprRegistry {
 
@@ -346,6 +363,32 @@ object ExprRegistry {
     "rolling_min" -> rw(kw => min(c(kw)).over(rollingFrame(kw, "rolling_min"))),
     "rolling_max" -> rw(kw => max(c(kw)).over(rollingFrame(kw, "rolling_max"))),
     "rolling_std" -> rw(kw => stddev_samp(c(kw)).over(rollingFrame(kw, "rolling_std"))),
+
+    // registry tail (round 13): the last reflective pl.Expr names in use.
+    // dot = Σ a·b — a true aggregate in polars (scalar result), so it takes
+    // the same whole-frame-or-per-key path as sum/mean. rolling_skew /
+    // rolling_kurtosis reuse Spark's population-moment aggregates over the
+    // row-count frame (Spark skewness = m3/m2^1.5, kurtosis = m4/m2²−3 —
+    // polars' bias=True / fisher=True defaults, same parity the frame-level
+    // skew/kurtosis entries already rely on). cumulative_eval generalizes
+    // the cum_* family: polars takes an arbitrary sub-expression, which a
+    // YAML config cannot carry, so the config surface is an `agg` kwarg
+    // naming the aggregate evaluated over the expanding frame — the shapes
+    // the reference's configs actually use.
+    "dot" -> aggOrOver(kw => sum(c(kw) * other(kw))),
+    "rolling_skew" -> rw(kw => skewness(c(kw)).over(rollingFrame(kw, "rolling_skew"))),
+    "rolling_kurtosis" -> rw(kw => kurtosis(c(kw)).over(rollingFrame(kw, "rolling_kurtosis"))),
+    "cumulative_eval" -> rw { kw =>
+      val aggs: Map[String, Column => Column] = Map(
+        "sum" -> (x => sum(x)), "min" -> (x => min(x)), "max" -> (x => max(x)),
+        "mean" -> (x => avg(x)), "count" -> (x => count(x)),
+        "product" -> (x => product(x)), "std" -> (x => stddev_samp(x)),
+        "var" -> (x => var_samp(x)), "first" -> (x => first(x)), "last" -> (x => last(x)))
+      val name = str(kw, "agg")
+      val f = aggs.getOrElse(name, throw new IllegalArgumentException(
+        s"'cumulative_eval' supports agg in {${aggs.keys.toSeq.sorted.mkString(",")}}, got '$name'"))
+      f(c(kw)).over(runningFrame(kw, "cumulative_eval"))
+    },
 
     // time-windowed rolling (polars rolling_*_by): RANGE frame over an
     // integer `by` axis — see rollingByFrame for the closed/unit contract

@@ -223,6 +223,11 @@ object Dedup {
     * jaccard of pairs that shared it, so the cap trades bounded recall loss
     * on boilerplate-overlap pairs for a hard f·maxDf bound on join fan-out.
     * Set it above the corpus' real near-dup cluster size.
+    *
+    * EAGER builder: constructing the returned frame runs one small Spark
+    * action (the Σ df² exchange-sizing agg) — see the inline note. Shingles
+    * in the [~2000, maxDf] df band are additionally SALTED across tasks so
+    * one hot shingle cannot serialize the pair stream (round 13).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -230,9 +235,11 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.8,
-      maxDf: Int = 10000
+      maxDf: Int = 10000,
+      pairTarget: Long = 4_000_000L
   ): DataFrame = {
     require(maxDf > 1, "maxDf must allow at least a pair")
+    require(pairTarget >= 1L, "pairTarget must be positive")
     // The exploded shingle frame feeds 4 plan branches (both self-join
     // sides + two size lookups); persist it once instead of re-running the
     // tokenize/window/explode pipeline per branch. Shingle STRINGS are
@@ -252,7 +259,6 @@ object Dedup {
     val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1 && col("n") <= maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shared = dfCounts.select(col("shingle"))
     // Size the quadratic stage's exchange to the workload it will carry:
     // the self-join emits Σ df² pair-rows, and the partial aggregate
     // feeding `inter` builds its hash map over exactly that stream. At
@@ -262,26 +268,56 @@ object Dedup {
     // (measured round 12: the regenerated corpus at x100 — 280M
     // pair-rows over 32 partitions — ran 202 s on an idle box; the same
     // operator at x10 sustained 4.6x the per-row throughput). Σ df² is
-    // one cheap agg over the (persisted) df-count frame — one summary row
-    // per shared shingle — and caps each task's pair slice at ~4M rows.
+    // one cheap agg over the df-count frame — one summary row per shared
+    // shingle — and caps each task's EXPECTED pair slice at ~4M rows.
+    // NOTE this makes the builder EAGER: constructing the returned
+    // DataFrame runs one Spark action (the Σ df² agg) — plan-only callers
+    // (explain sweeps, bench warm-up) pay a shingle scan here. Accepted:
+    // the sizing must see the real corpus, and every caller that builds
+    // this plan runs it.
     val pairVolume = Option(
       dfCounts.agg(sum(col("n") * col("n"))).head().get(0))
       .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    // dfCounts' only remaining consumer is the hot-frame join below, which
+    // re-derives it from the persisted `sh` in one agg pass — cheaper than
+    // holding a third persisted frame for callers outside a CacheScope
+    // (Bench clears the cache per rep; a long-lived session would
+    // accumulate it forever).
+    dfCounts.unpersist(false)
     val defaultPar = df.sparkSession.sparkContext.defaultParallelism
     val quadParts = math.min(4096L,
-      math.max(defaultPar.toLong, pairVolume / 4_000_000L + 1L)).toInt
-    // the pruned frame feeds both self-join sides — persist so the df agg
-    // + semi-join run once, not once per side (same double-compute shape
-    // as the LSH bucket cap; sh alone being cached doesn't cover these);
-    // repartitioned on the join key so BOTH sides reuse one size-aware
-    // exchange
-    val hot = sh.join(shared, "shingle")
-      .repartition(quadParts, col("shingle"))
+      math.max(defaultPar.toLong, pairVolume / pairTarget + 1L)).toInt
+    // Hot-shingle SKEW SALTING (round 13): exchange sizing bounds the
+    // AVERAGE pair slice per task, but hash partitioning on the shingle
+    // alone sends each shingle's FULL df² pair stream to one task — a
+    // single df=10k shingle is 50M pairs on one core while 31 idle
+    // (measured r12: x100 marginal exponent stayed >1 for exactly this
+    // reason). Split each shingle's doc rows into g = ⌈df²/target⌉ salted
+    // groups: side `a` keeps one deterministic group per row
+    // (pmod(xxhash64(id), g)), side `b` replicates each row to ALL g
+    // groups, and the join runs on (shingle, gid) — each unordered pair
+    // (x<y) still matches exactly once (via b's replica carrying x's gid),
+    // intersection counts stay exact, but no task receives more than
+    // ~target pair-rows from any one shingle. Replication cost is df·g =
+    // df³/target extra b-rows per hot shingle (250k for df=10k) — noise
+    // next to the df²/2 pairs it de-skews. Cold shingles (df² ≤ target,
+    // i.e. df ≤ 2000 at the default) get g=1: no replication, no change.
+    val nCol = (col("n") * col("n") + lit(pairTarget - 1L)).divide(lit(pairTarget))
+      .cast("long")
+    val hot = sh.join(
+        dfCounts.select(col("shingle"), greatest(lit(1L), nCol).as("g")), "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = hot.as("a")
-    val b = hot.as("b")
+    val a = hot
+      .withColumn("gid", pmod(xxhash64(col(idCol)), col("g")))
+      .repartition(quadParts, col("shingle"), col("gid"))
+      .as("a")
+    val b = hot
+      .withColumn("gid", explode(sequence(lit(0L), col("g") - 1L)))
+      .repartition(quadParts, col("shingle"), col("gid"))
+      .as("b")
     val inter = a
-      .join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.gid") === col("b.gid") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter

@@ -175,7 +175,16 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("m")))),
         s => round(s.getField("m"), 6)).as("cv"))
-    updated.collect()
+    // DRIVER-BOUNDED collect: one row per surviving cell, and cells are a
+    // subset of the passed centroid ids — the result can never exceed
+    // `centroids.size` rows (k), independent of corpus size. The require
+    // turns any future change that breaks that invariant (e.g. a salted
+    // cell column) into a loud failure instead of a silent driver OOM.
+    val rows = updated.collect()
+    require(rows.length <= centroids.size,
+      s"kmeansUpdate collected ${rows.length} cells for ${centroids.size} centroids — " +
+        "the driver collect is only legal while cells ⊆ centroid ids")
+    rows
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1).toSeq
   }

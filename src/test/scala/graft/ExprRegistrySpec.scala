@@ -426,6 +426,34 @@ class ExprRegistrySpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown derive fn"))
   }
 
+  test("registry tail: dot / rolling_skew / rolling_kurtosis / cumulative_eval") {
+    // dot: Σ a·b = 1*4 + 2*5 + 3*6 = 32, whole-frame broadcast onto rows
+    val df = Seq((1, 1.0, 4.0), (2, 2.0, 5.0), (3, 3.0, 6.0)).toDF("t", "a", "b")
+    val dot = derive("d" -> DeriveSpec("dot",
+      Map("col" -> "a", "other_col" -> "b")))(df)
+    assert(dot.select("d").as[Double].collect().toSeq == Seq(32.0, 32.0, 32.0))
+    // rolling_skew over a symmetric 3-row window is 0; rolling_kurtosis of
+    // {1,2,3} is Spark's excess form m4/m2² - 3 = (2/3)/(2/3)² - 3 = -1.5
+    val rk = derive(
+      "sk" -> DeriveSpec("rolling_skew",
+        Map("col" -> "a", "order_by" -> Seq("t"), "window_size" -> 3)),
+      "ku" -> DeriveSpec("rolling_kurtosis",
+        Map("col" -> "a", "order_by" -> Seq("t"), "window_size" -> 3)))(df)
+      .orderBy("t").collect()
+    assert(math.abs(rk(2).getDouble(3)) < 1e-12, s"skew of {1,2,3}: ${rk(2).getDouble(3)}")
+    assert(math.abs(rk(2).getDouble(4) - (-1.5)) < 1e-12, s"kurtosis of {1,2,3}: ${rk(2).getDouble(4)}")
+    // cumulative_eval generalizes cum_*: expanding mean here
+    val ce = derive("m" -> DeriveSpec("cumulative_eval",
+      Map("col" -> "a", "agg" -> "mean", "order_by" -> Seq("t"))))(df)
+    assert(ce.orderBy("t").select("m").as[Double].collect().toSeq == Seq(1.0, 1.5, 2.0))
+    // unknown agg name fails with the supported set listed
+    val err = intercept[IllegalArgumentException] {
+      ExprRegistry.resolve("cumulative_eval")(
+        Map("col" -> "a", "agg" -> "median", "order_by" -> Seq("t")))
+    }
+    assert(err.getMessage.contains("supports agg in"))
+  }
+
   test("registry breadth floor: a refactor must not silently drop fns") {
     assert(ExprRegistry.fns.size >= 180,
       s"registry shrank to ${ExprRegistry.fns.size} fns (round-2 floor: 180)")

@@ -73,6 +73,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cappedDocs.contains((0L, 1L)) && cappedDocs.contains((0L, 2L)))
   }
 
+  test("ngram jaccard hot-shingle salting (g>1) yields byte-identical results") {
+    // pairTarget=1 forces g = df² salted groups for EVERY shared shingle —
+    // maximal replication, every cross-group pair exercised through side
+    // b's replicas — and the output must equal the unsalted (default
+    // pairTarget, g=1 at this size) run exactly: same pairs, same exact
+    // intersection counts, same jaccard values.
+    def run(target: Long) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, pairTarget = target)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val salted = run(1L)
+    val unsalted = run(4_000_000L)
+    assert(salted == unsalted,
+      s"salting must not change results: salted=$salted unsalted=$unsalted")
+    assert(salted.keySet.contains((0L, 1L)) && salted((0L, 1L)) == 1.0)
+  }
+
   test("LSH maxBucket cap drops over-wide buckets; other bands still pair") {
     // 6 identical docs: every band puts all 6 in one bucket (width 6)
     val dups = (0L to 5L).map(i => (i, "the same exact boilerplate page content every time"))
