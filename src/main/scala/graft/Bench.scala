@@ -205,9 +205,14 @@ object Bench {
     // the mini lane inflates for exactly the queries measured under it, so
     // a partially contaminated run names its suspects instead of poisoning
     // every number — round 12's driver artifact was discarded whole for
-    // lack of this. Idle ref measured on this box (32 SMT threads, 2e7/task).
+    // lack of this. Idle ref measured on this box: 0.22-0.30 s across 3
+    // idle samples — per-task compute is 1/10 of the full parallel lane
+    // but the fixed cost of scheduling+collecting 32 tasks dominates, so
+    // the lane does NOT scale down 10x (and it is a single run, no
+    // min-of-N). Flag at 2x = 0.5 s: comfortably above idle jitter,
+    // well below the 0.7-1.4 s band observed under real external load.
     val miniIdle =
-      sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_MINI_IDLE_SEC", "0.12").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_MINI_IDLE_SEC", "0.25").toDouble
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val mini = graft.util.Calibration.miniLane(spark, cpus.toInt)
       // median-of-3 timed runs: single-machine runs are noisy (GC, thread
