@@ -77,6 +77,71 @@ object Curation {
       (start % lit(budget)).as("bin_offset"))
   }
 
+  /** Domain-mixture sampling: cut a training mix to integer weight ratios
+    * under a global token budget — "spend half the corpus' tokens, 40% of
+    * them on en, 15% on each of zh/fr/de/es" — the source-mixing step
+    * every pretraining data recipe runs after curation.
+    *
+    * Per-domain budget: `b_d = totalTokens * budgetNumer * w_d DIV
+    * (budgetDenom * Σw)` — ALL integer arithmetic (long DIV), because at
+    * corpus scale `totalTokens * weight` exceeds a double's 2^53 exact-int
+    * range and a float budget boundary would flip membership between
+    * engines. Docs are taken WHOLE in (md5(id), id) order — the same
+    * content-derived unbiased shuffle [[packSequences]] uses — until the
+    * first doc whose preceding cumulative tokens reaches the budget;
+    * domains absent from `weights` are dropped (weight 0).
+    *
+    * Scale shape: one 1-row total aggregate broadcast to every task plus
+    * one shuffle on the domain column for the per-domain running sum. A
+    * domain is processed by ONE task here; at 100 TB per-domain token
+    * counts are ~10^12, so shard the running sum the q86 way (sub-shard
+    * key + two-level cumsum) if a single sorted run per domain stalls —
+    * for mixtures of ≤ dozens of domains the straggler bound is the
+    * largest domain's doc count, same as any per-domain window.
+    *
+    * Overflow guard: requires `budgetNumer * Σw ≤ 10^6`, bounding the
+    * budget product at `totalTokens * 10^6` — safe through 9·10^12 total
+    * tokens; raise deliberately (with wider decimals both sides) past
+    * that. */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokenCol: String,
+      weights: Map[String, Long],
+      budgetNumer: Long,
+      budgetDenom: Long
+  ): DataFrame = {
+    require(budgetNumer >= 0 && budgetDenom > 0,
+      s"budget fraction must be >= 0 with positive denominator, got $budgetNumer/$budgetDenom")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "weights must be non-empty and non-negative")
+    val sumW = weights.values.sum
+    require(sumW > 0, "at least one weight must be positive")
+    require(budgetNumer * sumW <= 1000000L,
+      s"budgetNumer * sum(weights) = ${budgetNumer * sumW} > 1e6: budget product may overflow long at corpus scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val toks = coalesce(col(tokenCol), lit(0L)).cast("long")
+    val numerators = map(weights.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      Seq(lit(k), lit(v * budgetNumer))
+    }: _*)
+    val total = df.agg(sum(coalesce(col(tokenCol), lit(0L))).cast("long").as("__total"))
+    df.withColumn("__before", (sum(toks).over(w) - toks).cast("long"))
+      .withColumn("__wnum", element_at(numerators, col(domainCol)))
+      .filter(col("__wnum").isNotNull) // unknown domain = weight 0
+      .crossJoin(broadcast(total))
+      // long DIV long: exact integral division on both engines (truncation
+      // == floor for the non-negative operands guaranteed above)
+      .filter(col("__before") <
+        expr(s"(__total * __wnum) DIV ${budgetDenom * sumW}L"))
+      .withColumn("tokens_before", col("__before"))
+      .drop("__before", "__wnum", "__total")
+  }
+
   /** Train/eval decontamination signal: for every eval document, the
     * fraction of its distinct word k-shingles that also appear ANYWHERE in
     * the training corpus (n-gram containment, the GPT-3/Dolma-style

@@ -2462,7 +2462,7 @@ object Queries {
     val ev = tbl(s, d, "events")
     val skBytes = ev
       .agg(expr("count_min_sketch(event_type, 0.0001d, 0.999d, 42)").as("sk"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(skBytes))
     // DRIVER-BOUNDED collect: one row per distinct event_type (5 in the
@@ -3140,6 +3140,101 @@ object Queries {
       |CAST(row_number() OVER (ORDER BY min(doc_id)) AS BIGINT) AS first_seen
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Range-sorted layout + row-group data skipping: lineitem laid out
+    * `repartitionByRange(l_shipdate)` + sorted-within-partitions (written
+    * once per source dir, q76's keyed-scratch pattern), then scanned with
+    * a 3-month predicate. Every file/row group covers a narrow shipdate
+    * span, so the pushed filter skips all but the matching slice from
+    * parquet footer stats alone — LayoutSpec measures the materialized-row
+    * ratio vs the same rows hash-laid-out. The 100 TB complement to q76's
+    * directory pruning for high-cardinality/continuous keys, where
+    * one-dir-per-value is a small-files disaster. Results are
+    * layout-independent (same rows either way); the oracle reads the
+    * original table. */
+  val q116: QueryFn = (s, d) => {
+    val canon = new java.io.File(d).getCanonicalPath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val base = s"target/range_layout/lineitem_by_shipdate_$key"
+    if (!new java.io.File(s"$base/_SUCCESS").exists())
+      graft.sources.RangeLayout.writeRangeSorted(
+        tbl(s, d, "lineitem"), base, Seq("l_shipdate"), numFiles = 16)
+    s.read.parquet(base)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+  }
+
+  val q116Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** Bloom-prefiltered semi join: urgent orders' keys -> bloom bitset ->
+    * codegen'd `might_contain` prefilter at the lineitem scan -> exact
+    * semi join on the survivors (false positives removed, result == plain
+    * semi join). At 100 TB the fact side pays the join shuffle only for
+    * ~hit-rate + fpp of its rows instead of all of them. EAGER (the bloom
+    * build is an aggregation action); bitset is driver-bounded
+    * ([[graft.operators.BloomPrefilter.maxBloomBytes]]). */
+  val q117: QueryFn = (s, d) => {
+    val urgent = tbl(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.operators.BloomPrefilter
+      .bloomSemiJoin(tbl(s, d, "lineitem"), "l_orderkey",
+        urgent, "o_orderkey", expectedItems = 1L << 20, fpp = 0.02)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  val q117Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN
+      |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** Domain-mixture sampling ([[Curation.mixtureSample]]): spend half the
+    * corpus' whitespace tokens at a 40/15/15/15/15 en/zh/fr/de/es mix —
+    * integer-exact budgets (`total * w DIV 200`), docs taken whole in the
+    * content-derived (md5(id), id) shuffle order. The oracle chains the
+    * same windows; `tokens_before` exposes the cut coordinate so the hash
+    * compare pins the order, not just the membership. */
+  val q118: QueryFn = (s, d) =>
+    Curation.mixtureSample(
+      tbl(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long")),
+      idCol = "doc_id", domainCol = "lang", tokenCol = "n_tokens",
+      weights = Map("en" -> 40L, "zh" -> 15L, "fr" -> 15L, "de" -> 15L, "es" -> 15L),
+      budgetNumer = 1L, budgetDenom = 2L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tokens_before"))
+
+  val q118Sql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM t),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+      |    AS tokens_before
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens, tokens_before
+      |FROM c CROSS JOIN tot
+      |WHERE tokens_before < (total * CASE lang
+      |  WHEN 'en' THEN 40 WHEN 'zh' THEN 15 WHEN 'fr' THEN 15
+      |  WHEN 'de' THEN 15 WHEN 'es' THEN 15 END) // 200""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3259,6 +3354,9 @@ object Queries {
     ("q112_value_counts", q112, Some(q112Sql)),
     ("q113_unique_counts", q113, Some(q113Sql)),
     ("q114_orc_roundtrip", q114, Some(q114Sql)),
-    ("q115_registry_tail", q115, Some(q115Sql))
+    ("q115_registry_tail", q115, Some(q115Sql)),
+    ("q116_range_layout_skipping", q116, Some(q116Sql)),
+    ("q117_bloom_prejoin", q117, Some(q117Sql)),
+    ("q118_mixture_sample", q118, Some(q118Sql))
   )
 }
