@@ -83,7 +83,12 @@ object ScaleRehearsal {
   private val CatalogQueries =
     Seq("q24_dedup_minhash_lsh", "q26_dedup_ngram_jaccard",
       "q77_dedup_clusters", "q88_fuzzy_dedup",
-      "q103_asof_tolerance", "q105_asof_nearest", "q106_rolling_by")
+      "q103_asof_tolerance", "q105_asof_nearest", "q106_rolling_by",
+      // round 13: mixture sampling reads only documents, so the catalog
+      // query runs as-is on the Mx corpus. lang cardinality is FIXED
+      // (~5 values), so each domain's (md5(id), id)-sorted running-sum
+      // run grows by M — deliberately the straggler axis, like q106.
+      "q118_mixture_sample")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,13 +129,25 @@ object ScaleRehearsal {
     val docStride = spark.read.parquet(s"$baseDir/documents.parquet")
       .agg(max(col("doc_id"))).head().getLong(0) + 1
 
-    val rehearsals: Seq[(String, (SparkSession, String) => DataFrame)] =
+    val allRehearsals: Seq[(String, (SparkSession, String) => DataFrame)] =
       CatalogQueries.map(n => n -> graft.SparkEntry.queries(n)) ++ Seq(
         "semantic_dedup_scaled" -> semanticAtScale(cents, k = 8, vidStride),
         "novel_against_scaled" -> novelAtScale(docStride),
         "ewm_mean_by_scaled" -> ewmAtScale,
         "ewm_mega_key_scaled" -> ewmMegaAtScale,
-        "ewm_segmented_mega_scaled" -> ewmSegMegaAtScale)
+        "ewm_segmented_mega_scaled" -> ewmSegMegaAtScale,
+        "bloom_prejoin_scaled" -> bloomAtScale)
+    // targeted runs (round 13): time only the named rows — a full ladder
+    // is ~15 min, and adding one rehearsal shouldn't cost re-timing all
+    val rehearsals = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
+      case None => allRehearsals
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).toSet
+        val unknown = want -- allRehearsals.map(_._1).toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_SCALE_ONLY names unknown rehearsals: ${unknown.toSeq.sorted.mkString(",")}")
+        allRehearsals.filter(r => want(r._1))
+    }
 
     // Contention evidence (round 9): a ladder run takes ~15 minutes and
     // contention can arrive MID-RUN — observed: one run where q24's points
@@ -265,6 +282,23 @@ object ScaleRehearsal {
     TimeSeries.ewmMeanBySegmented(megaEvents(s, dir), "user_id", "t",
       Seq("event_id"), "value", halfLife = 86400.0, segmentSpan = 86400.0)
       .select(col("event_id"), col("user_id"), col("ewm_mean_by"))
+
+  /** Bloom-prefiltered semi join with BOTH sides scaling (round 13): the
+    * dimension is the fixed 1/16 user slice (`user_id % 16 == 0` survives
+    * the copy shift iff the stride is a multiple of 16 — it isn't, so the
+    * slice stays ~1/16 of each copy's users without being copy-aligned),
+    * the fact side is the full Mx events corpus. Each rep pays the whole
+    * operator: the bloom-build aggregation over the dimension (scales by
+    * M), the prefiltered fact scan (scales by M), and the exact semi join
+    * on the ~1/16 survivors. Expected ~linear; `expectedItems` is fixed —
+    * the V2 sketch self-caps at ~8 MiB and x100 keeps well inside the
+    * 1<<20 sizing (sf0.1 has ~2.5k users → ~16k at x100 /16). */
+  private def bloomAtScale: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val dim = ev.filter(col("user_id") % 16 === 0).select(col("user_id"))
+    graft.operators.BloomPrefilter.bloomSemiJoin(
+      ev, "user_id", dim, "user_id", expectedItems = 1L << 20, fpp = 0.02)
+  }
 
   /** Write the Mx corpus: copy 0 is the original; copy i>0 gets ids
     * shifted by i*stride. Documents additionally get every token suffixed

@@ -3174,6 +3174,38 @@ object Queries {
       |  AND l_shipdate <  TIMESTAMP '1996-04-01'
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Z-order layout + two-dimension data skipping
+    * ([[graft.sources.RangeLayout.writeZOrdered]]): lineitem clustered on
+    * the Morton interleave of rank-quantized (l_shipdate, l_suppkey), then
+    * scanned with predicates on BOTH columns — each column's own footer
+    * min/max stays narrow per file, so both predicates skip row groups
+    * where q116's single-key range layout could serve only one of them.
+    * Results are layout-independent; the oracle reads the raw table. */
+  val q119: QueryFn = (s, d) => {
+    val canon = new java.io.File(d).getCanonicalPath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val base = s"target/range_layout/lineitem_z_$key"
+    if (!new java.io.File(s"$base/_SUCCESS").exists())
+      graft.sources.RangeLayout.writeZOrdered(
+        tbl(s, d, "lineitem"), base, Seq("l_shipdate", "l_suppkey"), numFiles = 16)
+    s.read.parquet(base)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+        col("l_suppkey") < 25L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+  }
+
+  val q119Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  AND l_suppkey < 25
+      |GROUP BY l_returnflag""".stripMargin
+
   /** Bloom-prefiltered semi join: urgent orders' keys -> bloom bitset ->
     * codegen'd `might_contain` prefilter at the lineitem scan -> exact
     * semi join on the survivors (false positives removed, result == plain
@@ -3357,6 +3389,7 @@ object Queries {
     ("q115_registry_tail", q115, Some(q115Sql)),
     ("q116_range_layout_skipping", q116, Some(q116Sql)),
     ("q117_bloom_prejoin", q117, Some(q117Sql)),
-    ("q118_mixture_sample", q118, Some(q118Sql))
+    ("q118_mixture_sample", q118, Some(q118Sql)),
+    ("q119_zorder_layout_skipping", q119, Some(q119Sql))
   )
 }

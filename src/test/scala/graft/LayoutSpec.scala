@@ -51,6 +51,52 @@ class LayoutSpec extends AnyFunSuite {
         s"(sorted=$sortedRows hashed=$hashedRows)")
   }
 
+  test("z-order layout: BOTH interleaved columns skip; single-key range layout only one") {
+    // a 400x400 grid: x and y are independent uniform dimensions
+    val n = 160000
+    val grid = spark.range(n.toLong).select(
+      (col("id") % 400).as("x"),
+      (col("id") / 400).as("y"),
+      col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    RangeLayout.writeZOrdered(grid, s"$base/z", Seq("x", "y"), numFiles = 16)
+    RangeLayout.writeRangeSorted(grid, s"$base/byx", Seq("x"), numFiles = 16)
+
+    def slice(path: String, c: String): DataFrame =
+      spark.read.parquet(path).filter(col(c) < 50) // 1/8 of either dimension
+
+    // layout never changes content
+    for (c <- Seq("x", "y"))
+      assert(slice(s"$base/z", c).count() === slice(s"$base/byx", c).count())
+
+    val zX = materializedRows(slice(s"$base/z", "x"))
+    val zY = materializedRows(slice(s"$base/z", "y"))
+    val byxX = materializedRows(slice(s"$base/byx", "x"))
+    val byxY = materializedRows(slice(s"$base/byx", "y"))
+    // the x-range layout is perfect on x...
+    assert(byxX * 4 <= n, s"range-by-x should skip the x slice, got $byxX")
+    // ...and helpless on y (every file spans the full y range)
+    assert(byxY >= n * 9L / 10, s"range-by-x should materialize ~all rows for y, got $byxY")
+    // z-order skips BOTH: each file's min/max stays narrow in x AND y
+    assert(zX * 2 <= n, s"z layout should skip the x slice, got $zX / $n")
+    assert(zY * 2 <= n, s"z layout should skip the y slice, got $zY / $n")
+    assert(zY * 2 <= byxY, s"z ($zY) should beat range-by-x ($byxY) on the y predicate")
+  }
+
+  test("zValue: rank quantization is skew-proof and null-safe") {
+    // heavily skewed x (90% zeros) + a null row: quantile buckets still
+    // spread the non-zero tail; nulls land in bucket 0 (nulls-first)
+    val skewed = spark.range(10000L).select(
+      when(col("id") % 10 === 0, col("id")).otherwise(lit(0L)).as("x"),
+      col("id").as("y"))
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], 99999L)).toDF("x", "y"))
+    val z = skewed.withColumn("z", RangeLayout.zValue(skewed, Seq("x", "y"), bits = 4))
+    assert(z.filter(col("x").isNull && col("z").isNotNull).count() === 1L,
+      "null key must still get a z-value")
+    // more than one distinct z despite the 90% tie mass
+    assert(z.select("z").distinct().count() > 16L)
+  }
+
   // vals, not defs: `fact("fk")` must reference the same instantiation
   // that sits in the join, or dataset-apply resolution fails
   private lazy val dim = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L).toDF("k")
