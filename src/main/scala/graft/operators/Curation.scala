@@ -142,6 +142,51 @@ object Curation {
       .drop("__before", "__wnum", "__total")
   }
 
+  /** Context-window chunking with overlap: split each document into
+    * `maxTokens`-token windows advancing `maxTokens - overlap` tokens per
+    * step — the dual of [[packSequences]] (chunk long docs down, then pack
+    * short pieces up), and the standard preprocessing step for embedding
+    * models and long-doc pretraining ("512-token chunks, 64 overlap").
+    *
+    * Tokens are the catalog's whitespace contract (`split(trim, \s+)`;
+    * zero-token docs produce ONE empty chunk so no document silently
+    * disappears — downstream filters decide their fate). Chunk `i` covers
+    * token positions `[i*step, i*step + maxTokens)`; the last chunk is
+    * short rather than padded. Emits `(id, chunk_idx, chunk_text,
+    * chunk_tokens)`.
+    *
+    * Scale shape: pure map-side projection + explode — NO shuffle, no
+    * window, no driver state; fan-out per doc is `ceil` of its token count
+    * over `step`, bounded by the longest document. At 100 TB this runs at
+    * scan speed and the output is immediately repartitionable by
+    * `(id, chunk_idx)`. */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int
+  ): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap of $maxTokens")
+    val step = maxTokens - overlap
+    val toks = when(length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val nToks = size(col("__toks"))
+    // 1 chunk up to maxTokens, then one more per started step beyond it
+    val nChunks = when(nToks <= maxTokens, lit(1))
+      .otherwise(lit(1) +
+        ceil((nToks - lit(maxTokens)).cast("double") / lit(step.toDouble)).cast("int"))
+    val piece = slice(col("__toks"), col("chunk_idx") * step + 1, lit(maxTokens))
+    df.withColumn("__toks", toks)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(piece, " ").as("chunk_text"),
+        size(piece).as("chunk_tokens"))
+  }
+
   /** Train/eval decontamination signal: for every eval document, the
     * fraction of its distinct word k-shingles that also appear ANYWHERE in
     * the training corpus (n-gram containment, the GPT-3/Dolma-style

@@ -3206,6 +3206,70 @@ object Queries {
       |  AND l_suppkey < 25
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Small-file compaction roundtrip ([[graft.sources.Compaction]]): the
+    * orders table deliberately fragmented into 64 files, compacted back to
+    * ~quarter-of-total target files with the shuffle-free coalesce path,
+    * then aggregated off the compacted copy. Content is layout-independent
+    * (the oracle reads the raw table); CompactionSpec pins the file-count
+    * arithmetic and the exchange-free plan — this query pins that nothing
+    * is lost or duplicated through the fragment->compact cycle. Scratch is
+    * keyed per source dir like q116/q119 and built once. */
+  val q120: QueryFn = (s, d) => {
+    val canon = new java.io.File(d).getCanonicalPath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val frag = s"target/range_layout/orders_frag_$key"
+    val compacted = s"target/range_layout/orders_compact_$key"
+    if (!new java.io.File(s"$compacted/_SUCCESS").exists()) {
+      tbl(s, d, "orders").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      val report = graft.sources.Compaction.compactParquet(
+        s, frag, compacted,
+        targetBytes = math.max(1L,
+          new java.io.File(frag).listFiles().filter(_.getName.startsWith("part-"))
+            .map(_.length).sum / 4))
+      require(report.outputFiles < report.inputFiles,
+        s"compaction must shrink the file count, got $report")
+    }
+    s.read.parquet(compacted)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+  }
+
+  val q120Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+      |CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Context-window chunking ([[Curation.chunkDocuments]]): 64-token
+    * windows advancing 48 (16-token overlap) over every document — the
+    * dual of q86's sequence packing. chunk_text rides the hash compare, so
+    * the oracle pins exact window CONTENT (boundaries, overlap, short
+    * tail, whole-window join order), not just counts. Map-side explode
+    * only; no shuffle. */
+  val q121: QueryFn = (s, d) =>
+    Curation.chunkDocuments(tbl(s, d, "documents"), "doc_id", "text",
+      maxTokens = 64, overlap = 16)
+
+  val q121Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN len(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS nt,
+      |  CASE WHEN len(toks) <= 64 THEN 1
+      |    ELSE 1 + CAST(ceil((len(toks) - 64) / CAST(48 AS DOUBLE)) AS INT)
+      |    END AS nc
+      |  FROM t),
+      |x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM n)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |  array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+      |  CAST(len(toks[i*48 + 1 : i*48 + 64]) AS INT) AS chunk_tokens
+      |FROM x""".stripMargin
+
   /** Bloom-prefiltered semi join: urgent orders' keys -> bloom bitset ->
     * codegen'd `might_contain` prefilter at the lineitem scan -> exact
     * semi join on the survivors (false positives removed, result == plain
@@ -3390,6 +3454,8 @@ object Queries {
     ("q116_range_layout_skipping", q116, Some(q116Sql)),
     ("q117_bloom_prejoin", q117, Some(q117Sql)),
     ("q118_mixture_sample", q118, Some(q118Sql)),
-    ("q119_zorder_layout_skipping", q119, Some(q119Sql))
+    ("q119_zorder_layout_skipping", q119, Some(q119Sql)),
+    ("q120_compaction_roundtrip", q120, Some(q120Sql)),
+    ("q121_chunk_documents", q121, Some(q121Sql))
   )
 }

@@ -639,6 +639,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bins.min == 0L && bins == (bins.min to bins.max).toSet, "no empty bins")
   }
 
+  test("chunkDocuments: boundaries, overlap, short tail, empty doc, no shuffle") {
+    import graft.operators.Curation
+    val text40 = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text40), (2L, "a b c"), (3L, "   ")).toDF("id", "text")
+    val out = Curation.chunkDocuments(docs, "id", "text", maxTokens = 16, overlap = 4)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // 40 tokens, window 16, step 12: starts 0/12/24 — the third window
+    // reaches token 40 exactly, so no redundant fourth window is emitted
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(d1(0)._3.startsWith("t1 t2 ") && d1(0)._4 == 16)
+    // overlap: chunk 1 starts at token 13 (index 12), re-covering t13..t16
+    assert(d1(1)._3.startsWith("t13 ") && d1(0)._3.endsWith(" t16"))
+    // last window covers t25..t40 — full coverage, exact boundary
+    assert(d1(2)._3.startsWith("t25 ") && d1(2)._3.endsWith(" t40") && d1(2)._4 == 16)
+    // short doc: one whole-doc chunk; blank doc: one empty chunk, not zero rows
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    assert(rows.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0)))
+    // map-side only: no exchange anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must not shuffle")
+  }
+
+  test("compaction: file count honors target bytes, content survives, no shuffle") {
+    import graft.sources.Compaction
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val data = spark.range(50000L).select(col("id"), (col("id") % 7).as("v"))
+    data.repartition(32).write.mode("overwrite").parquet(s"$base/frag")
+    val frag = new java.io.File(s"$base/frag").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    val report = Compaction.compactParquet(spark, s"$base/frag", s"$base/out",
+      targetBytes = frag.map(_.length).sum / 4)
+    assert(report.inputFiles == 32)
+    // ceil(total / (total/4)) is 4 or 5 depending on integer division slack
+    assert(report.outputFiles <= 5 && report.outputFiles >= 4,
+      s"expected ~4 output files, got $report")
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() === 50000L)
+    assert(out.agg(sum(col("id"))).head().getLong(0) === data.agg(sum(col("id"))).head().getLong(0))
+    // the compaction job itself must be exchange-free: coalesce only
+    val plan = spark.read.parquet(s"$base/frag").coalesce(4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction plan must not shuffle:\n$plan")
+    assertThrows[IllegalArgumentException] {
+      Compaction.compactParquet(spark, s"$base/frag", s"$base/frag", 1L)
+    }
+  }
+
   test("ngram contamination: copied eval doc = 1.0, novel doc = 0.0, partial in between") {
     import graft.operators.Curation
     val train = Seq(
