@@ -3331,6 +3331,37 @@ object Queries {
       |  WHEN 'en' THEN 40 WHEN 'zh' THEN 15 WHEN 'fr' THEN 15
       |  WHEN 'de' THEN 15 WHEN 'es' THEN 15 END) // 200""".stripMargin
 
+  /** Mergeable heavy hitters (approx_top_k family, joining the q96-q99
+    * sketch suite): shard on `l_orderkey % 8` -> per-shard
+    * `approx_top_k_accumulate` -> one `approx_top_k_combine` ->
+    * `approx_top_k_estimate` -> threshold filter. The shard->merge shape
+    * IS the 100 TB pattern: per-partition sketches combine associatively,
+    * so a 1000-executor run reduces tree-wise with no row shuffle beyond
+    * the tiny sketch exchange.
+    *
+    * Oracle exactness contract: the sketch (Misra-Gries family) is EXACT
+    * while distinct items <= capacity — 4096 covers l_suppkey's 10/100/
+    * 1000 domain at every SF, and the `count >= 640` threshold replaces
+    * engine-internal top-k tie-breaking with a well-defined set, so the
+    * DuckDB GROUP BY/HAVING twin matches hash-exactly. At 100 TB
+    * cardinality the same plan degrades gracefully to approximate counts
+    * (that is the sketch's job); the threshold form then needs the usual
+    * epsilon slack, as q99's CMS docs spell out. */
+  val q122: QueryFn = (s, d) => {
+    val li = tbl(s, d, "lineitem")
+    li.withColumn("__shard", pmod(col("l_orderkey"), lit(8L)))
+      .groupBy(col("__shard"))
+      .agg(expr("approx_top_k_accumulate(l_suppkey, 4096)").as("sk"))
+      .agg(expr("approx_top_k_combine(sk, 4096)").as("sk"))
+      .select(explode(expr("approx_top_k_estimate(sk, 4096)")).as("e"))
+      .select(col("e.item").as("l_suppkey"), col("e.count").as("n_items"))
+      .filter(col("n_items") >= 640L)
+  }
+
+  val q122Sql: String =
+    """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) >= 640""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3456,6 +3487,7 @@ object Queries {
     ("q118_mixture_sample", q118, Some(q118Sql)),
     ("q119_zorder_layout_skipping", q119, Some(q119Sql)),
     ("q120_compaction_roundtrip", q120, Some(q120Sql)),
-    ("q121_chunk_documents", q121, Some(q121Sql))
+    ("q121_chunk_documents", q121, Some(q121Sql)),
+    ("q122_heavy_hitters", q122, Some(q122Sql))
   )
 }

@@ -190,6 +190,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q105: the union-merge must stay one key-only shuffle:\n$p")
   }
 
+  test("q117: bloom prefilter sits on the fact scan; the semi join never shuffles the fact side") {
+    // The operator's whole value is WHERE the filter runs: non-matching
+    // fact rows must die in the scan stage, and the exact semi join must
+    // be broadcast — a fact-side exchange would re-pay everything the
+    // bloom saved. Exactly two exchanges are allowed: the dimension's
+    // distinct and the final aggregation.
+    val p = plan("q117_bloom_prejoin")
+    assert(p.contains("might_contain"), s"bloom probe missing from the plan:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"exact pass must be a broadcast semi join:\n${p.take(2000)}")
+    val exchanges = "(?m)^\\s*[+:]- Exchange ".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected 2 exchanges (dim distinct + final agg), got $exchanges:\n${p.take(2000)}")
+  }
+
   test("catalog-wide: no cartesian products; nested-loop joins only where the cross is intended") {
     // At 100 TB an accidental CartesianProduct (or an equi-join that lost
     // its key and fell back to BroadcastNestedLoopJoin) is a job-killer.
