@@ -465,6 +465,50 @@ object Dedup {
     df.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** [[fuzzyDedup]] with QUALITY-PRIORITY representative selection: keep
+    * per near-dup cluster the row MAXIMIZING `scoreCol` (ties → smallest
+    * id) instead of the arbitrary min-id exemplar. This is the curation
+    * semantics when docs carry a quality signal (length, model score,
+    * source rank): dropping the long original because a truncated mirror
+    * happened to get a smaller id loses real training data.
+    *
+    * Scale shape: everything beyond [[fuzzyDedup]]'s pair→CC machinery
+    * operates on the CLUSTERED SUBSET only (one row per node appearing in
+    * a pair — a tiny fraction of the corpus). Representative selection is
+    * two hash aggregations + equi-joins, never a sort window: max(score)
+    * per label, then min(id) among the rows AT that max — deterministic
+    * for duplicate scores and any orderable id type, and immune to the
+    * giant-cluster sort skew a row_number window would inherit. Null
+    * scores sort below every real score (−∞ coalesce), so an all-null
+    * cluster still keeps exactly one row (its min id) rather than
+    * silently keeping all. */
+  def fuzzyDedupKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, shingleK, numHashes, bands, maxBucket)
+    val clusters = connectedComponents(pairs, "id_a", "id_b")
+    val scored = clusters.join(
+      df.select(col(idCol).as("node"),
+        coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity)).as("__score")),
+      Seq("node"))
+    // no arithmetic touches __score between the two aggs, so the equi-join
+    // on the double is exact (same bits in, same bits matched)
+    val bestScore = scored.groupBy(col("label")).agg(max(col("__score")).as("__score"))
+    val keepIds = scored.join(bestScore, Seq("label", "__score"))
+      .groupBy(col("label")).agg(min(col("node")).as("__keep"))
+    val drops = scored.join(keepIds, Seq("label"))
+      .filter(col("node") =!= col("__keep"))
+      .select(col("node").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-band random-hyperplane
     * LSH (classic AND-OR amplification): a pair is a candidate if it agrees
     * on ALL planes of ANY band; candidates are then verified with exact

@@ -3362,6 +3362,35 @@ object Queries {
     """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) >= 640""".stripMargin
 
+  /** Fuzzy dedup with QUALITY-PRIORITY representative selection
+    * ([[Dedup.fuzzyDedupKeepBest]]): same MinHash-LSH pairs → connected
+    * components as q88, but each cluster keeps its LONGEST document
+    * (n_chars, ties → min doc_id) instead of the arbitrary min-id
+    * exemplar — the semantics a curation pipeline wants when duplicates
+    * differ in quality (a truncated mirror must not evict the original).
+    * The oracle mirrors the selection with a row_number window over the
+    * recursive-CTE cluster labels; the Spark side never sorts — two hash
+    * aggs on the clustered subset pick max(score) then min(id) at it. */
+  val q123: QueryFn = (s, d) =>
+    Dedup.fuzzyDedupKeepBest(tbl(s, d, "documents"), "doc_id", "text", "n_chars",
+        shingleK = 3, numHashes = 8, bands = 4)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  val q123Sql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT a AS node, a AS root FROM edges
+       |  UNION SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node, MIN(root) AS cluster FROM reach GROUP BY node),
+       |ranked AS (SELECT l.node,
+       |  row_number() OVER (PARTITION BY l.cluster
+       |    ORDER BY COALESCE(CAST(dd.n_chars AS DOUBLE), CAST('-infinity' AS DOUBLE)) DESC,
+       |             l.node ASC) AS rn
+       |  FROM labels l JOIN documents dd ON dd.doc_id = l.node)
+       |SELECT doc_id, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3488,6 +3517,7 @@ object Queries {
     ("q119_zorder_layout_skipping", q119, Some(q119Sql)),
     ("q120_compaction_roundtrip", q120, Some(q120Sql)),
     ("q121_chunk_documents", q121, Some(q121Sql)),
-    ("q122_heavy_hitters", q122, Some(q122Sql))
+    ("q122_heavy_hitters", q122, Some(q122Sql)),
+    ("q123_fuzzy_dedup_keep_best", q123, Some(q123Sql))
   )
 }

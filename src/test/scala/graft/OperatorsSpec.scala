@@ -601,6 +601,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!kept.contains(1L), "near-dup of 0 removed")
   }
 
+  test("fuzzyDedupKeepBest keeps the max-score doc per cluster, ties -> min id, null scores lose") {
+    // same near-dup chain {0,1,2} as the fuzzyDedup case, plus a second
+    // cluster {10,11} tied on score and a third {20,21} with all-null scores
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight", Some(10.0)),
+      (1L, "the quick brown fox jumps over the lazy dog today", Some(99.0)),
+      (2L, "the quick brown fox jumps over the lazy cat today", Some(50.0)),
+      (3L, "completely different content about spark engines and shuffles", None),
+      (10L, "pack my box with five dozen brown liquor jugs right now", Some(7.0)),
+      (11L, "pack my box with five dozen brown liquor jugs right here", Some(7.0)),
+      (20L, "sphinx of black quartz judge my vow for the evening run", None),
+      (21L, "sphinx of black quartz judge my vow for the evening jog", None)
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup.fuzzyDedupKeepBest(docs, "doc_id", "text", "score", 3, 8, 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(1L) && !kept.contains(0L) && !kept.contains(2L),
+      s"highest score wins its cluster, min id does NOT: $kept")
+    assert(kept.contains(10L) && !kept.contains(11L), s"score tie -> min id: $kept")
+    assert(kept.contains(20L) && !kept.contains(21L),
+      s"all-null cluster still keeps exactly its min id: $kept")
+    assert(kept.contains(3L), s"singleton untouched (null score irrelevant): $kept")
+  }
+
   test("stratified hash sampling: deterministic, fraction-faithful, strata-scoped") {
     import graft.operators.Curation
     val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")

@@ -205,6 +205,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected 2 exchanges (dim distinct + final agg), got $exchanges:\n${p.take(2000)}")
   }
 
+  test("q122: sketch aggregation combines map-side; exchanges carry sketches, never rows") {
+    // The shard->merge shape is the whole point: ObjectHashAggregate must
+    // run PARTIAL below each Exchange (per-task sketches reduce before
+    // shuffling), so the two exchanges move 8 shard sketches and then 1
+    // combined sketch — at 100 TB the only data-proportional work is the
+    // accumulate scan. A plan where rows reach an Exchange un-sketched
+    // (no partial agg between scan and shuffle) re-pays the full corpus.
+    val p = plan("q122_heavy_hitters")
+    val exchanges = "(?m)^\\s*[+:]- Exchange ".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 sketch-row exchanges, got $exchanges:\n${p.take(2000)}")
+    // below the LAST (innermost, pre-shard) exchange: partial sketch agg,
+    // then the scan — i.e. rows are sketched before they ever shuffle
+    val belowLast = p.substring(p.lastIndexOf("Exchange "))
+    val (oha, scan) = (belowLast.indexOf("ObjectHashAggregate"), belowLast.indexOf("Scan parquet"))
+    assert(oha >= 0 && scan >= 0 && oha < scan,
+      s"partial sketch aggregation must sit between the scan and the first exchange:\n${p.take(2000)}")
+  }
+
   test("catalog-wide: no cartesian products; nested-loop joins only where the cross is intended") {
     // At 100 TB an accidental CartesianProduct (or an equi-join that lost
     // its key and fell back to BroadcastNestedLoopJoin) is a job-killer.
