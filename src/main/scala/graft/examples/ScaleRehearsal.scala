@@ -133,6 +133,7 @@ object ScaleRehearsal {
       CatalogQueries.map(n => n -> graft.SparkEntry.queries(n)) ++ Seq(
         "semantic_dedup_scaled" -> semanticAtScale(cents, k = 8, vidStride),
         "novel_against_scaled" -> novelAtScale(docStride),
+        "incremental_fuzzy_scaled" -> incrementalFuzzyAtScale(docStride),
         "ewm_mean_by_scaled" -> ewmAtScale,
         "ewm_mega_key_scaled" -> ewmMegaAtScale,
         "ewm_segmented_mega_scaled" -> ewmSegMegaAtScale,
@@ -225,6 +226,23 @@ object ScaleRehearsal {
       val seen = docs.filter(baseId < 300)
         .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       Curation.novelAgainst(docs.filter(baseId >= 250), seen, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }
+
+  /** q124's incremental NEAR-dup filter with BOTH sides scaling (round
+    * 13): per-copy store = LSH band digests of ids < 300 within each copy
+    * (a rolling ingestion's digest store grows with history), batch = ids
+    * >= 250 within each copy. Copy tokens are `_i`-suffixed, so store
+    * hits and in-batch pairs stay within-copy — workload scales by
+    * exactly M. Expected ~linear: one shingle explode per side, one
+    * (band, digest) semi join, CC on the per-copy-sized pair graph. */
+  private def incrementalFuzzyAtScale(docStride: Long): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val baseId = pmod(col("doc_id"), lit(docStride))
+      val seen = Dedup.lshBuckets(docs.filter(baseId < 300), "doc_id", "text", 3, 8, 4)
+        .select(col("band"), col("digest"))
+      Curation.novelAgainstFuzzy(docs.filter(baseId >= 250), seen, "doc_id", "text", 3, 8, 4)
         .select(col("doc_id"), col("lang"), col("source"))
     }
 

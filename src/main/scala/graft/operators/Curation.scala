@@ -244,4 +244,54 @@ object Curation {
       .join(seenFingerprints.select(col(fpCol).as("__fp")).distinct(),
         Seq("__fp"), "left_anti")
       .drop("__fp")
+
+  /** Cross-batch (incremental) NEAR-dup novelty filter — [[novelAgainst]]
+    * for fuzzy duplicates: drop every `batch` row whose MinHash LSH band
+    * digest ([[Dedup.lshBuckets]]) collides with ANY digest in
+    * `seenDigests` (the `(band, digest)` store written by previous
+    * increments), then fuzzy-dedup the survivors WITHIN the batch (LSH
+    * pairs → connected components, min id per cluster — [[Dedup
+    * .fuzzyDedup]] semantics). Returns the novel exemplars; append their
+    * [[Dedup.lshBuckets]] rows to the store for the next increment.
+    *
+    * The store-hit decision is the PURE LSH band-collision predicate (a
+    * doc is "seen" iff it agrees with some stored doc on all rows of some
+    * band) — deterministic, and exactly the candidate test full fuzzy
+    * dedup would apply against the prior corpus, with the prior corpus
+    * compressed to bands·1 digests per doc instead of its text.
+    *
+    * Scale shape: the batch's shingle explode runs ONCE (the bucket frame
+    * is persisted and feeds both the store probe and the in-batch pair
+    * join — release via [[graft.util.CacheScope.withPersisted]] like the
+    * other dedup frames); the store is probed with one left-semi
+    * equi-join on (band, digest) and never collected, and the CC loop
+    * runs on the fresh subset's pair graph only. */
+  def novelAgainstFuzzy(
+      batch: DataFrame,
+      seenDigests: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val bk = Dedup.lshBuckets(batch, idCol, textCol, shingleK, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = bk
+      .join(seenDigests.select(col("band"), col("digest")).distinct(),
+        Seq("band", "digest"), "left_semi")
+      .select(col(idCol)).distinct()
+    // bucket frame restricted to fresh docs — the width cap inside the
+    // pair join then counts FRESH members only, same as rebuilding the
+    // buckets from the filtered batch (signatures are per-doc) but
+    // without re-paying the shingle explode
+    val freshBk = bk.join(hits, Seq(idCol), "left_anti")
+    val pairs = Dedup.lshPairsFromBuckets(freshBk, idCol, maxBucket)
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val dups = clusters.filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    batch.join(hits, Seq(idCol), "left_anti")
+      .join(dups, Seq(idCol), "left_anti")
+  }
 }

@@ -148,8 +148,21 @@ object Dedup {
       maxBucket: Int = 10000
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    lshPairsFromBuckets(lshBuckets(df, idCol, textCol, shingleK, numHashes, bands),
+      idCol, maxBucket)
+  }
+
+  /** The capped self-join stage of [[minHashLshPairs]], over an
+    * already-built [[lshBuckets]] frame — exposed so callers that ALREADY
+    * paid the shingle explode (e.g. a batch probed against a digest store
+    * first, [[graft.operators.Curation.novelAgainstFuzzy]]) can pair the
+    * surviving subset without recomputing signatures. */
+  def lshPairsFromBuckets(
+      buckets: DataFrame,
+      idCol: String,
+      maxBucket: Int = 10000
+  ): DataFrame = {
     require(maxBucket > 1, "maxBucket must allow at least a pair")
-    val buckets = lshBuckets(df, idCol, textCol, shingleK, numHashes, bands)
     // bounded width: ONE shuffle on the (band, digest) keys the pair join
     // needs anyway — a window count per bucket, then filter (an agg+join
     // formulation costs a second shuffle per consumer). The capped frame

@@ -564,7 +564,10 @@ object Queries {
 
   /** Shared CTE chain ending in `pairs` (MinHash LSH candidate pairs) —
     * used by both the pair query (q24) and near-dup removal (q63). */
-  private val minhashPairsCtes: String = {
+  /** CTE chain through the per-doc LSH band digests (shared by the pair
+    * CTE below and q124's store/batch split, which needs bands WITHOUT the
+    * all-docs pair join). */
+  private val minhashBandsCtes: String = {
     val mhs = (0 until 8).map(i => s"min(md5('$i|'||shingle)) AS mh$i").mkString(", ")
     val bandCases = (0 until 4)
       .map(b => s"WHEN ${b} THEN md5(mh${2 * b}||'|'||mh${2 * b + 1})")
@@ -572,11 +575,14 @@ object Queries {
     s"""$shingleCte,
        |sig AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
        |bands AS (SELECT doc_id, b.band, CASE b.band $bandCases END AS digest
-       |  FROM sig, (VALUES (0),(1),(2),(3)) b(band)),
+       |  FROM sig, (VALUES (0),(1),(2),(3)) b(band))""".stripMargin
+  }
+
+  private val minhashPairsCtes: String =
+    s"""$minhashBandsCtes,
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.digest = b.digest
        |   AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   val q24Sql: String = s"WITH $minhashPairsCtes\nSELECT id_a, id_b FROM pairs"
 
@@ -3391,6 +3397,45 @@ object Queries {
        |SELECT doc_id, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)""".stripMargin
 
+  /** Cross-batch NEAR-dup novelty filter ([[Curation.novelAgainstFuzzy]],
+    * the fuzzy twin of q95's exact one): docs < 300 are the prior corpus,
+    * compressed to its LSH `(band, digest)` store; the >= 250 batch (the
+    * 250-299 overlap proves the store-hit path) drops every row colliding
+    * with a stored band digest, then fuzzy-dedups the survivors in-batch
+    * (pairs → CC → keep cluster-min). The oracle builds the same band
+    * digests for both sides from the shared CTE chain and restricts the
+    * recursive-CC pair graph to the fresh subset. */
+  val q124: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val seen = Dedup.lshBuckets(docs.filter(col("doc_id") < 300), "doc_id", "text",
+        shingleK = 3, numHashes = 8, bands = 4)
+      .select(col("band"), col("digest"))
+    Curation.novelAgainstFuzzy(docs.filter(col("doc_id") >= 250), seen, "doc_id", "text",
+        shingleK = 3, numHashes = 8, bands = 4)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val q124Sql: String =
+    s"""WITH RECURSIVE $minhashBandsCtes,
+       |store AS (SELECT DISTINCT band, digest FROM bands WHERE doc_id < 300),
+       |batchb AS (SELECT doc_id, band, digest FROM bands WHERE doc_id >= 250),
+       |hit AS (SELECT DISTINCT b.doc_id FROM batchb b
+       |  JOIN store s ON s.band = b.band AND s.digest = b.digest),
+       |freshp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM batchb a JOIN batchb b
+       |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id NOT IN (SELECT doc_id FROM hit)
+       |    AND b.doc_id NOT IN (SELECT doc_id FROM hit)),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM freshp
+       |  UNION SELECT id_b, id_a FROM freshp),
+       |reach AS (SELECT a AS node, a AS root FROM edges
+       |  UNION SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+       |labels AS (SELECT node, MIN(root) AS cluster FROM reach GROUP BY node)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id >= 250
+       |  AND doc_id NOT IN (SELECT doc_id FROM hit)
+       |  AND doc_id NOT IN (SELECT node FROM labels WHERE cluster <> node)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3518,6 +3563,7 @@ object Queries {
     ("q120_compaction_roundtrip", q120, Some(q120Sql)),
     ("q121_chunk_documents", q121, Some(q121Sql)),
     ("q122_heavy_hitters", q122, Some(q122Sql)),
-    ("q123_fuzzy_dedup_keep_best", q123, Some(q123Sql))
+    ("q123_fuzzy_dedup_keep_best", q123, Some(q123Sql)),
+    ("q124_incremental_fuzzy_dedup", q124, Some(q124Sql))
   )
 }

@@ -56,6 +56,8 @@ object BuiltinTransformations {
     "clean_text" -> cleanText,
     "decontaminate" -> decontaminate(io),
     "incremental_dedup" -> incrementalDedup(io),
+    "incremental_fuzzy_dedup" -> incrementalFuzzyDedup(io),
+    "fuzzy_dedup_keep_best" -> fuzzyDedupKeepBest,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
@@ -94,6 +96,21 @@ object BuiltinTransformations {
       numHashes = intKw("fuzzy_dedup", kw, "num_hashes", 8),
       bands = intKw("fuzzy_dedup", kw, "bands", 4),
       maxBucket = intKw("fuzzy_dedup", kw, "max_bucket", 10000))
+
+  /** `fuzzy_dedup_keep_best(id_col, text_col, score_col, shingle_k=3,
+    * num_hashes=8, bands=4, max_bucket=10000)` — fuzzy dedup keeping each
+    * cluster's MAX-`score_col` row, ties to smallest id
+    * ([[Dedup.fuzzyDedupKeepBest]]). */
+  private def fuzzyDedupKeepBest: CustomFn = (df, kw) =>
+    Dedup.fuzzyDedupKeepBest(
+      df,
+      reqStr("fuzzy_dedup_keep_best", kw, "id_col"),
+      reqStr("fuzzy_dedup_keep_best", kw, "text_col"),
+      reqStr("fuzzy_dedup_keep_best", kw, "score_col"),
+      shingleK = intKw("fuzzy_dedup_keep_best", kw, "shingle_k", 3),
+      numHashes = intKw("fuzzy_dedup_keep_best", kw, "num_hashes", 8),
+      bands = intKw("fuzzy_dedup_keep_best", kw, "bands", 4),
+      maxBucket = intKw("fuzzy_dedup_keep_best", kw, "max_bucket", 10000))
 
   /** `minhash_near_dup(id_col, text_col, shingle_k=3, num_hashes=8,
     * bands=4, max_bucket=10000)` — the simpler pair-drop apply step (every
@@ -201,6 +218,27 @@ object BuiltinTransformations {
       reqStr("incremental_dedup", kw, "id_col"),
       reqStr("incremental_dedup", kw, "text_col"),
       fpCol = strKw("incremental_dedup", kw, "fp_col", "fingerprint"))
+  }
+
+  /** `incremental_fuzzy_dedup(id_col, text_col, seen_path,
+    * seen_file_type=parquet, shingle_k=3, num_hashes=8, bands=4,
+    * max_bucket=10000)` — the NEAR-dup twin of `incremental_dedup`: drop
+    * rows whose LSH band digest collides with the `(band, digest)` store
+    * at `seen_path`, then fuzzy-dedup the survivors in-batch
+    * ([[Curation.novelAgainstFuzzy]]). */
+  private def incrementalFuzzyDedup(io: GraftIO): CustomFn = (df, kw) => {
+    val seen = io.read(df.sparkSession,
+      reqStr("incremental_fuzzy_dedup", kw, "seen_path"),
+      strKw("incremental_fuzzy_dedup", kw, "seen_file_type", "parquet"))
+    Curation.novelAgainstFuzzy(
+      df,
+      seen,
+      reqStr("incremental_fuzzy_dedup", kw, "id_col"),
+      reqStr("incremental_fuzzy_dedup", kw, "text_col"),
+      shingleK = intKw("incremental_fuzzy_dedup", kw, "shingle_k", 3),
+      numHashes = intKw("incremental_fuzzy_dedup", kw, "num_hashes", 8),
+      bands = intKw("incremental_fuzzy_dedup", kw, "bands", 4),
+      maxBucket = intKw("incremental_fuzzy_dedup", kw, "max_bucket", 10000))
   }
 
   /** `pack_sequences(id_col, token_col, partition_col, budget)` —

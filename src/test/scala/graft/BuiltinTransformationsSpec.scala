@@ -341,6 +341,28 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("incremental_fuzzy_dedup probes the LSH digest store through the IO seam (FakeIO)") {
+    // store holds the band digests of a prior doc; the batch's near-dup of
+    // it collides on a band and drops, the in-batch near-dup pair keeps
+    // its min id, the fresh singleton survives untouched
+    val io = new graft.io.FakeIO()
+    val prior = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    io.frames.put("/state/lsh_bands.parquet",
+      graft.operators.Dedup.lshBuckets(prior, "doc_id", "text", 3, 8, 4)
+        .select($"band", $"digest"))
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // store hit
+      (2L, "pack my box with five dozen brown liquor jugs right now"),
+      (3L, "pack my box with five dozen brown liquor jugs right here"), // in-batch dup of 2
+      (4L, "genuinely new content never seen before")
+    ).toDF("doc_id", "text")
+    val out = graft.service.BuiltinTransformations.registryWith(io)("incremental_fuzzy_dedup")(
+      batch, Map("id_col" -> "doc_id", "text_col" -> "text",
+        "seen_path" -> "/state/lsh_bands.parquet"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
   test("decontaminate reads the eval corpus through the IO seam (FakeIO, no filesystem)") {
     // the eval corpus is a SECOND pipeline input and must honor the same
     // ports-and-adapters seam as the primary source: a hermetic test

@@ -624,6 +624,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.contains(3L), s"singleton untouched (null score irrelevant): $kept")
   }
 
+  test("novelAgainstFuzzy drops store collisions, then fuzzy-dedups the survivors in-batch") {
+    import graft.operators.Curation
+    val prior = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),    // exact copy of stored 100
+      (2L, "pack my box with five dozen brown liquor jugs right now"), // fresh near-dup pair...
+      (3L, "pack my box with five dozen brown liquor jugs right here"),
+      (4L, "completely different content about spark engines and shuffles") // fresh singleton
+    ).toDF("doc_id", "text")
+    val seen = Dedup.lshBuckets(prior, "doc_id", "text", 3, 8, 4)
+      .select($"band", $"digest")
+    val kept = Curation.novelAgainstFuzzy(batch, seen, "doc_id", "text", 3, 8, 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L),
+      s"store hit (1) and in-batch dup (3, min-id 2 wins) must drop: $kept")
+  }
+
   test("stratified hash sampling: deterministic, fraction-faithful, strata-scoped") {
     import graft.operators.Curation
     val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")

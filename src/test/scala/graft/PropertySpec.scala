@@ -352,7 +352,8 @@ class PropertySpec extends AnyFunSuite {
     * not a coercion bug); numeric kwargs draw values that satisfy operator
     * invariants (bands | num_hashes, budget > 0) so the only failure the
     * wrong-slot can trigger is the typed-coercion one. */
-  private def builtinKwSpecs(evalPath: String, seenPath: String): Map[String, Seq[KwSpec]] = {
+  private def builtinKwSpecs(evalPath: String, seenPath: String,
+      seenBandsPath: String): Map[String, Seq[KwSpec]] = {
     def req(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, true, valid, wrong)
     def opt(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, false, valid, wrong)
     val idCol = req("id_col", Gen.const("doc_id"), wrongForStr)
@@ -385,6 +386,13 @@ class PropertySpec extends AnyFunSuite {
         req("seen_path", Gen.const(seenPath), wrongForStr),
         opt("fp_col", Gen.const("fingerprint"), wrongForStr),
         opt("seen_file_type", Gen.const("parquet"), wrongForStr)),
+      "incremental_fuzzy_dedup" -> (Seq(idCol, textCol,
+        req("seen_path", Gen.const(seenBandsPath), wrongForStr),
+        opt("seen_file_type", Gen.const("parquet"), wrongForStr),
+        shingleK) ++ hashesBands),
+      "fuzzy_dedup_keep_best" -> (Seq(idCol, textCol,
+        req("score_col", Gen.const("n_tok"), wrongForStr),
+        shingleK) ++ hashesBands),
       "pack_sequences" -> Seq(idCol,
         req("token_col", Gen.const("n_tok"), wrongForStr),
         req("partition_col", Gen.const("lang"), wrongForStr),
@@ -473,7 +481,10 @@ class PropertySpec extends AnyFunSuite {
     val seenDir = propDir.resolve("seen.parquet").toString
     Seq("d41d8cd98f00b204e9800998ecf8427e") // md5 shape; store may be empty-of-matches
       .toDF("fingerprint").write.mode("overwrite").parquet(seenDir)
-    val specs = builtinKwSpecs(evalDir, seenDir)
+    val seenBandsDir = propDir.resolve("seen_bands.parquet").toString
+    Seq((0, "d41d8cd98f00b204e9800998ecf8427e")) // (band, digest) LSH store shape
+      .toDF("band", "digest").write.mode("overwrite").parquet(seenBandsDir)
+    val specs = builtinKwSpecs(evalDir, seenDir, seenBandsDir)
     assert(specs.keySet == BuiltinTransformations.registry.keySet,
       "kwarg spec table must cover the registry exactly — update on add/remove")
 
