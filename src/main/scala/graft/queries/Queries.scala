@@ -3436,6 +3436,39 @@ object Queries {
        |  AND doc_id NOT IN (SELECT doc_id FROM hit)
        |  AND doc_id NOT IN (SELECT node FROM labels WHERE cluster <> node)""".stripMargin
 
+  /** Watermark-bounded streaming CONTENT dedup
+    * ([[graft.streaming.Streaming.dedupStream]], the ingest-time thinning
+    * pass in front of q95's batch novelty filter): documents streamed with
+    * a synthetic doc_id-derived event time, one survivor per normalized
+    * fingerprint, state bounded by the watermark instead of growing with
+    * history (q61's `dropDuplicates` twin is the unbounded-state form, on
+    * an id key). The oracle projects the survivor's FINGERPRINT, not its
+    * id: within a micro-batch the surviving row is partition-arbitrary
+    * (the operator's documented contract), but every survivor of a twin
+    * group carries the identical normalized digest, so the fingerprint SET
+    * is deterministic and DISTINCT-comparable. */
+  val q125: QueryFn = (s, d) => {
+    val schema = rawSchema(s, d, "documents")
+    // the synthetic clock starts a day AFTER epoch: the initial watermark
+    // is epoch 0, and a doc_id-0 event time of exactly 0 would be judged
+    // late and silently dropped (found by the sf0.01 oracle diff)
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+    val out = graft.streaming.Streaming.dedupStream(src, "text", "ts", "10 minutes")
+      .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val name = "q125_stream_content_dedup_sink"
+    s.catalog.dropTempView(name)
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name)
+  }
+
+  val q125Sql: String =
+    """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3564,6 +3597,7 @@ object Queries {
     ("q121_chunk_documents", q121, Some(q121Sql)),
     ("q122_heavy_hitters", q122, Some(q122Sql)),
     ("q123_fuzzy_dedup_keep_best", q123, Some(q123Sql)),
-    ("q124_incremental_fuzzy_dedup", q124, Some(q124Sql))
+    ("q124_incremental_fuzzy_dedup", q124, Some(q124Sql)),
+    ("q125_stream_content_dedup", q125, Some(q125Sql))
   )
 }

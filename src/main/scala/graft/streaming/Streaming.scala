@@ -55,6 +55,39 @@ object Streaming {
       n_events: Long,
       total_value: Double)
 
+  /** Streaming exact dedup at ingest — the streaming twin of
+    * [[graft.operators.Dedup.exact]]: keep ONE row per normalized content
+    * fingerprint ([[graft.operators.TextAnalysis.fingerprint]], md5 over
+    * ws-collapsed lowercase), drop every later copy whose event time lands
+    * within the watermark of the survivor. Survivor identity is weaker
+    * than the batch operator's min-id contract: across micro-batches the
+    * EARLIEST batch's row wins (state carries forward), but within one
+    * micro-batch the surviving row is partition-arbitrary — that is
+    * `dropDuplicatesWithinWatermark`'s contract, and pinning min-id would
+    * cost a per-batch shuffle+sort for a property ingest thinning doesn't
+    * need (measured here: a same-batch ws/case twin can out-survive the
+    * smaller id).
+    *
+    * State is the crux at scale: a naive `dropDuplicates` on an unbounded
+    * stream keeps every fingerprint ever seen and the state store grows
+    * with all of history. `dropDuplicatesWithinWatermark` bounds state to
+    * the watermark window — the right contract for crawl ingest, where
+    * re-fetches cluster in time; TRUE cross-history novelty belongs to the
+    * periodic batch pass against the persisted store
+    * ([[graft.operators.Curation.novelAgainst]]), with this operator
+    * thinning the stream in front of it. Output keeps the input schema
+    * (the probe fingerprint column is internal). */
+  def dedupStream(
+      df: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    df.withColumn("__fp", graft.operators.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stateful gap-based sessionization: a session closes once a later event
     * arrives past `gapMs` of user inactivity. With
     * `idleTimeout = true`, idle sessions additionally flush via

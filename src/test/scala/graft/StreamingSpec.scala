@@ -35,6 +35,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival per fingerprint across batches, bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Streaming.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      // batch 1: docs 1/2 are normalized twins (ws/case) -> exactly ONE
+      // survives (which one is partition-arbitrary within a batch — the
+      // operator's documented contract)
+      input.addData(
+        (ts(0), 1L, "same exact text here"),
+        (ts(1), 2L, "  Same exact TEXT here "),
+        (ts(2), 3L, "different content entirely"))
+      q.processAllAvailable()
+      // batch 2: doc 4 repeats the content within the watermark -> dropped
+      // DETERMINISTICALLY (cross-batch state: the earlier batch's row won)
+      input.addData((ts(5), 4L, "same exact text here"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(kept.length == 2 && (kept.head == 1L || kept.head == 2L) && kept(1) == 3L,
+        s"one survivor of the twin pair + the distinct doc, never doc 4: $kept")
+      // schema passes through unchanged — the probe column is internal
+      assert(out.columns.toSeq == Seq("ts", "doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap and carries state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
