@@ -164,10 +164,11 @@ object Similarity {
   def kmeansUpdate(
       corpus: DataFrame,
       vecCol: String,
-      centroids: Seq[(Int, Seq[Double])]
+      centroids: Seq[(Int, Seq[Double])],
+      assign: (Column, Seq[(Int, Seq[Double])]) => Column = ivfCell
   ): Seq[(Int, Seq[Double])] = {
     val updated = corpus
-      .withColumn("cell", ivfCell(col(vecCol), centroids))
+      .withColumn("cell", assign(col(vecCol), centroids))
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
       .agg((graft.sparkext.DoubleToScaled.exactSum(col("x"), 6) / count(lit(1))).as("m"))
@@ -234,5 +235,125 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rk"))
+  }
+
+  // ------------------------------------------------------ product quantization
+
+  /** Squared L2 between a vector column and a literal centroid — the PQ
+    * sub-quantizer metric (PQ compresses GEOMETRY; cosine stays the
+    * SEARCH metric, recovered at query time from the reconstruction). */
+  private def sqDistLit(vec: Column, cvec: Seq[Double]): Column =
+    aggregate(zip_with(vec, array(cvec.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid assignment by squared L2 (the PQ twin of the
+    * cosine-metric [[ivfCell]]) — same literal-projection shape: one
+    * distances array, first index of the min (earliest centroid on ties,
+    * deterministic). */
+  def l2Cell(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val dists = array(centroids.map { case (_, cvec) => sqDistLit(vec, cvec) }: _*)
+    val cids = array(centroids.map(c => lit(c._1)): _*)
+    element_at(cids, array_position(dists, array_min(dists)).cast("int"))
+  }
+
+  /** Train a product-quantization codebook (Jégou/Douze/Schmid 2011, "PQ
+    * for nearest neighbor search"): the `dim`-vector is cut into `m`
+    * contiguous subspaces of dim/m, and each subspace gets its own
+    * `ksub`-centroid L2 k-means fit — seeded from the ksub lowest-id
+    * rows' sub-vectors, refined with `iters` Lloyd rounds through the
+    * same exact-decimal-mean [[kmeansUpdate]] the IVF quantizer uses
+    * (deterministic on any partitioning). Returns, per subspace, the
+    * ordered centroid list; code `c` of subspace `s` decodes to
+    * `codebook(s)(c)`. Sub-quantizers can shrink below ksub if a Lloyd
+    * round empties a cell (standard collapse — codes stay dense because
+    * the list is re-indexed).
+    *
+    * Driver memory is the m x ksub x (dim/m) = ksub x dim codebook —
+    * same bound as an IVF centroid matrix; all per-row work stays on
+    * executors. */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iters: Int
+  ): Seq[Seq[Seq[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as("__sv"))
+      var cents: Seq[(Int, Seq[Double])] = sub
+        .orderBy(col(idCol)).limit(ksub)
+        .select(col(idCol).cast("int"), col("__sv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+      require(cents.nonEmpty, s"pqTrain: no rows to seed subspace $s from")
+      (1 to iters).foreach(_ => cents = kmeansUpdate(sub, "__sv", cents, l2Cell))
+      cents.sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** Encode vectors to `m` sub-centroid codes (one int per subspace,
+    * `array<int>`): per subspace, argmin squared L2 over the literal
+    * codebook — pure per-row projection, no shuffle, no UDF. At 100 TB
+    * this is THE storage win: m small ints (bytes, once stored) stand in
+    * for dim floats — a 64-dim float corpus compresses ~32x at m=8, which
+    * is what lets the scan side of [[pqTopK]] live in memory. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      codebook: Seq[Seq[Seq[Double]]],
+      outCol: String = "pq_codes"
+  ): DataFrame = {
+    val subDim = codebook.head.head.size
+    val codes = array(codebook.zipWithIndex.map { case (cents, s) =>
+      val sv = slice(col(vecCol), s * subDim + 1, subDim)
+      val dists = array(cents.map(c => sqDistLit(sv, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    df.withColumn(outCol, codes)
+  }
+
+  /** PQ-ADC approximate cosine top-k: queries stay UNCOMPRESSED
+    * (asymmetric distance computation); each corpus row contributes only
+    * its codes, reconstructed per subspace via literal-codebook lookup.
+    * Approximate cosine = Σ_s q_s·c_s / (|q| · sqrt(Σ_s |c_s|²)) —
+    * cosine between the full query and the corpus row's RECONSTRUCTION,
+    * assembled without ever materializing it. Same broadcast-queries
+    * cross shape as [[bruteForceTopK]] (no corpus shuffle), but the scan
+    * side reads m ints per row instead of dim doubles; ranking key
+    * (round 6 DESC, id ASC) keeps the selected set deterministic.
+    * Recall is tuned by m/ksub; verify survivors with exact cosine on
+    * the full vectors when precision matters (the IVF-PQ re-rank step). */
+  def pqTopK(
+      corpusCodes: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      queryId: String,
+      queryVec: String,
+      codebook: Seq[Seq[Seq[Double]]],
+      k: Int,
+      codesCol: String = "pq_codes"
+  ): DataFrame = {
+    val subDim = codebook.head.head.size
+    val joined = corpusCodes.crossJoin(broadcast(queries))
+    val parts = codebook.zipWithIndex.map { case (cents, s) =>
+      val cvec = element_at(typedLit(cents), element_at(col(codesCol), s + 1) + 1)
+      val qs = slice(col(queryVec), s * subDim + 1, subDim)
+      (dot(qs, cvec), dot(cvec, cvec))
+    }
+    val adot = parts.map(_._1).reduce(_ + _)
+    val anorm2 = parts.map(_._2).reduce(_ + _)
+    val denom = norm(col(queryVec)) * sqrt(anorm2)
+    val sim = round(when(denom === 0.0, lit(0.0)).otherwise(adot / denom), 6)
+    val w = Window.partitionBy(col(queryId)).orderBy(sim.desc, col(corpusId).asc)
+    joined
+      .withColumn("pq_cosine", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId), col("pq_cosine"), col("rk"))
   }
 }

@@ -3469,6 +3469,48 @@ object Queries {
     """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** Product quantization ([[Similarity.pqTrain]]/[[Similarity.pqEncode]]/
+    * [[Similarity.pqTopK]]): train a 16-subspace x 32-code L2 codebook,
+    * compress the corpus to 16 ints/vector (~16x vs 64 doubles — the
+    * memory win that keeps a 100 TB scan RAM-resident), search via ADC
+    * (queries uncompressed), and compare against q27's exact top-10.
+    *
+    * Oracle contract (the q99-boolean pattern — assertions the DuckDB twin
+    * can state as literals): both searches return EXACTLY k rows per query
+    * (n_exact/n_pq), and recall@10 >= 2. The recall floor is an EMPIRICAL
+    * pin, not a guarantee: the whole train→encode→search path is
+    * deterministic (seeded k-means, exact-decimal means, round-6 + id
+    * tie-breaks), measured 3-8 of 10 across the three SFs on this fixture
+    * — near-random synthetic vectors are PQ's WORST case (no cluster
+    * structure to exploit; real embedding corpora sit far above this
+    * floor, and OperatorsSpec pins full recall on clustered data). A
+    * regenerated embeddings fixture that lands under the floor should
+    * re-measure and re-pin, not delete the check. */
+  val q126: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cb = Similarity.pqTrain(emb, "vec_id", "v", m = 16, ksub = 32, iters = 2)
+    val enc = Similarity.pqEncode(emb, "v", cb).select(col("vec_id"), col("pq_codes"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "qid", "v", "qv", k = 10)
+      .select(col("qid"), col("vec_id"))
+    val approx = Similarity.pqTopK(enc, queries, "vec_id", "qid", "qv", cb, k = 10)
+      .select(col("qid"), col("vec_id"))
+    val overlap = exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("recall"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy(col("qid")).agg(count(lit(1)).as("n_pq")), Seq("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"), col("n_pq"),
+        (coalesce(col("recall"), lit(0L)) >= 2L).as("recall_ok"))
+  }
+
+  val q126Sql: String =
+    """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_exact,
+      |  CAST(10 AS BIGINT) AS n_pq, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3598,6 +3640,7 @@ object Queries {
     ("q122_heavy_hitters", q122, Some(q122Sql)),
     ("q123_fuzzy_dedup_keep_best", q123, Some(q123Sql)),
     ("q124_incremental_fuzzy_dedup", q124, Some(q124Sql)),
-    ("q125_stream_content_dedup", q125, Some(q125Sql))
+    ("q125_stream_content_dedup", q125, Some(q125Sql)),
+    ("q126_pq_ann_recall", q126, Some(q126Sql))
   )
 }

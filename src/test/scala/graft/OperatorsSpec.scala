@@ -624,6 +624,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.contains(3L), s"singleton untouched (null score irrelevant): $kept")
   }
 
+  test("product quantization: codes in range, deterministic, perfect recall on clustered data") {
+    import graft.operators.Similarity
+    // 4 well-separated clusters in 8 dims (axis-aligned blobs): PQ with
+    // enough codes must reconstruct cluster membership exactly, so ADC
+    // top-k equals exact top-k. Offsets are small intra-cluster jitter.
+    val base = Map(0 -> 0, 1 -> 2, 2 -> 4, 3 -> 6)
+    val rows = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0.0)
+      v(base(c)) = 10.0
+      v(base(c) + 1) = 1.0 + (i / 4) * 0.01
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+    val cb = Similarity.pqTrain(emb, "vec_id", "v", m = 4, ksub = 8, iters = 2)
+    assert(cb.size == 4 && cb.forall(_.nonEmpty) && cb.forall(_.forall(_.size == 2)),
+      s"4 subspaces of 2 dims: ${cb.map(_.size)}")
+    // deterministic double invocation — same codebook bits
+    assert(cb == Similarity.pqTrain(emb, "vec_id", "v", m = 4, ksub = 8, iters = 2))
+    val enc = Similarity.pqEncode(emb, "v", cb)
+    val codes = enc.select("pq_codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.size == 4 && cs.forall(c => c >= 0 && c < 8)),
+      "every code indexes its sub-codebook")
+    val queries = emb.filter($"vec_id" < 4).select($"vec_id".as("qid"), $"v".as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "qid", "v", "qv", 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(
+        enc.select($"vec_id", $"pq_codes"), queries, "vec_id", "qid", "qv", cb, 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == exact,
+      s"clustered corpus: ADC must find the exact top-5\nexact=$exact\npq=$approx")
+  }
+
   test("novelAgainstFuzzy drops store collisions, then fuzzy-dedups the survivors in-batch") {
     import graft.operators.Curation
     val prior = Seq(
