@@ -399,4 +399,62 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col(queryId), col(corpusId), col("pq_cosine"), col("rk"))
   }
+
+  /** IVF-PQ with exact re-rank — the production ANN composite (FAISS's
+    * IVFADC layout, Jégou et al. 2011 §V): corpus rows live in coarse
+    * IVF cells carrying only their PQ codes; a query scans its `nProbe`
+    * nearest cells (never the corpus), ranks candidates by ADC cosine,
+    * keeps a `rerankDepth` shortlist, and re-scores ONLY the shortlist
+    * with exact cosine on the full vectors — the two-stage
+    * cheap-filter / exact-verify shape every scale component here uses
+    * (bloom→semi-join, LSH→exact Jaccard).
+    *
+    * Scale shape: the candidate join hash-partitions on the cell id (no
+    * cross join); the scan side of stage 1 reads m ints + a cell id per
+    * row; stage 2 touches full vectors for rerankDepth rows per query
+    * only. Recall knobs: nProbe (cells scanned) and rerankDepth
+    * (ADC-error tolerance); both stages keep the round-6 + id tie-break,
+    * so the result set is deterministic. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      queryId: String,
+      corpusVec: String,
+      queryVec: String,
+      k: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      codebook: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 1,
+      rerankDepth: Int = 100
+  ): DataFrame = {
+    require(rerankDepth >= k, s"rerankDepth=$rerankDepth must cover k=$k")
+    val subDim = codebook.head.head.size
+    val cb = pqEncode(corpus, corpusVec, codebook)
+      .withColumn("cell", ivfCell(col(corpusVec), centroids))
+    val qb =
+      if (nProbe == 1) queries.withColumn("cell", ivfCell(col(queryVec), centroids))
+      else queries.withColumn("cell", explode(ivfCells(col(queryVec), centroids, nProbe)))
+    val joined = cb.join(broadcast(qb), "cell")
+    val parts = codebook.zipWithIndex.map { case (cents, s) =>
+      val cvec = element_at(typedLit(cents), element_at(col("pq_codes"), s + 1) + 1)
+      val qs = slice(col(queryVec), s * subDim + 1, subDim)
+      (dot(qs, cvec), dot(cvec, cvec))
+    }
+    val adot = parts.map(_._1).reduce(_ + _)
+    val anorm2 = parts.map(_._2).reduce(_ + _)
+    val denom = norm(col(queryVec)) * sqrt(anorm2)
+    val adc = round(when(denom === 0.0, lit(0.0)).otherwise(adot / denom), 6)
+    val wAdc = Window.partitionBy(col(queryId)).orderBy(adc.desc, col(corpusId).asc)
+    val shortlist = joined
+      .withColumn("adc_rk", row_number().over(wAdc))
+      .filter(col("adc_rk") <= rerankDepth)
+    val sim = round(cosine(col(corpusVec), col(queryVec)), 6)
+    val wExact = Window.partitionBy(col(queryId)).orderBy(sim.desc, col(corpusId).asc)
+    shortlist
+      .withColumn("cosine", sim)
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rk"))
+  }
 }

@@ -3511,6 +3511,40 @@ object Queries {
       |  CAST(10 AS BIGINT) AS n_pq, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** IVF-PQ with exact re-rank ([[Similarity.ivfPqTopK]], the FAISS IVFADC
+    * composite): q31's coarse cells + q126's codes + an exact-cosine
+    * re-rank of the ADC top-100 shortlist. Same oracle-boolean contract as
+    * q126 with a HIGHER floor: the re-rank stage recovers everything ADC
+    * misranked inside the shortlist, so recall is bounded by cell pruning
+    * alone — measured 7-10 of 10 across the three SFs at nProbe=2
+    * (vs 2-8 for raw PQ), floor pinned at 5. Same determinism chain and
+    * re-measure-don't-delete fixture note as q126. */
+  val q127: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cents = Similarity.kmeansFit(emb, "vec_id", "v", k = 8, iters = 1)
+    val cb = Similarity.pqTrain(emb, "vec_id", "v", m = 16, ksub = 32, iters = 2)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "qid", "v", "qv", k = 10)
+      .select(col("qid"), col("vec_id"))
+    val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "qid", "v", "qv",
+        k = 10, cents, cb, nProbe = 2, rerankDepth = 100)
+      .select(col("qid"), col("vec_id"))
+    val overlap = exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("recall"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy(col("qid")).agg(count(lit(1)).as("n_ivfpq")), Seq("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"), col("n_ivfpq"),
+        (coalesce(col("recall"), lit(0L)) >= 5L).as("recall_ok"))
+  }
+
+  val q127Sql: String =
+    """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_exact,
+      |  CAST(10 AS BIGINT) AS n_ivfpq, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 5""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3641,6 +3675,7 @@ object Queries {
     ("q123_fuzzy_dedup_keep_best", q123, Some(q123Sql)),
     ("q124_incremental_fuzzy_dedup", q124, Some(q124Sql)),
     ("q125_stream_content_dedup", q125, Some(q125Sql)),
-    ("q126_pq_ann_recall", q126, Some(q126Sql))
+    ("q126_pq_ann_recall", q126, Some(q126Sql)),
+    ("q127_ivfpq_rerank_recall", q127, Some(q127Sql))
   )
 }

@@ -655,6 +655,18 @@ class OperatorsSpec extends AnyFunSuite {
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx == exact,
       s"clustered corpus: ADC must find the exact top-5\nexact=$exact\npq=$approx")
+    // the IVF-PQ composite on the same clusters: coarse cells align with
+    // the blobs, so even nProbe=1 + re-rank must reproduce the exact set
+    val cents = Similarity.kmeansFit(emb, "vec_id", "v", k = 4, iters = 1)
+    val composite = Similarity.ivfPqTopK(emb, queries, "vec_id", "qid", "v", "qv",
+        5, cents, cb, nProbe = 1, rerankDepth = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(composite == exact,
+      s"cell-aligned corpus: IVF-PQ + re-rank must find the exact top-5\nexact=$exact\nivfpq=$composite")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "qid", "v", "qv",
+        5, cents, cb, nProbe = 1, rerankDepth = 3) // depth < k must refuse
+    }
   }
 
   test("novelAgainstFuzzy drops store collisions, then fuzzy-dedups the survivors in-batch") {
