@@ -128,12 +128,17 @@ object ScaleRehearsal {
     val vidStride = baseEmb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val docStride = spark.read.parquet(s"$baseDir/documents.parquet")
       .agg(max(col("doc_id"))).head().getLong(0) + 1
+    lazy val pqCodebook =
+      Similarity.pqTrain(baseEmb, "vec_id", "v", m = 16, ksub = 32, iters = 2)
 
     val allRehearsals: Seq[(String, (SparkSession, String) => DataFrame)] =
       CatalogQueries.map(n => n -> graft.SparkEntry.queries(n)) ++ Seq(
         "semantic_dedup_scaled" -> semanticAtScale(cents, k = 8, vidStride),
         "novel_against_scaled" -> novelAtScale(docStride),
         "incremental_fuzzy_scaled" -> incrementalFuzzyAtScale(docStride),
+        // lazy: the 1x codebook fit (~5 s) only runs if this rehearsal is
+        // actually selected — targeted SCALE_ONLY runs of other rows skip it
+        "pq_search_scaled" -> { (s: SparkSession, d: String) => pqAtScale(pqCodebook)(s, d) },
         "ewm_mean_by_scaled" -> ewmAtScale,
         "ewm_mega_key_scaled" -> ewmMegaAtScale,
         "ewm_segmented_mega_scaled" -> ewmSegMegaAtScale,
@@ -214,6 +219,25 @@ object ScaleRehearsal {
       threshold = 0.45, maxCluster = 10000)
       .select(col("vec_id"), col("cell"))
   }
+
+  /** q126's PQ path at deployment shape (round 13): the codebook is
+    * trained ONCE on the 1x base corpus (passed in — a real system trains
+    * on a bounded sample and amortizes across queries), then the Mx
+    * corpus pays encode (per-row projection, no shuffle) + ADC search
+    * (broadcast queries over the code scan). Embedding copies keep the
+    * base vectors, so the quantizer stays exactly as representative at
+    * every multiplier; expected ~linear in M. */
+  private def pqAtScale(
+      codebook: Seq[Seq[Seq[Double]]]): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val enc = Similarity.pqEncode(emb, "v", codebook)
+        .select(col("vec_id"), col("pq_codes"))
+      Similarity.pqTopK(enc, queries, "vec_id", "qid", "qv", codebook, k = 10)
+    }
 
   /** Cross-batch novelty filter with both sides scaling: q95's overlapping
     * batch split applied per copy via the id stride (store = fingerprints
