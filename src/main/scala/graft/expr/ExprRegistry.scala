@@ -842,6 +842,35 @@ object ExprRegistry {
         })
     }),
 
+    // winsorize: clip to the column's own [lower, upper] quantiles — the
+    // outlier-capping twin of the literal-bounds clip stage (S15), qcut's
+    // AggThenRow shape with the same exact/approx method switch (exact
+    // percentile buffers value→count per partition — the 100 TB hazard;
+    // approx_percentile is the bounded-memory path). Nulls pass through
+    // (polars clip semantics) — an explicit when(), NOT greatest/least,
+    // which both engines define as null-SKIPPING and would resurrect a
+    // null row as the lower bound.
+    "winsorize" -> (kw => {
+      val lo = kw.get("lower").map(_.toString.toDouble).getOrElse(0.05)
+      val hi = kw.get("upper").map(_.toString.toDouble).getOrElse(0.95)
+      require(lo >= 0.0 && hi <= 1.0 && lo < hi,
+        s"'winsorize' needs 0 <= lower < upper <= 1, got [$lo, $hi]")
+      val breakpoints = kw.getOrElse("method", "exact").toString match {
+        case "exact" => expr(s"percentile(${str(kw, "col")}, array($lo, $hi))")
+        case "approx" =>
+          val acc = kw.get("accuracy").map(_.toString.toInt).getOrElse(10000)
+          expr(s"approx_percentile(${str(kw, "col")}, array($lo, $hi), $acc)")
+            .cast("array<double>")
+        case other => throw new IllegalArgumentException(
+          s"'winsorize' method must be 'exact' or 'approx', got '$other'")
+      }
+      val x = c(kw)
+      AggThenRow(
+        breakpoints,
+        bks => when(x.isNotNull,
+          least(greatest(x.cast("double"), element_at(bks, 1)), element_at(bks, 2))))
+    }),
+
     // search_sorted: the insertion index keeping the column sorted — a
     // whole-frame scalar broadcast to every row (polars broadcasts its
     // length-1 result the same way). Assumes ascending nulls-FIRST order

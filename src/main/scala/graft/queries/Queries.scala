@@ -3545,6 +3545,39 @@ object Queries {
       |  CAST(10 AS BIGINT) AS n_ivfpq, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** Winsorize (registry derive fn; clip to the column's own [5%, 95%]
+    * quantiles — q107's AggThenRow shape with S15-clip semantics):
+    * l_extendedprice at [5%, 95%] and l_quantity at [10%, 90%] — the
+    * second column's coarse integer domain makes most rows hit a cap,
+    * exercising the clipped path heavily. round(…, 4) on the output: the only rows
+    * whose value is ENGINE-COMPUTED (not raw data) are the capped ones,
+    * where Spark `percentile` and DuckDB `quantile_cont` interpolate with
+    * formula-order ulp differences (~1e-9 absolute at this magnitude) —
+    * four decimals give the q101-style margin analysis orders of room. */
+  val q128: QueryFn = (s, d) =>
+    tbl(s, d, "lineitem")
+      .transform(Transforms.deriveNewCols(Seq(
+        "price_w" -> DeriveSpec("winsorize", Map("col" -> "l_extendedprice",
+          "lower" -> 0.05, "upper" -> 0.95)),
+        "qty_w" -> DeriveSpec("winsorize", Map("col" -> "l_quantity",
+          "lower" -> 0.1, "upper" -> 0.9)))))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("price_w"), 4).as("price_w"), round(col("qty_w"), 4).as("qty_w"))
+
+  val q128Sql: String =
+    """WITH b AS (SELECT
+      |  quantile_cont(l_extendedprice, 0.05) AS plo,
+      |  quantile_cont(l_extendedprice, 0.95) AS phi,
+      |  quantile_cont(l_quantity, 0.1) AS qlo,
+      |  quantile_cont(l_quantity, 0.9) AS qhi
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_extendedprice IS NULL THEN NULL
+      |    ELSE round(least(greatest(l_extendedprice, b.plo), b.phi), 4) END AS price_w,
+      |  CASE WHEN l_quantity IS NULL THEN NULL
+      |    ELSE round(least(greatest(l_quantity, b.qlo), b.qhi), 4) END AS qty_w
+      |FROM lineitem, b""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3676,6 +3709,7 @@ object Queries {
     ("q124_incremental_fuzzy_dedup", q124, Some(q124Sql)),
     ("q125_stream_content_dedup", q125, Some(q125Sql)),
     ("q126_pq_ann_recall", q126, Some(q126Sql)),
-    ("q127_ivfpq_rerank_recall", q127, Some(q127Sql))
+    ("q127_ivfpq_rerank_recall", q127, Some(q127Sql)),
+    ("q128_winsorize", q128, Some(q128Sql))
   )
 }

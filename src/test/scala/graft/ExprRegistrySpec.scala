@@ -298,6 +298,29 @@ class ExprRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("winsorize: caps at the column's own quantiles, nulls pass through, approx agrees") {
+    val df = (1 to 20).map(i => (i, i.toDouble)).toDF("id", "v")
+      .union(Seq((21, Option.empty[Double])).toDF("id", "v"))
+    val out = derive(
+      "w" -> DeriveSpec("winsorize", Map("col" -> "v",
+        "lower" -> 0.1, "upper" -> 0.9)))(df)
+      .orderBy("id").collect()
+    // exact quantiles of 1..20: q10 = 2.9, q90 = 18.1
+    val vals = out.take(20).map(_.getDouble(2))
+    assert(vals.head == 2.9 && vals(1) == 2.9, s"low tail capped at q10: ${vals.take(3).toSeq}")
+    assert(vals(19) == 18.1 && vals(18) == 18.1, s"high tail capped at q90: ${vals.drop(17).toSeq}")
+    assert(vals(9) == 10.0, "interior values untouched")
+    assert(out(20).isNullAt(2), "null passes through, not resurrected as the lower bound")
+    // approx mode reproduces exact at this cardinality (same rationale as qcut's)
+    val ap = derive("w" -> DeriveSpec("winsorize", Map("col" -> "v",
+      "lower" -> 0.1, "upper" -> 0.9, "method" -> "approx")))(df)
+      .orderBy("id").collect().take(20).map(_.getDouble(2))
+    assert(!ap.exists(v => v < 2.0 || v > 19.0), s"approx caps the tails: ${ap.toSeq}")
+    intercept[IllegalArgumentException] { // lower must be below upper
+      ExprRegistry.resolve("winsorize")(Map("col" -> "v", "lower" -> 0.9, "upper" -> 0.1))
+    }
+  }
+
   test("qcut method=approx: sketch breakpoints bin identically at default accuracy") {
     // at accuracy 10000 over 1k distinct values the KLL-style sketch is
     // exact, so approx must reproduce the exact path bin-for-bin; the
