@@ -118,8 +118,14 @@ object Curation {
       "weights must be non-empty and non-negative")
     val sumW = weights.values.sum
     require(sumW > 0, "at least one weight must be positive")
-    require(budgetNumer * sumW <= 1000000L,
-      s"budgetNumer * sum(weights) = ${budgetNumer * sumW} > 1e6: budget product may overflow long at corpus scale")
+    // division form: `budgetNumer * sumW` itself can overflow Long for huge
+    // budgetNumer (wrapping negative and sailing PAST a product-form check)
+    require(budgetNumer <= 1000000L / sumW,
+      s"budgetNumer * sum(weights) exceeds 1e6 ($budgetNumer * $sumW): " +
+        "budget product may overflow long at corpus scale")
+    // the DIV denominator below is budgetDenom * sumW — overflow must fail
+    // fast here too, not wrap into a nonsense (possibly negative) divisor
+    val divDenom = Math.multiplyExact(budgetDenom, sumW)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -137,7 +143,7 @@ object Curation {
       // long DIV long: exact integral division on both engines (truncation
       // == floor for the non-negative operands guaranteed above)
       .filter(col("__before") <
-        expr(s"(__total * __wnum) DIV ${budgetDenom * sumW}L"))
+        expr(s"(__total * __wnum) DIV ${divDenom}L"))
       .withColumn("tokens_before", col("__before"))
       .drop("__before", "__wnum", "__total")
   }
@@ -170,6 +176,11 @@ object Curation {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap of $maxTokens")
+    // scratch/output names must not silently overwrite caller data — the
+    // same shadow-name guard writeZOrdered (`__z`) and the ewm builtins use
+    Seq("__toks", "chunk_idx").foreach(n =>
+      require(!df.columns.contains(n),
+        s"chunkDocuments writes column '$n'; input already has one — rename it first"))
     val step = maxTokens - overlap
     val toks = when(length(trim(col(textCol))) === 0,
       array().cast("array<string>"))

@@ -499,4 +499,26 @@ class ExprRegistrySpec extends AnyFunSuite {
     val missing = promised.filterNot(ExprRegistry.fns.contains)
     assert(missing.isEmpty, s"missing registry fns: $missing")
   }
+
+  test("unknown-fn errors are actionable: builtin spelling + nearest-match hints") {
+    // frame-level builtin spelled as a derive fn -> told the right stage
+    val ewm = intercept[IllegalArgumentException](ExprRegistry.resolve("ewm_mean"))
+    assert(ewm.getMessage.contains("custom_transformations") &&
+      ewm.getMessage.contains("frame-level builtin"),
+      s"ewm_mean error must name the builtin spelling, got: ${ewm.getMessage}")
+    val rle = intercept[IllegalArgumentException](ExprRegistry.resolve("rle"))
+    assert(rle.getMessage.contains("custom_transformations"))
+    // typo -> nearest-match candidates before the 241-name wall
+    val typo = intercept[IllegalArgumentException](ExprRegistry.resolve("cum_summ"))
+    assert(typo.getMessage.contains("did you mean") && typo.getMessage.contains("cum_sum"),
+      s"typo error must suggest cum_sum, got: ${typo.getMessage.take(200)}")
+    // far-off garbage still lists the catalog
+    val far = intercept[IllegalArgumentException](ExprRegistry.resolve("zzzzzzzzzzz"))
+    assert(far.getMessage.contains("known:"))
+  }
+
+  test("builtinSpellings stays in sync with BuiltinTransformations.registry") {
+    assert(ExprRegistry.builtinSpellings == graft.service.BuiltinTransformations.registry.keySet,
+      "update ExprRegistry.builtinSpellings when adding/removing a builtin")
+  }
 }
