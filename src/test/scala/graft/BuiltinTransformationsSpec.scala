@@ -388,4 +388,38 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
         "eval_path" -> evalDir, "threshold" -> 0.8))
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("incremental_ann_index encodes a batch against a persisted index through the IO seam") {
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(8)(rng.nextGaussian())))
+    val store = vecs.filter(_._1 < 30).toDF("vec_id", "v")
+    val batch = vecs.filter(_._1 >= 30).toDF("vec_id", "v")
+    val cents = Similarity.kmeansFit(store, "vec_id", "v", k = 4, iters = 1)
+    val cb = Similarity.pqTrain(store, "vec_id", "v", m = 4, ksub = 4, iters = 1)
+    val (centDf, cbDf) = Similarity.indexToFrames(spark, cents, cb)
+    val io = new graft.io.FakeIO()
+    io.frames.put("/index/centroids.parquet", centDf)
+    io.frames.put("/index/codebook.parquet", cbDf)
+    val out = graft.service.BuiltinTransformations.registryWith(io)("incremental_ann_index")(
+      batch,
+      Map("vec_col" -> "v", "centroids_path" -> "/index/centroids.parquet",
+        "codebook_path" -> "/index/codebook.parquet"))
+    assert(out.columns.toSeq.contains("cell") && out.columns.toSeq.contains("pq_codes"))
+    // the builtin's output must be row-identical to encoding directly
+    // against the in-memory index (persist -> restore is lossless)
+    val direct = Similarity.encodeWithIndex(batch, "v", cents, cb)
+    val key = Seq("vec_id", "cell", "pq_codes").map(col)
+    assert(out.select(key: _*).except(direct.select(key: _*)).isEmpty &&
+      direct.select(key: _*).except(out.select(key: _*)).isEmpty)
+    // shadow-name guard: a batch already carrying `cell` must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.encodeWithIndex(batch.withColumn("cell", lit(1)), "v", cents, cb)
+    }
+    assert(e.getMessage.contains("cell"))
+    // restore validation: non-dense codebook codes are rejected
+    val holey = cbDf.filter(!(col("sub") === 0 && col("code") === 0))
+    val bad = intercept[IllegalArgumentException](Similarity.codebookFromFrame(holey))
+    assert(bad.getMessage.contains("dense"))
+  }
 }
