@@ -174,6 +174,7 @@ object YamlParse {
       if (s(i) == '\\' && i + 1 < s.length) {
         s(i + 1) match {
           case 'n' => b += '\n'
+          case 't' => b += '\t' // `sep: "\t"` — the TSV source option spelling
           case c => b += c
         }
         i += 2
@@ -197,6 +198,7 @@ object ConfigLoader {
 
   private val knownGeneralKeys = Set(
     "process_name", "src_path", "dst_root", "src_file_type", "dst_file_type",
+    "src_options", "dst_options",
     "validation", "transformations", "custom_transformations", "select_cols",
     "transformed_data", "error_records", "config", "desc_stats",
     "desc_stats_exact", "guid", "date_time", "pipeline_plan")
@@ -218,6 +220,8 @@ object ConfigLoader {
       dstRoot = req("dst_root"),
       srcFileType = str("src_file_type").getOrElse("parquet").toLowerCase,
       dstFileType = str("dst_file_type").getOrElse("parquet").toLowerCase,
+      srcOptions = optionsMap(m, "src_options"),
+      dstOptions = optionsMap(m, "dst_options"),
       validation = m.get("validation").map(rules).getOrElse(Nil),
       transformations = m.get("transformations").map {
         case t: collection.Map[_, _] => transformFromMap(anyMap(t))
@@ -253,6 +257,25 @@ object ConfigLoader {
       pipelinePlan = m.get("pipeline_plan").collect { case s: Seq[_] => s.map(_.toString) }.getOrElse(Nil)
     )
   }
+
+  /** Reader/writer option map: YAML values arrive typed (Long/Boolean/
+    * Double) but Spark's option API is stringly — stringify scalars,
+    * reject structures (a nested map inside `sep:` is a config bug, not
+    * an option value). */
+  private def optionsMap(m: Map[String, Any], key: String): Seq[(String, String)] =
+    m.get(key) match {
+      case None | Some(null) => Nil
+      case Some(om: collection.Map[_, _]) =>
+        anyMap(om).toSeq.map {
+          case (k, v: String) => k -> v
+          case (k, v @ (_: Long | _: Int | _: Double | _: Boolean)) => k -> v.toString
+          case (k, other) =>
+            throw new IllegalArgumentException(
+              s"$key.$k must be a scalar option value, got $other")
+        }
+      case Some(other) =>
+        throw new IllegalArgumentException(s"$key must be a map, got $other")
+    }
 
   /** Build a [[TransformConfig]] from a plain map; compiles filter rules
     * (reference: core/transform.py:42-44) and validates recast dtype names

@@ -53,6 +53,14 @@ final case class GeneralConfig(
     dstRoot: String,
     srcFileType: String = "parquet",
     dstFileType: String = "parquet",
+    /** Reader/writer option passthrough (reference `**kwargs`,
+      * adapters/io_pl.py:28-56 / io_funcs.py:32-34): forwarded verbatim to
+      * the Spark DataFrameReader/Writer AFTER the format defaults — e.g.
+      * `src_options: {sep: "\t"}` for a TSV source, `dst_options:
+      * {compression: zstd}` for a zstd parquet sink. Ordered Seq like the
+      * other config maps (emit order is observable in the YAML artifact). */
+    srcOptions: Seq[(String, String)] = Nil,
+    dstOptions: Seq[(String, String)] = Nil,
     validation: Seq[RuleSpec] = Nil,
     transformations: TransformConfig = TransformConfig(),
     customTransformations: Seq[(String, Map[String, Any])] = Nil,
@@ -110,10 +118,11 @@ object YamlEmit {
           other.matches("[-+]?\\d+(:\\d+)+(\\.\\d+)?") // sexagesimal
       }
       val needsQuote = s.isEmpty || s.trim != s || ambiguous ||
-        s.exists(c => ":#{}[],\"'\n".contains(c)) ||
+        s.exists(c => ":#{}[],\"'\n\t".contains(c)) ||
         "-?&*!|>%@".contains(s.head)
       if (needsQuote)
-        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\t", "\\t") + "\""
       else s
     case b: Boolean => b.toString
     case n: Number => n.toString
@@ -166,6 +175,8 @@ object YamlEmit {
       "dst_root" -> cfg.dstRoot,
       "src_file_type" -> cfg.srcFileType.toUpperCase,
       "dst_file_type" -> cfg.dstFileType.toUpperCase,
+      "src_options" -> scala.collection.immutable.ListMap(cfg.srcOptions: _*),
+      "dst_options" -> scala.collection.immutable.ListMap(cfg.dstOptions: _*),
       // rule values keep their NATIVE type (not .toString): the emitter
       // quotes number-like strings, so a stringified 0.0 would round-trip
       // through ConfigLoader as the string "0.0" instead of a double

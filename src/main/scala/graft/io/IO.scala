@@ -15,8 +15,16 @@ import graft.config.FileType
   * clock + in-memory storage).
   */
 trait GraftIO {
-  def read(spark: SparkSession, path: String, fileType: String): DataFrame
-  def write(df: DataFrame, path: String, fileType: String, targetSizeGb: Double = 1.0): Unit
+  /** `options` mirrors the reference's `**kwargs` passthrough to every scan
+    * function (reference: adapters/io_pl.py:28-56, io_funcs.py:32-34) —
+    * "this CSV is tab-separated", "parse these timestamps" — forwarded
+    * verbatim to the underlying Spark reader, AFTER the format defaults so
+    * user options win. */
+  def read(spark: SparkSession, path: String, fileType: String,
+      options: Map[String, String] = Map.empty): DataFrame
+  /** Sink twin of the `options` passthrough ("write zstd parquet"). */
+  def write(df: DataFrame, path: String, fileType: String, targetSizeGb: Double = 1.0,
+      options: Map[String, String] = Map.empty): Unit
   def writeText(text: String, path: String): Unit
   def newGuid(): String
   def now(): Instant
@@ -28,13 +36,17 @@ class SparkIO extends GraftIO {
   /** Lazy scan dispatch on file type (reference: adapters/io_pl.py:28-36,
     * io_funcs.py:23-27 — parquet/csv lazy, json eager-then-lazy; every Spark
     * read is lazy natively). */
-  override def read(spark: SparkSession, path: String, fileType: String): DataFrame =
+  override def read(spark: SparkSession, path: String, fileType: String,
+      options: Map[String, String]): DataFrame =
     fileType.toLowerCase match {
-      case FileType.Parquet => spark.read.parquet(path)
+      case FileType.Parquet => spark.read.options(options).parquet(path)
       case FileType.Csv =>
-        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-      case FileType.Json => spark.read.json(path)
-      case FileType.Orc => spark.read.orc(path)
+        // format defaults first, caller options AFTER — `sep`, `header`,
+        // `inferSchema` etc. from the config override the house defaults
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .options(options).csv(path)
+      case FileType.Json => spark.read.options(options).json(path)
+      case FileType.Orc => spark.read.options(options).orc(path)
       case other => throw new IllegalArgumentException(s"unsupported source file type '$other'")
     }
 
@@ -50,13 +62,17 @@ class SparkIO extends GraftIO {
     * approximates typical string/binary widths) — same spirit as the
     * reference's sampled `estimated_size()/height`, without an extra scan.
     */
-  override def write(df: DataFrame, path: String, fileType: String, targetSizeGb: Double): Unit = {
+  override def write(df: DataFrame, path: String, fileType: String, targetSizeGb: Double,
+      options: Map[String, String]): Unit = {
     val rowBytes = math.max(8, df.schema.fields.map(_.dataType.defaultSize).sum)
     val maxRecords = math.max(1L, (targetSizeGb * 1024 * 1024 * 1024).toLong / rowBytes)
-    val writer = df.write.mode(SaveMode.Overwrite).option("maxRecordsPerFile", maxRecords)
+    // caller options AFTER the defaults, so e.g. `compression: zstd` or a
+    // custom maxRecordsPerFile from the config wins
+    val writer = df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecords).options(options)
     fileType.toLowerCase match {
       case FileType.Parquet => writer.parquet(path)
-      case FileType.Csv => writer.option("header", "true").csv(path)
+      case FileType.Csv => writer.option("header", "true").options(options).csv(path)
       case FileType.Json => writer.json(path)
       case FileType.Orc => writer.orc(path)
       case other => throw new IllegalArgumentException(s"unsupported sink file type '$other'")
@@ -83,10 +99,12 @@ class FakeIO(
   val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
   val texts = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-  override def read(spark: SparkSession, path: String, fileType: String): DataFrame =
+  override def read(spark: SparkSession, path: String, fileType: String,
+      options: Map[String, String]): DataFrame =
     frames.getOrElse(path, throw new java.io.FileNotFoundException(path))
 
-  override def write(df: DataFrame, path: String, fileType: String, targetSizeGb: Double): Unit =
+  override def write(df: DataFrame, path: String, fileType: String, targetSizeGb: Double,
+      options: Map[String, String]): Unit =
     // materialize like a real sink would, so lazy bugs don't hide
     frames.put(path, df.sparkSession.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](

@@ -61,7 +61,7 @@ object Pipeline {
       s"src=${cfg.srcPath} dst=$outRoot")
 
     // 2-3. scan (lazy) + static schema expectations (basic_pipeline.py:26-31)
-    val raw = io.read(spark, cfg.srcPath, cfg.srcFileType)
+    val raw = io.read(spark, cfg.srcPath, cfg.srcFileType, cfg.srcOptions.toMap)
     val expected = Validation.extractExpectedCols(cfg)
     Validation.checkExpectedCols(expected)(raw)
 
@@ -78,7 +78,7 @@ object Pipeline {
     io.write(
       Inspect.describe(valid, exactQuantiles = cfg.descStatsExact),
       s"$outRoot/${cfg.descStatsDir}/pre_transform",
-      cfg.dstFileType)
+      cfg.dstFileType, options = cfg.dstOptions.toMap)
 
     // 7. the transformation chain, reference stage order
     //    (basic_pipeline.py:53-77)
@@ -112,13 +112,15 @@ object Pipeline {
     io.writeText(
       YamlEmit.emit(YamlEmit.configToMap(cfgWithPlan)),
       s"$outRoot/${cfg.configDir}/config.yaml")
-    io.write(transformed, s"$outRoot/${cfg.transformedDataDir}", cfg.dstFileType)
+    io.write(transformed, s"$outRoot/${cfg.transformedDataDir}", cfg.dstFileType,
+      options = cfg.dstOptions.toMap)
     if (!invalid.isEmpty) // same limit-1 probe as the reference (basic_pipeline.py:98)
-      io.write(invalid, s"$outRoot/${cfg.errorRecordsDir}", cfg.dstFileType)
+      io.write(invalid, s"$outRoot/${cfg.errorRecordsDir}", cfg.dstFileType,
+        options = cfg.dstOptions.toMap)
     io.write(
       Inspect.describe(transformed, exactQuantiles = cfg.descStatsExact),
       s"$outRoot/${cfg.descStatsDir}/post_transform",
-      cfg.dstFileType)
+      cfg.dstFileType, options = cfg.dstOptions.toMap)
 
     annotated.unpersist()
     graft.util.Log.info(s"run_pipeline done: guid=$guid artifacts at $outRoot")

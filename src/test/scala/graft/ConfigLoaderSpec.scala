@@ -65,6 +65,57 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(reloaded.transformations.filterRules.map(_.col) == Seq("salary", "bonus"))
   }
 
+  test("src/dst IO options parse from YAML, round-trip, and reject structures") {
+    val yaml =
+      """process_name: p
+        |src_path: /src/data.tsv
+        |dst_root: /out
+        |src_file_type: CSV
+        |src_options:
+        |  sep: "\t"
+        |  header: true
+        |dst_options:
+        |  compression: zstd
+        |""".stripMargin
+    val cfg = ConfigLoader.fromYaml(yaml)
+    // YAML-typed values stringify for Spark's stringly option API; the
+    // \t escape must land as a real tab (the TSV spelling)
+    assert(cfg.srcOptions == Seq("sep" -> "\t", "header" -> "true"))
+    assert(cfg.dstOptions == Seq("compression" -> "zstd"))
+    // emit -> reload fixed point holds with options present
+    val reloaded = ConfigLoader.fromYaml(YamlEmit.emit(YamlEmit.configToMap(cfg)))
+    assert(reloaded.srcOptions == cfg.srcOptions && reloaded.dstOptions == cfg.dstOptions)
+    // a nested structure is a config bug, not an option value
+    val bad = intercept[IllegalArgumentException] {
+      ConfigLoader.fromYaml(
+        "process_name: p\nsrc_path: /s\ndst_root: /o\nsrc_options:\n  sep:\n    nested: x\n")
+    }
+    assert(bad.getMessage.contains("src_options.sep"))
+  }
+
+  test("golden E2E: a tab-separated CSV source reads through src_options (real SparkIO)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsv")
+    val src = tmp.resolve("people.tsv")
+    java.nio.file.Files.writeString(src,
+      "name\tsalary\nalice\t30000\nben\t28000\n")
+    val yaml =
+      s"""process_name: tsv_ingest
+         |src_path: $src
+         |dst_root: $tmp/out
+         |src_file_type: CSV
+         |src_options:
+         |  sep: "\\t"
+         |""".stripMargin
+    val cfg = ConfigLoader.fromYaml(yaml)
+    val res = Pipeline.runPipeline(spark, cfg, new graft.io.SparkIO)
+    val out = res.transformed
+    // without the sep option this parses as ONE comma-split column;
+    // with it the schema is (name, salary) + sys cols and both rows load
+    assert(out.columns.take(2).toSeq == Seq("name", "salary"))
+    assert(out.count() == 2)
+    assert(out.select("salary").collect().map(_.getInt(0)).sorted.toSeq == Seq(28000, 30000))
+  }
+
   test("builtin-registry kwargs parse from YAML with the types the fns expect") {
     val yaml =
       """process_name: p
