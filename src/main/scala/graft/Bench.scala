@@ -154,6 +154,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val tsStart = System.currentTimeMillis() / 1000
+    // Load-decay wait (round 14, judge item 5): the per-round driver
+    // artifact kept stamping `contaminated: true` purely from
+    // `load_avg_start` — sbt's OWN compile/startup burst pushes the 1-min
+    // load past the gate and it decays over ~a minute while the bench is
+    // already sampling. When the gate would fire, wait in 10 s steps (up
+    // to SPARK_GRAFT_LOAD_WAIT_SEC, default 120) for the decay before
+    // taking the start sample; `load_wait_sec` records the wait so the
+    // artifact shows what happened. GENUINE contention doesn't decay —
+    // the gate still fires after the wait, and the calibration lanes
+    // (which measure stolen CPU directly, not load bookkeeping) are
+    // untouched by this.
+    val loadStartMax0 = sys.env.getOrElse("SPARK_GRAFT_LOAD_START_MAX", "1.5").toDouble
+    val loadWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "120").toInt
+    var loadWaited = 0
+    while (osBean.getSystemLoadAverage > loadStartMax0 && loadWaited < loadWaitMax) {
+      Thread.sleep(10000)
+      loadWaited += 10
+    }
+    if (loadWaited > 0)
+      System.err.println(f"[bench] waited ${loadWaited}s for the start load to decay " +
+        f"(now ${osBean.getSystemLoadAverage}%.2f, gate $loadStartMax0%.1f)")
     val loadStart = osBean.getSystemLoadAverage
     val calibrationSec = calibrate(spark)
     val calibrationIdle =
@@ -165,7 +186,7 @@ object Bench {
     val calibrationParSec = calibratePar(spark, cpus.toInt)
     val calibrationParIdle =
       sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_PAR_IDLE_SEC", "0.75").toDouble
-    val loadStartMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_START_MAX", "1.5").toDouble
+    val loadStartMax = loadStartMax0
     val contaminatedBy = Seq(
       (calibrationSec > 2.0 * calibrationIdle) -> "calibration",
       (calibrationParSec > 2.0 * calibrationParIdle) -> "calibration_par",
@@ -341,7 +362,7 @@ object Bench {
       .map { case (n, m) => s""""$n":${fmt(m)}""" }.mkString("{", ",", "}")
     val envFields =
       s""""load_avg_start":${fmt(loadStart)},"load_avg_pre_warmup":${fmt(loadPreWarmup)},""" +
-        s""""load_avg_end":${fmt(loadEnd)},""" +
+        s""""load_avg_end":${fmt(loadEnd)},"load_wait_sec":$loadWaited,""" +
         s""""ts_start":$tsStart,"ts_end":$tsEnd,""" +
         s""""calibration_sec":${fmt(calibrationSec)},""" +
         s""""calibration_idle_ref":${fmt(calibrationIdle)},""" +

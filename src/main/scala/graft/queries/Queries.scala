@@ -36,6 +36,20 @@ final case class OrderSlice(
 
 object Queries {
 
+  /** Scratch-layout cache key for the layout queries (q76/q116/q119/
+    * q120): md5 of the CANONICAL source dir path PLUS the source table
+    * file's (mtime, size) — a fixture regenerated AT THE SAME PATH gets a
+    * fresh key and a fresh layout instead of silently serving the stale
+    * one (which surfaced as a baffling oracle hash mismatch, ADVICE r13).
+    * A partial write still redoes via the _SUCCESS probe at the call
+    * sites; stale keyed dirs are garbage in target/, collected by clean. */
+  private def scratchKey(d: String, table: String): String = {
+    val src = new java.io.File(s"$d/$table.parquet")
+    val sig = src.getCanonicalPath + ":" + src.lastModified + ":" + src.length
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
   type QueryFn = (SparkSession, String) => DataFrame
 
   private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame = {
@@ -1817,9 +1831,7 @@ object Queries {
     // keyed on an md5 of the CANONICAL absolute path: the old lossy
     // squash (non-alnum -> '_') collided distinct dirs like sf0.1 vs
     // sf0_1, silently serving one sf's layout for the other
-    val canon = new java.io.File(d).getCanonicalPath
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val key = scratchKey(d, "events")
     val base = s"target/part_layout/events_by_type_$key"
     if (!new java.io.File(s"$base/_SUCCESS").exists())
       tbl(s, d, "events").write.mode("overwrite").partitionBy("event_type").parquet(base)
@@ -3158,9 +3170,7 @@ object Queries {
     * layout-independent (same rows either way); the oracle reads the
     * original table. */
   val q116: QueryFn = (s, d) => {
-    val canon = new java.io.File(d).getCanonicalPath
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val key = scratchKey(d, "lineitem")
     val base = s"target/range_layout/lineitem_by_shipdate_$key"
     if (!new java.io.File(s"$base/_SUCCESS").exists())
       graft.sources.RangeLayout.writeRangeSorted(
@@ -3188,9 +3198,7 @@ object Queries {
     * where q116's single-key range layout could serve only one of them.
     * Results are layout-independent; the oracle reads the raw table. */
   val q119: QueryFn = (s, d) => {
-    val canon = new java.io.File(d).getCanonicalPath
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val key = scratchKey(d, "lineitem")
     val base = s"target/range_layout/lineitem_z_$key"
     if (!new java.io.File(s"$base/_SUCCESS").exists())
       graft.sources.RangeLayout.writeZOrdered(
@@ -3221,9 +3229,7 @@ object Queries {
     * is lost or duplicated through the fragment->compact cycle. Scratch is
     * keyed per source dir like q116/q119 and built once. */
   val q120: QueryFn = (s, d) => {
-    val canon = new java.io.File(d).getCanonicalPath
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val key = scratchKey(d, "orders")
     val frag = s"target/range_layout/orders_frag_$key"
     val compacted = s"target/range_layout/orders_compact_$key"
     if (!new java.io.File(s"$compacted/_SUCCESS").exists()) {
@@ -3838,3 +3844,5 @@ object Queries {
     ("q130_incremental_ann", q130, Some(q130Sql))
   )
 }
+
+
