@@ -353,7 +353,7 @@ class PropertySpec extends AnyFunSuite {
     * invariants (bands | num_hashes, budget > 0) so the only failure the
     * wrong-slot can trigger is the typed-coercion one. */
   private def builtinKwSpecs(evalPath: String, seenPath: String,
-      seenBandsPath: String): Map[String, Seq[KwSpec]] = {
+      seenBandsPath: String, centsPath: String, cbPath: String): Map[String, Seq[KwSpec]] = {
     def req(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, true, valid, wrong)
     def opt(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, false, valid, wrong)
     val idCol = req("id_col", Gen.const("doc_id"), wrongForStr)
@@ -390,6 +390,13 @@ class PropertySpec extends AnyFunSuite {
         req("seen_path", Gen.const(seenBandsPath), wrongForStr),
         opt("seen_file_type", Gen.const("parquet"), wrongForStr),
         shingleK) ++ hashesBands),
+      "incremental_ann_index" -> Seq(
+        req("vec_col", Gen.const("emb"), wrongForStr),
+        req("centroids_path", Gen.const(centsPath), wrongForStr),
+        req("codebook_path", Gen.const(cbPath), wrongForStr),
+        opt("cell_col", Gen.const("cellx"), wrongForStr),
+        opt("codes_col", Gen.const("codesx"), wrongForStr),
+        opt("index_file_type", Gen.const("parquet"), wrongForStr)),
       "fuzzy_dedup_keep_best" -> (Seq(idCol, textCol,
         req("score_col", Gen.const("n_tok"), wrongForStr),
         shingleK) ++ hashesBands),
@@ -484,7 +491,15 @@ class PropertySpec extends AnyFunSuite {
     val seenBandsDir = propDir.resolve("seen_bands.parquet").toString
     Seq((0, "d41d8cd98f00b204e9800998ecf8427e")) // (band, digest) LSH store shape
       .toDF("band", "digest").write.mode("overwrite").parquet(seenBandsDir)
-    val specs = builtinKwSpecs(evalDir, seenDir, seenBandsDir)
+    // dim-2 ANN index matching the fixture's `emb`: 2 coarse cells,
+    // m=2 subspaces x 2 codes of subDim 1
+    val centsDir = propDir.resolve("cents.parquet").toString
+    Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec").write.mode("overwrite").parquet(centsDir)
+    val cbDir = propDir.resolve("codebook.parquet").toString
+    Seq((0, 0, Seq(0.1)), (0, 1, Seq(0.9)), (1, 0, Seq(0.1)), (1, 1, Seq(0.9)))
+      .toDF("sub", "code", "cvec").write.mode("overwrite").parquet(cbDir)
+    val specs = builtinKwSpecs(evalDir, seenDir, seenBandsDir, centsDir, cbDir)
     assert(specs.keySet == BuiltinTransformations.registry.keySet,
       "kwarg spec table must cover the registry exactly — update on add/remove")
 
