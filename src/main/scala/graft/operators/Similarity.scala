@@ -423,7 +423,13 @@ object Similarity {
     * side reads m ints per row instead of dim doubles; ranking key
     * (round 6 DESC, id ASC) keeps the selected set deterministic.
     * Recall is tuned by m/ksub; verify survivors with exact cosine on
-    * the full vectors when precision matters (the IVF-PQ re-rank step). */
+    * the full vectors when precision matters (the IVF-PQ re-rank step).
+    *
+    * No codegen cliff here, unlike the pre-round-14 quantizer literal
+    * forms: each subspace's codebook enters the plan as ONE
+    * `typedLit(cents)` reference Literal (an ArrayData object, not
+    * ksub x subDim AST nodes), so the expression tree is O(m) regardless
+    * of codebook size. */
   def pqTopK(
       corpusCodes: DataFrame,
       queries: DataFrame,
