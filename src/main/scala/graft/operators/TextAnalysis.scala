@@ -112,6 +112,68 @@ object TextAnalysis {
     }
   }
 
+  /** Okapi BM25 document relevance against a fixed query term set
+    * (Robertson/Spärck Jones; the keyword-scoring step seed-based
+    * curation pipelines run to rank a corpus against a topic list
+    * before classifier labeling). Per doc:
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the
+    * smooth idf `ln(1 + (N−df+0.5)/(df+0.5))` (never negative).
+    *
+    * Scale shape: the classic two-pass corpus weighting (q78's TF-IDF
+    * shape) with the per-term stats restricted to the QUERY terms — one
+    * token explode feeds per-doc length AND query-term tf; df is a
+    * |terms|-row aggregate; (N, avgdl) is a 1-row broadcast. No collect,
+    * no cross of the corpus, docs containing no query term score 0.
+    * Scores round to 4 decimals before any downstream ranking: `ln` is
+    * the one non-correctly-rounded op between engines (the q78 rule).
+    *
+    * Returns (idCol, dl, bm25) for EVERY input doc. */
+  def bm25(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
+      "query terms must be distinct (case-insensitive)")
+    val terms = queryTerms.map(_.toLowerCase)
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
+    val contrib = tf.join(dfreq, "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      // per-term contributions round to 6 decimals and sum EXACTLY
+      // (decimal) before the output round: a plain double sum is
+      // partition-order-dependent, and the engine's determinism contract
+      // (same result on any cluster size, and in the DuckDB oracle)
+      // forbids that — the kmeans exactSum rule applied to scoring
+      .agg(round(sum(round(col("part"), 6).cast("decimal(28,6)")), 4)
+        .cast("double").as("bm25"))
+    // zero-token docs have no dl row: dl = 0, score 0 (they match nothing)
+    docs.select(col(idCol))
+      .join(dl, Seq(idCol), "left")
+      .join(contrib, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        coalesce(col("bm25"), lit(0.0)).as("bm25"))
+  }
+
   /** 64-bit rolling-hash document fingerprint (polynomial rolling hash over
     * normalized characters, mod 2^61-1) — an order-sensitive alternative to
     * md5 that supports incremental/windowed computation at scale. */

@@ -3707,6 +3707,38 @@ object Queries {
       |  CAST(10 AS BIGINT) AS n_full, TRUE AS paths_match
       |FROM embeddings WHERE vec_id < 5""".stripMargin
 
+  /** Okapi BM25 keyword relevance ([[TextAnalysis.bm25]]) against a
+    * 3-term query over the documents corpus — the seed-keyword corpus
+    * ranking step (q78 TF-IDF's two-pass shape with query-term-restricted
+    * stats). Parity recipe: ln-bearing per-term contributions round to 6
+    * decimals and sum through DECIMAL(28,6) (order-independent both
+    * engines), output rounds to 4 — the q78 ln rule + the catalog's
+    * exact-sum rule composed. */
+  val q131: QueryFn = (s, d) =>
+    TextAnalysis.bm25(tbl(s, d, "documents"), "doc_id", "text",
+      Seq("join", "scan", "shuffle"))
+
+  val q131Sql: String =
+    """WITH ft AS (SELECT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents) WHERE length(tok) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ft GROUP BY doc_id),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ft
+      |  WHERE tok IN ('join', 'scan', 'shuffle') GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |  (SELECT AVG(dl) FROM dl) AS avgdl),
+      |contrib AS (SELECT doc_id,
+      |  CAST(round(SUM(CAST(round(
+      |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+      |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS DECIMAL(28,6))), 4)
+      |    AS DOUBLE) AS bm25
+      |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(dl.dl, 0) AS BIGINT) AS dl,
+      |  COALESCE(contrib.bm25, 0.0) AS bm25
+      |FROM documents d LEFT JOIN dl USING (doc_id) LEFT JOIN contrib USING (doc_id)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3841,7 +3873,8 @@ object Queries {
     ("q127_ivfpq_rerank_recall", q127, Some(q127Sql)),
     ("q128_winsorize", q128, Some(q128Sql)),
     ("q129_ivf_large_k", q129, Some(q129Sql)),
-    ("q130_incremental_ann", q130, Some(q130Sql))
+    ("q130_incremental_ann", q130, Some(q130Sql)),
+    ("q131_bm25", q131, Some(q131Sql))
   )
 }
 

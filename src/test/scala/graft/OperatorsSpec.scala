@@ -138,6 +138,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: keyword-bearing docs outrank term-free docs; zero-token docs score 0") {
+    val corpus = Seq(
+      (1L, "join join join scan shuffle fast"),   // all three terms, repeated
+      (2L, "scan once in a long document about many other things entirely"),
+      (3L, "nothing relevant here at all"),
+      (4L, "   ")                                  // zero tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("join", "scan", "shuffle"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "every input doc must get a row")
+    assert(out(1L)._2 > out(2L)._2 && out(2L)._2 > 0.0,
+      s"richer term match must outrank: $out")
+    assert(out(3L)._2 == 0.0 && out(3L)._1 == 5L, "no query terms -> score 0, dl kept")
+    assert(out(4L) == ((0L, 0.0)), "zero-token doc -> dl 0, score 0")
+    // determinism: same corpus, different partitioning, identical scores
+    val repart = TextAnalysis.bm25(corpus.repartition(7), "doc_id", "text",
+      Seq("join", "scan", "shuffle"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(repart == out, "scores must be partitioning-independent (exact decimal sum)")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(corpus, "doc_id", "text", Seq("Join", "join"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(corpus, "doc_id", "text", Nil)
+    }
+  }
+
   test("LSH maxBucket cap drops over-wide buckets; other bands still pair") {
     // 6 identical docs: every band puts all 6 in one bucket (width 6)
     val dups = (0L to 5L).map(i => (i, "the same exact boilerplate page content every time"))
