@@ -174,6 +174,47 @@ object TextAnalysis {
         coalesce(col("bm25"), lit(0.0)).as("bm25"))
   }
 
+  /** Unigram language-model negative log-likelihood per document — the
+    * perplexity-proxy quality score (CCNet/RedPajama-style: rank docs by
+    * how surprising their tokens are under a corpus LM; here the LM is
+    * the corpus' own unigram distribution, the zero-dependency variant).
+    * `nll(d) = (1/|d|) Σ_{t∈d} tf_dt · −ln(ct_t / total)` — low = stock
+    * phrasing, high = rare-token soup; both tails are the usual filter
+    * targets.
+    *
+    * Same scale + determinism recipe as [[bm25]]: one token explode feeds
+    * doc lengths and per-(doc,term) tf; corpus term counts are one
+    * map-side-combined aggregation; `total` is a 1-row broadcast. The
+    * ln-bearing contributions round to 6 decimals and sum through
+    * DECIMAL(28,6) (partitioning-independent), the exact sum casts to
+    * double for the per-token mean, output rounds to 4. Every token is in
+    * the corpus by construction (the LM is self-trained), so no
+    * smoothing term is needed; zero-token docs score 0 at dl 0. */
+  def unigramNll(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val ct = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ct"))
+    val total = ct.agg(sum(col("ct")).as("total"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val scored = tf.join(ct, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("part", col("tf") * -log(col("ct").cast("double") / col("total")))
+      .groupBy(col(idCol))
+      .agg(sum(round(col("part"), 6).cast("decimal(28,6)")).as("nll_sum"))
+    docs.select(col(idCol))
+      .join(dl, Seq(idCol), "left")
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        coalesce(round(col("nll_sum").cast("double") / col("dl"), 4), lit(0.0)).as("nll"))
+  }
+
   /** 64-bit rolling-hash document fingerprint (polynomial rolling hash over
     * normalized characters, mod 2^61-1) — an order-sensitive alternative to
     * md5 that supports incremental/windowed computation at scale. */

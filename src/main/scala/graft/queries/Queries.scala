@@ -3739,6 +3739,71 @@ object Queries {
       |  COALESCE(contrib.bm25, 0.0) AS bm25
       |FROM documents d LEFT JOIN dl USING (doc_id) LEFT JOIN contrib USING (doc_id)""".stripMargin
 
+  /** Unigram-LM NLL quality score ([[TextAnalysis.unigramNll]]) — the
+    * perplexity-proxy document ranking (CCNet-style) under the corpus'
+    * own unigram distribution. Same parity recipe as q131: round-6
+    * contributions, DECIMAL(28,6) exact sum, double mean, round-4. */
+  val q132: QueryFn = (s, d) =>
+    TextAnalysis.unigramNll(tbl(s, d, "documents"), "doc_id", "text")
+
+  val q132Sql: String =
+    """WITH ft AS (SELECT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents) WHERE length(tok) > 0),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ft GROUP BY doc_id, tok),
+      |ct AS (SELECT tok, SUM(tf) AS ct FROM tf GROUP BY tok),
+      |tot AS (SELECT SUM(ct) AS total FROM ct),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      |scored AS (SELECT doc_id,
+      |  SUM(CAST(round(tf * -ln(CAST(ct AS DOUBLE) / total), 6) AS DECIMAL(28,6))) AS nll_sum
+      |  FROM tf JOIN ct USING (tok) CROSS JOIN tot GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(dl.dl, 0) AS BIGINT) AS dl,
+      |  COALESCE(round(CAST(nll_sum AS DOUBLE) / dl.dl, 4), 0.0) AS nll
+      |FROM documents d LEFT JOIN dl USING (doc_id) LEFT JOIN scored USING (doc_id)""".stripMargin
+
+  /** Streaming ANN ingestion — [[Similarity.encodeWithIndex]] under
+    * Structured Streaming (the streaming lane of q130's incremental index
+    * maintenance): vectors arrive on a `readStream`, cell + PQ codes are
+    * appended as PURE PROJECTIONS against the amortized index (no state
+    * store, no watermark, no shuffle — the encode stage runs at source
+    * rate on any executor count), and the sink is compared row-for-row
+    * with the batch encode of the same corpus against the same index.
+    * Oracle contract: every vector is encoded exactly once and the
+    * streamed (cell, codes) match the batch path's on every row — the
+    * assignment is a pure function of (vector, index), so streaming vs
+    * batch is a plan property, which this query turns into data. */
+  val q133: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = cachedKmeans(d, "emb", emb, k = 8, iters = 1)
+    val cb = cachedPqTrain(d, "emb", emb, m = 16, ksub = 32, iters = 2)
+    val schema = rawSchema(s, d, "embeddings")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val enc = Similarity.encodeWithIndex(src, "v", cents, cb)
+      .select(col("vec_id"), col("cell"), col("pq_codes"))
+    val name = "q133_stream_ann_encode_sink"
+    s.catalog.dropTempView(name)
+    val q = enc.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = s.table(name)
+    val batch = Similarity.encodeWithIndex(emb, "v", cents, cb)
+      .select(col("vec_id"), col("cell").as("b_cell"), col("pq_codes").as("b_codes"))
+    streamed.join(batch, "vec_id")
+      .agg(count(lit(1)).as("n_streamed"),
+        sum(when(col("cell") === col("b_cell") &&
+          col("pq_codes") === col("b_codes"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("n_streamed"), col("n_match"),
+        (col("n_streamed") === col("n_match")).as("all_match"))
+  }
+
+  val q133Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_streamed,
+      |  CAST(COUNT(*) AS BIGINT) AS n_match, TRUE AS all_match
+      |FROM embeddings""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3874,7 +3939,9 @@ object Queries {
     ("q128_winsorize", q128, Some(q128Sql)),
     ("q129_ivf_large_k", q129, Some(q129Sql)),
     ("q130_incremental_ann", q130, Some(q130Sql)),
-    ("q131_bm25", q131, Some(q131Sql))
+    ("q131_bm25", q131, Some(q131Sql)),
+    ("q132_unigram_nll", q132, Some(q132Sql)),
+    ("q133_stream_ann_encode", q133, Some(q133Sql))
   )
 }
 

@@ -165,6 +165,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("unigramNll: rare-token docs score higher; zero-token docs score 0; partition-independent") {
+    val corpus = Seq(
+      (1L, "common common common common words words"), // stock phrasing -> low nll
+      (2L, "common words zyzzyva qwertyuiop"),         // rare-token soup -> high nll
+      (3L, " ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(2L)._2 > out(1L)._2 && out(1L)._2 > 0.0,
+      s"rare tokens must raise the per-token NLL: $out")
+    assert(out(3L) == ((0L, 0.0)), "zero-token doc -> dl 0, nll 0")
+    val repart = TextAnalysis.unigramNll(corpus.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(repart == out, "scores must be partitioning-independent (exact decimal sum)")
+  }
+
   test("LSH maxBucket cap drops over-wide buckets; other bands still pair") {
     // 6 identical docs: every band puts all 6 in one bucket (width 6)
     val dups = (0L to 5L).map(i => (i, "the same exact boilerplate page content every time"))

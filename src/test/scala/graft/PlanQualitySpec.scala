@@ -246,7 +246,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "q128_winsorize", // 1-row quantile-breakpoint frame broadcast (AggThenRow, q107 shape)
       "q129_ivf_large_k", // exact baseline's broadcast cross (the IVF side joins on cell — q127 shape)
       "q130_incremental_ann", // both ADC search paths broadcast-cross the 5-row query set (q126 shape)
-      "q131_bm25" // 1-row (n_docs, avgdl) corpus-stats frame broadcast onto per-doc scores (q78 shape)
+      "q131_bm25", // 1-row (n_docs, avgdl) corpus-stats frame broadcast onto per-doc scores (q78 shape)
+      "q132_unigram_nll" // 1-row corpus-total-tokens frame broadcast onto per-term rows (q78 shape)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
