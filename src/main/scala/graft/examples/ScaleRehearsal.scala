@@ -88,7 +88,14 @@ object ScaleRehearsal {
       // query runs as-is on the Mx corpus. lang cardinality is FIXED
       // (~5 values), so each domain's (md5(id), id)-sorted running-sum
       // run grows by M — deliberately the straggler axis, like q106.
-      "q118_mixture_sample")
+      "q118_mixture_sample",
+      // round 14: the two-pass corpus scorers. Copy tokens are
+      // `_i`-suffixed, so the vocabulary grows by M at constant per-term
+      // df; q131's fixed query terms only hit copy 0 (its tf stage stays
+      // 1x) but the cost driver measured here — the full-corpus token
+      // explode + dl/count aggregations — scales by M on both queries
+      // and should stay ~linear (q78's shape, now measured).
+      "q131_bm25", "q132_unigram_nll")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,6 +43,23 @@ class IOSpec extends AnyFunSuite {
     assert(parts > 1, s"expected multiple part files, got $parts")
   }
 
+  test("write options pass through: zstd parquet files on disk, csv sep honored on read") {
+    val io = new graft.io.SparkIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-opts").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    io.write(df, s"$dir/zstd", "parquet", options = Map("compression" -> "zstd"))
+    val files = new java.io.File(s"$dir/zstd").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".zstd.parquet")),
+      s"zstd compression option must reach the parquet writer: ${files.toSeq}")
+    assert(io.read(spark, s"$dir/zstd", "parquet").count() == 2)
+    // reader options: a semicolon-separated csv parses as ONE column
+    // without the option and two with it
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.csv"), "k;v\n1;a\n2;b\n")
+    assert(io.read(spark, s"$dir/data.csv", "csv").columns.length == 1)
+    val sep = io.read(spark, s"$dir/data.csv", "csv", Map("sep" -> ";"))
+    assert(sep.columns.toSeq == Seq("k", "v") && sep.count() == 2)
+  }
+
   test("custom transformations pipe in order and fail fast on unknown names") {
     val df = Seq(1, 2, 3).toDF("v")
     val registry: Map[String, Transforms.CustomFn] = Map(
