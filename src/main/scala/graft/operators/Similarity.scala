@@ -84,20 +84,26 @@ object Similarity {
 
   /** Literal-vs-matrix quantizer selection threshold, counted in k x dim
     * literal AST nodes (round 14, judge item 1 — "the codegen cliff").
-    * Below it, centroid assignment bakes each coordinate in as a literal:
-    * every cosine inlines into whole-stage codegen, the fastest shape at
-    * catalog sizes (k=8-32, dim=64 → 512-2048 literals). Past it, the
-    * SAME semantics run through [[graft.sparkext.NearestCentroidId]] — the
-    * whole matrix is ONE reference object in a native expression, so a
-    * production coarse quantizer (k=4096, dim=768 ≈ 3M would-be literals)
-    * neither blows the 64KB codegen method limit nor drags a
-    * multi-megabyte AST through analysis; the matrix ships to executors
-    * inside the torrent-broadcast task binary. 4096 is deliberately
-    * conservative: literal-form analysis+codegen cost is measurably
-    * superlinear in node count well before hard failure. Both forms pick
-    * identical cells (strict-inequality earliest-wins argbest, sequential
-    * dot-product folds — pinned by NearestCentroidSpec). */
-  val DefaultMaxLiteralCells: Int = 4096
+    * At or below it, centroid assignment bakes each coordinate in as a
+    * literal AST node; above it, the SAME semantics run through
+    * [[graft.sparkext.NearestCentroidId]] — the whole matrix as ONE
+    * reference object in a native expression (matrix ships to executors
+    * inside the torrent-broadcast task binary).
+    *
+    * The default is 0 — ALWAYS the matrix form — because the cliff was
+    * measured, not guessed (CliffProbe, sf0.1 embeddings, dim 64):
+    * plan-fixed cost (2k rows) literal/matrix = 3.0x at k=4 rising to
+    * 89x at k=1024 (13.4 s of pure analysis+setup); per-ROW cost (2M
+    * rows) = 3.6x at k=8, 6.2x at k=32, 8.7x at k=128. The literal form
+    * evaluates k separate DotProduct trees, each re-materializing the
+    * centroid array per row, where the matrix form copies the vector
+    * once and runs one fused k x dim loop — so the matrix form wins at
+    * EVERY k, and grows its lead superlinearly. The literal form is
+    * retained behind this explicit threshold for the bit-identity spec
+    * (NearestCentroidSpec pins both forms select the same cells:
+    * strict-inequality earliest-wins argbest, sequential dot folds) and
+    * for a future genuinely-codegen'd path to compare against. */
+  val DefaultMaxLiteralCells: Int = 0
 
   private def litCount(centroids: Seq[(Int, Seq[Double])]): Int =
     centroids.size * centroids.headOption.map(_._2.size).getOrElse(0)

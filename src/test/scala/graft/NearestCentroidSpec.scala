@@ -72,13 +72,14 @@ class NearestCentroidSpec extends AnyFunSuite {
     assert(litForm.except(matForm).isEmpty && matForm.except(litForm).isEmpty)
   }
 
-  test("auto-switch: catalog sizes stay literal, large k flips to matrix") {
-    // k=24 x dim=16 = 384 literals < 4096 -> literal (plan shows no
-    // nearest_centroid); k*dim forced over the line -> matrix node
-    val below = vecsDf.select(Similarity.ivfCell($"v", centroids).as("cell"))
-    assert(!below.queryExecution.analyzed.toString.contains("nearest_centroid"))
-    val above = vecsDf.select(Similarity.ivfCell($"v", centroids, 100).as("cell"))
-    assert(above.queryExecution.analyzed.toString.contains("nearest_centroid"))
+  test("default is the matrix form at every k; literal form needs an explicit threshold") {
+    // measured (CliffProbe): matrix wins 3-9x per-row at every k, so the
+    // default threshold is 0 — the plan must carry the nearest_centroid
+    // node, and the literal form appears only when explicitly requested
+    val default_ = vecsDf.select(Similarity.ivfCell($"v", centroids).as("cell"))
+    assert(default_.queryExecution.analyzed.toString.contains("nearest_centroid"))
+    val literal = vecsDf.select(Similarity.ivfCell($"v", centroids, Int.MaxValue).as("cell"))
+    assert(!literal.queryExecution.analyzed.toString.contains("nearest_centroid"))
   }
 
   test("matrix form: null vector yields null cell, like the literal form") {
