@@ -3,7 +3,7 @@ package graft.sparkext
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * is preserved.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -40,6 +40,28 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { s += x(i) * y(i); i += 1 }
     s
   }
+
+  /** Real codegen (round 14; was CodegenFallback): a fallback expression
+    * anywhere in a tree forces Spark to evaluate the WHOLE containing
+    * expression interpreted, so every cosine in the brute-force /
+    * verification paths was dropping out of whole-stage codegen. The
+    * generated loop reads elements straight off the ArrayData accessors —
+    * no toDoubleArray copy at all in the codegen'd path — and accumulates
+    * in the same sequential left-to-right order as nullSafeEval. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
