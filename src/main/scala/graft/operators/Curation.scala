@@ -198,6 +198,98 @@ object Curation {
         size(piece).as("chunk_tokens"))
   }
 
+  /** A fitted in-engine logistic quality classifier: per-feature
+    * standardization stats + weights (intercept first). */
+  final case class LogisticModel(
+      featureCols: Seq[String],
+      means: Seq[Double],
+      stds: Seq[Double],
+      weights: Seq[Double] // intercept +: one per feature
+  )
+
+  /** Distributed full-batch logistic regression — the in-engine QUALITY
+    * CLASSIFIER stage (the GPT-3/CCNet/fineweb recipe: hand signals or a
+    * seed rule label a corpus slice, a small linear model generalizes the
+    * judgment, the corpus is filtered by score). Features are numeric
+    * columns (use [[TextAnalysis.qualitySignals]] upstream); training is
+    * gradient descent with ONE aggregation job per step — shuffle volume
+    * is k+1 doubles per step regardless of corpus size (the
+    * [[graft.operators.Similarity.kmeansUpdate]] scale shape), and the
+    * driver holds only the weight vector.
+    *
+    * Determinism: standardization stats and every gradient component
+    * route through the exact decimal sum
+    * ([[graft.sparkext.DoubleToScaled.exactSum]]) — identical fits on any
+    * partitioning and cluster size; driver-side weight updates are plain
+    * IEEE arithmetic on those exact sums. Zero-variance features get
+    * std 1 (their standardized value is 0 — no divide-by-zero, no
+    * information).
+    *
+    * Null contract: rows with a null label or any null feature are
+    * EXCLUDED from the fit (the caller decides their fate at scoring
+    * time); [[logisticScore]] scores them null. */
+  def logisticFit(
+      df: DataFrame,
+      labelCol: String,
+      featureCols: Seq[String],
+      iters: Int = 30,
+      lr: Double = 1.0
+  ): LogisticModel = {
+    require(featureCols.nonEmpty, "at least one feature column required")
+    require(iters > 0 && lr > 0, s"iters/lr must be positive, got $iters/$lr")
+    val exactSum = graft.sparkext.DoubleToScaled.exactSum(_: Column, 6)
+    // iters+2 jobs scan this frame — persist for the fit, release after
+    val clean = df.filter(col(labelCol).isNotNull &&
+      featureCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((labelCol +: featureCols).map(col(_)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val y = col(labelCol).cast("double")
+    // one pass for n + per-feature mean; one for std (exact sums both)
+    val statRow = clean.agg(count(lit(1)).as("n"),
+      featureCols.map(f => exactSum(col(f).cast("double")).as(s"s_$f")): _*).head()
+    val n = statRow.getLong(0)
+    require(n > 0, "no non-null rows to fit on")
+    val means = featureCols.indices.map(i => statRow.getDouble(i + 1) / n)
+    val varRow = clean.agg(
+      exactSum(pow(col(featureCols.head).cast("double") - means.head, 2)).as("v0"),
+      featureCols.zipWithIndex.drop(1).map { case (f, i) =>
+        exactSum(pow(col(f).cast("double") - means(i), 2)).as(s"v_$f")
+      }: _*).head()
+    val stds = featureCols.indices.map { i =>
+      val sd = math.sqrt(varRow.getDouble(i) / n)
+      if (sd == 0.0) 1.0 else sd
+    }
+    val z = featureCols.indices.map(i =>
+      (col(featureCols(i)).cast("double") - means(i)) / stds(i))
+    var w = Vector.fill(featureCols.size + 1)(0.0)
+    (1 to iters).foreach { _ =>
+      val margin = z.zipWithIndex.foldLeft(lit(w(0))) { case (acc, (zi, i)) =>
+        acc + zi * w(i + 1)
+      }
+      val err = y - (lit(1.0) / (lit(1.0) + exp(-margin))) // y - sigmoid
+      val g = clean.agg(
+        exactSum(err).as("g0"),
+        z.zipWithIndex.map { case (zi, i) => exactSum(err * zi).as(s"g${i + 1}") }: _*
+      ).head()
+      w = w.indices.map(i => w(i) + lr * g.getDouble(i) / n).toVector
+    }
+    clean.unpersist()
+    LogisticModel(featureCols, means, stds, w)
+  }
+
+  /** Score rows under a fitted [[LogisticModel]]: standardized dot +
+    * sigmoid, rounded to 6 decimals — one pure projection, no shuffle,
+    * no UDF; rows with any null feature score null. */
+  def logisticScore(df: DataFrame, model: LogisticModel, outCol: String = "quality_score"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"logisticScore writes column '$outCol'; input already has one — rename it first")
+    val margin = model.featureCols.zipWithIndex.foldLeft(lit(model.weights.head)) {
+      case (acc, (f, i)) =>
+        acc + (col(f).cast("double") - model.means(i)) / model.stds(i) * model.weights(i + 1)
+    }
+    df.withColumn(outCol, round(lit(1.0) / (lit(1.0) + exp(-margin)), 6))
+  }
+
   /** Train/eval decontamination signal: for every eval document, the
     * fraction of its distinct word k-shingles that also appear ANYWHERE in
     * the training corpus (n-gram containment, the GPT-3/Dolma-style

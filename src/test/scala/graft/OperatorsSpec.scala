@@ -181,6 +181,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(repart == out, "scores must be partitioning-independent (exact decimal sum)")
   }
 
+  test("logisticFit learns a separable rule; nulls excluded; partition-independent") {
+    import graft.operators.Curation
+    val rng = new scala.util.Random(13)
+    // y = [x1 > 0]; x2 is noise; one zero-variance feature
+    val rows = (0 until 400).map { i =>
+      val x1 = rng.nextGaussian()
+      (i.toLong, if (x1 > 0) 1 else 0, x1, rng.nextGaussian(), 7.0)
+    }
+    val df = rows.toDF("id", "y", "x1", "x2", "const")
+    val m = Curation.logisticFit(df, "y", Seq("x1", "x2", "const"))
+    assert(m.weights(1) > 1.0, s"separating feature must get a large weight: ${m.weights}")
+    assert(m.weights(3) == 0.0, "zero-variance feature must stay at weight 0")
+    val acc = Curation.logisticScore(df, m)
+      .agg(avg(when((col("quality_score") >= 0.5).cast("int") === col("y"), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    assert(acc >= 0.95, s"separable rule must fit, got acc=$acc")
+    // exact-decimal gradients: identical fit on any partitioning
+    val m2 = Curation.logisticFit(df.repartition(7), "y", Seq("x1", "x2", "const"))
+    assert(m2 == m, "fit must be partitioning-independent")
+    // null label/feature rows excluded from fit, scored null
+    val withNulls = df.union(Seq((999L, 1, Double.NaN, 0.0, 7.0)).toDF("id", "y", "x1", "x2", "const")
+      .withColumn("x1", lit(null).cast("double")))
+    val m3 = Curation.logisticFit(withNulls, "y", Seq("x1", "x2", "const"))
+    assert(m3.weights == m.weights, "null-feature rows must not perturb the fit")
+    val nullScore = Curation.logisticScore(withNulls, m3)
+      .filter(col("id") === 999L).head().getAs[Any]("quality_score")
+    assert(nullScore == null, "null feature -> null score")
+    intercept[IllegalArgumentException] {
+      Curation.logisticScore(df.withColumn("quality_score", lit(1)), m)
+    }
+  }
+
   test("LSH maxBucket cap drops over-wide buckets; other bands still pair") {
     // 6 identical docs: every band puts all 6 in one bucket (width 6)
     val dups = (0L to 5L).map(i => (i, "the same exact boilerplate page content every time"))
