@@ -973,7 +973,7 @@ object ExprRegistry {
     * ExprRegistrySpec pins it against `BuiltinTransformations.registry`. */
   private[graft] val builtinSpellings: Set[String] = Set(
     "exact_dedup", "fuzzy_dedup", "minhash_near_dup", "semantic_dedup",
-    "quality_filter", "clean_text", "decontaminate", "incremental_dedup",
+    "quality_filter", "quality_classifier", "clean_text", "decontaminate", "incremental_dedup",
     "incremental_fuzzy_dedup", "incremental_ann_index", "fuzzy_dedup_keep_best", "pack_sequences",
     "stratified_sample", "lang_id", "text_stats", "doc_fingerprint",
     "ewm_mean", "ewm_var", "ewm_std", "ewm_mean_by", "rle",

@@ -58,6 +58,7 @@ object BuiltinTransformations {
     "incremental_dedup" -> incrementalDedup(io),
     "incremental_fuzzy_dedup" -> incrementalFuzzyDedup(io),
     "incremental_ann_index" -> incrementalAnnIndex(io),
+    "quality_classifier" -> qualityClassifier,
     "fuzzy_dedup_keep_best" -> fuzzyDedupKeepBest,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
@@ -240,6 +241,36 @@ object BuiltinTransformations {
       numHashes = intKw("incremental_fuzzy_dedup", kw, "num_hashes", 8),
       bands = intKw("incremental_fuzzy_dedup", kw, "bands", 4),
       maxBucket = intKw("incremental_fuzzy_dedup", kw, "max_bucket", 10000))
+  }
+
+  /** `quality_classifier(label_col, feature_cols, iters=30, lr=1.0,
+    * out_col=quality_score, action=score|filter, threshold=0.5)` —
+    * fit-and-score the in-engine logistic quality classifier
+    * ([[Curation.logisticFit]]/[[Curation.logisticScore]]): a seed-rule
+    * label column + numeric signal columns on the incoming frame train a
+    * deterministic model (one exact-decimal gradient agg per step), and
+    * the same frame is scored. `action: filter` keeps rows scoring >=
+    * threshold (null scores drop — null features carry no evidence);
+    * `score` appends the score column. The YAML-reachable form of the
+    * GPT-3/CCNet classifier-filtering stage. */
+  private def qualityClassifier: CustomFn = (df, kw) => {
+    val feats = strSeqKw("quality_classifier", kw, "feature_cols")
+    val model = Curation.logisticFit(
+      df,
+      reqStr("quality_classifier", kw, "label_col"),
+      feats,
+      iters = intKw("quality_classifier", kw, "iters", 30),
+      lr = dblKw("quality_classifier", kw, "lr", 1.0))
+    val outCol = strKw("quality_classifier", kw, "out_col", "quality_score")
+    val scored = Curation.logisticScore(df, model, outCol)
+    strKw("quality_classifier", kw, "action", "score") match {
+      case "score" => scored
+      case "filter" =>
+        scored.filter(col(outCol) >= dblKw("quality_classifier", kw, "threshold", 0.5))
+          .drop(outCol)
+      case other => throw new IllegalArgumentException(
+        s"quality_classifier action must be 'score' or 'filter', got '$other'")
+    }
   }
 
   /** `incremental_ann_index(vec_col, centroids_path, codebook_path,

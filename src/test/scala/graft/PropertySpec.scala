@@ -390,6 +390,16 @@ class PropertySpec extends AnyFunSuite {
         req("seen_path", Gen.const(seenBandsPath), wrongForStr),
         opt("seen_file_type", Gen.const("parquet"), wrongForStr),
         shingleK) ++ hashesBands),
+      "quality_classifier" -> Seq(
+        req("label_col", Gen.const("is_en"), wrongForStr),
+        req("feature_cols", Gen.oneOf[Any](List("n_tok"), List("n_tok", "doc_id")),
+          Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String], null)),
+        opt("iters", Gen.oneOf(1L, 3L), wrongForInt),
+        opt("lr", Gen.chooseNum(0.1, 1.0), wrongForNum),
+        opt("out_col", Gen.const("qscore"), wrongForStr),
+        opt("action", Gen.oneOf[Any]("score", "filter"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_action")),
+        opt("threshold", Gen.chooseNum(0.0, 1.0), wrongForNum)),
       "incremental_ann_index" -> Seq(
         req("vec_col", Gen.const("emb"), wrongForStr),
         req("centroids_path", Gen.const(centsPath), wrongForStr),
@@ -476,11 +486,11 @@ class PropertySpec extends AnyFunSuite {
     // inside a plan. Valid kwargs must analyze clean.
     import graft.service.BuiltinTransformations
     val df = Seq(
-      (1L, "the quick brown fox jumps over the dog", "en", 8L, Array(1.0, 0.1)),
-      (2L, "le renard brun rapide saute par dessus", "fr", 7L, Array(0.9, 0.2)),
-      (3L, "the quick brown fox jumps over the dog", "en", 8L, Array(0.1, 1.0)),
-      (4L, "spark engines shuffle data across executors", "en", 6L, Array(0.2, 0.8))
-    ).toDF("doc_id", "text", "lang", "n_tok", "emb")
+      (1L, "the quick brown fox jumps over the dog", "en", 8L, Array(1.0, 0.1), 1),
+      (2L, "le renard brun rapide saute par dessus", "fr", 7L, Array(0.9, 0.2), 0),
+      (3L, "the quick brown fox jumps over the dog", "en", 8L, Array(0.1, 1.0), 1),
+      (4L, "spark engines shuffle data across executors", "en", 6L, Array(0.2, 0.8), 1)
+    ).toDF("doc_id", "text", "lang", "n_tok", "emb", "is_en")
     val propDir = java.nio.file.Files.createTempDirectory("prop_eval")
     val evalDir = propDir.resolve("eval.parquet").toString
     Seq((100L, "the quick brown fox jumps over the dog"))
