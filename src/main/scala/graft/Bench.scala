@@ -330,9 +330,6 @@ object Bench {
     val shortKeys = results.map { case (k, _, _, _) => k.takeWhile(_ != '_') }
     require(shortKeys.distinct.size == shortKeys.size,
       "catalog qNN prefixes must stay unique — the compact bench line keys on them")
-    val qsShort = results.map { case (k, med, _, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(med)
-    }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val bestFull = results.map { case (k, _, best, _) => "\"" + k + "\":" + best }
@@ -361,7 +358,19 @@ object Bench {
         (if (suspects.size > 8) Seq(s"+${suspects.size - 8}") else Nil))
     val suspectsFull = suspects
       .map { case (n, m) => s""""$n":${fmt(m)}""" }.mkString("{", ",", "}")
-    val envFields =
+    // the static idle references, self-load samples, and timestamps live
+    // in the FULL file only (round 14: 134 queries pushed the compact line
+    // past the driver's 2000-char tail capture — the contention VERDICT
+    // fields all stay, the config echoes go)
+    val envFieldsCompact =
+      s""""load_avg_start":${fmt(loadStart)},"load_wait_sec":$loadWaited,""" +
+        s""""calibration_sec":${fmt(calibrationSec)},""" +
+        s""""calibration_par_sec":${fmt(calibrationParSec)},""" +
+        s""""contaminated":$contaminated,""" +
+        s""""contaminated_by":${strArr(contaminatedBy)},""" +
+        s""""ref_n":${ref.size},"ref_parse_failed":$refParseFailed,""" +
+        s""""total_batch":${fmt(totalBatch)},"total_streaming":${fmt(totalStreaming)}"""
+    val envFieldsFull =
       s""""load_avg_start":${fmt(loadStart)},"load_avg_pre_warmup":${fmt(loadPreWarmup)},""" +
         s""""load_avg_end":${fmt(loadEnd)},"load_wait_sec":$loadWaited,""" +
         s""""ts_start":$tsStart,"ts_end":$tsEnd,""" +
@@ -375,11 +384,20 @@ object Bench {
         s""""total_batch":${fmt(totalBatch)},"total_streaming":${fmt(totalStreaming)}"""
     // "queries" are MEDIANS (round 7 on); best-of-3 rides along in the full
     // file only — the compact stdout line must stay inside the driver's
-    // 2000-char tail capture
-    val jsonShort =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3",$envFields,"outliers":$outliersShort,"ref_missing":$refMissingShort,"suspects":$suspectsShort,"queries":$qsShort,"sf":"$sfDir"}"""
+    // 2000-char tail capture. Per-query precision ADAPTS downward (3 -> 2
+    // -> 1 decimals) as the catalog grows; 1 decimal is still far inside
+    // the 3x outlier band any reader of this line could care about.
+    def shortLine(decimals: Int): String = {
+      val q = results.map { case (k, med, _, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" +
+          s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, med)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_3",$envFieldsCompact,"outliers":$outliersShort,"ref_missing":$refMissingShort,"suspects":$suspectsShort,"queries":$q,"sf":"$sfDir"}"""
+    }
+    val jsonShort = Seq(3, 2, 1).map(shortLine).find(_.length <= 1950)
+      .getOrElse(shortLine(1))
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3",$envFields,"outliers":$outliersFull,"ref_missing":${strArr(refMissing)},"suspects":$suspectsFull,"mini_lane":$miniFull,"queries":$qsFull,"best":$bestFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_3",$envFieldsFull,"outliers":$outliersFull,"ref_missing":${strArr(refMissing)},"suspects":$suspectsFull,"mini_lane":$miniFull,"queries":$qsFull,"best":$bestFull,"sf":"$sfDir"}"""
     if (jsonShort.length > 1950)
       System.err.println(s"[bench] WARNING: compact stdout line is ${jsonShort.length} chars — " +
         "the driver captures only the last 2000; trim fields or precision")

@@ -45,7 +45,7 @@ case class NearestCentroidId(
     centroids: Seq[Seq[Double]],
     cids: Seq[Int],
     metric: String
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
   require(centroids.nonEmpty && centroids.size == cids.size,
     s"centroid/cid count mismatch: ${centroids.size} vs ${cids.size}")
   require(NearestCentroidId.Metrics.contains(metric),
@@ -108,6 +108,80 @@ case class NearestCentroidId(
     }
     ids(best)
   }
+
+  /** Real codegen (round 14, after the matrix form became the default in
+    * every hot ANN path): the matrix/norm tables enter the generated
+    * class as reference objects (one per expression — broadcast with the
+    * task binary exactly like the interpreted path), and the loop reads
+    * elements straight off the ArrayData accessors, so containing
+    * expression trees stay inside whole-stage codegen instead of being
+    * dragged to interpreted mode by a CodegenFallback node. Arithmetic
+    * is identical to [[nullSafeEval]]: sequential folds, strict
+    * inequalities, earliest-wins. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+      val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val xn = ctx.freshName("xn"); val n = ctx.freshName("n")
+      val best = ctx.freshName("best"); val bestScore = ctx.freshName("bestScore")
+      val c = ctx.freshName("c"); val s = ctx.freshName("s")
+      val body = metric match {
+        case "cosine" =>
+          val cnormRef = ctx.addReferenceObj("cnorm", cnorm, "double[]")
+          val nx = ctx.freshName("nx"); val d = ctx.freshName("d")
+          val denom = ctx.freshName("denom")
+          s"""
+             |double $nx = 0.0;
+             |for (int $j = 0; $j < $xn; $j++) { double v = $x.getDouble($j); $nx += v * v; }
+             |$nx = java.lang.Math.sqrt($nx);
+             |for (int $i = 0; $i < $matRef.length; $i++) {
+             |  double[] $c = $matRef[$i];
+             |  int $n = java.lang.Math.min($xn, $c.length);
+             |  double $d = 0.0;
+             |  for (int $j = 0; $j < $n; $j++) { $d += $x.getDouble($j) * $c[$j]; }
+             |  double $denom = $nx * $cnormRef[$i];
+             |  double $s = ($denom == 0.0) ? 0.0 : $d / $denom;
+             |  if ($s > $bestScore) { $bestScore = $s; $best = $i; }
+             |}
+           """.stripMargin
+        case "l2" =>
+          s"""
+             |$bestScore = Double.POSITIVE_INFINITY;
+             |for (int $i = 0; $i < $matRef.length; $i++) {
+             |  double[] $c = $matRef[$i];
+             |  int $n = java.lang.Math.min($xn, $c.length);
+             |  double $s = 0.0;
+             |  for (int $j = 0; $j < $n; $j++) {
+             |    double dx = $x.getDouble($j) - $c[$j]; $s += dx * dx;
+             |  }
+             |  if ($s < $bestScore) { $bestScore = $s; $best = $i; }
+             |}
+           """.stripMargin
+        case "dotshift" =>
+          val hnRef = ctx.addReferenceObj("halfNorm2", halfNorm2, "double[]")
+          s"""
+             |for (int $i = 0; $i < $matRef.length; $i++) {
+             |  double[] $c = $matRef[$i];
+             |  int $n = java.lang.Math.min($xn, $c.length);
+             |  double $s = 0.0;
+             |  for (int $j = 0; $j < $n; $j++) { $s += $x.getDouble($j) * $c[$j]; }
+             |  $s -= $hnRef[$i];
+             |  if ($s > $bestScore) { $bestScore = $s; $best = $i; }
+             |}
+           """.stripMargin
+      }
+      s"""
+         |int $xn = $x.numElements();
+         |int $best = 0;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |$body
+         |${ev.value} = $idsRef[$best];
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidId =
     copy(child = newChild)
