@@ -43,6 +43,54 @@ object Curation {
     df.filter(hashCoord(col(idCol)) < frac)
   }
 
+  /** Per-group quantile gating — the "keep each language's top quality
+    * slice" curation step of the CCNet/fineweb recipes: every group's own
+    * p-quantile of `scoreCol` becomes its threshold; rows with
+    * score >= threshold survive. Two-pass shape: ONE per-group quantile
+    * aggregation whose output is #groups rows (languages/domains — tiny
+    * by construction), broadcast back onto the corpus — the corpus is
+    * never re-shuffled and the comparison evaluates at the scan.
+    *
+    * `method` mirrors the winsorize/qcut switch: "exact" (deterministic
+    * linear-interpolated percentile — DuckDB `quantile_cont` twin, the
+    * oracle-parity form) buffers a value→count map per group per
+    * partition, the 100 TB hazard; "approx" bounds memory via
+    * `approx_percentile(accuracy)`. Null scores never survive in either
+    * mode (percentile skips them; `null >= thr` filters false). Rows
+    * whose GROUP is null form their own stratum (null-safe join), same
+    * as groupBy's null group.
+    *
+    * Boundary robustness at "exact": pick a p that is an exact binary
+    * fraction (0.25/0.5/0.75) — the interpolation fraction is then
+    * exact, so a threshold either IS an order statistic (selected, not
+    * computed — bit-identical in any engine) or lies strictly between
+    * two adjacent distinct scores, where no score can equal it and a
+    * last-ulp interpolation difference cannot flip any >= decision. */
+  def quantileFilterPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      p: Double,
+      method: String = "exact",
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"quantile p must be in (0, 1), got $p")
+    Seq("__grp", "__thr").foreach(n =>
+      require(!df.columns.contains(n),
+        s"quantileFilterPerGroup uses internal column '$n'; input already has one — rename it first"))
+    val thrAgg = method match {
+      case "exact"  => expr(s"percentile($scoreCol, ${p}d)")
+      case "approx" => expr(s"approx_percentile($scoreCol, ${p}d, $accuracy)")
+      case other =>
+        throw new IllegalArgumentException(
+          s"quantileFilterPerGroup method must be 'exact' or 'approx', got '$other'")
+    }
+    val thresholds = df.groupBy(col(groupCol).as("__grp")).agg(thrAgg.as("__thr"))
+    df.join(broadcast(thresholds), col(groupCol) <=> col("__grp"))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__grp", "__thr")
+  }
+
   /** Sequence packing (concatenate-and-cut): lay documents end-to-end in a
     * deterministic order and cut every `budget` tokens — the standard
     * pretraining batching step ("pack docs into 2048-token rows"). Each doc

@@ -465,6 +465,103 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("pq_cosine"), col("rk"))
   }
 
+  // --------------------------------------------------- scalar quantization
+
+  /** Train per-dimension [min, max] ranges for SQ8 scalar quantization
+    * (the FAISS ScalarQuantizer QT_8bit shape): ONE posexplode + a
+    * per-dimension min/max aggregation — shuffle volume is `dim` rows,
+    * corpus-size independent, map-side combined. The driver holds only
+    * the dim (mn, mx) pairs (bounded collect, house rule — the cap turns
+    * a mistaken data-sized frame into a loud failure).
+    *
+    * SQ8 is the CHEAP-TRAIN point on the compression ladder: PQ needs
+    * Lloyd rounds per subspace for ~32x, SQ8 needs one scan for ~8x
+    * (dim bytes vs dim floats once codes are byte-packed at rest; the
+    * in-plan `array<int>` spelling keeps the oracle comparable — the
+    * storage win is a sink-format property, not a plan one). */
+  def sqTrain(corpus: DataFrame, vecCol: String, maxDim: Int = 65536): Seq[(Double, Double)] = {
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .limit(maxDim + 1)
+      .collect()
+    require(rows.length <= maxDim,
+      s"sqTrain saw ${rows.length} dimensions > maxDim=$maxDim — not an embedding " +
+        "column; raise maxDim deliberately if the vectors really are this wide")
+    require(rows.nonEmpty, "sqTrain: corpus has no vector elements to train on")
+    val byDim = rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    require(byDim.map(_._1).toSeq == byDim.indices.toSeq,
+      s"sqTrain: dimensions must be dense 0..${byDim.size - 1} (ragged or null-element " +
+        "vectors in the corpus)")
+    byDim.map(t => (t._2, t._3)).toSeq
+  }
+
+  /** Encode vectors to one 0..255 code per dimension:
+    * `floor((x - mn) / (mx - mn) * 255 + 0.5)` (0 where the dimension is
+    * constant). floor(z + 0.5) rather than round(): half-up in every
+    * engine by construction, so codes are bit-identical to the DuckDB
+    * oracle's. Pure per-row projection — no shuffle, no UDF; the range
+    * arrays ride the plan as two reference literals (O(1) AST nodes,
+    * not dim — the round-14 no-literal-cliff rule). */
+  def sqEncode(
+      df: DataFrame,
+      vecCol: String,
+      ranges: Seq[(Double, Double)],
+      outCol: String = "sq_codes"
+  ): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"sqEncode writes column '$outCol'; input already has one — rename it first")
+    val mns = typedLit(ranges.map(_._1))
+    val mxs = typedLit(ranges.map(_._2))
+    df.withColumn(outCol,
+      transform(col(vecCol).cast("array<double>"), (x, i) => {
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        when(mx === mn, lit(0))
+          .otherwise(floor((x - mn) / (mx - mn) * lit(255.0) + lit(0.5)).cast("int"))
+      }))
+  }
+
+  /** Reconstruction of an SQ8 code array: `mn + code/255 * (mx - mn)`
+    * per dimension — the asymmetric-search decode, assembled as a
+    * projection (deltas precomputed driver-side; same IEEE ops as the
+    * oracle's, so reconstructions are bit-identical). */
+  def sqDecode(codes: Column, ranges: Seq[(Double, Double)]): Column = {
+    val mns = typedLit(ranges.map(_._1))
+    val deltas = typedLit(ranges.map { case (mn, mx) => mx - mn })
+    transform(codes, (c, i) =>
+      element_at(mns, i + 1) + c.cast("double") / lit(255.0) * element_at(deltas, i + 1))
+  }
+
+  /** SQ8 asymmetric top-k: queries stay uncompressed, each corpus row
+    * contributes only its dim byte-codes, reconstructed in-plan. Same
+    * broadcast-queries scan shape as [[bruteForceTopK]]/[[pqTopK]] (no
+    * corpus shuffle); ranking key (round-6 cosine DESC, id ASC) keeps
+    * the selected set deterministic. Unlike PQ's ADC, the whole search
+    * is exactly expressible in ANSI SQL (mn/mx aggregation + the decode
+    * formula), so q135 pins it with a FULL hash oracle rather than a
+    * boolean contract. */
+  def sqTopK(
+      corpusCodes: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      queryId: String,
+      queryVec: String,
+      ranges: Seq[(Double, Double)],
+      k: Int,
+      codesCol: String = "sq_codes"
+  ): DataFrame = {
+    val joined = corpusCodes.crossJoin(broadcast(queries))
+    val sim = round(cosine(sqDecode(col(codesCol), ranges), col(queryVec)), 6)
+    val w = Window.partitionBy(col(queryId)).orderBy(sim.desc, col(corpusId).asc)
+    joined
+      .withColumn("sq_cosine", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId), col("sq_cosine"), col("rk"))
+  }
+
   // ------------------------------------------- incremental index maintenance
 
   /** Serialize a fitted index (IVF coarse centroids + PQ codebook) to two

@@ -3858,6 +3858,90 @@ object Queries {
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_scored, TRUE AS scores_in_unit,
       |  TRUE AS acc_ok FROM documents""".stripMargin
 
+  private def cachedSqTrain(d: String, label: String,
+      corpus: org.apache.spark.sql.DataFrame): Seq[(Double, Double)] =
+    memoIndex(s"sq8:${new java.io.File(d).getCanonicalPath}:$label") {
+      Similarity.sqTrain(corpus, "v")
+    }
+
+  /** SQ8 scalar quantization ([[Similarity.sqTrain]]/[[Similarity.sqEncode]]/
+    * [[Similarity.sqTopK]]) — the cheap-train point on the compression
+    * ladder (brute → LSH → IVF → PQ → SQ8): per-dimension [min,max]
+    * from ONE corpus scan (shuffle = dim rows), one 0..255 code per
+    * dimension (~8x at-rest vs doubles, no Lloyd rounds), asymmetric
+    * search against the in-plan reconstruction.
+    *
+    * Unlike PQ (q126) and IVF (q129/q127), whose oracles are boolean
+    * contracts, every step here — min/max training, the
+    * floor(z*255+0.5) code, the mn + c/255*(mx-mn) decode, the
+    * sequential-fold cosine — is exactly expressible in DuckDB SQL, so
+    * this query is pinned by a FULL top-10 hash oracle: a single row of
+    * drift anywhere in train/encode/decode/search fails the gate. */
+  val q135: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ranges = cachedSqTrain(d, "emb", emb)
+    val codes = Similarity.sqEncode(emb, "v", ranges).select(col("vec_id"), col("sq_codes"))
+    Similarity.sqTopK(codes, queries, "vec_id", "qid", "qv", ranges, k = 10)
+  }
+
+  val q135Sql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |e AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM c),
+      |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim),
+      |codes AS (SELECT vec_id, dim,
+      |  CAST(CASE WHEN mx = mn THEN 0
+      |    ELSE floor((x - mn) / (mx - mn) * 255.0 + 0.5) END AS INTEGER) AS code
+      |  FROM e JOIN st USING (dim)),
+      |recon AS (SELECT vec_id, list(mn + code / 255.0 * (mx - mn) ORDER BY dim) AS rv
+      |  FROM codes JOIN st USING (dim) GROUP BY vec_id),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 5),
+      |s AS (SELECT qid, vec_id,
+      |  round(list_dot_product(rv, qv) /
+      |    (sqrt(list_dot_product(rv, rv)) * sqrt(list_dot_product(qv, qv))), 6) AS sq_cosine
+      |  FROM recon, q),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+      |  ORDER BY sq_cosine DESC, vec_id) AS INTEGER) AS rk FROM s)
+      |SELECT qid, vec_id, sq_cosine, rk FROM r WHERE rk <= 10""".stripMargin
+
+  /** Per-language quality-quantile gating
+    * ([[Curation.quantileFilterPerGroup]]) — "keep each language's top
+    * 25% by quality score", the stratified classifier-threshold step of
+    * the CCNet/fineweb recipes (a GLOBAL threshold would empty
+    * low-resource languages; per-group quantiles keep the mix). Score is
+    * q20's round-6 composite; thresholds are each language's own exact
+    * 0.75-quantile (p chosen as an exact binary fraction — see the
+    * operator scaladoc for why that makes every >= decision
+    * engine-robust). Scale shape: the quantile agg emits #languages
+    * rows, broadcast back; the corpus is never re-shuffled. */
+  val q136: QueryFn = (s, d) => {
+    val scored = tbl(s, d, "documents").select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    Curation.quantileFilterPerGroup(scored, "lang", "quality_score", p = 0.75)
+  }
+
+  val q136Sql: String =
+    """WITH b AS (SELECT doc_id, lang,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS INTEGER) AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digit
+      |  FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |  round(least(CAST(n_tokens AS DOUBLE)/20.0, 1.0)
+      |    * (1.0 - least(round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1), 6)*4.0, 1.0))
+      |    * (1.0 - least(round(CAST(n_digit AS DOUBLE)/greatest(n_chars,1), 6)*4.0, 1.0)), 6)
+      |    AS quality_score
+      |  FROM b),
+      |thr AS (SELECT lang, quantile_cont(quality_score, 0.75) AS t FROM sc GROUP BY lang)
+      |SELECT doc_id, sc.lang, quality_score
+      |FROM sc JOIN thr ON sc.lang IS NOT DISTINCT FROM thr.lang
+      |WHERE quality_score >= t""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -3996,7 +4080,9 @@ object Queries {
     ("q131_bm25", q131, Some(q131Sql)),
     ("q132_unigram_nll", q132, Some(q132Sql)),
     ("q133_stream_ann_encode", q133, Some(q133Sql)),
-    ("q134_quality_classifier", q134, Some(q134Sql))
+    ("q134_quality_classifier", q134, Some(q134Sql)),
+    ("q135_sq8_ann", q135, Some(q135Sql)),
+    ("q136_quality_quantile_gate", q136, Some(q136Sql))
   )
 }
 

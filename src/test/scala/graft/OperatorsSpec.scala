@@ -793,6 +793,58 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 scalar quantization: endpoint codes, bounded error, deterministic, exact on clustered data") {
+    import graft.operators.Similarity
+    // same 4-blob geometry as the PQ case: SQ8's per-dim grid is far finer
+    // than the blob separation, so ADC top-k must equal exact top-k
+    val base = Map(0 -> 0, 1 -> 2, 2 -> 4, 3 -> 6)
+    val rows = (0 until 40).map { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0.0)
+      v(base(c)) = 10.0
+      v(base(c) + 1) = 1.0 + (i / 4) * 0.01
+      v(7) = 3.5 // constant dimension: mx == mn, code must be 0, decode exact
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+    val ranges = Similarity.sqTrain(emb, "v")
+    assert(ranges.size == 8, s"one (mn,mx) per dim: ${ranges.size}")
+    assert(ranges(7) == ((3.5, 3.5)), s"constant dim trains to a point: ${ranges(7)}")
+    // determinism: repartitioning changes nothing (min/max are exact aggs)
+    assert(ranges == Similarity.sqTrain(emb.repartition(13), "v"))
+    val enc = Similarity.sqEncode(emb, "v", ranges)
+    val codes = enc.select("sq_codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.size == 8 && cs.forall(c => c >= 0 && c <= 255)),
+      "every code is a byte")
+    assert(codes.forall(_.apply(7) == 0), "constant dim encodes to 0")
+    // endpoint pins: a dim's min encodes to 0, its max to 255
+    val dim0codes = enc.select($"v".getItem(0), $"sq_codes".getItem(0))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(dim0codes.filter(_._1 == 0.0).forall(_._2 == 0), "dim min -> code 0")
+    assert(dim0codes.filter(_._1 == 10.0).forall(_._2 == 255), "dim max -> code 255")
+    // reconstruction error bounded by half a grid cell per dim
+    val maxCell = ranges.map { case (mn, mx) => (mx - mn) / 255.0 / 2.0 }.max
+    val worst = enc.select((0 until 8).map(i =>
+        abs(Similarity.sqDecode($"sq_codes", ranges).getItem(i) - $"v".getItem(i)).as(s"e$i")): _*)
+      .agg(greatest((0 until 8).map(i => max(col(s"e$i"))): _*)).head().getDouble(0)
+    assert(worst <= maxCell + 1e-12, s"recon error $worst must sit inside half a grid cell $maxCell")
+    // clustered corpus: SQ8 ADC reproduces the exact top-5
+    val queries = emb.filter($"vec_id" < 4).select($"vec_id".as("qid"), $"v".as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "qid", "v", "qv", 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.sqTopK(enc.select($"vec_id", $"sq_codes"), queries,
+        "vec_id", "qid", "qv", ranges, 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == exact, s"fine grid: SQ8 must find the exact top-5\nexact=$exact\nsq=$approx")
+    // house guards: shadow column refused, data-sized "vector" refused
+    intercept[IllegalArgumentException] {
+      Similarity.sqEncode(enc, "v", ranges) // sq_codes already present
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.sqTrain(emb, "v", maxDim = 4)
+    }
+  }
+
   test("novelAgainstFuzzy drops store collisions, then fuzzy-dedups the survivors in-batch") {
     import graft.operators.Curation
     val prior = Seq(
@@ -810,6 +862,48 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(2L, 4L),
       s"store hit (1) and in-batch dup (3, min-id 2 wins) must drop: $kept")
+  }
+
+  test("quantileFilterPerGroup: per-group thresholds, null score/group contracts, approx mode, guards") {
+    import graft.operators.Curation
+    // group a: scores 1..8 -> exact 0.5-quantile 4.5, keep 5..8
+    // group b: scores 10,20,30,40 -> 25.0, keep 30,40
+    // group null: scores 1,100 -> 50.5, keep 100 (null group is its own stratum)
+    // null score: never kept
+    val rows = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),
+      ("a", Some(5.0)), ("a", Some(6.0)), ("a", Some(7.0)), ("a", Some(8.0)),
+      ("b", Some(10.0)), ("b", Some(20.0)), ("b", Some(30.0)), ("b", Some(40.0)),
+      (null.asInstanceOf[String], Some(1.0)), (null.asInstanceOf[String], Some(100.0)),
+      ("a", None)
+    ).toDF("grp", "score")
+    val kept = Curation.quantileFilterPerGroup(rows, "grp", "score", p = 0.5)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("NULL"), r.get(1))).toSet
+    assert(kept == Set(
+      ("a", 5.0), ("a", 6.0), ("a", 7.0), ("a", 8.0),
+      ("b", 30.0), ("b", 40.0), ("NULL", 100.0)), s"got $kept")
+    // interpolated threshold sits strictly between order stats: p=0.75 on
+    // 1..8 -> 6.25, keep 7,8 (the >= boundary can't land on a score)
+    val top = Curation.quantileFilterPerGroup(rows.filter($"grp" === "a"), "grp", "score", p = 0.75)
+      .select("score").collect().map(_.getDouble(0)).toSet
+    assert(top == Set(7.0, 8.0), s"got $top")
+    // approx mode thresholds on an ORDER STATISTIC (approx_percentile
+    // never interpolates), so its threshold <= the interpolated one and
+    // its kept set is a superset of exact's; null score still never kept
+    val approx = Curation.quantileFilterPerGroup(rows, "grp", "score", p = 0.5, method = "approx")
+      .collect().map(r => (Option(r.getString(0)).getOrElse("NULL"), r.get(1))).toSet
+    assert(kept.subsetOf(approx), s"approx keeps at least exact's survivors: $approx")
+    assert(approx.contains(("a", 4.0)) && !approx.exists(_._2 == null),
+      s"order-stat threshold 4.0 keeps itself, null scores still drop: $approx")
+    intercept[IllegalArgumentException] {
+      Curation.quantileFilterPerGroup(rows, "grp", "score", p = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.quantileFilterPerGroup(rows, "grp", "score", p = 0.5, method = "magic")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.quantileFilterPerGroup(rows.withColumn("__thr", lit(1)), "grp", "score", p = 0.5)
+    }
   }
 
   test("stratified hash sampling: deterministic, fraction-faithful, strata-scoped") {
