@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{DeriveSpec, RuleSpec}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis, TextClean, TimeSeries}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis, TextClean, TimeSeries}
 import graft.stages.{Transforms, Validation}
 import graft.expr.RuleParser
 
@@ -3942,6 +3942,67 @@ object Queries {
       |FROM sc JOIN thr ON sc.lang IS NOT DISTINCT FROM thr.lang
       |WHERE quality_score >= t""".stripMargin
 
+  private def cachedBpe(d: String, docs: org.apache.spark.sql.DataFrame,
+      n: Int): Seq[(String, String, Long)] =
+    memoIndex(s"bpe:${new java.io.File(d).getCanonicalPath}:n=$n") {
+      Bpe.trainFromCorpus(docs, "text", n)
+    }
+
+  /** Distributed BPE tokenizer training ([[Bpe.trainFromCorpus]] /
+    * [[graft.sparkext.BpeApply]]) — 8 merges learned from the corpus
+    * vocab (one corpus scan; per-iteration cost is vocab-bounded: one
+    * pair aggregation + a 1-row argmax collect), then replayed over
+    * every document as a pure projection.
+    *
+    * Oracle contract (q126 boolean pattern, plus a REAL data pin):
+    * DuckDB recomputes merge #1 exactly — the argmax adjacent char
+    * pair under the same (count DESC, pair ASC) tie-break — and the
+    * corpus' pre-BPE symbol total; ranks 2+ depend on the merged state
+    * SQL cannot replay (no list-accumulator lambdas in the oracle
+    * engine), so they are pinned by invariants instead: selection
+    * counts never increase (new pairs contain the merged symbol, so
+    * their counts are bounded by its), and the applied token total
+    * shrinks but never by more than the recorded counts (overlap
+    * quirk: position counts overstate greedy non-overlapping
+    * replacements — operator scaladoc). BpeSpec pins the full merge
+    * sequence against an in-memory reference implementation. */
+  val q137: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val merges = cachedBpe(d, docs, 8)
+    val pairs = merges.map(m => (m._1, m._2))
+    val counts = merges.map(_._3)
+    val nonInc = counts.zip(counts.drop(1)).forall { case (a, b) => a >= b }
+    val charTotal = aggregate(TextAnalysis.tokens(col("text")), lit(0L),
+      (acc, t) => acc + length(t))
+    docs
+      .agg(sum(charTotal).as("before"),
+        sum(Bpe.tokenCount(col("text"), pairs).cast("long")).as("after"))
+      .select(
+        lit(merges.size.toLong).as("n_merges"),
+        lit(merges.head._1).as("first_left"),
+        lit(merges.head._2).as("first_right"),
+        lit(merges.head._3).as("first_count"),
+        col("before").as("tokens_before"),
+        lit(nonInc).as("counts_nonincreasing"),
+        (col("after") < col("before") &&
+          col("after") >= col("before") - lit(counts.sum)).as("compression_ok"))
+  }
+
+  val q137Sql: String =
+    """WITH ft AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |f AS (SELECT tok FROM ft WHERE length(tok) > 0),
+      |p AS (SELECT substr(tok, gs, 1) AS l, substr(tok, gs + 1, 1) AS r
+      |  FROM f CROSS JOIN generate_series(1, 255) AS g(gs)
+      |  WHERE gs <= length(tok) - 1),
+      |top AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY l, r
+      |  ORDER BY c DESC, l, r LIMIT 1),
+      |tot AS (SELECT CAST(SUM(length(tok)) AS BIGINT) AS tokens_before FROM f)
+      |SELECT CAST(8 AS BIGINT) AS n_merges, l AS first_left, r AS first_right,
+      |  c AS first_count, tokens_before,
+      |  TRUE AS counts_nonincreasing, TRUE AS compression_ok
+      |FROM top CROSS JOIN tot""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4082,7 +4143,8 @@ object Queries {
     ("q133_stream_ann_encode", q133, Some(q133Sql)),
     ("q134_quality_classifier", q134, Some(q134Sql)),
     ("q135_sq8_ann", q135, Some(q135Sql)),
-    ("q136_quality_quantile_gate", q136, Some(q136Sql))
+    ("q136_quality_quantile_gate", q136, Some(q136Sql)),
+    ("q137_bpe_train", q137, Some(q137Sql))
   )
 }
 

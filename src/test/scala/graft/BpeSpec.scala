@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+import graft.sparkext.BpeApply
+
+/** BPE training and application, pinned against an in-memory reference
+  * implementation of the published algorithm (Sennrich et al. 2016,
+  * algorithm 1 — overlapping position counts, greedy non-overlapping
+  * replacement, (count DESC, pair ASC) selection). */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference BPE: single-threaded, obviously-correct. */
+  private def refTrain(vocab: Map[String, Long], numMerges: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      vocab.map { case (w, c) => w.toVector.map(_.toString) -> c }
+    var out = Vector.empty[(String, String, Long)]
+    for (_ <- 1 to numMerges if words.keys.exists(_.size > 1)) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((a, b), c) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      out :+= ((a, b, c))
+      words = words.map { case (syms, n) =>
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) { buf += a + b; i += 2 }
+          else { buf += syms(i); i += 1 }
+        }
+        buf.result() -> n
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    out
+  }
+
+  private def refApply(syms: Vector[String], merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(syms) { case (s, (a, b)) =>
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.size) {
+        if (i + 1 < s.size && s(i) == a && s(i + 1) == b) { buf += a + b; i += 2 }
+        else { buf += s(i); i += 1 }
+      }
+      buf.result()
+    }
+
+  test("distributed BPE training matches the reference implementation merge-for-merge") {
+    // the Sennrich paper's worked vocabulary
+    val vocab = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val corpus = vocab.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val expected = refTrain(vocab, 6)
+    val got = Bpe.trainFromCorpus(df, "text", 6)
+    assert(got == expected, s"\nexpected $expected\ngot      $got")
+    // first merge of this vocab is famously (e, s) with count 9
+    assert(got.head == (("e", "s", 9L)), s"got ${got.head}")
+    // repartitioning changes nothing — counts are exact aggregations
+    assert(Bpe.trainFromCorpus(df.repartition(7), "text", 6) == expected)
+  }
+
+  test("BpeApply: greedy leftmost non-overlapping replacement, rank order, nulls pass through") {
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),
+      (2L, Seq("a", "b", "a", "b")),
+      (3L, Seq[String]()),
+      (4L, Seq("x"))
+    ).toDF("id", "syms")
+    val merged = df.select(col("id"), BpeApply(col("syms"), Seq(("a", "a"))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(merged(1L) == List("aa", "a"), s"overlap is non-overlapping greedy: ${merged(1L)}")
+    assert(merged(2L) == List("a", "b", "a", "b"), "no (a,a) pair present")
+    assert(merged(3L) == Nil && merged(4L) == List("x"))
+    // rank order matters: (a,b) then (ab,c) fuses abc; reversed cannot
+    val s2 = Seq((1L, Seq("a", "b", "c"))).toDF("id", "syms")
+    val fused = s2.select(BpeApply(col("syms"), Seq(("a", "b"), ("ab", "c"))).as("m"))
+      .head().getSeq[String](0).toList
+    assert(fused == List("abc"), s"$fused")
+    val notFused = s2.select(BpeApply(col("syms"), Seq(("ab", "c"), ("a", "b"))).as("m"))
+      .head().getSeq[String](0).toList
+    assert(notFused == List("ab", "c"), s"$notFused")
+    // null element never matches, null array stays null
+    val withNulls = Seq((1L, Seq("a", null, "a"))).toDF("id", "syms")
+    assert(withNulls.select(BpeApply(col("syms"), Seq(("a", "a"))).as("m"))
+      .head().getSeq[String](0).toList == List("a", null, "a"))
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS syms")
+    assert(nullRow.select(BpeApply(col("syms"), Seq(("a", "a"))).as("m")).head().isNullAt(0))
+  }
+
+  test("segment + tokenCount: per-word merge replay matches the reference, empty text is 0") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val df = Seq((1L, "lowest lo"), (2L, ""), (3L, "   ")).toDF("id", "text")
+    val got = df.select(col("id"), Bpe.segment(col("text"), merges).as("s"),
+        Bpe.tokenCount(col("text"), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getInt(2)))
+    val expect1 = (refApply("lowest".toVector.map(_.toString), merges) ++
+      refApply("lo".toVector.map(_.toString), merges)).toList
+    assert(got.find(_._1 == 1L).get._2 == expect1, s"${got.toList}")
+    assert(got.find(_._1 == 2L).get._3 == 0 && got.find(_._1 == 3L).get._3 == 0)
+  }
+
+  test("training stops early when every word is a single symbol") {
+    val df = Seq((1L, "ab ab cd")).toDF("id", "text")
+    // only 2 distinct pairs exist; asking for 10 merges returns <= 4
+    val merges = Bpe.trainFromCorpus(df, "text", 10)
+    assert(merges.size <= 4 && merges.nonEmpty, s"$merges")
+    assert(merges.head == (("a", "b", 2L)), s"(a,b) count 2 beats (c,d) count 1: $merges")
+  }
+}

@@ -247,7 +247,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "q129_ivf_large_k", // exact baseline's broadcast cross (the IVF side joins on cell — q127 shape)
       "q130_incremental_ann", // both ADC search paths broadcast-cross the 5-row query set (q126 shape)
       "q131_bm25", // 1-row (n_docs, avgdl) corpus-stats frame broadcast onto per-doc scores (q78 shape)
-      "q132_unigram_nll" // 1-row corpus-total-tokens frame broadcast onto per-term rows (q78 shape)
+      "q132_unigram_nll", // 1-row corpus-total-tokens frame broadcast onto per-term rows (q78 shape)
+      "q135_sq8_ann" // 5-row query set broadcast-crossed over the SQ8 codes (q27/q126 shape)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
