@@ -4003,6 +4003,47 @@ object Queries {
       |  TRUE AS counts_nonincreasing, TRUE AS compression_ok
       |FROM top CROSS JOIN tot""".stripMargin
 
+  /** Deterministic shuffle-and-shard writer
+    * ([[graft.sources.TrainingShards]]) — the corpus lands in 8 shard
+    * directories, globally pseudo-shuffled by a content-derived order
+    * key (md5), membership and order reproducible on any cluster size
+    * (one hash exchange + in-partition sort; no sampled range
+    * boundaries, no seeded rand()). The query round-trips the written
+    * layout (q120's compaction pattern) and manifests each shard:
+    * count, token total, and the first/last docs IN TRAINING ORDER —
+    * the oracle recomputes all of it from the raw table, so a row
+    * landing in the wrong shard, a lost row, or a broken order key
+    * fails the hash. LayoutSpec pins the physical within-file order. */
+  val q138: QueryFn = (s, d) => {
+    val key = scratchKey(d, "documents")
+    val out = s"target/range_layout/doc_shards_$key"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      graft.sources.TrainingShards.writeShards(tbl(s, d, "documents"), "doc_id", 8, out)
+    }
+    s.read.parquet(out)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        expr("min_by(doc_id, ord)").as("first_doc"),
+        expr("max_by(doc_id, ord)").as("last_doc"))
+  }
+
+  val q138Sql: String =
+    """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS ord,
+      |  CAST(CAST(list_sum(list_transform(range(1, 9), i ->
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
+      |    * power(16, 8 - i))) AS BIGINT) % 8 AS INTEGER) AS shard
+      |  FROM documents),
+      |t AS (SELECT shard, doc_id, ord,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_toks
+      |  FROM h)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  arg_min(doc_id, ord) AS first_doc, arg_max(doc_id, ord) AS last_doc
+      |FROM t GROUP BY shard""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4144,7 +4185,8 @@ object Queries {
     ("q134_quality_classifier", q134, Some(q134Sql)),
     ("q135_sq8_ann", q135, Some(q135Sql)),
     ("q136_quality_quantile_gate", q136, Some(q136Sql)),
-    ("q137_bpe_train", q137, Some(q137Sql))
+    ("q137_bpe_train", q137, Some(q137Sql)),
+    ("q138_training_shards", q138, Some(q138Sql))
   )
 }
 

@@ -170,4 +170,43 @@ class LayoutSpec extends AnyFunSuite {
         Map("en" -> 2000000L), 1L, 2L)
     }
   }
+
+  test("training shards: lossless, content-derived membership, physically ordered, stable under corpus edits") {
+    import graft.sources.TrainingShards
+    val rows = (1L to 500L).map(i => (i, s"doc number $i body")).toDF("id", "text")
+    val out = "target/test_training_shards"
+    TrainingShards.writeShards(rows, "id", 4, out)
+    val back = spark.read.parquet(out)
+    // lossless: every row lands in exactly one shard, ids intact
+    assert(back.count() == 500L)
+    assert(back.select("id").as[Long].collect().sorted.toSeq == (1L to 500L).toSeq)
+    val shards = back.select("shard").distinct().as[Int].collect().sorted
+    assert(shards.toSeq == Seq(0, 1, 2, 3), s"4 shards expected: ${shards.toSeq}")
+    // membership is a pure function of the id — recompute and compare
+    val expected = rows.select($"id", TrainingShards.shardId($"id", 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    back.select("id", "shard").collect()
+      .foreach(r => assert(r.getInt(1) == expected(r.getLong(0))))
+    // physical within-file order IS the order key's sort order: read each
+    // shard dir alone (single file written by one task) and check the raw
+    // row sequence, not an orderBy
+    (0 until 4).foreach { sh =>
+      val ords = spark.read.parquet(s"$out/shard=$sh").select("ord")
+        .collect().map(_.getString(0))
+      assert(ords.toSeq == ords.sorted.toSeq,
+        s"shard $sh must be physically sorted by ord")
+    }
+    // removing OTHER rows never moves survivors between shards
+    TrainingShards.writeShards(rows.filter($"id" <= 250), "id", 4, out + "_half")
+    spark.read.parquet(out + "_half").select("id", "shard").collect()
+      .foreach(r => assert(r.getInt(1) == expected(r.getLong(0)),
+        s"id ${r.getLong(0)} moved shards after corpus shrink"))
+    // house guards
+    assertThrows[IllegalArgumentException] {
+      TrainingShards.writeShards(rows.withColumn("ord", lit("x")), "id", 4, out)
+    }
+    assertThrows[IllegalArgumentException] {
+      TrainingShards.writeShards(rows, "id", 0, out)
+    }
+  }
 }
