@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.{GraftIO, SparkIO}
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, TextClean, TimeSeries}
+import graft.operators.{Bpe, Curation, Dedup, Similarity, TextAnalysis, TextClean, TimeSeries}
 import graft.stages.Transforms.CustomFn
 
 /** Built-in named custom transformations: the LLM-curation operators as
@@ -59,6 +59,10 @@ object BuiltinTransformations {
     "incremental_fuzzy_dedup" -> incrementalFuzzyDedup(io),
     "incremental_ann_index" -> incrementalAnnIndex(io),
     "quality_classifier" -> qualityClassifier,
+    "quality_quantile_gate" -> qualityQuantileGate,
+    "bpe_tokenize" -> bpeTokenize,
+    "sq8_encode" -> sq8Encode,
+    "training_shard_assign" -> trainingShardAssign,
     "fuzzy_dedup_keep_best" -> fuzzyDedupKeepBest,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
@@ -271,6 +275,68 @@ object BuiltinTransformations {
       case other => throw new IllegalArgumentException(
         s"quality_classifier action must be 'score' or 'filter', got '$other'")
     }
+  }
+
+  /** `quality_quantile_gate(group_col, score_col, p=0.75, method=exact,
+    * accuracy=10000)` — keep each group's top (1-p) slice by score
+    * ([[Curation.quantileFilterPerGroup]]): per-group quantile
+    * thresholds broadcast back over the corpus; `method=approx` for the
+    * bounded-memory 100 TB form. */
+  private def qualityQuantileGate: CustomFn = (df, kw) =>
+    Curation.quantileFilterPerGroup(
+      df,
+      reqStr("quality_quantile_gate", kw, "group_col"),
+      reqStr("quality_quantile_gate", kw, "score_col"),
+      p = dblKw("quality_quantile_gate", kw, "p", 0.75),
+      method = strKw("quality_quantile_gate", kw, "method", "exact"),
+      accuracy = intKw("quality_quantile_gate", kw, "accuracy", 10000))
+
+  /** `bpe_tokenize(text_col, num_merges=200, out_col=bpe_tokens,
+    * mode=count|segments)` — train a BPE merge table ON THE INPUT frame
+    * ([[Bpe.trainFromCorpus]]: one corpus scan to a word vocab, then
+    * vocab-bounded merge iterations) and append the subword count or the
+    * segmented subwords. Fitting is deterministic (exact counts, fixed
+    * tie-break), so the output is a pure function of the frame — the
+    * quality_classifier train-then-apply shape. */
+  private def bpeTokenize: CustomFn = (df, kw) => {
+    val name = "bpe_tokenize"
+    val textCol = reqStr(name, kw, "text_col")
+    val outCol = strKw(name, kw, "out_col", "bpe_tokens")
+    rejectShadow(name, df, outCol)
+    val merges = Bpe.trainFromCorpus(df, textCol, intKw(name, kw, "num_merges", 200))
+    val pairs = merges.map(m => (m._1, m._2))
+    strKw(name, kw, "mode", "count") match {
+      case "count"    => df.withColumn(outCol, Bpe.tokenCount(col(textCol), pairs))
+      case "segments" => df.withColumn(outCol, Bpe.segment(col(textCol), pairs))
+      case other => throw new IllegalArgumentException(
+        s"$name: mode must be 'count' or 'segments', got '$other'")
+    }
+  }
+
+  /** `sq8_encode(vec_col, out_col=sq_codes)` — train per-dimension SQ8
+    * ranges on the input frame (one scan; shuffle = dim rows) and append
+    * the 0..255 code array ([[Similarity.sqTrain]]/[[Similarity.sqEncode]]
+    * — ~8x at-rest vs doubles once byte-packed by the sink format). */
+  private def sq8Encode: CustomFn = (df, kw) => {
+    val vecCol = reqStr("sq8_encode", kw, "vec_col")
+    val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val ranges = Similarity.sqTrain(typed, vecCol)
+    Similarity.sqEncode(typed, vecCol, ranges,
+      strKw("sq8_encode", kw, "out_col", "sq_codes"))
+  }
+
+  /** `training_shard_assign(id_col, num_shards=8)` — append the
+    * content-derived `shard` + `ord` columns of the deterministic
+    * shuffle-and-shard layout ([[graft.sources.TrainingShards]]); the
+    * pipeline's own sink then partitions on `shard`. */
+  private def trainingShardAssign: CustomFn = (df, kw) => {
+    val name = "training_shard_assign"
+    rejectShadow(name, df, "shard", "ord")
+    val n = intKw(name, kw, "num_shards", 8)
+    require(n >= 1, s"$name: num_shards must be >= 1, got $n")
+    val id = col(reqStr(name, kw, "id_col"))
+    df.withColumn("shard", graft.sources.TrainingShards.shardId(id, n))
+      .withColumn("ord", graft.sources.TrainingShards.orderKey(id))
   }
 
   /** `incremental_ann_index(vec_col, centroids_path, codebook_path,

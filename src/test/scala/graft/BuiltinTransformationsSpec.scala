@@ -422,4 +422,59 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     val bad = intercept[IllegalArgumentException](Similarity.codebookFromFrame(holey))
     assert(bad.getMessage.contains("dense"))
   }
+
+  test("quality_quantile_gate builtin equals the direct operator call") {
+    import graft.operators.Curation
+    val scored = docs.withColumn("score", col("doc_id").cast("double"))
+    val out = registry("quality_quantile_gate")(scored,
+      Map("group_col" -> "lang", "score_col" -> "score", "p" -> 0.5))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val direct = Curation.quantileFilterPerGroup(scored, "lang", "score", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == direct && out.nonEmpty, s"$out vs $direct")
+  }
+
+  test("bpe_tokenize builtin: count and segments modes match the direct train+apply") {
+    import graft.operators.Bpe
+    val merges = Bpe.trainFromCorpus(docs, "text", 3).map(m => (m._1, m._2))
+    val counted = registry("bpe_tokenize")(docs,
+      Map("text_col" -> "text", "num_merges" -> 3L))
+    assert(counted.columns.contains("bpe_tokens"))
+    val direct = docs.select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    counted.select("doc_id", "bpe_tokens").collect()
+      .foreach(r => assert(r.getInt(1) == direct(r.getLong(0))))
+    val seg = registry("bpe_tokenize")(docs,
+      Map("text_col" -> "text", "num_merges" -> 3L, "mode" -> "segments",
+        "out_col" -> "subwords"))
+    assert(seg.select(size(col("subwords"))).as[Int].collect().toSeq ==
+      counted.select("bpe_tokens").as[Int].collect().toSeq,
+      "segments length == count mode")
+    val e = intercept[IllegalArgumentException] {
+      registry("bpe_tokenize")(docs.withColumn("bpe_tokens", lit(1)),
+        Map("text_col" -> "text", "num_merges" -> 1L))
+    }
+    assert(e.getMessage.contains("bpe_tokens"))
+  }
+
+  test("sq8_encode and training_shard_assign builtins equal their operators") {
+    import graft.operators.Similarity
+    import graft.sources.TrainingShards
+    val emb = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "emb")
+    val out = registry("sq8_encode")(emb, Map("vec_col" -> "emb"))
+    val ranges = Similarity.sqTrain(emb.withColumn("emb", col("emb").cast("array<double>")), "emb")
+    val direct = Similarity.sqEncode(
+        emb.withColumn("emb", col("emb").cast("array<double>")), "emb", ranges)
+      .select("vec_id", "sq_codes").collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    out.select("vec_id", "sq_codes").collect()
+      .foreach(r => assert(r.getSeq[Int](1) == direct(r.getLong(0))))
+    val sharded = registry("training_shard_assign")(docs,
+      Map("id_col" -> "doc_id", "num_shards" -> 2L))
+    assert(sharded.columns.takeRight(2).toSeq == Seq("shard", "ord"))
+    sharded.select("doc_id", "shard", "ord").collect().foreach { r =>
+      val expectShard = docs.select(TrainingShards.shardId(lit(r.getLong(0)), 2)).head().getInt(0)
+      assert(r.getInt(1) == expectShard && r.getString(2).length == 32)
+    }
+  }
 }

@@ -462,7 +462,26 @@ class PropertySpec extends AnyFunSuite {
           Gen.oneOf[Any]("doc_id", List("lang", "doc_id")),
           Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String])),
         opt("desc", Gen.oneOf[Any](true, false),
-          Gen.oneOf[Any](42L, 1.5, junkMap, "bogus")))
+          Gen.oneOf[Any](42L, 1.5, junkMap, "bogus"))),
+      "quality_quantile_gate" -> Seq(
+        req("group_col", Gen.const("lang"), wrongForStr),
+        req("score_col", Gen.const("n_tok"), wrongForStr),
+        opt("p", Gen.oneOf(0.25, 0.5, 0.75), wrongForNum),
+        opt("method", Gen.oneOf[Any]("exact", "approx"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_method")),
+        opt("accuracy", Gen.oneOf(1000L, 10000L), wrongForInt)),
+      "bpe_tokenize" -> Seq(textCol,
+        // tiny merge counts: the fit RUNS during plan build (the
+        // quality_classifier train-then-apply shape)
+        opt("num_merges", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("out_col", Gen.const("bpe_out"), wrongForStr),
+        opt("mode", Gen.oneOf[Any]("count", "segments"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_mode"))),
+      "sq8_encode" -> Seq(
+        req("vec_col", Gen.const("emb"), wrongForStr),
+        opt("out_col", Gen.const("sq_out"), wrongForStr)),
+      "training_shard_assign" -> Seq(idCol,
+        opt("num_shards", Gen.oneOf(2L, 8L), wrongForInt))
     )
   }
 
