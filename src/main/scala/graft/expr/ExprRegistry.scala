@@ -977,7 +977,8 @@ object ExprRegistry {
     "incremental_fuzzy_dedup", "incremental_ann_index", "fuzzy_dedup_keep_best", "pack_sequences",
     "stratified_sample", "lang_id", "text_stats", "doc_fingerprint",
     "ewm_mean", "ewm_var", "ewm_std", "ewm_mean_by", "rle",
-    "value_counts", "unique_counts", "sort_by")
+    "value_counts", "unique_counts", "sort_by",
+    "quality_quantile_gate", "bpe_tokenize", "sq8_encode", "training_shard_assign")
 
   /** Damerau-free Levenshtein — small strings, called only on the error
     * path, so the O(|a|·|b|) DP is fine. */
