@@ -101,6 +101,135 @@ object Bpe {
       finally vocab.unpersist(blocking = false)
     }
 
+  /** Production-shape trainer: collect the word-frequency vocab ONCE
+    * (driver-bounded, loud cap) and run the merge loop driver-side with
+    * incremental pair-count maintenance — the shape every real tokenizer
+    * trainer uses (HF tokenizers, sentencepiece, subword-nmt's
+    * `learn_bpe` with pair index).
+    *
+    * WHY: [[train]] is one Spark job per merge. At spec-scale merge
+    * counts (8–64) that is fine and fully distributed; at PRODUCTION
+    * counts (GPT-2: 50k merges) it is 50k driver-sequential jobs — the
+    * same parameter-size cliff class as the pre-round-14
+    * literal-centroid quantizer. BPE training cost depends on |vocab|,
+    * not corpus size, so after the one corpus-sized `groupBy(word)`
+    * pass the remaining work FITS the driver by construction: the vocab
+    * cap is explicit and loud, and the production knob (`minFrequency`,
+    * the standard trainer cutoff) bounds it further without touching
+    * the corpus scan.
+    *
+    * Exactness: at `minFrequency = 1` and an uncapped vocab this is
+    * BIT-IDENTICAL to [[train]] — same position-count semantics
+    * (overlapping self-pairs all count), same (count DESC, left ASC,
+    * right ASC) argmax, same greedy leftmost non-overlapping
+    * replacement, same early stop — pinned by BpeSpec on fixtures
+    * including the "aaa" overlap quirk. Per-merge work touches only
+    * words that CONTAIN the merged pair (pair→words index); the argmax
+    * is a lazy-invalidation heap (stale entries discarded on pop), so
+    * total cost is O(updates · log updates), not O(merges · |pairs|). */
+  def trainLocal(
+      vocab: DataFrame,
+      numMerges: Int,
+      maxVocab: Int = 1 << 22,
+      minFrequency: Long = 1L
+  ): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minFrequency >= 1L, s"minFrequency must be >= 1, got $minFrequency")
+    // DRIVER-BOUNDED collect: limit(maxVocab + 1) makes an over-cap vocab a
+    // loud failure (house rule), never a silent driver OOM
+    val rows = vocab.filter(col("wcount") >= minFrequency)
+      .select(col("word").cast("string"), col("wcount").cast("long"))
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"trainLocal vocab exceeds maxVocab=$maxVocab distinct words — raise maxVocab " +
+        "deliberately or raise minFrequency (the standard trainer cutoff)")
+    val words = rows.map(r => r.getString(0).split("").filter(_.nonEmpty))
+    val freqs = rows.map(_.getLong(1))
+
+    import scala.collection.mutable
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // heap of (count, l, r) snapshots: count DESC, then l ASC, r ASC —
+    // the [[train]] tie-break exactly
+    val ord = Ordering.by[(Long, String, String), Long](_._1).orElse(
+      Ordering.by[(Long, String, String), String](_._2).reverse).orElse(
+      Ordering.by[(Long, String, String), String](_._3).reverse)
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+
+    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+      val c = pairCount.getOrElse(p, 0L) + delta
+      if (c <= 0L) { pairCount.remove(p); () }
+      else {
+        pairCount(p) = c
+        if (delta > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        heap.enqueue((c, p._1, p._2)) // lazy invalidation: stale entries skipped on pop
+      }
+    }
+
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi); var i = 0
+      while (i < w.length - 1) { bump((w(i), w(i + 1)), freqs(wi), wi); i += 1 }
+      wi += 1
+    }
+
+    var merges = Vector.empty[(String, String, Long)]
+    var t = 0
+    var done = false
+    while (t < numMerges && !done) {
+      // pop to the first non-stale entry (its count matches the live map)
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCount.get((e._2, e._3)).contains(e._1)) top = Some(e)
+      }
+      top match {
+        case None => done = true
+        case Some((c, l, r)) =>
+          merges :+= ((l, r, c))
+          val members = pairWords.remove((l, r)).getOrElse(mutable.Set.empty)
+          for (mi <- members) {
+            val old = words(mi)
+            // the index can hold stale members (pair destroyed by a later
+            // merge in this word) — verify adjacency before rewriting
+            var has = false; var i = 0
+            while (!has && i < old.length - 1) {
+              if (old(i) == l && old(i + 1) == r) has = true; i += 1
+            }
+            if (has) {
+              i = 0
+              while (i < old.length - 1) { bump((old(i), old(i + 1)), -freqs(mi), mi); i += 1 }
+              // greedy leftmost non-overlapping replacement — BpeMergeTable.apply
+              val nw = mutable.ArrayBuffer.empty[String]
+              i = 0
+              while (i < old.length) {
+                if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+                  nw += (l + r); i += 2
+                } else { nw += old(i); i += 1 }
+              }
+              val arr = nw.toArray
+              words(mi) = arr
+              i = 0
+              while (i < arr.length - 1) { bump((arr(i), arr(i + 1)), freqs(mi), mi); i += 1 }
+            }
+          }
+      }
+      t += 1
+    }
+    merges
+  }
+
+  /** One-call production-shape convenience: one corpus scan to the vocab,
+    * then [[trainLocal]]. */
+  def trainFromCorpusLocal(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = 1 << 22,
+      minFrequency: Long = 1L
+  ): Seq[(String, String, Long)] =
+    trainLocal(wordVocab(df, textCol), numMerges, maxVocab, minFrequency)
+
   /** Tokenize text under a learned table: whitespace pre-tokenization,
     * per-word character split, merge replay — flattened to one
     * `array<string>` of subword units per document. Pure projection

@@ -102,6 +102,42 @@ class BpeSpec extends AnyFunSuite {
     assert(got.find(_._1 == 2L).get._3 == 0 && got.find(_._1 == 3L).get._3 == 0)
   }
 
+  test("trainLocal matches the distributed trainer and the reference bit-for-bit") {
+    val vocab = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val corpus = vocab.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val expected = refTrain(vocab, 6)
+    assert(Bpe.trainFromCorpusLocal(df, "text", 6) == expected)
+    assert(Bpe.trainFromCorpusLocal(df, "text", 6) == Bpe.trainFromCorpus(df, "text", 6))
+    // overlap quirk: self-pairs count per position but replace non-overlapping
+    val aaa = Seq((1L, "aaa aaa aa b")).toDF("id", "text")
+    assert(Bpe.trainFromCorpusLocal(aaa, "text", 4) == Bpe.trainFromCorpus(aaa, "text", 4))
+    // early stop: local and distributed agree on when pairs run out
+    val tiny = Seq((1L, "ab ab cd")).toDF("id", "text")
+    assert(Bpe.trainFromCorpusLocal(tiny, "text", 10) == Bpe.trainFromCorpus(tiny, "text", 10))
+  }
+
+  test("trainLocal at depth on the documents fixture equals the distributed trainer") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val local = Bpe.trainFromCorpusLocal(docs, "text", 24)
+    val dist = Bpe.trainFromCorpus(docs, "text", 24)
+    assert(local == dist,
+      s"\nlocal ${local.take(5)}...\ndist  ${dist.take(5)}...")
+    assert(local.size == 24)
+    // selection counts never increase (the q137 invariant, here at depth)
+    assert(local.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("trainLocal guards: loud maxVocab cap, minFrequency cutoff changes low ranks only") {
+    val df = Seq((1L, "low lower newest widest")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainFromCorpusLocal(df, "text", 2, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+    // minFrequency=2 empties this all-unique vocab: no pairs -> empty table
+    assert(Bpe.trainFromCorpusLocal(df, "text", 2, minFrequency = 2L).isEmpty)
+  }
+
   test("training stops early when every word is a single symbol") {
     val df = Seq((1L, "ab ab cd")).toDF("id", "text")
     // only 2 distinct pairs exist; asking for 10 merges returns <= 4
