@@ -650,6 +650,64 @@ object Similarity {
       .withColumn(cellCol, ivfCell(col(vecCol), centroids))
   }
 
+  /** All-rows k-nearest-neighbor GRAPH over the corpus — every row gets
+    * its `k` nearest neighbors (by cosine), not just a small broadcast
+    * query set. The KNN graph is the substrate for diversity sampling,
+    * graph-based dedup clustering, and label propagation over a corpus.
+    *
+    * Scale shape — this is the one ANN entry point where BOTH join sides
+    * are corpus-sized, so the broadcast-queries trick is out by
+    * construction: rows land in their IVF cell (pure projection), the
+    * probe side expands to `nProbe` cells per row, and the candidate
+    * pairing is a HASH-PARTITIONED self-join on the cell id (shuffle =
+    * (1 + nProbe) corpus exchanges keyed by cell — no cross join, no
+    * broadcast of anything data-sized). Per-cell work is quadratic in
+    * cell size, so cells are bounded the [[graft.operators.Dedup]] way:
+    * `maxCell` EXCLUDES oversized cells from the pair stage (their
+    * members emit no edges — observable as ids missing from `src`, never
+    * a silent truncation of a cell's pair list), and cell balance itself
+    * is the quantizer's job (k ∝ n, the semanticDedup contract). Skewed
+    * surviving cells split under AQE skew-join (the q73 pin).
+    *
+    * Determinism: round-6 cosine + (sim DESC, neighbor id ASC) ranking —
+    * the selected edge set is stable under float jitter and
+    * partitioning. Self-edges are excluded. Rows probing a cell they are
+    * not a member of still rank that cell's MEMBERS only — each (src,
+    * dst) pair appears at most once because membership is unique, so no
+    * post-join dedup is needed at any nProbe (the [[ivfTopK]] note). */
+  def knnGraph(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int = 1,
+      maxCell: Int = 10000
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxCell > 1, "maxCell must allow at least a pair")
+    val assigned = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("cell", ivfCell(col(vecCol), centroids))
+    val wcap = Window.partitionBy(col("cell"))
+    val members = assigned
+      .withColumn("__cn", count(lit(1)).over(wcap))
+      .filter(col("__cn") <= maxCell)
+      .select(col(idCol).as("dst"), col(vecCol).as("__dv"), col("cell"))
+    val probes =
+      (if (nProbe == 1) assigned.withColumn("pcell", col("cell"))
+       else assigned.withColumn("pcell", explode(ivfCells(col(vecCol), centroids, nProbe))))
+        .select(col(idCol).as("src"), col(vecCol).as("__sv"), col("pcell").as("cell"))
+    val sim = round(cosine(col("__sv"), col("__dv")), 6)
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst").asc)
+    probes.join(members, "cell")
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosine", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("cosine"), col("rk"))
+  }
+
   /** IVF-PQ with exact re-rank — the production ANN composite (FAISS's
     * IVFADC layout, Jégou et al. 2011 §V): corpus rows live in coarse
     * IVF cells carrying only their PQ codes; a query scans its `nProbe`

@@ -4044,6 +4044,45 @@ object Queries {
       |  arg_min(doc_id, ord) AS first_doc, arg_max(doc_id, ord) AS last_doc
       |FROM t GROUP BY shard""".stripMargin
 
+  /** All-rows KNN graph ([[Similarity.knnGraph]]) — every embedding gets
+    * its 3 nearest neighbors, corpus-vs-corpus: the one ANN entry point
+    * where BOTH join sides are data-sized, so candidate pairing is a
+    * hash-partitioned self-join on the IVF cell id (no broadcast, no
+    * cross join; operator scaladoc has the full shuffle shape). Seed
+    * centroids (vec_id < 8) + nProbe=2 keep the DuckDB twin exact: the
+    * oracle recomputes cells, probes, and the per-source top-3 with the
+    * same round-6 + id tie-break — a FULL hash oracle, not a contract. */
+  val q139: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // driver-bounded collect: vec_id < 8 caps the pull at 8 rows (q31 note)
+    val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Similarity.knnGraph(emb, "vec_id", "v", k = 3, centroids, nProbe = 2)
+      .select(col("src"), col("dst"), col("cosine"), col("rk"))
+  }
+
+  val q139Sql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+      |scored AS (SELECT c.vec_id, cid,
+      |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS score
+      |  FROM c CROSS JOIN cent),
+      |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |  ORDER BY score DESC, cid ASC) AS rn FROM scored),
+      |mem AS (SELECT c.vec_id AS dst, v AS dv, cid AS cell
+      |  FROM c JOIN ranked r ON c.vec_id = r.vec_id AND r.rn = 1),
+      |pr AS (SELECT c.vec_id AS src, v AS sv, cid AS cell
+      |  FROM c JOIN ranked r ON c.vec_id = r.vec_id AND r.rn <= 2),
+      |s AS (SELECT src, dst,
+      |  round(list_dot_product(sv, dv) /
+      |    (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(dv, dv))), 6) AS cosine
+      |  FROM pr JOIN mem USING (cell) WHERE src <> dst),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
+      |  ORDER BY cosine DESC, dst) AS INTEGER) AS rk FROM s)
+      |SELECT src, dst, cosine, rk FROM r WHERE rk <= 3""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4186,7 +4225,8 @@ object Queries {
     ("q135_sq8_ann", q135, Some(q135Sql)),
     ("q136_quality_quantile_gate", q136, Some(q136Sql)),
     ("q137_bpe_train", q137, Some(q137Sql)),
-    ("q138_training_shards", q138, Some(q138Sql))
+    ("q138_training_shards", q138, Some(q138Sql)),
+    ("q139_knn_graph", q139, Some(q139Sql))
   )
 }
 

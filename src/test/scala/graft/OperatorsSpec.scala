@@ -1055,6 +1055,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cells.toSeq == Seq(Seq(0, 1), Seq(1, 0)))
   }
 
+  test("knnGraph: single cell equals brute force minus self; maxCell exclusion is observable") {
+    // one centroid -> one cell: the graph must equal exact all-pairs top-k
+    val cents1 = Seq(0 -> Seq(1.0, 0.0))
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.1, 1.0))).toDF("vec_id", "v")
+    val graph = Similarity.knnGraph(corpus, "vec_id", "v", k = 2, cents1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(
+        corpus, corpus.select(col("vec_id").as("qid"), col("v").as("qv")),
+        "vec_id", "qid", "v", "qv", k = 3)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("rk2", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rk2") <= 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rk2"))).toSet
+    assert(graph == brute, s"\ngraph $graph\nbrute $brute")
+    // nProbe=2 with split cells recovers cross-boundary neighbors: 2's true
+    // nearest (1) is in its own cell, but 3 probing cell 0 still ranks only
+    // members — and every row still gets k neighbors from probed cells
+    val cents2 = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val g2 = Similarity.knnGraph(corpus, "vec_id", "v", k = 3, cents2, nProbe = 2)
+    assert(g2.select("src").distinct().count() == 4 &&
+      g2.groupBy("src").count().agg(max("count")).head().getLong(0) == 3)
+    // maxCell=2 excludes the 3-member cell entirely: its members emit no
+    // edges as dst NOR src-rows ranked against it, never a partial list
+    val cents3 = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val five = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (5L, Seq(0.95, 0.05)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.1, 1.0))).toDF("vec_id", "v")
+    val capped = Similarity.knnGraph(five, "vec_id", "v", 2, cents3, maxCell = 2)
+    val dsts = capped.select("dst").as[Long].collect().toSet
+    assert(dsts == Set(3L, 4L), s"oversized cell 0 emits no members: $dsts")
+  }
+
   test("kmeansFit: Lloyd update moves centroids to cluster means, assignment deterministic") {
     import org.apache.spark.sql.functions._
     // assignment is COSINE-based: two clusters by direction, not distance
