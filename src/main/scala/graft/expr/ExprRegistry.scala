@@ -978,7 +978,8 @@ object ExprRegistry {
     "stratified_sample", "lang_id", "text_stats", "doc_fingerprint",
     "ewm_mean", "ewm_var", "ewm_std", "ewm_mean_by", "rle",
     "value_counts", "unique_counts", "sort_by",
-    "quality_quantile_gate", "bpe_tokenize", "sq8_encode", "training_shard_assign")
+    "quality_quantile_gate", "bpe_tokenize", "sq8_encode", "training_shard_assign",
+    "gopher_rules")
 
   /** Damerau-free Levenshtein — small strings, called only on the error
     * path, so the O(|a|·|b|) DP is fine. */

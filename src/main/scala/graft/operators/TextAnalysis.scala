@@ -215,6 +215,97 @@ object TextAnalysis {
         coalesce(round(col("nll_sum").cast("double") / col("dl"), 4), lit(0.0)).as("nll"))
   }
 
+  /** Thresholds for the [[withGopherSignals]] rule gate — defaults follow
+    * the published Gopher filter (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", appendix A1.1), with the repetition rule
+    * spelled token-wise (see [[withGopherSignals]]). */
+  final case class GopherThresholds(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2,
+      maxSymbolWordRatio: Double = 0.1,
+      maxTop2gramFrac: Double = 0.20)
+
+  /** Stopword presence list for the Gopher "contains ≥ 2 stopwords" rule —
+    * the en marker list ([[langMarkers]]), kept as one source of truth. */
+  private def enStopwords: Seq[String] = langMarkers.head._2
+
+  /** The Gopher rule-gate signals, each a pure codegen'd expression (one
+    * projection, no shuffle — per-document quality filtering stays
+    * embarrassingly parallel at 100 TB):
+    *
+    *  - `n_words`, `mean_word_len` — length sweet-spot bounds
+    *  - `alpha_word_ratio` — fraction of words containing a letter
+    *  - `stopword_hits` — DISTINCT stopwords present (the "real prose"
+    *    test; a doc of repeated "the" scores 1, not 10)
+    *  - `symbol_word_ratio` — '#' and '...' occurrences per word
+    *  - `top_2gram_frac` — occurrences of the most frequent word bigram
+    *    over all bigram positions: the intra-document repetition signal.
+    *    Gopher states this rule in characters; the token-wise form here
+    *    is engine-portable (no substring re-scan) and ranks the same
+    *    pathology — looping boilerplate — at the same thresholds.
+    *
+    * Ratios round to 6 decimals BEFORE thresholding, so the keep
+    * decision is bit-stable across engines (the oracle applies the same
+    * rounded comparison). */
+  def withGopherSignals(
+      df: DataFrame,
+      textCol: String,
+      t: GopherThresholds = GopherThresholds()
+  ): DataFrame = {
+    Seq("__toks", "__grams", "n_words", "mean_word_len", "alpha_word_ratio",
+      "stopword_hits", "symbol_word_ratio", "top_2gram_frac", "gopher_keep")
+      .foreach(n => require(!df.columns.contains(n),
+        s"withGopherSignals writes column '$n'; input already has one — rename it first"))
+    val text = col(textCol)
+    // STAGED through bound columns: the top-bigram count is a nested
+    // lambda over the gram array — inlined, each lambda element would
+    // re-evaluate the whole tokenize+gram pipeline (the q65 O(windows)
+    // re-tokenization trap); bound, it is built once per row
+    val staged = df
+      .withColumn("__toks", tokens(text))
+      .withColumn("__grams", when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(" ", element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1))))
+        .otherwise(array().cast("array<string>")))
+    val toks = col("__toks")
+    val grams = col("__grams")
+    val nWords = tokenCount(text)
+    val nChars = length(text)
+    val nWs = nChars - length(regexp_replace(text, "\\s", ""))
+    val nHash = nChars - length(regexp_replace(text, "#", ""))
+    val nEllipsis = (nChars - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val alphaWords = size(filter(toks, w => length(regexp_replace(w, "[^a-z]", "")) > 0))
+    val topGram = when(size(grams) > 0,
+      array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g))))).otherwise(lit(0))
+    staged
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        round((nChars - nWs).cast("double") / greatest(nWords, lit(1)), 6))
+      .withColumn("alpha_word_ratio",
+        round(alphaWords.cast("double") / greatest(nWords, lit(1)), 6))
+      .withColumn("stopword_hits",
+        size(array_intersect(array_distinct(toks), array(enStopwords.map(lit): _*))))
+      .withColumn("symbol_word_ratio",
+        round((nHash + nEllipsis).cast("double") / greatest(nWords, lit(1)), 6))
+      .withColumn("top_2gram_frac",
+        round(topGram.cast("double") / greatest(size(grams), lit(1)), 6))
+      .withColumn("gopher_keep",
+        col("n_words") >= t.minWords && col("n_words") <= t.maxWords &&
+          col("mean_word_len") >= t.minMeanWordLen &&
+          col("mean_word_len") <= t.maxMeanWordLen &&
+          col("alpha_word_ratio") >= t.minAlphaWordRatio &&
+          col("stopword_hits") >= t.minStopwordHits &&
+          col("symbol_word_ratio") <= t.maxSymbolWordRatio &&
+          col("top_2gram_frac") <= t.maxTop2gramFrac)
+      .drop("__toks", "__grams")
+  }
+
   /** 64-bit rolling-hash document fingerprint (polynomial rolling hash over
     * normalized characters, mod 2^61-1) — an order-sensitive alternative to
     * md5 that supports incremental/windowed computation at scale. */

@@ -4083,6 +4083,55 @@ object Queries {
       |  ORDER BY cosine DESC, dst) AS INTEGER) AS rk FROM s)
       |SELECT src, dst, cosine, rk FROM r WHERE rk <= 3""".stripMargin
 
+  /** Gopher rule-gate ([[TextAnalysis.withGopherSignals]]): the published
+    * composite document filter (Rae et al. 2021 A1.1) as ONE staged
+    * projection — length bounds, mean word length, alphabetic-word and
+    * stopword prose tests, symbol ratio, and the top-bigram repetition
+    * signal, each rounded before thresholding so the keep decision is
+    * bit-stable. FULL hash oracle: DuckDB recomputes every signal and
+    * the composite over the same thresholds. */
+  val q140: QueryFn = (s, d) => {
+    TextAnalysis.withGopherSignals(tbl(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_word_ratio"), col("stopword_hits"), col("symbol_word_ratio"),
+        col("top_2gram_frac"), col("gopher_keep"))
+  }
+
+  val q140Sql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, text, toks,
+      |  CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END AS grams FROM t),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_words,
+      |  length(text) AS n_chars,
+      |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_ws,
+      |  length(text) - length(replace(text, '#', '')) AS n_hash,
+      |  (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+      |  len(list_filter(toks, w -> length(regexp_replace(w, '[^a-z]', '', 'g')) > 0)) AS alpha_words,
+      |  len(list_intersect(list_distinct(toks),
+      |    ['the','and','of','to','a','in','is','that','for','with'])) AS stop_hits,
+      |  CASE WHEN len(grams) > 0 THEN list_max(list_transform(list_distinct(grams),
+      |    gg -> len(list_filter(grams, x -> x = gg)))) ELSE 0 END AS top_gram,
+      |  len(grams) AS n_grams
+      |  FROM g),
+      |r AS (SELECT doc_id,
+      |  CAST(n_words AS INTEGER) AS n_words,
+      |  round(CAST(n_chars - n_ws AS DOUBLE) / greatest(n_words, 1), 6) AS mean_word_len,
+      |  round(CAST(alpha_words AS DOUBLE) / greatest(n_words, 1), 6) AS alpha_word_ratio,
+      |  CAST(stop_hits AS INTEGER) AS stopword_hits,
+      |  round((n_hash + n_ellipsis) / greatest(n_words, 1), 6) AS symbol_word_ratio,
+      |  round(CAST(top_gram AS DOUBLE) / greatest(n_grams, 1), 6) AS top_2gram_frac
+      |  FROM s)
+      |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stopword_hits,
+      |  symbol_word_ratio, top_2gram_frac,
+      |  (n_words >= 50 AND n_words <= 100000
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND alpha_word_ratio >= 0.8 AND stopword_hits >= 2
+      |    AND symbol_word_ratio <= 0.1 AND top_2gram_frac <= 0.20) AS gopher_keep
+      |FROM r""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4226,7 +4275,8 @@ object Queries {
     ("q136_quality_quantile_gate", q136, Some(q136Sql)),
     ("q137_bpe_train", q137, Some(q137Sql)),
     ("q138_training_shards", q138, Some(q138Sql)),
-    ("q139_knn_graph", q139, Some(q139Sql))
+    ("q139_knn_graph", q139, Some(q139Sql)),
+    ("q140_gopher_rules", q140, Some(q140Sql))
   )
 }
 

@@ -53,6 +53,7 @@ object BuiltinTransformations {
     "minhash_near_dup" -> minhashNearDup,
     "semantic_dedup" -> semanticDedup,
     "quality_filter" -> qualityFilter,
+    "gopher_rules" -> gopherRules,
     "clean_text" -> cleanText,
     "decontaminate" -> decontaminate(io),
     "incremental_dedup" -> incrementalDedup(io),
@@ -174,6 +175,37 @@ object BuiltinTransformations {
       case other =>
         throw new IllegalArgumentException(
           s"quality_filter: action must be 'filter' or 'flag', got '$other'")
+    }
+  }
+
+  /** `gopher_rules(text_col, action=flag, min_words=50, max_words=100000,
+    * min_mean_word_len=3.0, max_mean_word_len=10.0,
+    * min_alpha_word_ratio=0.8, min_stopword_hits=2,
+    * max_symbol_word_ratio=0.1, max_top_2gram_frac=0.2)` — the published
+    * Gopher composite document filter
+    * ([[TextAnalysis.withGopherSignals]]); `flag` appends the six signal
+    * columns + `gopher_keep`, `filter` keeps passing rows and the
+    * original schema. */
+  private def gopherRules: CustomFn = (df, kw) => {
+    val name = "gopher_rules"
+    val t = TextAnalysis.GopherThresholds(
+      minWords = intKw(name, kw, "min_words", 50),
+      maxWords = intKw(name, kw, "max_words", 100000),
+      minMeanWordLen = dblKw(name, kw, "min_mean_word_len", 3.0),
+      maxMeanWordLen = dblKw(name, kw, "max_mean_word_len", 10.0),
+      minAlphaWordRatio = dblKw(name, kw, "min_alpha_word_ratio", 0.8),
+      minStopwordHits = intKw(name, kw, "min_stopword_hits", 2),
+      maxSymbolWordRatio = dblKw(name, kw, "max_symbol_word_ratio", 0.1),
+      maxTop2gramFrac = dblKw(name, kw, "max_top_2gram_frac", 0.2))
+    val flagged = TextAnalysis.withGopherSignals(
+      df, reqStr(name, kw, "text_col"), t)
+    strKw(name, kw, "action", "flag") match {
+      case "flag" => flagged
+      case "filter" =>
+        flagged.filter(col("gopher_keep")).select(df.columns.map(col): _*)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: action must be 'filter' or 'flag', got '$other'")
     }
   }
 

@@ -434,6 +434,29 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(out == direct && out.nonEmpty, s"$out vs $direct")
   }
 
+  test("gopher_rules builtin equals the direct operator; filter keeps original schema") {
+    import graft.operators.TextAnalysis
+    val flagged = registry("gopher_rules")(docs,
+      Map("text_col" -> "text", "min_words" -> 5L))
+    val direct = TextAnalysis.withGopherSignals(docs, "text",
+      TextAnalysis.GopherThresholds(minWords = 5))
+    assert(flagged.collect().toSeq == direct.collect().toSeq)
+    assert(flagged.columns.contains("gopher_keep"))
+    val filtered = registry("gopher_rules")(docs,
+      Map("text_col" -> "text", "min_words" -> 5L, "action" -> "filter"))
+    assert(filtered.columns.toSeq == docs.columns.toSeq,
+      "filter action restores the original schema")
+    val keepIds = direct.filter(col("gopher_keep")).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(filtered.select("doc_id").as[Long].collect().sorted.toSeq == keepIds)
+    // the shadow guard surfaces through the registry path
+    val e = intercept[IllegalArgumentException] {
+      registry("gopher_rules")(docs.withColumn("n_words", lit(1)),
+        Map("text_col" -> "text"))
+    }
+    assert(e.getMessage.contains("n_words"), e.getMessage)
+  }
+
   test("bpe_tokenize builtin: count and segments modes match the direct train+apply") {
     import graft.operators.Bpe
     val merges = Bpe.trainFromCorpus(docs, "text", 3).map(m => (m._1, m._2))

@@ -1055,6 +1055,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cells.toSeq == Seq(Seq(0, 1), Seq(1, 0)))
   }
 
+  test("gopher rule gate: each rule independently drops its pathology, good prose passes") {
+    import graft.operators.TextAnalysis
+    val prose = ("the quick brown fox jumps over a lazy dog and runs far away " * 5).trim
+    val docs = Seq(
+      (1L, prose),                                   // passes every rule
+      (2L, "too short to keep"),                     // n_words < 50
+      (3L, ("spam ham " * 40).trim),                 // top bigram loop + no stopwords
+      (4L, (("#### " * 60).trim)),                   // symbol ratio + alpha ratio
+      (5L, "")                                       // empty: every count 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withGopherSignals(docs, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("gopher_keep"), r.getAs[Int]("n_words"),
+          r.getAs[Double]("top_2gram_frac"))).toMap
+    assert(out(1L)._1, s"prose should pass: ${out(1L)}")
+    assert(!out(2L)._1 && out(2L)._2 == 4)
+    assert(!out(3L)._1 && out(3L)._3 > 0.4, s"loop bigram dominates: ${out(3L)}")
+    assert(!out(4L)._1)
+    assert(!out(5L)._1 && out(5L)._2 == 0)
+    // shadow-name guard (house pattern)
+    val shadowed = docs.withColumn("n_words", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.withGopherSignals(shadowed, "text")
+    }
+    assert(e.getMessage.contains("n_words"), e.getMessage)
+  }
+
   test("knnGraph: single cell equals brute force minus self; maxCell exclusion is observable") {
     // one centroid -> one cell: the graph must equal exact all-pairs top-k
     val cents1 = Seq(0 -> Seq(1.0, 0.0))

@@ -481,7 +481,18 @@ class PropertySpec extends AnyFunSuite {
         req("vec_col", Gen.const("emb"), wrongForStr),
         opt("out_col", Gen.const("sq_out"), wrongForStr)),
       "training_shard_assign" -> Seq(idCol,
-        opt("num_shards", Gen.oneOf(2L, 8L), wrongForInt))
+        opt("num_shards", Gen.oneOf(2L, 8L), wrongForInt)),
+      "gopher_rules" -> Seq(textCol,
+        opt("action", Gen.oneOf[Any]("flag", "filter"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_action")),
+        opt("min_words", Gen.oneOf(0L, 50L), wrongForInt),
+        opt("max_words", Gen.oneOf(100L, 100000L), wrongForInt),
+        opt("min_mean_word_len", Gen.chooseNum(0.0, 3.0), wrongForNum),
+        opt("max_mean_word_len", Gen.chooseNum(8.0, 20.0), wrongForNum),
+        opt("min_alpha_word_ratio", Gen.chooseNum(0.0, 1.0), wrongForNum),
+        opt("min_stopword_hits", Gen.oneOf(0L, 2L), wrongForInt),
+        opt("max_symbol_word_ratio", Gen.chooseNum(0.0, 1.0), wrongForNum),
+        opt("max_top_2gram_frac", Gen.chooseNum(0.0, 1.0), wrongForNum))
     )
   }
 
