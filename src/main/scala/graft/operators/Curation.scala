@@ -445,4 +445,47 @@ object Curation {
     batch.join(hits, Seq(idCol), "left_anti")
       .join(dups, Seq(idCol), "left_anti")
   }
+
+  /** Multi-source corpus merge with per-source precedence — the "union N
+    * dumps, prefer the curated one" step every multi-provenance training
+    * corpus needs (e.g. a licensed re-crawl beats the raw CommonCrawl
+    * slice of the same page). Rows from all sources are unioned; within
+    * each exact content fingerprint ([[TextAnalysis.fingerprint]] —
+    * whitespace/case-insensitive) exactly ONE row survives: lowest
+    * `priority` number first, then lowest id (total, deterministic
+    * order). The surviving row keeps its provenance in
+    * `source_priority`.
+    *
+    * Scale shape: [[Dedup.exact]] generalized — one union (no shuffle),
+    * one hash aggregation on the 32-char fingerprint (min over the
+    * (priority, id) struct: map-side combined, partition-count
+    * independent), one equi-join back. No window over the union (a
+    * window would sort every fingerprint group; the min-struct agg is
+    * the same decision without the sort), no collect, no skew surface
+    * beyond the fingerprint key itself (salting-ready like q59 if a
+    * single text dominates a corpus). */
+  def priorityMerge(
+      sources: Seq[(DataFrame, Int)],
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    require(sources.nonEmpty, "priorityMerge needs at least one source")
+    require(sources.map(_._2).distinct.size == sources.size,
+      s"source priorities must be distinct, got ${sources.map(_._2)}")
+    sources.foreach { case (df, _) =>
+      require(!df.columns.contains("source_priority"),
+        "priorityMerge writes column 'source_priority'; input already has one — rename it first")
+    }
+    val tagged = sources.map { case (df, p) =>
+      df.withColumn("source_priority", lit(p))
+    }.reduce(_ unionByName _)
+    val withFp = tagged.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val keep = withFp
+      .groupBy(col("__fp"))
+      .agg(min(struct(col("source_priority"), col(idCol))).as("__w"))
+      .select(col("__fp"), col("__w.source_priority").as("source_priority"),
+        col(s"__w.$idCol").as(idCol))
+    withFp.join(keep, Seq("__fp", "source_priority", idCol)).drop("__fp")
+  }
+
 }

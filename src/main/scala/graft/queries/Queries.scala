@@ -4132,6 +4132,34 @@ object Queries {
       |    AND symbol_word_ratio <= 0.1 AND top_2gram_frac <= 0.20) AS gopher_keep
       |FROM r""".stripMargin
 
+  /** Multi-source priority merge ([[Curation.priorityMerge]]): a
+    * simulated re-crawl slice (docs 0-99 re-identified at +100000,
+    * priority 0) unioned with the raw dump (priority 1) — within each
+    * exact content fingerprint the re-crawl row wins even though its id
+    * is larger, everything else survives untouched. One fingerprint
+    * hash-agg (min over the (priority, id) struct) + one equi-join back
+    * — [[graft.operators.Dedup.exact]] generalized to provenance
+    * precedence; FULL hash oracle. */
+  val q141: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val recrawl = docs.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    Curation.priorityMerge(Seq((recrawl, 0), (docs, 1)), "doc_id", "text")
+      .select(col("doc_id"), col("source"), col("source_priority"))
+  }
+
+  val q141Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id + 100000 AS doc_id, source, text, 0 AS source_priority
+      |    FROM documents WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT doc_id, source, text, 1 AS source_priority FROM documents),
+      |f AS (SELECT doc_id, source, source_priority,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM u),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+      |  ORDER BY source_priority, doc_id) AS rn FROM f)
+      |SELECT doc_id, source, source_priority FROM r WHERE rn = 1""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4276,7 +4304,8 @@ object Queries {
     ("q137_bpe_train", q137, Some(q137Sql)),
     ("q138_training_shards", q138, Some(q138Sql)),
     ("q139_knn_graph", q139, Some(q139Sql)),
-    ("q140_gopher_rules", q140, Some(q140Sql))
+    ("q140_gopher_rules", q140, Some(q140Sql)),
+    ("q141_priority_merge", q141, Some(q141Sql))
   )
 }
 

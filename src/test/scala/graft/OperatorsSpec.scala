@@ -1055,6 +1055,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cells.toSeq == Seq(Seq(0, 1), Seq(1, 0)))
   }
 
+  test("priorityMerge: lowest priority wins per fingerprint, then lowest id; guards fire") {
+    import graft.operators.Curation
+    val raw = Seq((1L, "the same page text"), (2L, "only in raw"),
+      (3L, "THE  same   page text")).toDF("doc_id", "text") // 3 dups 1 after normalize
+    val curated = Seq((100L, "the same page text"), (101L, "only curated"))
+      .toDF("doc_id", "text")
+    val out = Curation.priorityMerge(Seq((curated, 0), (raw, 1)), "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("source_priority"))).toSet
+    // curated 100 beats raw 1 AND raw 3 (same normalized fingerprint);
+    // singletons survive with their own provenance
+    assert(out == Set((100L, 0), (101L, 0), (2L, 1)), s"$out")
+    // within one source, min id wins (priority tie inside the same frame)
+    val solo = Curation.priorityMerge(Seq((raw, 7)), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(solo == Set(1L, 2L), s"$solo")
+    val eDup = intercept[IllegalArgumentException] {
+      Curation.priorityMerge(Seq((raw, 1), (curated, 1)), "doc_id", "text")
+    }
+    assert(eDup.getMessage.contains("distinct"), eDup.getMessage)
+    val eShadow = intercept[IllegalArgumentException] {
+      Curation.priorityMerge(
+        Seq((raw.withColumn("source_priority", lit(9)), 1)), "doc_id", "text")
+    }
+    assert(eShadow.getMessage.contains("source_priority"), eShadow.getMessage)
+  }
+
   test("gopher rule gate: each rule independently drops its pathology, good prose passes") {
     import graft.operators.TextAnalysis
     val prose = ("the quick brown fox jumps over a lazy dog and runs far away " * 5).trim
