@@ -142,6 +142,7 @@ object ScaleRehearsal {
     val allRehearsals: Seq[(String, (SparkSession, String) => DataFrame)] =
       CatalogQueries.map(n => n -> graft.SparkEntry.queries(n)) ++ Seq(
         "semantic_dedup_scaled" -> semanticAtScale(cents, k = 8, vidStride),
+        "knn_graph_scaled" -> knnGraphAtScale(cents, k = 8, vidStride),
         "novel_against_scaled" -> novelAtScale(docStride),
         "incremental_fuzzy_scaled" -> incrementalFuzzyAtScale(docStride),
         // lazy: the 1x codebook fit (~5 s) only runs if this rehearsal is
@@ -215,6 +216,24 @@ object ScaleRehearsal {
     * threshold and cap over copy-pure cells — base cell + copyIdx*k, where
     * copyIdx falls out of the synthesized id stride. On the base corpus
     * every copyIdx is 0 and this is exactly q93's dedup stage. */
+  /** [[Similarity.knnGraphAssigned]] under the k ∝ n contract (round 14):
+    * copies keep the base vectors, cells are the 1x quantizer's cell
+    * shifted by copy index — cell COUNT grows by M at constant cell
+    * size, so the per-cell quadratic pair work should scale ~linearly
+    * (the semantic_dedup_scaled argument, here for the all-rows graph
+    * where BOTH join sides are corpus-sized). */
+  private def knnGraphAtScale(
+      cents: Seq[(Int, Seq[Double])],
+      k: Int,
+      vidStride: Long): (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val assigned = emb.withColumn("cell",
+      (Similarity.ivfCell(col("v"), cents) +
+        (floor(col("vec_id") / vidStride) * k).cast("int")).cast("int"))
+    Similarity.knnGraphAssigned(assigned, "vec_id", "v", k = 3)
+  }
+
   private def semanticAtScale(
       cents: Seq[(Int, Seq[Double])],
       k: Int,

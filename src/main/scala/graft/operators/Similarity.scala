@@ -684,20 +684,51 @@ object Similarity {
       nProbe: Int = 1,
       maxCell: Int = 10000
   ): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(maxCell > 1, "maxCell must allow at least a pair")
     val assigned = corpus
       .select(col(idCol), col(vecCol))
       .withColumn("cell", ivfCell(col(vecCol), centroids))
+    val probes =
+      (if (nProbe == 1) assigned.withColumn("pcell", col("cell"))
+       else assigned.withColumn("pcell", explode(ivfCells(col(vecCol), centroids, nProbe))))
+        .select(col(idCol).as("src"), col(vecCol).as("__sv"), col("pcell").as("cell"))
+    knnGraphImpl(assigned, probes, idCol, vecCol, k, maxCell)
+  }
+
+  /** [[knnGraph]] over an ALREADY cell-assigned frame (`cell` column
+    * present; each row probes its own cell) — the
+    * [[graft.operators.Dedup.semanticDedupAssigned]] seam: callers bring
+    * their own quantizer assignment (a persisted IVF index, a
+    * hierarchical coarse quantizer, or the scale-rehearsal harness,
+    * which pins the self-join's scaling at constant cell size — the
+    * k ∝ n contract — independent of how cells were produced). */
+  def knnGraphAssigned(
+      dfWithCell: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxCell: Int = 10000
+  ): DataFrame = {
+    val assigned = dfWithCell.select(col(idCol), col(vecCol), col("cell"))
+    val probes = assigned
+      .select(col(idCol).as("src"), col(vecCol).as("__sv"), col("cell"))
+    knnGraphImpl(assigned, probes, idCol, vecCol, k, maxCell)
+  }
+
+  private def knnGraphImpl(
+      assigned: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxCell: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxCell > 1, "maxCell must allow at least a pair")
     val wcap = Window.partitionBy(col("cell"))
     val members = assigned
       .withColumn("__cn", count(lit(1)).over(wcap))
       .filter(col("__cn") <= maxCell)
       .select(col(idCol).as("dst"), col(vecCol).as("__dv"), col("cell"))
-    val probes =
-      (if (nProbe == 1) assigned.withColumn("pcell", col("cell"))
-       else assigned.withColumn("pcell", explode(ivfCells(col(vecCol), centroids, nProbe))))
-        .select(col(idCol).as("src"), col(vecCol).as("__sv"), col("pcell").as("cell"))
     val sim = round(cosine(col("__sv"), col("__dv")), 6)
     val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst").asc)
     probes.join(members, "cell")

@@ -1134,6 +1134,12 @@ class OperatorsSpec extends AnyFunSuite {
     val g2 = Similarity.knnGraph(corpus, "vec_id", "v", k = 3, cents2, nProbe = 2)
     assert(g2.select("src").distinct().count() == 4 &&
       g2.groupBy("src").count().agg(max("count")).head().getLong(0) == 3)
+    // the bring-your-own-quantizer seam is the same graph at nProbe=1
+    val preAssigned = corpus.withColumn("cell",
+      Similarity.ivfCell(col("v"), cents2))
+    assert(Similarity.knnGraphAssigned(preAssigned, "vec_id", "v", 2)
+      .collect().toSet ==
+      Similarity.knnGraph(corpus, "vec_id", "v", 2, cents2).collect().toSet)
     // maxCell=2 excludes the 3-member cell entirely: its members emit no
     // edges as dst NOR src-rows ranked against it, never a partial list
     val cents3 = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
