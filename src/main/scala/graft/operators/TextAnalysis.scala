@@ -280,9 +280,22 @@ object TextAnalysis {
     val nHash = nChars - length(regexp_replace(text, "#", ""))
     val nEllipsis = (nChars - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
     val alphaWords = size(filter(toks, w => length(regexp_replace(w, "[^a-z]", "")) > 0))
+    // max bigram frequency = longest equal run in the SORTED gram array:
+    // O(d log d) per doc vs the naive distinct×filter O(d²) scan (measured
+    // 2.25 → sub-second on the sf0.1 bench); same value by construction.
+    // Initial prev = "" can never match a gram (grams join two non-empty
+    // tokens around a space), so the first element always starts run 1.
     val topGram = when(size(grams) > 0,
-      array_max(transform(array_distinct(grams),
-        g => size(filter(grams, x => x === g))))).otherwise(lit(0))
+      aggregate(
+        array_sort(grams),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (st, g) => {
+          val run = when(g === st.getField("prev"), st.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(g.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        },
+        st => st.getField("best"))).otherwise(lit(0))
     staged
       .withColumn("n_words", nWords)
       .withColumn("mean_word_len",
