@@ -637,4 +637,93 @@ object Dedup {
       .distinct()
     assigned.join(drops, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------- exact duplicated spans
+
+  /** Positioned k-token shingle fingerprints: one row per window position
+    * `(id, pos, fp)`, pos 1-based. The positioned twin of [[shingleRows]]
+    * (which distincts per doc and drops positions — dedup only needs
+    * membership; span detection needs WHERE). */
+  private[operators] def positionedShingles(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(
+        when(size(col("__toks")) >= k,
+          transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+            i => struct(i.as("pos"),
+              md5(array_join(slice(col("__toks"), i, lit(k)), " ")).as("fp"))))
+          .otherwise(array().cast("array<struct<pos:int,fp:string>>"))).as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.fp").as("fp"))
+
+  /** Exact duplicated-SPAN inventory (Lee, Ippolito et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * substring-granularity view doc-level dedup misses: boilerplate
+    * headers, license blocks, templated passages REPEATED across or
+    * within otherwise-distinct documents). A position is duplicated iff
+    * its k-token window occurs ≥ 2 times corpus-wide (intra-doc repeats
+    * count — self-repetition IS duplication); maximal runs of adjacent
+    * duplicated positions merge into spans `[span_start, span_end]`
+    * (token indices, 1-based, end = last window start + k − 1).
+    *
+    * Scale shape — LINEAR, unlike every pairwise dedup here: one
+    * positioned-shingle explode (corpus token count, the q26 explode
+    * without its pair join), one fp hash-agg for global df (map-side
+    * combined; a hot boilerplate shingle is one big COUNT, never a
+    * pair fan-out, so no maxDf valve is needed), one semi-join back,
+    * one per-doc window for the gaps-and-islands merge (`pos −
+    * row_number` — doc-bounded partitions). No quadratic surface
+    * anywhere: this is the cheap-filter stage; pair-level verification
+    * stays with the Jaccard/MinHash family. */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = positionedShingles(df, idCol, textCol, k)
+    val dupFp = pos.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select(col("fp"))
+    val dupPos = pos.join(dupFp, Seq("fp"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dupPos
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).cast("int").as("n_shingles"))
+      .drop("__grp")
+  }
+
+  /** Per-document duplicated-token coverage over [[duplicateSpans]]'
+    * positions: a token is covered iff some duplicated window contains
+    * it. Spans from distinct islands can OVERLAP (k−1 tail tokens), so
+    * coverage counts DISTINCT covered token indices — each duplicated
+    * position explodes to its k token indices (linear: dup positions
+    * × k) and distincts per doc. Returns every input doc:
+    * `(id, n_tokens, covered_tokens, dup_span_frac)` with frac 0 for
+    * clean or empty docs. The Gopher-gate-adjacent corpus health
+    * signal: rank docs by how much of them is corpus-duplicated
+    * boilerplate. */
+  def duplicateSpanCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = positionedShingles(df, idCol, textCol, k)
+    val dupFp = pos.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select(col("fp"))
+    val covered = pos.join(dupFp, Seq("fp"), "left_semi")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tok_idx"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("tok_idx")).cast("int").as("covered_tokens"))
+    df.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0)).cast("double") /
+          greatest(col("n_tokens"), lit(1)), 6).as("dup_span_frac"))
+  }
 }

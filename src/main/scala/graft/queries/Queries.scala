@@ -4160,6 +4160,63 @@ object Queries {
       |  ORDER BY source_priority, doc_id) AS rn FROM f)
       |SELECT doc_id, source, source_priority FROM r WHERE rn = 1""".stripMargin
 
+  /** Exact duplicated-span inventory ([[Dedup.duplicateSpans]], Lee et
+    * al. 2021 substring-granularity dedup signal): every maximal run of
+    * 3-token windows occurring ≥ 2 times corpus-wide, as (doc, start,
+    * end, n_shingles). Linear shape — positioned-shingle explode, one
+    * fp hash-agg, one semi-join, one per-doc gaps-and-islands window;
+    * no pair join anywhere. FULL hash oracle (DuckDB replays the df
+    * count, the semi-join, and the islands merge). */
+  val q142: QueryFn = (s, d) => {
+    Dedup.duplicateSpans(tbl(s, d, "documents"), "doc_id", "text", k = 3)
+  }
+
+  val q142Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+      |p AS (SELECT doc_id, gs AS pos,
+      |  md5(array_to_string(toks[gs:gs+2], ' ')) AS fp
+      |  FROM n CROSS JOIN generate_series(1, 128) g(gs) WHERE gs <= nt - 2),
+      |d AS (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) >= 2),
+      |dp AS (SELECT doc_id, pos FROM p JOIN d USING (fp)),
+      |i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY pos) AS grp FROM dp)
+      |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+      |  CAST(max(pos) + 2 AS INTEGER) AS span_end,
+      |  CAST(count(*) AS INTEGER) AS n_shingles
+      |FROM i GROUP BY doc_id, grp""".stripMargin
+
+  /** Per-document duplicated-token coverage
+    * ([[Dedup.duplicateSpanCoverage]]): fraction of each doc's tokens
+    * inside some corpus-duplicated 3-token window — the "how much of
+    * this doc is boilerplate" health signal next to the q140 Gopher
+    * gate. Spans from distinct islands can overlap, so coverage counts
+    * DISTINCT token indices. FULL hash oracle over every doc. */
+  val q143: QueryFn = (s, d) => {
+    Dedup.duplicateSpanCoverage(tbl(s, d, "documents"), "doc_id", "text", k = 3)
+  }
+
+  val q143Sql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      |n AS (SELECT doc_id, text, toks, len(toks) AS nt FROM t),
+      |p AS (SELECT doc_id, gs AS pos,
+      |  md5(array_to_string(toks[gs:gs+2], ' ')) AS fp
+      |  FROM n CROSS JOIN generate_series(1, 128) g(gs) WHERE gs <= nt - 2),
+      |d AS (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) >= 2),
+      |dp AS (SELECT doc_id, pos FROM p JOIN d USING (fp)),
+      |cov AS (SELECT doc_id, CAST(COUNT(DISTINCT pos + off) AS INTEGER) AS covered_tokens
+      |  FROM dp CROSS JOIN generate_series(0, 2) o(off) GROUP BY doc_id),
+      |base AS (SELECT doc_id,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE nt END AS INTEGER) AS n_tokens
+      |  FROM n)
+      |SELECT base.doc_id, n_tokens,
+      |  COALESCE(covered_tokens, 0) AS covered_tokens,
+      |  round(CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / greatest(n_tokens, 1), 6)
+      |    AS dup_span_frac
+      |FROM base LEFT JOIN cov ON base.doc_id = cov.doc_id""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4305,7 +4362,9 @@ object Queries {
     ("q138_training_shards", q138, Some(q138Sql)),
     ("q139_knn_graph", q139, Some(q139Sql)),
     ("q140_gopher_rules", q140, Some(q140Sql)),
-    ("q141_priority_merge", q141, Some(q141Sql))
+    ("q141_priority_merge", q141, Some(q141Sql)),
+    ("q142_dup_spans", q142, Some(q142Sql)),
+    ("q143_dup_span_coverage", q143, Some(q143Sql))
   )
 }
 

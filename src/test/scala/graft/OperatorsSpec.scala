@@ -1055,6 +1055,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cells.toSeq == Seq(Seq(0, 1), Seq(1, 0)))
   }
 
+  test("duplicateSpans: shared boilerplate found in both docs, islands merge, coverage distincts overlaps") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "all rights reserved worldwide alpha beta gamma"),     // header shared with 2
+      (2L, "delta all rights reserved worldwide epsilon"),
+      (3L, "x y z x y z unique trailer"),                          // intra-doc repeat of (x y z)
+      (4L, "completely novel words nowhere else repeated"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("n_shingles"))).toSet
+    // doc 1: windows (all,rights,reserved)@1 + (rights,reserved,worldwide)@2
+    // duplicated (both occur in doc 2) -> ONE merged span tokens 1..4;
+    // doc 2: same content at positions 2..3 -> span 2..5;
+    // doc 3: (x,y,z)@1 and @4 duplicate EACH OTHER; (y,z,x)@2 and (z,x,y)@3
+    // occur once -> two 1-shingle spans 1..3 and 4..6
+    assert(spans == Set((1L, 1, 4, 2), (2L, 2, 5, 2), (3L, 1, 3, 1), (3L, 4, 6, 1)),
+      s"$spans")
+    val cov = Dedup.duplicateSpanCoverage(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("covered_tokens"),
+          r.getAs[Double]("dup_span_frac"))).toMap
+    assert(cov(1L) == ((7, 4, 0.571429)), s"${cov(1L)}")
+    assert(cov(2L) == ((6, 4, 0.666667)), s"${cov(2L)}")
+    // doc 3 spans 1..3 and 4..6 are adjacent, tokens 1..6 of 8 covered
+    assert(cov(3L) == ((8, 6, 0.75)), s"${cov(3L)}")
+    assert(cov(4L)._3 == 0.0 && cov(5L) == ((0, 0, 0.0)))
+    // every doc appears exactly once in the coverage frame
+    assert(cov.size == 5)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(docs, "doc_id", "text", k = 0)
+    }
+    assert(e.getMessage.contains("k must be"), e.getMessage)
+  }
+
   test("priorityMerge: lowest priority wins per fingerprint, then lowest id; guards fire") {
     import graft.operators.Curation
     val raw = Seq((1L, "the same page text"), (2L, "only in raw"),
