@@ -324,18 +324,28 @@ object BuiltinTransformations {
       accuracy = intKw("quality_quantile_gate", kw, "accuracy", 10000))
 
   /** `bpe_tokenize(text_col, num_merges=200, out_col=bpe_tokens,
-    * mode=count|segments)` — train a BPE merge table ON THE INPUT frame
-    * ([[Bpe.trainFromCorpus]]: one corpus scan to a word vocab, then
-    * vocab-bounded merge iterations) and append the subword count or the
+    * mode=count|segments, trainer=local|distributed)` — train a BPE
+    * merge table ON THE INPUT frame and append the subword count or the
     * segmented subwords. Fitting is deterministic (exact counts, fixed
     * tie-break), so the output is a pure function of the frame — the
-    * quality_classifier train-then-apply shape. */
+    * quality_classifier train-then-apply shape. The default `local`
+    * trainer ([[Bpe.trainFromCorpusLocal]]: one corpus scan to the
+    * vocab, driver-side incremental merge loop) is BIT-IDENTICAL to
+    * `distributed` ([[Bpe.trainFromCorpus]]: one Spark job per merge)
+    * and 13.6x faster at 64 merges (BpeProbe) — a 200-merge default on
+    * the distributed form is 200 sequential jobs. */
   private def bpeTokenize: CustomFn = (df, kw) => {
     val name = "bpe_tokenize"
     val textCol = reqStr(name, kw, "text_col")
     val outCol = strKw(name, kw, "out_col", "bpe_tokens")
     rejectShadow(name, df, outCol)
-    val merges = Bpe.trainFromCorpus(df, textCol, intKw(name, kw, "num_merges", 200))
+    val nMerges = intKw(name, kw, "num_merges", 200)
+    val merges = strKw(name, kw, "trainer", "local") match {
+      case "local"       => Bpe.trainFromCorpusLocal(df, textCol, nMerges)
+      case "distributed" => Bpe.trainFromCorpus(df, textCol, nMerges)
+      case other => throw new IllegalArgumentException(
+        s"$name: trainer must be 'local' or 'distributed', got '$other'")
+    }
     val pairs = merges.map(m => (m._1, m._2))
     strKw(name, kw, "mode", "count") match {
       case "count"    => df.withColumn(outCol, Bpe.tokenCount(col(textCol), pairs))
