@@ -488,4 +488,51 @@ object Curation {
     withFp.join(keep, Seq("__fp", "source_priority", idCol)).drop("__fp")
   }
 
+  /** Embedding-density pruning (the D4 / SSL-prototypes recipe — Abbas
+    * et al. 2023, Sorscher et al. 2022: the DENSEST regions of embedding
+    * space are semantic near-duplicates and template families; cutting
+    * them diversifies the mix and beats random pruning at equal token
+    * budget). Per row: density = mean cosine to its `k` nearest
+    * neighbors in the [[graft.operators.Similarity.knnGraph]]; keep iff
+    * density ≤ `threshold` (round-6 before the cut, so the keep set is
+    * bit-stable).
+    *
+    * Scale shape: the knnGraph self-join (hash-partitioned on the IVF
+    * cell id — operator scaladoc has the full shuffle shape) + one
+    * per-src mean + one id-join back to the input. The mean routes
+    * through the exact decimal sum over the round-6 cosines
+    * ([[graft.sparkext.DoubleToScaled.exactSum]]) — partitioning- and
+    * engine-independent densities. Rows with NO graph edges (isolated
+    * cells, `maxCell` exclusions) get density 0 and are kept — an
+    * isolated row is by definition not in a dense region; the exclusion
+    * is observable as `n_neighbors = 0`.
+    *
+    * Returns every input row: `(input columns…, n_neighbors, density,
+    * keep)`. Compose with [[quantileFilterPerGroup]] on `density` for an
+    * adaptive per-group cut instead of the fixed threshold. */
+  def densityPrune(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[(Int, Seq[Double])],
+      threshold: Double,
+      nProbe: Int = 1,
+      maxCell: Int = 10000
+  ): DataFrame = {
+    Seq("n_neighbors", "density", "keep").foreach(n =>
+      require(!corpus.columns.contains(n),
+        s"densityPrune writes column '$n'; input already has one — rename it first"))
+    val edges = Similarity.knnGraph(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, k, centroids, nProbe, maxCell)
+    val dens = edges.groupBy(col("src")).agg(
+      count(lit(1)).cast("int").as("n_neighbors"),
+      round(graft.sparkext.DoubleToScaled.exactSum(col("cosine"), 6) /
+        count(lit(1)), 6).as("density"))
+    corpus.join(dens.withColumnRenamed("src", idCol), Seq(idCol), "left")
+      .withColumn("n_neighbors", coalesce(col("n_neighbors"), lit(0)))
+      .withColumn("density", coalesce(col("density"), lit(0.0)))
+      .withColumn("keep", col("density") <= lit(threshold))
+  }
+
 }

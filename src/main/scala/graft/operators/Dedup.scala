@@ -726,4 +726,71 @@ object Dedup {
         round(coalesce(col("covered_tokens"), lit(0)).cast("double") /
           greatest(col("n_tokens"), lit(1)), 6).as("dup_span_frac"))
   }
+
+  /** Duplicated-span REMOVAL — the excision step over [[duplicateSpans]]'
+    * inventory (Lee, Ippolito et al. 2021 "ExactSubstr" dedup: keep ONE
+    * occurrence of each corpus-duplicated substring, cut the rest —
+    * doc-level dedup can't touch a boilerplate header shared by a million
+    * otherwise-distinct pages; this can).
+    *
+    * Semantics (deterministic by construction): for every k-token window
+    * occurring ≥ 2 times corpus-wide, the CANONICAL occurrence is the
+    * globally smallest `(id, pos)` pair; every other occurrence is a drop
+    * window. A token is removed iff some drop window in its document
+    * covers it (union of drop windows — a token inside both a canonical
+    * and a drop window is still removed: removal is conservative, the
+    * kept occurrence is whichever doc won the global min, intra-doc
+    * repeats keep their first occurrence). Output text is reassembled
+    * from the surviving tokens of the NORMALIZED stream (lower/trim/
+    * whitespace-collapsed — the same token stream every dedup operator
+    * here shingles over), so a doc with nothing removed comes back as its
+    * normalized text, not byte-identical input.
+    *
+    * Scale shape — LINEAR like [[duplicateSpans]], plus one global
+    * min-struct per fingerprint: positioned-shingle explode, ONE fp
+    * hash-agg carrying `(count, min(id,pos))` together (map-side
+    * combined; a hot boilerplate shingle is one count + one min, never a
+    * pair fan-out), one join back on fp (reuses the agg's partitioning),
+    * one per-doc removed-index array agg, one id-join to the input.
+    * No window over the union, no pair join, no driver collect.
+    *
+    * Returns every input row: `(id, n_tokens, n_removed, clean_text)`
+    * with `n_removed = 0` and `clean_text` = normalized text for clean
+    * docs, and `""` for empty docs. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      outCol: String = "clean_text"
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains(outCol),
+      s"removeDuplicateSpans writes column '$outCol'; input already has one — rename it first")
+    val pos = positionedShingles(df, idCol, textCol, k)
+    // one agg per fingerprint: occurrence count AND the canonical keeper,
+    // so the hot-shingle case costs one combined row, not two passes
+    val keepers = pos
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"),
+        min(struct(col(idCol).as("kid"), col("pos").as("kpos"))).as("__keep"))
+      .filter(col("__df") >= 2)
+      .select(col("fp"), col("__keep.kid").as("__kid"), col("__keep.kpos").as("__kpos"))
+    val drops = pos.join(keepers, Seq("fp"))
+      .filter(!(col(idCol) === col("__kid") && col("pos") === col("__kpos")))
+    val removed = drops
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("tok_idx"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("tok_idx")).as("__rm"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val rm = coalesce(col("__rm"), array().cast("array<int>"))
+    val kept = filter(toks, (t, i) => !array_contains(rm, i + 1))
+    df.select(col(idCol), col(textCol))
+      .join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+        size(rm).as("n_removed"),
+        when(length(trim(col(textCol))) === 0, lit(""))
+          .otherwise(array_join(kept, " ")).as(outCol))
+  }
 }

@@ -739,6 +739,69 @@ object Similarity {
       .select(col("src"), col("dst"), col("cosine"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training
+    * (the in-batch-negatives upgrade every retrieval recipe runs: for
+    * each anchor, the nearest SAME-label row is the positive and the
+    * nearest DIFFERENT-label row — maximally confusable — is the hard
+    * negative). Per corpus row: top-1 same-label neighbor and top-1
+    * diff-label neighbor by cosine, among the candidates its IVF
+    * cell-probe reaches.
+    *
+    * Scale shape — the [[knnGraph]] self-join exactly (hash-partitioned
+    * on the cell id, both sides corpus-sized, no broadcast, no cross
+    * join; `maxCell` whole-cell exclusion, nProbe recall knob), but
+    * ranked per (anchor, label-match) pair so the nearest diff-label
+    * candidate is found even when the global top-k would be all
+    * same-label. Labels ride the pairing join — no extra exchange.
+    *
+    * Returns EVERY corpus row: `(id, label, pos_id, pos_cosine, neg_id,
+    * neg_cosine)`, with nulls where the probed cells hold no same- or
+    * diff-label candidate (isolated rows, excluded cells, single-label
+    * cells at nProbe=1 — raise nProbe to fill them). Determinism:
+    * round-6 cosine, (cosine DESC, id ASC) tie-break, self-pairs
+    * excluded. */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int = 1,
+      maxCell: Int = 10000
+  ): DataFrame = {
+    require(maxCell > 1, "maxCell must allow at least a pair")
+    val base = corpus.select(col(idCol), col(vecCol), col(labelCol))
+      .withColumn("cell", ivfCell(col(vecCol), centroids))
+    val wcap = Window.partitionBy(col("cell"))
+    val members = base
+      .withColumn("__cn", count(lit(1)).over(wcap))
+      .filter(col("__cn") <= maxCell)
+      .select(col(idCol).as("dst"), col(vecCol).as("__dv"),
+        col(labelCol).as("__dl"), col("cell"))
+    val probes =
+      (if (nProbe == 1) base
+       else base.withColumn("cell", explode(ivfCells(col(vecCol), centroids, nProbe))))
+        .select(col(idCol).as("src"), col(vecCol).as("__sv"),
+          col(labelCol).as("__sl"), col("cell"))
+    val w = Window.partitionBy(col("src"), col("__same"))
+      .orderBy(col("cosine").desc, col("dst").asc)
+    val top = probes.join(members, "cell")
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosine", round(cosine(col("__sv"), col("__dv")), 6))
+      .withColumn("__same", col("__sl") <=> col("__dl"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+    // at most ONE row per (src, __same) after the rk=1 cut, so the
+    // conditional mins below just route each side into its column
+    val agg = top.groupBy(col("src")).agg(
+      min(when(col("__same"), col("dst"))).as("pos_id"),
+      min(when(col("__same"), col("cosine"))).as("pos_cosine"),
+      min(when(!col("__same"), col("dst"))).as("neg_id"),
+      min(when(!col("__same"), col("cosine"))).as("neg_cosine"))
+    corpus.select(col(idCol), col(labelCol))
+      .join(agg.withColumnRenamed("src", idCol), Seq(idCol), "left")
+  }
+
   /** IVF-PQ with exact re-rank — the production ANN composite (FAISS's
     * IVFADC layout, Jégou et al. 2011 §V): corpus rows live in coarse
     * IVF cells carrying only their PQ codes; a query scans its `nProbe`

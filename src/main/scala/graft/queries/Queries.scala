@@ -4217,6 +4217,129 @@ object Queries {
       |    AS dup_span_frac
       |FROM base LEFT JOIN cov ON base.doc_id = cov.doc_id""".stripMargin
 
+  /** Duplicated-span REMOVAL ([[Dedup.removeDuplicateSpans]], the Lee et
+    * al. 2021 ExactSubstr excision step over q142's inventory): every
+    * corpus-duplicated 3-token window keeps only its globally-first
+    * `(doc, pos)` occurrence; covered tokens of every other occurrence
+    * are cut and the doc reassembled from the surviving normalized
+    * tokens. Linear shape — ONE fp hash-agg carries (count, min keeper)
+    * together, then a join back and a per-doc removed-index array; no
+    * pair join. FULL hash oracle: DuckDB replays the keeper choice
+    * (row_number over (doc,pos)), the removed-index union, and the
+    * ordered string_agg reassembly. */
+  val q144: QueryFn = (s, d) => {
+    Dedup.removeDuplicateSpans(tbl(s, d, "documents"), "doc_id", "text", k = 3)
+  }
+
+  val q144Sql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      |n AS (SELECT doc_id, text, toks, len(toks) AS nt FROM t),
+      |p AS (SELECT doc_id, gs AS pos,
+      |  md5(array_to_string(toks[gs:gs+2], ' ')) AS fp
+      |  FROM n CROSS JOIN generate_series(1, 128) g(gs) WHERE gs <= nt - 2),
+      |r AS (SELECT doc_id, pos,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+      |  COUNT(*) OVER (PARTITION BY fp) AS df FROM p),
+      |drops AS (SELECT doc_id, pos FROM r WHERE df >= 2 AND rn > 1),
+      |rm AS (SELECT DISTINCT doc_id, pos + off AS tok_idx
+      |  FROM drops CROSS JOIN generate_series(0, 2) o(off)),
+      |rmc AS (SELECT doc_id, COUNT(*) AS n_removed FROM rm GROUP BY doc_id),
+      |tok AS (SELECT doc_id, gs AS idx, toks[gs] AS tok
+      |  FROM n CROSS JOIN generate_series(1, 128) g(gs)
+      |  WHERE gs <= nt AND length(trim(text)) > 0),
+      |kept AS (SELECT tok.doc_id, idx, tok FROM tok
+      |  LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.idx = rm.tok_idx
+      |  WHERE rm.doc_id IS NULL),
+      |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |base AS (SELECT doc_id,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE nt END AS INTEGER) AS n_tokens
+      |  FROM n)
+      |SELECT base.doc_id, n_tokens,
+      |  CAST(COALESCE(n_removed, 0) AS INTEGER) AS n_removed,
+      |  COALESCE(clean_text, '') AS clean_text
+      |FROM base LEFT JOIN rmc ON base.doc_id = rmc.doc_id
+      |  LEFT JOIN agg ON base.doc_id = agg.doc_id""".stripMargin
+
+  /** Embedding-density pruning ([[Curation.densityPrune]], the D4 /
+    * SSL-prototypes diversification cut): per row, mean round-6 cosine
+    * to its 3 nearest neighbors in the q139 KNN graph (exact decimal
+    * sum → partitioning-independent density), keep iff ≤ 0.33 (≈ the
+    * corpus p70 — prunes the densest ~30%). Isolated rows keep with
+    * density 0. FULL hash oracle: DuckDB replays the graph, the
+    * decimal-exact mean, and the threshold. */
+  val q145: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    Curation.densityPrune(emb, "vec_id", "v", k = 3, centroids,
+        threshold = 0.33, nProbe = 2)
+      .select(col("vec_id"), col("n_neighbors"), col("density"), col("keep"))
+  }
+
+  private val knnEdgeCtes: String =
+    """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+      |scored AS (SELECT c.vec_id, cid,
+      |  list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS score
+      |  FROM c CROSS JOIN cent),
+      |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |  ORDER BY score DESC, cid ASC) AS rn FROM scored),
+      |mem AS (SELECT c.vec_id AS dst, label AS dl, v AS dv, cid AS cell
+      |  FROM c JOIN ranked r ON c.vec_id = r.vec_id AND r.rn = 1),
+      |pr AS (SELECT c.vec_id AS src, label AS sl, v AS sv, cid AS cell
+      |  FROM c JOIN ranked r ON c.vec_id = r.vec_id AND r.rn <= 2),
+      |s AS (SELECT src, sl, dst, dl,
+      |  round(list_dot_product(sv, dv) /
+      |    (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(dv, dv))), 6) AS cosine
+      |  FROM pr JOIN mem USING (cell) WHERE src <> dst)""".stripMargin
+
+  val q145Sql: String = knnEdgeCtes +
+    """,
+      |r AS (SELECT src, dst, cosine, row_number() OVER (PARTITION BY src
+      |  ORDER BY cosine DESC, dst) AS rk FROM s),
+      |dens AS (SELECT src, CAST(COUNT(*) AS INTEGER) AS n_neighbors,
+      |  round(CAST(SUM(CAST(cosine AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS density
+      |  FROM r WHERE rk <= 3 GROUP BY src)
+      |SELECT c.vec_id, COALESCE(n_neighbors, 0) AS n_neighbors,
+      |  COALESCE(density, 0.0) AS density,
+      |  COALESCE(density, 0.0) <= 0.33 AS keep
+      |FROM c LEFT JOIN dens ON c.vec_id = dens.src""".stripMargin
+
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per embedding,
+    * the nearest SAME-label neighbor (positive) and nearest
+    * DIFFERENT-label neighbor (hard negative) among its probed IVF
+    * cells — the contrastive-pair step retrieval/embedding training
+    * runs. Ranked per (anchor, label-match), so the diff-label winner
+    * surfaces even when the global top-k is all same-label. FULL hash
+    * oracle with nulls where a side has no candidate. */
+  val q146: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](2).toSeq)).toSeq
+    Similarity.hardNegatives(emb, "vec_id", "v", "label", centroids, nProbe = 2)
+  }
+
+  val q146Sql: String = knnEdgeCtes +
+    """,
+      |t AS (SELECT src, dst, cosine, (sl = dl) AS same,
+      |  row_number() OVER (PARTITION BY src, (sl = dl)
+      |    ORDER BY cosine DESC, dst) AS rk FROM s),
+      |a AS (SELECT src,
+      |  min(CASE WHEN same THEN dst END) AS pos_id,
+      |  min(CASE WHEN same THEN cosine END) AS pos_cosine,
+      |  min(CASE WHEN NOT same THEN dst END) AS neg_id,
+      |  min(CASE WHEN NOT same THEN cosine END) AS neg_cosine
+      |  FROM t WHERE rk = 1 GROUP BY src)
+      |SELECT c.vec_id, label, pos_id, pos_cosine, neg_id, neg_cosine
+      |FROM c LEFT JOIN a ON c.vec_id = a.src""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4364,7 +4487,10 @@ object Queries {
     ("q140_gopher_rules", q140, Some(q140Sql)),
     ("q141_priority_merge", q141, Some(q141Sql)),
     ("q142_dup_spans", q142, Some(q142Sql)),
-    ("q143_dup_span_coverage", q143, Some(q143Sql))
+    ("q143_dup_span_coverage", q143, Some(q143Sql)),
+    ("q144_remove_dup_spans", q144, Some(q144Sql)),
+    ("q145_density_prune", q145, Some(q145Sql)),
+    ("q146_hard_negatives", q146, Some(q146Sql))
   )
 }
 

@@ -65,6 +65,9 @@ object BuiltinTransformations {
     "sq8_encode" -> sq8Encode,
     "training_shard_assign" -> trainingShardAssign,
     "fuzzy_dedup_keep_best" -> fuzzyDedupKeepBest,
+    "remove_dup_spans" -> removeDupSpans,
+    "density_prune" -> densityPrune,
+    "hard_negatives" -> hardNegatives,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
@@ -118,6 +121,58 @@ object BuiltinTransformations {
       numHashes = intKw("fuzzy_dedup_keep_best", kw, "num_hashes", 8),
       bands = intKw("fuzzy_dedup_keep_best", kw, "bands", 4),
       maxBucket = intKw("fuzzy_dedup_keep_best", kw, "max_bucket", 10000))
+
+  /** `remove_dup_spans(id_col, text_col, k=3, out_col=clean_text)` —
+    * ExactSubstr span excision ([[Dedup.removeDuplicateSpans]]): every
+    * corpus-duplicated k-token window keeps only its globally-first
+    * occurrence; other occurrences' tokens are cut and each doc is
+    * reassembled from its surviving normalized tokens. */
+  private def removeDupSpans: CustomFn = (df, kw) =>
+    Dedup.removeDuplicateSpans(
+      df,
+      reqStr("remove_dup_spans", kw, "id_col"),
+      reqStr("remove_dup_spans", kw, "text_col"),
+      k = intKw("remove_dup_spans", kw, "k", 3),
+      outCol = strKw("remove_dup_spans", kw, "out_col", "clean_text"))
+
+  /** `density_prune(id_col, vec_col, k=3, n_centroids=8, iters=1,
+    * threshold, n_probe=1, max_cell=10000)` — D4-style embedding-density
+    * diversification ([[Curation.densityPrune]]): per-row mean cosine to
+    * its k nearest neighbors in the IVF-celled KNN graph, keep iff
+    * density ≤ threshold. The k-means quantizer is fit inline (the k x dim
+    * centroid collect, as in `semantic_dedup`). */
+  private def densityPrune: CustomFn = (df, kw) => {
+    val idCol = reqStr("density_prune", kw, "id_col")
+    val vecCol = reqStr("density_prune", kw, "vec_col")
+    val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val cents = Similarity.kmeansFit(typed, idCol, vecCol,
+      k = intKw("density_prune", kw, "n_centroids", 8),
+      iters = intKw("density_prune", kw, "iters", 1))
+    Curation.densityPrune(typed, idCol, vecCol,
+      k = intKw("density_prune", kw, "k", 3),
+      centroids = cents,
+      threshold = dblKw("density_prune", kw, "threshold", 0.95),
+      nProbe = intKw("density_prune", kw, "n_probe", 1),
+      maxCell = intKw("density_prune", kw, "max_cell", 10000))
+  }
+
+  /** `hard_negatives(id_col, vec_col, label_col, n_centroids=8, iters=1,
+    * n_probe=1, max_cell=10000)` — contrastive pair mining
+    * ([[Similarity.hardNegatives]]): per row, nearest same-label neighbor
+    * (positive) and nearest diff-label neighbor (hard negative) among its
+    * probed IVF cells; quantizer fit inline as in `density_prune`. */
+  private def hardNegatives: CustomFn = (df, kw) => {
+    val idCol = reqStr("hard_negatives", kw, "id_col")
+    val vecCol = reqStr("hard_negatives", kw, "vec_col")
+    val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val cents = Similarity.kmeansFit(typed, idCol, vecCol,
+      k = intKw("hard_negatives", kw, "n_centroids", 8),
+      iters = intKw("hard_negatives", kw, "iters", 1))
+    Similarity.hardNegatives(typed, idCol, vecCol,
+      reqStr("hard_negatives", kw, "label_col"), cents,
+      nProbe = intKw("hard_negatives", kw, "n_probe", 1),
+      maxCell = intKw("hard_negatives", kw, "max_cell", 10000))
+  }
 
   /** `minhash_near_dup(id_col, text_col, shingle_k=3, num_hashes=8,
     * bands=4, max_bucket=10000)` — the simpler pair-drop apply step (every

@@ -500,4 +500,39 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
       assert(r.getInt(1) == expectShard && r.getString(2).length == 32)
     }
   }
+
+  test("remove_dup_spans, density_prune, hard_negatives builtins equal their operators") {
+    import graft.operators.{Curation, Dedup, Similarity}
+    // span excision: docs 1 and 2 share a 3-token window; doc 1 keeps it
+    val cleaned = registry("remove_dup_spans")(docs,
+      Map("id_col" -> "doc_id", "text_col" -> "text", "k" -> 3L))
+    val direct = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    cleaned.collect().foreach(r => assert(r.getString(3) == direct(r.getLong(0))))
+    assert(cleaned.filter(col("doc_id") === 2L).head().getAs[Int]("n_removed") > 0)
+    // density_prune / hard_negatives: float input normalized, inline k-means
+    // quantizer (k lowest ids seed) == the direct two-step call
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(1.0f, 0.05f), "a"),
+      (3L, Array(0.0f, 1.0f), "b"), (4L, Array(0.1f, 1.0f), "b"))
+      .toDF("vec_id", "emb", "label")
+    val typed = emb.withColumn("emb", col("emb").cast("array<double>"))
+    val cents = Similarity.kmeansFit(typed, "vec_id", "emb", k = 2, iters = 1)
+    val dpB = registry("density_prune")(emb,
+      Map("id_col" -> "vec_id", "vec_col" -> "emb", "k" -> 1L,
+        "n_centroids" -> 2L, "threshold" -> 0.9)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    val dpD = Curation.densityPrune(typed, "vec_id", "emb", 1, cents, 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(dpB == dpD && dpB.size == 4)
+    val hnB = registry("hard_negatives")(emb,
+      Map("id_col" -> "vec_id", "vec_col" -> "emb", "label_col" -> "label",
+        "n_centroids" -> 2L, "n_probe" -> 2L)).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[java.lang.Long]("pos_id"), r.getAs[java.lang.Long]("neg_id"))).toMap
+    val hnD = Similarity.hardNegatives(typed, "vec_id", "emb", "label", cents, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[java.lang.Long]("pos_id"), r.getAs[java.lang.Long]("neg_id"))).toMap
+    assert(hnB == hnD && hnB.size == 4)
+  }
 }

@@ -1091,6 +1091,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("k must be"), e.getMessage)
   }
 
+  test("removeDuplicateSpans: globally-first occurrence kept, drops excised, docs reassembled") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "all rights reserved worldwide alpha beta gamma"),
+      (2L, "delta all rights reserved worldwide epsilon"),
+      (3L, "x y z x y z unique trailer"),
+      (4L, "completely novel words nowhere else repeated"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    // doc 1 holds the globally-first (min (id,pos)) occurrence of both
+    // shared windows -> untouched; doc 2 loses the union of its two drop
+    // windows (tokens 2..5); doc 3's intra-doc repeat keeps its FIRST
+    // occurrence (x y z @ 1), cuts the second (tokens 4..6)
+    assert(out(1L) == ((7, 0, "all rights reserved worldwide alpha beta gamma")), s"${out(1L)}")
+    assert(out(2L) == ((6, 4, "delta epsilon")), s"${out(2L)}")
+    assert(out(3L) == ((8, 3, "x y z unique trailer")), s"${out(3L)}")
+    assert(out(4L) == ((6, 0, "completely novel words nowhere else repeated")), s"${out(4L)}")
+    assert(out(5L) == ((0, 0, "")), s"${out(5L)}")
+    assert(out.size == 5)
+    // fixed point on this fixture: a second pass over the cleaned corpus
+    // finds nothing new to cut (no fresh duplicated windows were created)
+    val again = Dedup.removeDuplicateSpans(
+      Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", k = 3)
+    assert(again.agg(sum(col("n_removed"))).head().getLong(0) == 0L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeDuplicateSpans(docs.withColumn("clean_text", lit("x")),
+        "doc_id", "text", k = 3)
+    }
+    assert(e.getMessage.contains("clean_text"), e.getMessage)
+  }
+
   test("priorityMerge: lowest priority wins per fingerprint, then lowest id; guards fire") {
     import graft.operators.Curation
     val raw = Seq((1L, "the same page text"), (2L, "only in raw"),
@@ -1223,5 +1260,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(acd - cd).toDouble / cd < 0.05, s"HLL++ rsd blown: $acd vs $cd")
     val (ap50, p50) = (row.getDouble(1), row.getDouble(3))
     assert(math.abs(ap50 - p50) / p50 < 0.02, s"quantile sketch off: $ap50 vs $p50")
+  }
+
+  test("densityPrune: dense pair flagged, isolated rows kept with density 0, guard fires") {
+    import graft.operators.Curation
+    // one centroid -> one cell: densities are hand-checkable means of the
+    // top-2 cosines. rows 1,2 are a dense duplicate-direction pair
+    // (mutual cosine 1.0); row 3 is orthogonal to both; row 4 points away
+    val cents = Seq(0 -> Seq(1.0, 0.0))
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(-1.0, 0.0))).toDF("vec_id", "v")
+    val out = Curation.densityPrune(corpus, "vec_id", "v", k = 2, cents,
+        threshold = 0.4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("n_neighbors"), r.getAs[Double]("density"),
+          r.getAs[Boolean]("keep"))).toMap
+    // 1: top-2 = {2: 1.0, 3: 0.0} -> 0.5; 2 symmetric; 3: {0.0, 0.0} -> 0;
+    // 4: {3: 0.0, 1: -1.0} -> -0.5. threshold 0.4 cuts exactly the dense pair
+    assert(out(1L) == ((2, 0.5, false)), s"${out(1L)}")
+    assert(out(2L) == ((2, 0.5, false)), s"${out(2L)}")
+    assert(out(3L) == ((2, 0.0, true)), s"${out(3L)}")
+    assert(out(4L) == ((2, -0.5, true)), s"${out(4L)}")
+    // maxCell exclusion: the whole cell is excluded -> every row isolated,
+    // density 0, kept — the cut NEVER silently drops rows from the output
+    val iso = Curation.densityPrune(corpus, "vec_id", "v", k = 2, cents,
+        threshold = 0.4, maxCell = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("n_neighbors"), r.getAs[Boolean]("keep"))).toMap
+    assert(iso.size == 4 && iso.values.forall(_ == ((0, true))), s"$iso")
+    val e = intercept[IllegalArgumentException] {
+      Curation.densityPrune(corpus.withColumn("keep", lit(true)),
+        "vec_id", "v", 2, cents, 0.4)
+    }
+    assert(e.getMessage.contains("keep"), e.getMessage)
+  }
+
+  test("hardNegatives: nearest same-label positive, nearest diff-label negative, null sides") {
+    val cents = Seq(0 -> Seq(1.0, 0.0))
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0), "a"), (2L, Seq(1.0, 0.1), "a"),
+      (3L, Seq(0.0, 1.0), "b"), (4L, Seq(0.5, 1.0), "b"))
+      .toDF("vec_id", "v", "label")
+    val out = Similarity.hardNegatives(corpus, "vec_id", "v", "label", cents)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[java.lang.Long]("pos_id"), r.getAs[java.lang.Long]("neg_id"),
+          r.getAs[java.lang.Double]("neg_cosine"))).toMap
+    // anchor 1: pos = 2 (cos .995037); neg = 4 (cos .447214) even though 3
+    // is also diff-label — nearest-diff wins, and it survives despite the
+    // global top-1 being same-label (per-(anchor,same) ranking)
+    assert(out(1L) == ((2L: java.lang.Long, 4L: java.lang.Long,
+      0.447214: java.lang.Double)), s"${out(1L)}")
+    assert(out(2L)._1 == 1L && out(2L)._2 == 4L)
+    assert(out(3L)._1 == 4L && out(3L)._2 == 2L)
+    assert(out(4L)._1 == 3L && out(4L)._2 == 2L)
+    // single-label corpus: every neg side is null, pos side still filled
+    val mono = Similarity.hardNegatives(
+      corpus.withColumn("label", lit("a")), "vec_id", "v", "label", cents)
+    assert(mono.filter(col("neg_id").isNotNull).count() == 0)
+    assert(mono.filter(col("pos_id").isNull).count() == 0)
   }
 }
