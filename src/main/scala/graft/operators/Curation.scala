@@ -535,4 +535,129 @@ object Curation {
       .withColumn("keep", col("density") <= lit(threshold))
   }
 
+  /** Per-doc hashed n-gram bucket stream (unigrams + word bigrams of the
+    * normalized token stream, md5-first-8-hex mod `buckets`) — the DSIR
+    * feature extractor. Content-derived hashing, so the bucketing is
+    * identical on any engine, partitioning, or run. */
+  private def hashedGramBuckets(
+      df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame = {
+    val toks = filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)
+    val staged = df.select(col(idCol), toks.as("__toks"))
+    val nBi = greatest(size(col("__toks")) - 1, lit(0))
+    val bi = zip_with(
+      slice(col("__toks"), lit(1), nBi), slice(col("__toks"), lit(2), nBi),
+      (a, b) => concat(a, lit(" "), b))
+    staged
+      .select(col(idCol), explode(concat(col("__toks"), bi)).as("gram"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).cast("int").as("bucket"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit two bag-of-hashed-
+    * n-gram unigram models — one over the TARGET corpus (the distribution
+    * you want more of), one over the RAW corpus — and score every raw doc
+    * with its log importance weight `Σ_grams (ln p_target(b) − ln
+    * p_raw(b))` under Laplace smoothing `α`. High weight = looks like the
+    * target; feed the result to [[dsirResample]] for the paper's
+    * Gumbel-top-k selection step.
+    *
+    * Scale shape — LINEAR, two passes: one positioned-gram explode per
+    * corpus into a `buckets`-row hash agg (map-side combined; `buckets`
+    * is a model-size constant, e.g. 10k–1M, never corpus-sized), the
+    * per-bucket log-ratio table built with two 1-row total broadcasts,
+    * then ONE broadcast join of the raw gram stream against that table +
+    * a per-doc sum. No shuffle of the corpus itself beyond the per-doc
+    * hash agg; no driver collect of anything data-sized.
+    *
+    * Determinism: each ln term is rounded to 6 decimals, the per-doc sum
+    * routes through the exact decimal adder
+    * ([[graft.sparkext.DoubleToScaled.exactSum]]) — weights are
+    * bit-stable under any partitioning, and the DuckDB oracle replays
+    * them exactly. Returns EVERY raw row: `(raw columns…, n_grams,
+    * log_weight)`, with `(0, 0.0)` for gram-free (empty) docs. */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256,
+      smoothing: Double = 1.0
+  ): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    Seq("n_grams", "log_weight").foreach(n =>
+      require(!raw.columns.contains(n),
+        s"dsirWeights writes column '$n'; input already has one — rename it first"))
+    val rawG = hashedGramBuckets(raw, idCol, textCol, buckets)
+    val tgtG = hashedGramBuckets(target, idCol, textCol, buckets)
+    val rawC = rawG.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtC = tgtG.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = rawG.agg(count(lit(1)).as("nr"))
+      .crossJoin(tgtG.agg(count(lit(1)).as("nt")))
+    // buckets seen only in the target still get a row (full outer) so the
+    // table is the complete model; raw grams can never hit a bucket
+    // absent from rawC, so those rows are inert by construction
+    val lam = rawC.join(tgtC, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (round(log((col("ct") + smoothing) / (col("nt") + smoothing * buckets)), 6) -
+          round(log((col("cr") + smoothing) / (col("nr") + smoothing * buckets)), 6))
+          .as("lam"))
+    val perDoc = rawG.join(broadcast(lam), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        round(graft.sparkext.DoubleToScaled.exactSum(col("lam"), 6), 6).as("log_weight"))
+    raw.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0)))
+      .withColumn("log_weight", coalesce(col("log_weight"), lit(0.0)))
+  }
+
+  /** DSIR selection — the paper's importance RESAMPLING step: sample `m`
+    * docs without replacement, proportionally to exp(log_weight), via the
+    * Gumbel-top-k trick with a CONTENT-DERIVED Gumbel: `u = (first-8-hex
+    * of md5(id) + 0.5) / 2^32`, `g = −ln(−ln u)`, key = log_weight + g,
+    * take the m largest keys. No RNG state — the same corpus always
+    * selects the same docs, on any engine or cluster size (the house
+    * determinism rule; a seeded rand() reshuffles on every retry).
+    *
+    * Scale shape: the top-m cut is `orderBy(key).limit(m)` — Spark's
+    * TakeOrdered (per-partition top-m, m-row merge), NOT a global sort or
+    * a single-partition window; the m-row id set then broadcast
+    * semi-joins back to flag every row. `m` is a selection budget
+    * (driver-bounded by contract, like the k-centroid collects — loud
+    * guard at 10M).
+    *
+    * Returns EVERY input row plus `gumbel_key` and boolean `selected`. */
+  def dsirResample(
+      weighted: DataFrame,
+      idCol: String,
+      weightCol: String,
+      m: Int
+  ): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(m <= 10000000, s"m is a driver-merged selection budget; got $m > 10M")
+    Seq("gumbel_key", "selected").foreach(n =>
+      require(!weighted.columns.contains(n),
+        s"dsirResample writes column '$n'; input already has one — rename it first"))
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val g = round(-log(-log(u)), 6)
+    // both terms are round-6: the decimal add is exact, so the key is
+    // bit-stable and oracle-replayable
+    val keyed = weighted.withColumn("gumbel_key",
+      (col(weightCol).cast("decimal(28,6)") + g.cast("decimal(28,6)"))
+        .cast("double"))
+    val chosen = keyed
+      .select(col(idCol).as("__sel_id"), col("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col("__sel_id").asc)
+      .limit(m)
+      .select(col("__sel_id"))
+    keyed.join(broadcast(chosen), col(idCol) === col("__sel_id"), "left")
+      .withColumn("selected", col("__sel_id").isNotNull)
+      .drop("__sel_id")
+  }
+
 }

@@ -4340,6 +4340,79 @@ object Queries {
       |SELECT c.vec_id, label, pos_id, pos_cosine, neg_id, neg_cosine
       |FROM c LEFT JOIN a ON c.vec_id = a.src""".stripMargin
 
+  /** DSIR importance weights ([[Curation.dsirWeights]], Xie et al. 2023):
+    * bag-of-hashed-n-gram (unigram+bigram, md5 mod 256) unigram models
+    * over the TARGET (lang='en' docs) and RAW (all docs) corpora; per-doc
+    * log importance weight = Σ round-6 ln-ratio terms via the exact
+    * decimal adder. FULL hash oracle: DuckDB replays tokenization,
+    * hashing, both models, and the decimal-exact sum. */
+  val q147: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 256)
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("log_weight"))
+  }
+
+  /** The shared DSIR model CTEs: normalized unigrams+bigrams, md5-mod-256
+    * buckets (the q138 hex-fold idiom), raw/target bucket counts, the
+    * round-6 log-ratio table, and the per-doc decimal-exact weight. */
+  private val dsirCtes: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> length(x) > 0) AS toks FROM documents),
+      |g AS (SELECT doc_id, lang, unnest(list_concat(toks,
+      |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+      |  AS gram FROM t),
+      |b AS (SELECT doc_id, lang, CAST(CAST(list_sum(list_transform(range(1, 9), i ->
+      |    (strpos('0123456789abcdef', substr(md5(gram), CAST(i AS INTEGER), 1)) - 1)
+      |    * power(16, 8 - i))) AS BIGINT) % 256 AS INTEGER) AS bucket FROM g),
+      |rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+      |tc AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+      |tot AS (SELECT (SELECT COUNT(*) FROM b) AS nr,
+      |  (SELECT COUNT(*) FROM b WHERE lang = 'en') AS nt),
+      |lam AS (SELECT rc.bucket,
+      |    round(ln((COALESCE(ct, 0) + 1.0) / (nt + 256.0)), 6)
+      |  - round(ln((cr + 1.0) / (nr + 256.0)), 6) AS lam
+      |  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_grams,
+      |  round(CAST(SUM(CAST(lam AS DECIMAL(28,6))) AS DOUBLE), 6) AS log_weight
+      |  FROM b JOIN lam USING (bucket) GROUP BY doc_id)""".stripMargin
+
+  val q147Sql: String = dsirCtes +
+    """
+      |SELECT d.doc_id, d.lang, COALESCE(n_grams, 0) AS n_grams,
+      |  COALESCE(log_weight, 0.0) AS log_weight
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+
+  /** DSIR Gumbel-top-k resampling ([[Curation.dsirResample]]): sample 100
+    * docs ∝ exp(log_weight) without replacement via a CONTENT-DERIVED
+    * Gumbel (u from md5(doc_id), g = −ln(−ln u) round-6, key = decimal-
+    * exact log_weight + g, top-100 by (key desc, id)). The Spark side is
+    * TakeOrdered + broadcast semi-join (no global sort); the oracle
+    * replays the key and ranks with row_number. */
+  val q148: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val w = Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 256)
+      .select(col("doc_id"), col("log_weight"))
+    Curation.dsirResample(w, "doc_id", "log_weight", m = 100)
+  }
+
+  val q148Sql: String = dsirCtes +
+    """,
+      |w AS (SELECT d.doc_id, COALESCE(log_weight, 0.0) AS log_weight
+      |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+      |k AS (SELECT doc_id, log_weight,
+      |  CAST(CAST(log_weight AS DECIMAL(28,6)) +
+      |    CAST(round(-ln(-ln((CAST(list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1)
+      |      * power(16, 8 - i))) AS BIGINT) + 0.5) / 4294967296.0)), 6)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS gumbel_key FROM w),
+      |r AS (SELECT doc_id, log_weight, gumbel_key,
+      |  row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rn FROM k)
+      |SELECT doc_id, log_weight, gumbel_key, rn <= 100 AS selected FROM r""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4490,7 +4563,9 @@ object Queries {
     ("q143_dup_span_coverage", q143, Some(q143Sql)),
     ("q144_remove_dup_spans", q144, Some(q144Sql)),
     ("q145_density_prune", q145, Some(q145Sql)),
-    ("q146_hard_negatives", q146, Some(q146Sql))
+    ("q146_hard_negatives", q146, Some(q146Sql)),
+    ("q147_dsir_weights", q147, Some(q147Sql)),
+    ("q148_dsir_resample", q148, Some(q148Sql))
   )
 }
 

@@ -66,6 +66,7 @@ object BuiltinTransformations {
     "training_shard_assign" -> trainingShardAssign,
     "fuzzy_dedup_keep_best" -> fuzzyDedupKeepBest,
     "remove_dup_spans" -> removeDupSpans,
+    "dsir_select" -> dsirSelect(io),
     "density_prune" -> densityPrune,
     "hard_negatives" -> hardNegatives,
     "pack_sequences" -> packSequences,
@@ -172,6 +173,38 @@ object BuiltinTransformations {
       reqStr("hard_negatives", kw, "label_col"), cents,
       nProbe = intKw("hard_negatives", kw, "n_probe", 1),
       maxCell = intKw("hard_negatives", kw, "max_cell", 10000))
+  }
+
+  /** `dsir_select(id_col, text_col, target_path, target_file_type=parquet,
+    * buckets=256, smoothing=1.0, m=0, action=flag|filter)` — DSIR data
+    * selection ([[Curation.dsirWeights]] + [[Curation.dsirResample]]):
+    * hashed-n-gram importance weights of every row against the target
+    * corpus read through the IO seam; with `m > 0`, Gumbel-top-k
+    * resampling flags (`flag`) or keeps (`filter`) the m selected rows,
+    * with `m = 0` only the weight columns are appended. */
+  private def dsirSelect(io: GraftIO): CustomFn = (df, kw) => {
+    val name = "dsir_select"
+    val idCol = reqStr(name, kw, "id_col")
+    val target = io.read(df.sparkSession,
+      reqStr(name, kw, "target_path"),
+      strKw(name, kw, "target_file_type", "parquet"))
+    val w = Curation.dsirWeights(df, target, idCol,
+      reqStr(name, kw, "text_col"),
+      buckets = intKw(name, kw, "buckets", 256),
+      smoothing = dblKw(name, kw, "smoothing", 1.0))
+    val m = intKw(name, kw, "m", 0)
+    if (m == 0) w
+    else {
+      val sel = Curation.dsirResample(w, idCol, "log_weight", m)
+      strKw(name, kw, "action", "flag") match {
+        case "flag" => sel
+        case "filter" =>
+          sel.filter(col("selected"))
+            .drop("n_grams", "log_weight", "gumbel_key", "selected")
+        case other => throw new IllegalArgumentException(
+          s"$name: action must be 'flag' or 'filter', got '$other'")
+      }
+    }
   }
 
   /** `minhash_near_dup(id_col, text_col, shingle_k=3, num_hashes=8,

@@ -501,6 +501,33 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir_select reads the target through the IO seam; flag/filter/m=0 modes") {
+    import graft.operators.Curation
+    val io = new graft.io.FakeIO()
+    val target = Seq((10L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    io.frames.put("/state/target.parquet", target)
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "delta epsilon zeta delta epsilon"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val reg = graft.service.BuiltinTransformations.registryWith(io)
+    val base = Map[String, Any]("id_col" -> "doc_id", "text_col" -> "text",
+      "target_path" -> "/state/target.parquet")
+    // m=0: weights only, equal to the direct operator call
+    val w = reg("dsir_select")(raw, base)
+    val direct = Curation.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    w.collect().foreach(r =>
+      assert(r.getAs[Double]("log_weight") == direct(r.getAs[Long]("doc_id"))))
+    // flag keeps all rows with 2 selected; filter keeps the 2 and the input schema
+    val flagged = reg("dsir_select")(raw, base + ("m" -> 2L))
+    assert(flagged.count() == 3 && flagged.filter($"selected").count() == 2)
+    val filtered = reg("dsir_select")(raw, base ++ Map("m" -> 2L, "action" -> "filter"))
+    assert(filtered.columns.toSeq == raw.columns.toSeq && filtered.count() == 2)
+    assert(filtered.select("doc_id").as[Long].collect().toSet ==
+      flagged.filter($"selected").select("doc_id").as[Long].collect().toSet)
+  }
+
   test("remove_dup_spans, density_prune, hard_negatives builtins equal their operators") {
     import graft.operators.{Curation, Dedup, Similarity}
     // span excision: docs 1 and 2 share a 3-token window; doc 1 keeps it

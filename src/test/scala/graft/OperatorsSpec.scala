@@ -1296,6 +1296,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("keep"), e.getMessage)
   }
 
+  test("dsirWeights: target-like docs rank higher, empty docs zero, partition-independent; resample picks m") {
+    import graft.operators.Curation
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "delta epsilon zeta delta epsilon"),
+      (3L, "alpha beta gamma"),
+      (4L, "")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val w = Curation.dsirWeights(raw, target, "doc_id", "text", buckets = 256)
+    val m = w.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Int]("n_grams"), r.getAs[Double]("log_weight"))).toMap
+    // docs 1/3 share the target's vocabulary; doc 2 shares nothing
+    assert(m(1L)._2 > m(2L)._2, s"${m(1L)} vs ${m(2L)}")
+    assert(m(3L)._2 > m(2L)._2)
+    // unigrams + bigrams: 5 + 4 for doc 1; empty doc gets the (0, 0.0) contract
+    assert(m(1L)._1 == 9)
+    assert(m(4L) == ((0, 0.0)))
+    // weights are a pure function of content: any input partitioning agrees
+    val m2 = Curation.dsirWeights(raw.repartition(7), target.repartition(3),
+        "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_grams"), r.getAs[Double]("log_weight"))).toMap
+    assert(m2 == m)
+    // resampling: every row comes back flagged, exactly m selected, and the
+    // selection is deterministic (content-derived Gumbel, no RNG)
+    val sel = Curation.dsirResample(
+      w.select(col("doc_id"), col("log_weight")), "doc_id", "log_weight", m = 2)
+    assert(sel.count() == 4 && sel.filter(col("selected")).count() == 2)
+    val again = Curation.dsirResample(
+      w.select(col("doc_id"), col("log_weight")).repartition(5),
+      "doc_id", "log_weight", m = 2)
+    assert(again.filter(col("selected")).select("doc_id").as[Long].collect().sorted.toSeq ==
+      sel.filter(col("selected")).select("doc_id").as[Long].collect().sorted.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Curation.dsirResample(sel, "doc_id", "log_weight", 2)
+    }
+    assert(e.getMessage.contains("gumbel_key"), e.getMessage)
+  }
+
   test("hardNegatives: nearest same-label positive, nearest diff-label negative, null sides") {
     val cents = Seq(0 -> Seq(1.0, 0.0))
     val corpus = Seq(
