@@ -248,7 +248,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "q130_incremental_ann", // both ADC search paths broadcast-cross the 5-row query set (q126 shape)
       "q131_bm25", // 1-row (n_docs, avgdl) corpus-stats frame broadcast onto per-doc scores (q78 shape)
       "q132_unigram_nll", // 1-row corpus-total-tokens frame broadcast onto per-term rows (q78 shape)
-      "q135_sq8_ann" // 5-row query set broadcast-crossed over the SQ8 codes (q27/q126 shape)
+      "q135_sq8_ann", // 5-row query set broadcast-crossed over the SQ8 codes (q27/q126 shape)
+      "q147_dsir_weights", // 1-row (n_raw, n_target) totals frame broadcast onto buckets (q118 shape)
+      "q148_dsir_resample" // same DSIR totals broadcast inside the weight stage
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

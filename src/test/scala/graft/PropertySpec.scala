@@ -494,7 +494,33 @@ class PropertySpec extends AnyFunSuite {
         opt("min_alpha_word_ratio", Gen.chooseNum(0.0, 1.0), wrongForNum),
         opt("min_stopword_hits", Gen.oneOf(0L, 2L), wrongForInt),
         opt("max_symbol_word_ratio", Gen.chooseNum(0.0, 1.0), wrongForNum),
-        opt("max_top_2gram_frac", Gen.chooseNum(0.0, 1.0), wrongForNum))
+        opt("max_top_2gram_frac", Gen.chooseNum(0.0, 1.0), wrongForNum)),
+      "remove_dup_spans" -> Seq(idCol, textCol,
+        opt("k", Gen.oneOf(1L, 3L), wrongForInt),
+        opt("out_col", Gen.const("span_clean"), wrongForStr)),
+      "density_prune" -> Seq(idCol,
+        req("vec_col", Gen.const("emb"), wrongForStr),
+        opt("k", Gen.oneOf(1L, 3L), wrongForInt),
+        opt("n_centroids", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("iters", Gen.const(1L), wrongForInt),
+        opt("threshold", Gen.chooseNum(0.0, 1.0), wrongForNum),
+        opt("n_probe", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("max_cell", Gen.oneOf(100L, 10000L), wrongForInt)),
+      "hard_negatives" -> Seq(idCol,
+        req("vec_col", Gen.const("emb"), wrongForStr),
+        req("label_col", Gen.const("is_en"), wrongForStr),
+        opt("n_centroids", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("iters", Gen.const(1L), wrongForInt),
+        opt("n_probe", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("max_cell", Gen.oneOf(100L, 10000L), wrongForInt)),
+      "dsir_select" -> Seq(idCol, textCol,
+        req("target_path", Gen.const(evalPath), wrongForStr),
+        opt("target_file_type", Gen.const("parquet"), wrongForStr),
+        opt("buckets", Gen.oneOf(16L, 256L), wrongForInt),
+        opt("smoothing", Gen.chooseNum(0.5, 2.0), wrongForNum),
+        opt("m", Gen.oneOf(0L, 2L), wrongForInt),
+        opt("action", Gen.oneOf[Any]("flag", "filter"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_action")))
     )
   }
 
