@@ -152,7 +152,10 @@ object ScaleRehearsal {
         "ewm_mean_by_scaled" -> ewmAtScale,
         "ewm_mega_key_scaled" -> ewmMegaAtScale,
         "ewm_segmented_mega_scaled" -> ewmSegMegaAtScale,
-        "bloom_prejoin_scaled" -> bloomAtScale)
+        "bloom_prejoin_scaled" -> bloomAtScale,
+        "label_propagate_scaled" -> labelPropagateAtScale(cents, k = 8, vidStride),
+        "domain_cap_scaled" -> domainCapAtScale,
+        "budget_select_scaled" -> budgetSelectAtScale)
     // targeted runs (round 13): time only the named rows — a full ladder
     // is ~15 min, and adding one rehearsal shouldn't cost re-timing all
     val rehearsals = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
@@ -395,6 +398,57 @@ object ScaleRehearsal {
     * embeddings keep the base vectors unchanged, because the semantic
     * rehearsal separates copies by CELL, not by geometry, and identical
     * per-copy geometry is exactly what makes its workload scale by M. */
+  /** [[graft.operators.Graph.labelPropagate]] over the copy-shifted KNN
+    * graph (round 14): edges come from the same k ∝ n assignment as
+    * `knn_graph_scaled` (cell count grows by M at constant cell size),
+    * seeds are the q149 rule (vec_id % 5 — copy-stable: the id stride is
+    * a multiple of 5). What's measured on top of the graph build is the
+    * per-round |E| join + agg pair, twice — expected ~linear in M. */
+  private def labelPropagateAtScale(
+      cents: Seq[(Int, Seq[Double])],
+      k: Int,
+      vidStride: Long): (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+    val assigned = emb.withColumn("cell",
+      (Similarity.ivfCell(col("v"), cents) +
+        (floor(col("vec_id") / vidStride) * k).cast("int")).cast("int"))
+    val edges = Similarity.knnGraphAssigned(assigned, "vec_id", "v", k = 3)
+    val nodes = emb.select(col("vec_id"),
+      when(col("vec_id") % 5 === 0, round(col("label").cast("double") / 9.0, 6))
+        .otherwise(lit(0.0)).as("seed"))
+    graft.operators.Graph.labelPropagate(edges, nodes, "vec_id", "seed", iters = 2)
+      .select(col("vec_id"), col("score"))
+  }
+
+  /** [[Curation.domainCap]] on the Mx corpus (round 14): source
+    * cardinality is FIXED (~20 values), so every domain grows by M —
+    * deliberately the mega-domain straggler axis the salted two-level
+    * top-k exists for. The sub-group windows sort domain/salt rows each;
+    * expected ~linear in M (a naive per-domain window would go
+    * single-task superlinear on the biggest domain). */
+  private def domainCapAtScale: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    Curation.domainCap(docs, "doc_id", "source", "quality", cap = 10, salt = 32)
+  }
+
+  /** [[Curation.budgetSelect]] with the budget GROWING with the corpus
+    * (half the total tokens — a fixed budget at Mx would measure only the
+    * bucket pruning): quality-bucket count stays ≤ 1001 at any M, so each
+    * per-bucket window run grows by M — the documented straggler axis
+    * (raise `buckets` at scale); expected ~linear in M. */
+  private def budgetSelectAtScale: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    val budget = math.max(1L,
+      docs.agg(sum(col("n_toks"))).head().getLong(0) / 2)
+    Curation.budgetSelect(docs, "doc_id", "n_toks", "quality", budget)
+  }
+
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1

@@ -980,7 +980,8 @@ object ExprRegistry {
     "ewm_mean", "ewm_var", "ewm_std", "ewm_mean_by", "rle",
     "value_counts", "unique_counts", "sort_by",
     "quality_quantile_gate", "bpe_tokenize", "sq8_encode", "training_shard_assign",
-    "gopher_rules")
+    "gopher_rules", "label_propagate", "pagerank_centrality", "budget_select",
+    "quantile_buckets", "domain_cap")
 
   /** Damerau-free Levenshtein — small strings, called only on the error
     * path, so the O(|a|·|b|) DP is fine. */

@@ -91,6 +91,108 @@ object Curation {
       .drop("__grp", "__thr")
   }
 
+  /** Per-group quantile BUCKETING — the CCNet head/middle/tail split
+    * (Wenzek et al. 2020): label every row with which slice of its
+    * group's score distribution it falls in, e.g. each language's docs
+    * cut at the 0.25/0.75 perplexity quantiles into head (best), middle,
+    * tail. Labeling, not filtering — the mix decision ("train on head +
+    * middle") composes downstream, and the tail stays observable.
+    *
+    * Lower score = better (perplexity convention): `labels(0)` is
+    * score ≤ the first cut's threshold, the last label is everything
+    * above the last cut. Pass a descending-goodness score (or negate a
+    * quality score) accordingly.
+    *
+    * Scale shape: ONE #groups-row percentile aggregation (all cuts in a
+    * single `percentile(score, array(...))` pass) broadcast back onto
+    * the corpus — the corpus is never re-shuffled (the
+    * [[quantileFilterPerGroup]] shape). Same engine-parity rule too:
+    * pick cuts that are EXACT BINARY FRACTIONS (0.25, 0.5, 0.75…) so the
+    * interpolated threshold — and with it every ≤ decision — is
+    * bit-identical in any engine; 1/3-style cuts put the interpolation
+    * weight itself on a rounding boundary. */
+  def quantileBucketsPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      cuts: Seq[Double] = Seq(0.25, 0.75),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      method: String = "exact",
+      accuracy: Int = 10000,
+      outCol: String = "bucket"
+  ): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(p => p > 0.0 && p < 1.0),
+      s"cuts must be in (0,1), got $cuts")
+    require(cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be strictly increasing, got $cuts")
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts, got ${labels.size}")
+    require(!df.columns.contains(outCol),
+      s"quantileBucketsPerGroup writes column '$outCol'; input already has one — rename it first")
+    Seq("__grp", "__thr").foreach(n =>
+      require(!df.columns.contains(n),
+        s"quantileBucketsPerGroup uses internal column '$n'; input already has one — rename it first"))
+    val arr = cuts.map(p => s"${p}d").mkString(", ")
+    val thrAgg = method match {
+      case "exact"  => expr(s"percentile($scoreCol, array($arr))")
+      case "approx" => expr(s"approx_percentile($scoreCol, array($arr), $accuracy)")
+      case other =>
+        throw new IllegalArgumentException(
+          s"quantileBucketsPerGroup method must be 'exact' or 'approx', got '$other'")
+    }
+    val thresholds = df.groupBy(col(groupCol).as("__grp")).agg(thrAgg.as("__thr"))
+    val bucket = cuts.indices.foldRight(lit(labels.last): Column) { (i, rest) =>
+      when(col(scoreCol) <= element_at(col("__thr"), i + 1), lit(labels(i))).otherwise(rest)
+    }
+    df.join(broadcast(thresholds), col(groupCol) <=> col("__grp"))
+      .withColumn(outCol, bucket)
+      .drop("__grp", "__thr")
+  }
+
+  /** Per-domain cap — "keep at most `cap` docs per domain, best quality
+    * first" (the RefinedWeb/C4 anti-spam rebalance: one forum mirror must
+    * not be 30% of the corpus). Exact top-`cap` per `domainCol` by
+    * (score DESC, id ASC), survivors carrying their 1-based
+    * `rank_in_domain`.
+    *
+    * Scale shape — the naive per-domain `row_number` window SORTS every
+    * mega-domain in one task. Here the classic distributed top-k: rows
+    * first compete inside (domain, salt) sub-groups — salt is
+    * content-derived from the id ([[graft.operators.Skew]] rule: stable
+    * under shuffle retry) — and only each sub-group's top `cap` advance;
+    * the true domain top-cap is a subset of the union BY CONSTRUCTION
+    * (a row beaten `cap` times within one salt bucket is beaten ≥ cap
+    * times domain-wide), so the exact second window runs on ≤ salt·cap
+    * rows per domain. Straggler bound drops from the largest domain to
+    * largestDomain/salt; raise `salt` at scale — the only cost is the
+    * second window's input (salt·cap rows per domain). */
+  def domainCap(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      scoreCol: String,
+      cap: Int,
+      salt: Int = 32
+  ): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(salt >= 1 && salt <= 100000, s"salt must be in [1, 1e5], got $salt")
+    Seq("__salt", "__srk", "rank_in_domain").foreach(n =>
+      require(!df.columns.contains(n),
+        s"domainCap writes column '$n'; input already has one — rename it first"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol), col("__salt"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("__salt", pmod(xxhash64(col(idCol).cast("string")), lit(salt)))
+      .withColumn("__srk", row_number().over(w1))
+      .filter(col("__srk") <= cap)
+      .drop("__salt", "__srk")
+      .withColumn("rank_in_domain", row_number().over(w2))
+      .filter(col("rank_in_domain") <= cap)
+  }
+
   /** Sequence packing (concatenate-and-cut): lay documents end-to-end in a
     * deterministic order and cut every `budget` tokens — the standard
     * pretraining batching step ("pack docs into 2048-token rows"). Each doc
@@ -658,6 +760,92 @@ object Curation {
     keyed.join(broadcast(chosen), col(idCol) === col("__sel_id"), "left")
       .withColumn("selected", col("__sel_id").isNotNull)
       .drop("__sel_id")
+  }
+
+  /** Token-budget selection: keep the BEST documents (by a [0,1] quality
+    * score) until a global token budget is spent — "fill a 10B-token
+    * training run with the highest-quality docs". Semantics match
+    * [[mixtureSample]]'s whole-doc take: in (quality DESC, id ASC) order,
+    * a doc survives iff the tokens BEFORE it (`outStartCol`) are < budget
+    * — the first doc whose preceding cumulative reaches the budget is the
+    * cut, and the emitted start offsets equal the global running sum
+    * exactly.
+    *
+    * Scale shape — the naive form is a running-sum window over ONE global
+    * order: a single-task sort at any size. Here the quality axis is cut
+    * into `buckets` fixed ranges (`floor(q·buckets)` — monotone in q, so
+    * bucket-desc-then-within-bucket order IS the global order):
+    *   1. one hash-agg computes per-bucket token totals (≤ buckets+1
+    *      groups — a bounded, LOUDLY guarded driver collect, the
+    *      k-centroid house rule; out-of-[0,1] quality overflows the
+    *      bucket range and fails the guard instead of silently
+    *      misordering);
+    *   2. the driver prefix-sums the ≤1001 totals into per-bucket start
+    *      offsets and broadcasts back only the buckets whose offset is
+    *      still under budget — every fully-over-budget bucket is PRUNED
+    *      before any window runs, so work past step 1 is proportional to
+    *      the kept data;
+    *   3. the exact running sum is a window PARTITIONED BY bucket
+    *      (parallel across buckets; straggler bound = largest bucket,
+    *      ~corpus/buckets for a spread score) plus the broadcast offset.
+    * At 100 TB raise `buckets` (the collect guard scales with it) to
+    * shrink the per-bucket straggler; the one boundary bucket is the only
+    * place the budget cut needs exact order.
+    *
+    * `quality` must be round-6 in [0,1] (the [[graft.operators.TextAnalysis]]
+    * scorers' contract); token counts must be non-negative integers. */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      qualityCol: String,
+      budget: Long,
+      buckets: Int = 1000,
+      outStartCol: String = "start_toks"
+  ): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(buckets >= 1 && buckets <= 1000000,
+      s"buckets must be in [1, 1e6] (driver holds one offset per bucket), got $buckets")
+    Seq(outStartCol, "__qb", "__hi").foreach(n =>
+      require(!df.columns.contains(n),
+        s"budgetSelect writes column '$n'; input already has one — rename it first"))
+    val spark = df.sparkSession
+    val withQb = df.withColumn("__qb",
+      floor(col(qualityCol).cast("double") * buckets).cast("int"))
+    // DRIVER-BOUNDED collect: quality in [0,1] yields at most buckets+1
+    // distinct bucket ids; the limit+require turns an out-of-range score
+    // column (which would break the bucket-order = quality-order
+    // invariant) into a loud failure instead of a wrong cut
+    val bucketRows = withQb.groupBy(col("__qb"))
+      .agg(sum(col(tokenCol).cast("long")).as("__bt"))
+      .limit(buckets + 2)
+      .collect()
+    require(bucketRows.length <= buckets + 1,
+      s"budgetSelect saw more than ${buckets + 1} quality buckets — '$qualityCol' is " +
+        "outside [0,1] (scorer contract) or `buckets` is set too low")
+    bucketRows.foreach { r =>
+      require(!r.isNullAt(0) && r.getInt(0) >= 0 && r.getInt(0) <= buckets,
+        s"budgetSelect bucket ${if (r.isNullAt(0)) "null" else r.getInt(0)} out of " +
+          s"[0, $buckets] — '$qualityCol' must be non-null round-6 in [0,1]")
+    }
+    // prefix-sum in bucket-DESC order = tokens in strictly-better buckets
+    val sorted = bucketRows.map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val offsets = sorted.scanLeft((Int.MaxValue, 0L)) { case ((_, acc), (qb, bt)) =>
+      (qb, Math.addExact(acc, bt))
+    }.sliding(2).collect { case Array((_, hi0), (qb, _)) => (qb, hi0) }.toSeq
+    import spark.implicits._
+    val live = offsets.filter(_._2 < budget)
+    val offDf = broadcast(live.toDF("__qb", "__hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qb"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withQb.join(offDf, "__qb")
+      .withColumn(outStartCol,
+        col("__hi") + sum(col(tokenCol).cast("long")).over(w) - col(tokenCol).cast("long"))
+      .filter(col(outStartCol) < budget)
+      .drop("__qb", "__hi")
   }
 
 }

@@ -4413,6 +4413,204 @@ object Queries {
       |  row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rn FROM k)
       |SELECT doc_id, log_weight, gumbel_key, rn <= 100 AS selected FROM r""".stripMargin
 
+  /** Semi-supervised label propagation ([[graft.operators.Graph.labelPropagate]],
+    * Zhou et al. 2004) over the q139 KNN similarity graph: every 5th
+    * embedding seeds its (scaled) class label, two diffusion rounds blend
+    * each row's neighbors' weighted-mean score with its own seed — the
+    * few-labels-to-corpus-score expansion every quality-labeling pipeline
+    * runs. Per round: ONE |E|-row hash join + ONE aggregation, all sums
+    * in exact µ-unit longs (order/partitioning-independent); FULL hash
+    * oracle — DuckDB rebuilds the graph and unrolls both rounds. */
+  val q149: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+    // driver-bounded collect: vec_id < 8 caps the pull at 8 rows (q31 note)
+    val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").select("vec_id", "v").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val edges = Similarity.knnGraph(emb, "vec_id", "v", k = 3, centroids, nProbe = 2)
+    val nodes = emb.select(col("vec_id"),
+      when(col("vec_id") % 5 === 0, round(col("label").cast("double") / 9.0, 6))
+        .otherwise(lit(0.0)).as("seed"))
+    graft.operators.Graph.labelPropagate(edges, nodes, "vec_id", "seed", iters = 2)
+      .select(col("vec_id"), col("seed"), col("score"))
+  }
+
+  val q149Sql: String =
+    s"""WITH edges AS (
+       |$q139Sql
+       |),
+       |e AS (SELECT src, dst,
+       |  CAST(floor(least(greatest(cosine, 0.0), 1.0) * 1000000.0 + 0.5) AS BIGINT) AS wu
+       |  FROM edges),
+       |ef AS (SELECT * FROM e WHERE wu > 0),
+       |n AS (SELECT vec_id AS id,
+       |  CASE WHEN vec_id % 5 = 0 THEN round(CAST(label AS DOUBLE) / 9.0, 6) ELSE 0.0 END AS y
+       |  FROM embeddings),
+       |nu AS (SELECT id, y, CAST(floor(y * 1000000.0 + 0.5) AS BIGINT) AS yu FROM n),
+       |f0 AS (SELECT id, yu, yu AS fu FROM nu),
+       |c1 AS (SELECT ef.src AS id,
+       |  CAST(SUM(wu * fu) AS BIGINT) AS num, CAST(SUM(wu) AS BIGINT) AS den
+       |  FROM ef JOIN f0 ON ef.dst = f0.id GROUP BY ef.src),
+       |f1 AS (SELECT nu.id, nu.yu,
+       |  CAST((1 * coalesce(num // den, 0) + 1 * nu.yu) // 2 AS BIGINT) AS fu
+       |  FROM nu LEFT JOIN c1 USING (id)),
+       |c2 AS (SELECT ef.src AS id,
+       |  CAST(SUM(wu * fu) AS BIGINT) AS num, CAST(SUM(wu) AS BIGINT) AS den
+       |  FROM ef JOIN f1 ON ef.dst = f1.id GROUP BY ef.src),
+       |f2 AS (SELECT nu.id, nu.yu,
+       |  CAST((1 * coalesce(num // den, 0) + 1 * nu.yu) // 2 AS BIGINT) AS fu
+       |  FROM nu LEFT JOIN c2 USING (id))
+       |SELECT nu.id AS vec_id, nu.y AS seed, CAST(f2.fu AS DOUBLE) / 1000000.0 AS score
+       |FROM nu JOIN f2 ON nu.id = f2.id""".stripMargin
+
+  /** Token-budget selection ([[Curation.budgetSelect]]): the best docs by
+    * quality score until a 1000-token global budget is spent, whole-doc
+    * take in (quality DESC, id) order with exact start offsets. The Spark
+    * side runs the BUCKETED two-level cumsum (per-bucket token totals →
+    * driver prefix-sum of ≤1001 offsets → window partitioned by bucket,
+    * over-budget buckets pruned before any window) — never a global
+    * single-task running-sum window; the oracle recomputes the naive
+    * global window, pinning the two-level decomposition exactly. */
+  val q150: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    Curation.budgetSelect(docs, "doc_id", "n_toks", "quality", budget = 1000L)
+      .select(col("doc_id"), col("quality"), col("n_toks"), col("start_toks"))
+  }
+
+  val q150Sql: String =
+    """WITH b AS (SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS INTEGER) AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digit
+      |  FROM documents),
+      |r AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_toks,
+      |  round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1), 6) AS punct_ratio,
+      |  round(CAST(n_digit AS DOUBLE)/greatest(n_chars,1), 6) AS digit_ratio
+      |  FROM b),
+      |q AS (SELECT doc_id, n_toks,
+      |  round(least(CAST(n_toks AS DOUBLE)/20.0, 1.0)
+      |    * (1.0 - least(punct_ratio*4.0, 1.0))
+      |    * (1.0 - least(digit_ratio*4.0, 1.0)), 6) AS quality
+      |  FROM r),
+      |s AS (SELECT doc_id, quality, n_toks,
+      |  CAST(SUM(n_toks) OVER (ORDER BY quality DESC, doc_id ASC) - n_toks AS BIGINT) AS start_toks
+      |  FROM q)
+      |SELECT doc_id, quality, n_toks, start_toks FROM s WHERE start_toks < 1000""".stripMargin
+
+  /** Similarity-graph centrality ([[graft.operators.Graph.pagerankCentrality]],
+    * damped PageRank in mean-1 form) over the q139 KNN graph: ranks each
+    * embedding by how central it is to the corpus' similarity structure —
+    * the representativeness signal for coverage-aware selection.
+    * Transition probabilities precomputed once (round-6, µ-encoded), two
+    * power rounds ENTIRELY in integer µ-unit arithmetic (one long DIV
+    * per node per round — no float blend, no rounding midpoints); FULL
+    * hash oracle replaying the same integer recurrence. */
+  val q151: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // driver-bounded collect: vec_id < 8 caps the pull at 8 rows (q31 note)
+    val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val edges = Similarity.knnGraph(emb, "vec_id", "v", k = 3, centroids, nProbe = 2)
+    graft.operators.Graph.pagerankCentrality(edges, iters = 2)
+      .select(col("id").as("vec_id"), col("rank").as("centrality"))
+  }
+
+  val q151Sql: String =
+    s"""WITH edges AS (
+       |$q139Sql
+       |),
+       |raw AS (SELECT src, dst,
+       |  CAST(floor(least(greatest(cosine, 0.0), 1.0) * 1000000.0 + 0.5) AS BIGINT) AS wu
+       |  FROM edges),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM raw UNION ALL SELECT dst AS id FROM raw)),
+       |e AS (SELECT * FROM raw WHERE wu > 0),
+       |ow AS (SELECT src, CAST(SUM(wu) AS BIGINT) AS outwu FROM e GROUP BY src),
+       |p AS (SELECT src, dst,
+       |  CAST(floor(round(CAST(wu AS DOUBLE) / CAST(outwu AS DOUBLE), 6) * 1000000.0 + 0.5) AS BIGINT) AS pu
+       |  FROM e JOIN ow USING (src)),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS ru FROM nodes),
+       |c1 AS (SELECT p.dst AS id, CAST(SUM(pu * ru) AS BIGINT) AS num
+       |  FROM p JOIN r0 ON p.src = r0.id GROUP BY p.dst),
+       |r1 AS (SELECT nodes.id,
+       |  CAST((3000000000000 + 17 * coalesce(num, 0)) // 20000000 AS BIGINT) AS ru
+       |  FROM nodes LEFT JOIN c1 USING (id)),
+       |c2 AS (SELECT p.dst AS id, CAST(SUM(pu * ru) AS BIGINT) AS num
+       |  FROM p JOIN r1 ON p.src = r1.id GROUP BY p.dst),
+       |r2 AS (SELECT nodes.id,
+       |  CAST((3000000000000 + 17 * coalesce(num, 0)) // 20000000 AS BIGINT) AS ru
+       |  FROM nodes LEFT JOIN c2 USING (id))
+       |SELECT id AS vec_id, CAST(ru AS DOUBLE) / 1000000.0 AS centrality FROM r2""".stripMargin
+
+  /** CCNet head/middle/tail perplexity bucketing
+    * ([[Curation.quantileBucketsPerGroup]], Wenzek et al. 2020): each
+    * language's docs labeled by which slice of the language's own
+    * unigram-NLL distribution they fall in (cuts 0.25/0.75 — exact
+    * binary fractions, the q136 engine-parity rule). Labeling, not
+    * filtering: the tail stays observable and the mix decision composes
+    * downstream. One #langs-row percentile agg broadcast back — the
+    * corpus is never re-shuffled. */
+  val q152: QueryFn = (s, d) => {
+    val nll = TextAnalysis.unigramNll(tbl(s, d, "documents"), "doc_id", "text")
+    val scored = tbl(s, d, "documents").select(col("doc_id"), col("lang"))
+      .join(nll.select(col("doc_id"), col("nll")), Seq("doc_id"))
+    Curation.quantileBucketsPerGroup(scored, "lang", "nll", outCol = "ppl_bucket")
+      .select(col("doc_id"), col("lang"), col("nll"), col("ppl_bucket"))
+  }
+
+  val q152Sql: String =
+    s"""WITH nl AS (
+       |$q132Sql
+       |),
+       |d2 AS (SELECT nl.doc_id, d.lang, nl.nll
+       |  FROM nl JOIN documents d USING (doc_id)),
+       |thr AS (SELECT lang, quantile_cont(nll, 0.25) AS t1, quantile_cont(nll, 0.75) AS t2
+       |  FROM d2 GROUP BY lang)
+       |SELECT doc_id, d2.lang, nll,
+       |  CASE WHEN nll <= t1 THEN 'head' WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |FROM d2 JOIN thr ON d2.lang IS NOT DISTINCT FROM thr.lang""".stripMargin
+
+  /** Per-domain cap ([[Curation.domainCap]], the RefinedWeb/C4 anti-spam
+    * rebalance): at most 10 docs per source, best quality first, exact
+    * (score DESC, id) rank. The Spark side runs the salted two-level
+    * top-k (sub-group top-cap then exact window on ≤ salt·cap rows per
+    * domain — never a whole-mega-domain single-task sort); the oracle is
+    * the naive global per-domain window, pinning the decomposition. */
+  val q153: QueryFn = (s, d) => {
+    val scored = tbl(s, d, "documents").select(
+      col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    Curation.domainCap(scored, "doc_id", "source", "quality", cap = 10, salt = 4)
+      .select(col("doc_id"), col("source"), col("quality"), col("rank_in_domain"))
+  }
+
+  val q153Sql: String =
+    """WITH b AS (SELECT doc_id, source,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS INTEGER) AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS n_digit
+      |  FROM documents),
+      |sc AS (SELECT doc_id, source,
+      |  round(least(CAST(n_tokens AS DOUBLE)/20.0, 1.0)
+      |    * (1.0 - least(round(CAST(n_punct AS DOUBLE)/greatest(n_chars,1), 6)*4.0, 1.0))
+      |    * (1.0 - least(round(CAST(n_digit AS DOUBLE)/greatest(n_chars,1), 6)*4.0, 1.0)), 6)
+      |    AS quality
+      |  FROM b),
+      |r AS (SELECT doc_id, source, quality,
+      |  CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC)
+      |    AS INTEGER) AS rank_in_domain
+      |  FROM sc)
+      |SELECT doc_id, source, quality, rank_in_domain FROM r WHERE rank_in_domain <= 10""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4565,7 +4763,12 @@ object Queries {
     ("q145_density_prune", q145, Some(q145Sql)),
     ("q146_hard_negatives", q146, Some(q146Sql)),
     ("q147_dsir_weights", q147, Some(q147Sql)),
-    ("q148_dsir_resample", q148, Some(q148Sql))
+    ("q148_dsir_resample", q148, Some(q148Sql)),
+    ("q149_label_propagation", q149, Some(q149Sql)),
+    ("q150_token_budget_select", q150, Some(q150Sql)),
+    ("q151_pagerank_centrality", q151, Some(q151Sql)),
+    ("q152_ccnet_buckets", q152, Some(q152Sql)),
+    ("q153_domain_cap", q153, Some(q153Sql))
   )
 }
 

@@ -69,6 +69,11 @@ object BuiltinTransformations {
     "dsir_select" -> dsirSelect(io),
     "density_prune" -> densityPrune,
     "hard_negatives" -> hardNegatives,
+    "label_propagate" -> labelPropagate,
+    "pagerank_centrality" -> pagerankCentrality,
+    "budget_select" -> budgetSelect,
+    "quantile_buckets" -> quantileBuckets,
+    "domain_cap" -> domainCap,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
@@ -174,6 +179,116 @@ object BuiltinTransformations {
       nProbe = intKw("hard_negatives", kw, "n_probe", 1),
       maxCell = intKw("hard_negatives", kw, "max_cell", 10000))
   }
+
+  /** `label_propagate(id_col, vec_col, seed_col, k=3, n_centroids=8,
+    * iters=1, prop_iters=2, alpha_numer=1, alpha_denom=2, n_probe=1,
+    * max_cell=10000, out_col=score)` — semi-supervised label diffusion
+    * ([[graft.operators.Graph.labelPropagate]]) over the frame's own KNN
+    * graph ([[Similarity.knnGraph]]); the k-means quantizer is fit inline
+    * (the k x dim centroid collect, as in `density_prune`). `seed_col`
+    * holds round-6 [0,1] seed scores, 0.0 = unlabeled. */
+  private def labelPropagate: CustomFn = (df, kw) => {
+    val name = "label_propagate"
+    val idCol = reqStr(name, kw, "id_col")
+    val vecCol = reqStr(name, kw, "vec_col")
+    val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val cents = Similarity.kmeansFit(typed, idCol, vecCol,
+      k = intKw(name, kw, "n_centroids", 8),
+      iters = intKw(name, kw, "iters", 1))
+    val edges = Similarity.knnGraph(typed, idCol, vecCol,
+      k = intKw(name, kw, "k", 3), cents,
+      nProbe = intKw(name, kw, "n_probe", 1),
+      maxCell = intKw(name, kw, "max_cell", 10000))
+    graft.operators.Graph.labelPropagate(edges, typed, idCol,
+      reqStr(name, kw, "seed_col"),
+      iters = intKw(name, kw, "prop_iters", 2),
+      alphaNumer = intKw(name, kw, "alpha_numer", 1).toLong,
+      alphaDenom = intKw(name, kw, "alpha_denom", 2).toLong,
+      outCol = strKw(name, kw, "out_col", "score"))
+  }
+
+  /** `pagerank_centrality(id_col, vec_col, k=3, n_centroids=8, iters=1,
+    * power_iters=2, damping_numer=17, damping_denom=20, n_probe=1,
+    * max_cell=10000, out_col=rank)` — similarity-graph centrality
+    * ([[graft.operators.Graph.pagerankCentrality]]) over the frame's own
+    * KNN graph; returns the input frame with the rank column joined on
+    * (rows excluded from the graph — maxCell exclusions — get null). */
+  private def pagerankCentrality: CustomFn = (df, kw) => {
+    val name = "pagerank_centrality"
+    val idCol = reqStr(name, kw, "id_col")
+    val vecCol = reqStr(name, kw, "vec_col")
+    val outCol = strKw(name, kw, "out_col", "rank")
+    require(!df.columns.contains(outCol),
+      s"pagerank_centrality writes column '$outCol'; input already has one — rename it first")
+    val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val cents = Similarity.kmeansFit(typed, idCol, vecCol,
+      k = intKw(name, kw, "n_centroids", 8),
+      iters = intKw(name, kw, "iters", 1))
+    val edges = Similarity.knnGraph(typed, idCol, vecCol,
+      k = intKw(name, kw, "k", 3), cents,
+      nProbe = intKw(name, kw, "n_probe", 1),
+      maxCell = intKw(name, kw, "max_cell", 10000))
+    val ranks = graft.operators.Graph.pagerankCentrality(edges,
+      iters = intKw(name, kw, "power_iters", 2),
+      dampingNumer = intKw(name, kw, "damping_numer", 17).toLong,
+      dampingDenom = intKw(name, kw, "damping_denom", 20).toLong,
+      outCol = outCol)
+    df.join(ranks.withColumnRenamed("id", idCol), Seq(idCol), "left")
+  }
+
+  /** `budget_select(id_col, token_col, quality_col, budget, buckets=1000,
+    * out_col=start_toks)` — token-budget selection
+    * ([[Curation.budgetSelect]]): keep the best rows by `quality_col`
+    * until `budget` tokens are spent, whole-row take in (quality DESC,
+    * id) order; survivors carry their exact start offset in `out_col`. */
+  private def budgetSelect: CustomFn = (df, kw) =>
+    Curation.budgetSelect(df,
+      reqStr("budget_select", kw, "id_col"),
+      reqStr("budget_select", kw, "token_col"),
+      reqStr("budget_select", kw, "quality_col"),
+      budget = longKw("budget_select", kw, "budget"),
+      buckets = intKw("budget_select", kw, "buckets", 1000),
+      outStartCol = strKw("budget_select", kw, "out_col", "start_toks"))
+
+  /** `quantile_buckets(group_col, score_col, cuts=[0.25,0.75],
+    * labels=[head,middle,tail], method=exact|approx, accuracy=10000,
+    * out_col=bucket)` — CCNet-style per-group quantile bucketing
+    * ([[Curation.quantileBucketsPerGroup]]): label each row with which
+    * slice of its group's score distribution it falls in (lower score =
+    * better, the perplexity convention). With custom `cuts` and no
+    * `labels`, labels default to b0..bN. */
+  private def quantileBuckets: CustomFn = (df, kw) => {
+    val name = "quantile_buckets"
+    val cuts = numSeqKwOpt(name, kw, "cuts") match {
+      case Nil => Seq(0.25, 0.75)
+      case xs  => xs
+    }
+    val labels = strSeqKwOpt(name, kw, "labels") match {
+      case Nil if cuts.size == 2 => Seq("head", "middle", "tail")
+      case Nil                   => (0 to cuts.size).map(i => s"b$i")
+      case xs                    => xs
+    }
+    Curation.quantileBucketsPerGroup(df,
+      reqStr(name, kw, "group_col"),
+      reqStr(name, kw, "score_col"),
+      cuts = cuts, labels = labels,
+      method = strKw(name, kw, "method", "exact"),
+      accuracy = intKw(name, kw, "accuracy", 10000),
+      outCol = strKw(name, kw, "out_col", "bucket"))
+  }
+
+  /** `domain_cap(id_col, domain_col, score_col, cap, salt=32)` —
+    * per-domain cap ([[Curation.domainCap]]): keep at most `cap` rows
+    * per domain, best score first, exact (score DESC, id) rank in
+    * `rank_in_domain`; salted two-level top-k, never a whole-domain
+    * single-task sort. */
+  private def domainCap: CustomFn = (df, kw) =>
+    Curation.domainCap(df,
+      reqStr("domain_cap", kw, "id_col"),
+      reqStr("domain_cap", kw, "domain_col"),
+      reqStr("domain_cap", kw, "score_col"),
+      cap = longKw("domain_cap", kw, "cap").toInt,
+      salt = intKw("domain_cap", kw, "salt", 32))
 
   /** `dsir_select(id_col, text_col, target_path, target_file_type=parquet,
     * buckets=256, smoothing=1.0, m=0, action=flag|filter)` — DSIR data
@@ -784,6 +899,18 @@ object BuiltinTransformations {
     present(kw, k) match {
       case None => Nil
       case _ => strSeqKw(fn, kw, k)
+    }
+
+  /** Optional list-of-numbers kwarg (YAML lists arrive as `Seq[Any]`):
+    * absent -> empty; a single number is accepted as a 1-list. */
+  private def numSeqKwOpt(fn: String, kw: Map[String, Any], k: String): Seq[Double] =
+    present(kw, k) match {
+      case None => Nil
+      case Some(xs: Seq[_]) if xs.nonEmpty => xs.map(x => num(fn, k, x))
+      case Some(d: Double) => Seq(d)
+      case Some(n: Long) => Seq(n.toDouble)
+      case Some(n: Int) => Seq(n.toDouble)
+      case Some(other) => typeFail(fn, k, "a number or non-empty list of numbers", other)
     }
 
   private def num(fn: String, k: String, v: Any): Double = v match {

@@ -562,4 +562,64 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
         (r.getAs[java.lang.Long]("pos_id"), r.getAs[java.lang.Long]("neg_id"))).toMap
     assert(hnB == hnD && hnB.size == 4)
   }
+
+  test("label_propagate, pagerank_centrality, budget_select builtins equal their operators") {
+    import graft.operators.{Curation, Graph, Similarity}
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 1.0), (2L, Array(1.0f, 0.05f), 0.0),
+      (3L, Array(0.0f, 1.0f), 0.0), (4L, Array(0.1f, 1.0f), 1.0))
+      .toDF("vec_id", "emb", "seed")
+    val typed = emb.withColumn("emb", col("emb").cast("array<double>"))
+    val cents = Similarity.kmeansFit(typed, "vec_id", "emb", k = 2, iters = 1)
+    val edges = Similarity.knnGraph(typed, "vec_id", "emb", k = 1, cents, nProbe = 2)
+    val lpB = registry("label_propagate")(emb,
+      Map("id_col" -> "vec_id", "vec_col" -> "emb", "seed_col" -> "seed",
+        "k" -> 1L, "n_centroids" -> 2L, "n_probe" -> 2L)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    val lpD = Graph.labelPropagate(edges, typed, "vec_id", "seed", iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    assert(lpB == lpD && lpB.size == 4, s"$lpB vs $lpD")
+    // every builtin output row keeps its input columns (pipeline contract)
+    val prB = registry("pagerank_centrality")(emb,
+      Map("id_col" -> "vec_id", "vec_col" -> "emb", "k" -> 1L,
+        "n_centroids" -> 2L, "n_probe" -> 2L))
+    assert(prB.columns.toSeq == emb.columns.toSeq :+ "rank")
+    val prD = Graph.pagerankCentrality(edges)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(prB.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Double]("rank")).toMap == prD)
+    val docs = Seq((1L, 10L, 0.9), (2L, 5L, 0.9), (3L, 4L, 0.5), (4L, 7L, 0.2))
+      .toDF("doc_id", "n_tok", "q")
+    val bsB = registry("budget_select")(docs,
+      Map("id_col" -> "doc_id", "token_col" -> "n_tok", "quality_col" -> "q",
+        "budget" -> 16L)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("start_toks")).toMap
+    val bsD = Curation.budgetSelect(docs, "doc_id", "n_tok", "q", 16L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("start_toks")).toMap
+    assert(bsB == bsD && bsB == Map(1L -> 0L, 2L -> 10L, 3L -> 15L))
+  }
+
+  test("quantile_buckets and domain_cap builtins equal their operators") {
+    import graft.operators.Curation
+    val df = (1 to 8).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "s")
+    val qbB = registry("quantile_buckets")(df,
+      Map("group_col" -> "grp", "score_col" -> "s")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    val qbD = Curation.quantileBucketsPerGroup(df, "grp", "s")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    assert(qbB == qbD && qbB(1L) == "head" && qbB(8L) == "tail")
+    // custom single cut: default labels fall back to b0/b1
+    val one = registry("quantile_buckets")(df,
+      Map("group_col" -> "grp", "score_col" -> "s", "cuts" -> List(0.5),
+        "out_col" -> "half")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("half")).toMap
+    assert(one(1L) == "b0" && one(8L) == "b1")
+    val dcB = registry("domain_cap")(df,
+      Map("id_col" -> "id", "domain_col" -> "grp", "score_col" -> "s",
+        "cap" -> 3L, "salt" -> 2L)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("rank_in_domain")).toMap
+    val dcD = Curation.domainCap(df, "id", "grp", "s", cap = 3, salt = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("rank_in_domain")).toMap
+    assert(dcB == dcD && dcB == Map(8L -> 1, 7L -> 2, 6L -> 3))
+  }
 }

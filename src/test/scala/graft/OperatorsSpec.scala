@@ -1359,4 +1359,154 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mono.filter(col("neg_id").isNotNull).count() == 0)
     assert(mono.filter(col("pos_id").isNull).count() == 0)
   }
+
+  test("labelPropagate: hand-checked 2-round diffusion, clamps, isolated nodes, guards") {
+    import graft.operators.Graph
+    // 1 is the only seed; 2 sees 1, 3 sees 2 (w=0.5): score reaches 3 only
+    // in round 2, halved by the blend at every hop
+    val edges = Seq((2L, 1L, 1.0), (3L, 2L, 0.5)).toDF("src", "dst", "cosine")
+    val nodes = Seq((1L, 1.0), (2L, 0.0), (3L, 0.0)).toDF("id", "seed")
+    val out = Graph.labelPropagate(edges, nodes, "id", "seed", iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    // r1: f=(0.5, 0.5, 0); r2: 1 keeps y/2=0.5, 2 = (f1(1)+0)/2 = 0.25,
+    // 3 = (f1(2)+0)/2 = 0.25 (weighted mean is scale-free in one edge)
+    assert(out == Map(1L -> 0.5, 2L -> 0.25, 3L -> 0.25), s"$out")
+    // weights clamp to [0,1] (w=9 behaves as 1) and negatives drop
+    val clamped = Graph.labelPropagate(
+      Seq((2L, 1L, 9.0), (3L, 2L, -0.7)).toDF("src", "dst", "cosine"),
+      nodes, "id", "seed", iters = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(clamped == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.0), s"$clamped")
+    // pure function of content: partitioning never changes a score
+    val rep = Graph.labelPropagate(edges.repartition(7), nodes.repartition(5),
+      "id", "seed", iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(rep == out)
+    val e = intercept[IllegalArgumentException] {
+      Graph.labelPropagate(edges, nodes.withColumn("score", lit(0.0)), "id", "seed")
+    }
+    assert(e.getMessage.contains("score"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.labelPropagate(edges, nodes, "id", "seed", alphaNumer = 3L, alphaDenom = 2L)
+    }
+    assert(e2.getMessage.contains("rational"), e2.getMessage)
+  }
+
+  test("pagerankCentrality: symmetric cycle stationary at 1, chain hand-checked, rational guard") {
+    import graft.operators.Graph
+    // 2-cycle with equal weights is the stationary point: every round maps
+    // r=1 to (0.15 + 0.85*1) = 1 exactly in µ-units
+    val cyc = Graph.pagerankCentrality(
+        Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "cosine"), iters = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(cyc == Map(1L -> 1.0, 2L -> 1.0), s"$cyc")
+    // one-way edge: source floors at (1-d)=0.15, sink gets
+    // 0.15 + 0.85*0.15 = 0.2775 by round 2 — exact integer recurrence
+    val chain = Graph.pagerankCentrality(
+        Seq((1L, 2L, 1.0)).toDF("src", "dst", "cosine"), iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(chain == Map(1L -> 0.15, 2L -> 0.2775), s"$chain")
+    val rep = Graph.pagerankCentrality(
+        Seq((1L, 2L, 1.0)).toDF("src", "dst", "cosine").repartition(6), iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(rep == chain)
+    val e = intercept[IllegalArgumentException] {
+      Graph.pagerankCentrality(
+        Seq((1L, 2L, 1.0)).toDF("src", "dst", "cosine"), dampingNumer = 21L)
+    }
+    assert(e.getMessage.contains("rational"), e.getMessage)
+  }
+
+  test("budgetSelect: whole-doc take equals the naive global window at any bucket count") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, 10L, 0.9), (2L, 5L, 0.9), (3L, 4L, 0.5), (4L, 7L, 0.2))
+      .toDF("doc_id", "n_toks", "quality")
+    // order (q desc, id): 1(start 0), 2(10), 3(15), 4(19); budget 16 cuts 4
+    val out = Curation.budgetSelect(docs, "doc_id", "n_toks", "quality", budget = 16L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("start_toks")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 10L, 3L -> 15L), s"$out")
+    // bucket count is an implementation knob, never a semantics knob: a
+    // coarse split (2 buckets -> docs 1,2,3 share one bucket; doc 4's
+    // bucket is pruned whole) and the default agree row-for-row, pinning
+    // the two-level cumsum = the global order
+    val coarse = Curation.budgetSelect(docs, "doc_id", "n_toks", "quality",
+        budget = 16L, buckets = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("start_toks")).toMap
+    assert(coarse == out)
+    // budget >= total keeps everything; budget 1 keeps only the best doc
+    assert(Curation.budgetSelect(docs, "doc_id", "n_toks", "quality", 26L).count() == 4)
+    assert(Curation.budgetSelect(docs, "doc_id", "n_toks", "quality", 1L)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // out-of-[0,1] quality must fail LOUDLY (it would break bucket order)
+    val bad = intercept[IllegalArgumentException] {
+      Curation.budgetSelect(docs.withColumn("quality", col("quality") + 1.5),
+        "doc_id", "n_toks", "quality", 16L)
+    }
+    assert(bad.getMessage.contains("[0,1]") || bad.getMessage.contains("buckets"),
+      bad.getMessage)
+    val shadow = intercept[IllegalArgumentException] {
+      Curation.budgetSelect(docs.withColumn("start_toks", lit(0L)),
+        "doc_id", "n_toks", "quality", 16L)
+    }
+    assert(shadow.getMessage.contains("start_toks"), shadow.getMessage)
+  }
+
+  test("quantileBucketsPerGroup: hand-checked cuts, null group isolated, guards") {
+    import graft.operators.Curation
+    // one group, scores 1..8: p25 = 1 + 0.25*7 = 2.75, p75 = 6.25
+    val df = (1 to 8).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "grp", "s")
+    val out = Curation.quantileBucketsPerGroup(df, "grp", "s")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket")).toMap
+    assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle",
+      5L -> "middle", 6L -> "middle", 7L -> "tail", 8L -> "tail"), s"$out")
+    // a null group is its own stratum (null-safe join), not dropped
+    val withNull = df.union(Seq((9L, null: String, 5.0)).toDF("id", "grp", "s"))
+    val nulls = Curation.quantileBucketsPerGroup(withNull, "grp", "s")
+      .filter(col("grp").isNull).collect()
+    assert(nulls.length == 1 && nulls.head.getAs[String]("bucket") == "head")
+    // custom cuts need matching labels; out-of-range cuts rejected
+    val e = intercept[IllegalArgumentException] {
+      Curation.quantileBucketsPerGroup(df, "grp", "s", cuts = Seq(0.5))
+    }
+    assert(e.getMessage.contains("labels"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.quantileBucketsPerGroup(df, "grp", "s", cuts = Seq(0.5, 1.5),
+        labels = Seq("a", "b", "c"))
+    }
+    assert(e2.getMessage.contains("(0,1)"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Curation.quantileBucketsPerGroup(df.withColumn("bucket", lit("x")), "grp", "s")
+    }
+    assert(e3.getMessage.contains("bucket"), e3.getMessage)
+  }
+
+  test("domainCap: salted two-level top-k equals the naive window at any salt") {
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.7), (3L, "a", 0.9), (4L, "a", 0.5), (5L, "a", 0.3),
+      (6L, "b", 0.2), (7L, "b", 0.2), (8L, "b", 0.8),
+      (9L, "c", 0.1))
+    val df = rows.toDF("id", "dom", "s")
+    // naive reference: (score desc, id) per domain, top 2
+    val expect = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy(r => (-r._3, r._1)).take(2).zipWithIndex.map { case (r, i) => r._1 -> (i + 1) }
+    }.toMap
+    for (salt <- Seq(1, 3, 16)) {
+      val got = Curation.domainCap(df, "id", "dom", "s", cap = 2, salt = salt)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("rank_in_domain")).toMap
+      assert(got == expect, s"salt=$salt: $got vs $expect")
+    }
+    // tie at 0.2 in domain b: id 6 beats id 7 (id tie-break), and the
+    // undersized domain c keeps its single row at rank 1
+    assert(expect(6L) == 2 && !expect.contains(7L) && expect(9L) == 1)
+    val e = intercept[IllegalArgumentException] {
+      Curation.domainCap(df.withColumn("rank_in_domain", lit(1)), "id", "dom", "s", 2)
+    }
+    assert(e.getMessage.contains("rank_in_domain"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.domainCap(df, "id", "dom", "s", cap = 0)
+    }
+    assert(e2.getMessage.contains("cap"), e2.getMessage)
+  }
 }

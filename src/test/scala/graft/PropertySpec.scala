@@ -520,7 +520,54 @@ class PropertySpec extends AnyFunSuite {
         opt("smoothing", Gen.chooseNum(0.5, 2.0), wrongForNum),
         opt("m", Gen.oneOf(0L, 2L), wrongForInt),
         opt("action", Gen.oneOf[Any]("flag", "filter"),
-          Gen.oneOf[Any](42L, true, junkMap, "bogus_action")))
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_action"))),
+      "label_propagate" -> Seq(idCol,
+        req("vec_col", Gen.const("emb"), wrongForStr),
+        req("seed_col", Gen.const("is_en"), wrongForStr),
+        opt("k", Gen.oneOf(1L, 3L), wrongForInt),
+        opt("n_centroids", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("iters", Gen.const(1L), wrongForInt),
+        opt("prop_iters", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("alpha_numer", Gen.const(1L), wrongForInt),
+        opt("alpha_denom", Gen.const(2L), wrongForInt),
+        opt("n_probe", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("max_cell", Gen.oneOf(100L, 10000L), wrongForInt),
+        opt("out_col", Gen.const("lp_out"), wrongForStr)),
+      "pagerank_centrality" -> Seq(idCol,
+        req("vec_col", Gen.const("emb"), wrongForStr),
+        opt("k", Gen.oneOf(1L, 3L), wrongForInt),
+        opt("n_centroids", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("iters", Gen.const(1L), wrongForInt),
+        opt("power_iters", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("damping_numer", Gen.const(17L), wrongForInt),
+        opt("damping_denom", Gen.const(20L), wrongForInt),
+        opt("n_probe", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("max_cell", Gen.oneOf(100L, 10000L), wrongForInt),
+        opt("out_col", Gen.const("pr_out"), wrongForStr)),
+      "budget_select" -> Seq(idCol,
+        req("token_col", Gen.const("n_tok"), wrongForStr),
+        req("quality_col", Gen.const("is_en"), wrongForStr),
+        req("budget", Gen.oneOf(5L, 100L), wrongForInt),
+        opt("buckets", Gen.oneOf(2L, 1000L), wrongForInt),
+        opt("out_col", Gen.const("bs_out"), wrongForStr)),
+      "quantile_buckets" -> Seq(
+        req("group_col", Gen.const("lang"), wrongForStr),
+        req("score_col", Gen.const("n_tok"), wrongForStr),
+        // valid cuts stay 2-wide and valid labels 3-wide so any generated
+        // combination (with or without the other) stays size-consistent
+        opt("cuts", Gen.const(List(0.25, 0.75)),
+          Gen.oneOf[Any](true, junkMap, "bogus", List.empty[Double], List("a"))),
+        opt("labels", Gen.oneOf[Any](List("head", "middle", "tail"), List("x", "y", "z")),
+          Gen.oneOf[Any](42L, 1.5, true, junkMap, List.empty[String])),
+        opt("method", Gen.oneOf[Any]("exact", "approx"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_method")),
+        opt("accuracy", Gen.oneOf(1000L, 10000L), wrongForInt),
+        opt("out_col", Gen.const("qb_out"), wrongForStr)),
+      "domain_cap" -> Seq(idCol,
+        req("domain_col", Gen.const("lang"), wrongForStr),
+        req("score_col", Gen.const("n_tok"), wrongForStr),
+        req("cap", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("salt", Gen.oneOf(1L, 4L), wrongForInt))
     )
   }
 
