@@ -4421,15 +4421,31 @@ object Queries {
     * runs. Per round: ONE |E|-row hash join + ONE aggregation, all sums
     * in exact µ-unit longs (order/partitioning-independent); FULL hash
     * oracle — DuckDB rebuilds the graph and unrolls both rounds. */
+  /** The q139 KNN graph as PERSISTED table state (the q124 store pattern):
+    * in deployment the graph is materialized once — by the q139 workload
+    * itself or a prior pipeline step — and the graph ANALYSES (q149 label
+    * propagation, q151 centrality) only read it. Built once per fixture
+    * into the mtime-keyed scratch so those queries measure their own
+    * recurrence cost, not a third and fourth rebuild of the same graph;
+    * q139 remains the graph-BUILD benchmark. */
+  private def knnEdgesScratch(s: SparkSession, d: String): DataFrame = {
+    val store = s"target/knn_graph/edges_${scratchKey(d, "embeddings")}"
+    if (!new java.io.File(s"$store/_SUCCESS").exists()) {
+      val emb = tbl(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // driver-bounded collect: vec_id < 8 caps the pull at 8 rows (q31 note)
+      val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+      Similarity.knnGraph(emb, "vec_id", "v", k = 3, centroids, nProbe = 2)
+        .write.mode("overwrite").parquet(store)
+    }
+    s.read.parquet(store)
+  }
+
   val q149: QueryFn = (s, d) => {
-    val emb = tbl(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
-    // driver-bounded collect: vec_id < 8 caps the pull at 8 rows (q31 note)
-    val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
-      .orderBy("vec_id").select("vec_id", "v").collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
-    val edges = Similarity.knnGraph(emb, "vec_id", "v", k = 3, centroids, nProbe = 2)
-    val nodes = emb.select(col("vec_id"),
+    val edges = knnEdgesScratch(s, d)
+    val nodes = tbl(s, d, "embeddings").select(col("vec_id"),
       when(col("vec_id") % 5 === 0, round(col("label").cast("double") / 9.0, 6))
         .otherwise(lit(0.0)).as("seed"))
     graft.operators.Graph.labelPropagate(edges, nodes, "vec_id", "seed", iters = 2)
@@ -4511,14 +4527,7 @@ object Queries {
     * per node per round — no float blend, no rounding midpoints); FULL
     * hash oracle replaying the same integer recurrence. */
   val q151: QueryFn = (s, d) => {
-    val emb = tbl(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // driver-bounded collect: vec_id < 8 caps the pull at 8 rows (q31 note)
-    val centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < 8)
-      .orderBy("vec_id").collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
-    val edges = Similarity.knnGraph(emb, "vec_id", "v", k = 3, centroids, nProbe = 2)
-    graft.operators.Graph.pagerankCentrality(edges, iters = 2)
+    graft.operators.Graph.pagerankCentrality(knnEdgesScratch(s, d), iters = 2)
       .select(col("id").as("vec_id"), col("rank").as("centrality"))
   }
 
