@@ -981,7 +981,7 @@ object ExprRegistry {
     "value_counts", "unique_counts", "sort_by",
     "quality_quantile_gate", "bpe_tokenize", "sq8_encode", "training_shard_assign",
     "gopher_rules", "label_propagate", "pagerank_centrality", "budget_select",
-    "quantile_buckets", "domain_cap")
+    "quantile_buckets", "domain_cap", "unicode_normalize")
 
   /** Damerau-free Levenshtein — small strings, called only on the error
     * path, so the O(|a|·|b|) DP is fine. */

@@ -27,6 +27,19 @@ object TextClean {
     * engine-portable spelling of `\s` per the header note. */
   private val Ws = "[ \\t\\n\\f\\r]"
 
+  /** Unicode normalization ([[graft.sparkext.UnicodeNormalize]] — native
+    * codegen'd expression, no UDF): composed-vs-decomposed spellings of
+    * the same text must not split dedup fingerprints or tokenizers.
+    * `form` ∈ NFC/NFD/NFKC/NFKD. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.sparkext.UnicodeNormalize(text, form)
+
+  /** Accent stripping: normalize to `form`, decompose, drop combining
+    * marks (Mn) — DuckDB `strip_accents` semantics (ø and compatibility
+    * ligatures kept under NFC/NFD). */
+  def stripAccents(text: Column, form: String = "NFC"): Column =
+    graft.sparkext.UnicodeNormalize(text, form, stripAccents = true)
+
   /** HTML/XML tag removal: drops `<...>` spans (non-greedy via the
     * negated-class idiom — portable, unlike lazy quantifier corner cases),
     * then collapses the whitespace runs left behind. */

@@ -4620,6 +4620,30 @@ object Queries {
       |  FROM sc)
       |SELECT doc_id, source, quality, rank_in_domain FROM r WHERE rank_in_domain <= 10""".stripMargin
 
+  /** Unicode normalization + accent stripping
+    * ([[TextClean.normalizeUnicode]]/[[TextClean.stripAccents]] over the
+    * native codegen'd [[graft.sparkext.UnicodeNormalize]]): the fixture
+    * text is ASCII, so the query first injects DECOMPOSED accents
+    * (e -> e + U+0301) — NFC then genuinely composes (length shrinks) and
+    * the strip genuinely removes marks. FULL hash oracle: DuckDB's
+    * `nfc_normalize` / `strip_accents` implement the same contracts
+    * (verified incl. ø non-decomposable and the ﬁ ligature). Pure
+    * per-row projection — no shuffle, whole-stage codegen'd. */
+  val q154: QueryFn = (s, d) => {
+    val t2 = regexp_replace(col("text"), "e", "e\u0301")
+    tbl(s, d, "documents").select(
+      col("doc_id"),
+      TextClean.normalizeUnicode(t2).as("nfc_text"),
+      TextClean.stripAccents(t2).as("stripped_text"),
+      (length(t2) - length(TextClean.normalizeUnicode(t2))).cast("int").as("n_composed"))
+  }
+
+  val q154Sql: String =
+    """WITH t AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t2 FROM documents)
+      |SELECT doc_id, nfc_normalize(t2) AS nfc_text, strip_accents(t2) AS stripped_text,
+      |  CAST(length(t2) - length(nfc_normalize(t2)) AS INTEGER) AS n_composed
+      |FROM t""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4777,7 +4801,8 @@ object Queries {
     ("q150_token_budget_select", q150, Some(q150Sql)),
     ("q151_pagerank_centrality", q151, Some(q151Sql)),
     ("q152_ccnet_buckets", q152, Some(q152Sql)),
-    ("q153_domain_cap", q153, Some(q153Sql))
+    ("q153_domain_cap", q153, Some(q153Sql)),
+    ("q154_unicode_normalize", q154, Some(q154Sql))
   )
 }
 

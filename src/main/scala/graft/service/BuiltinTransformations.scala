@@ -74,6 +74,7 @@ object BuiltinTransformations {
     "budget_select" -> budgetSelect,
     "quantile_buckets" -> quantileBuckets,
     "domain_cap" -> domainCap,
+    "unicode_normalize" -> unicodeNormalize,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
@@ -249,6 +250,30 @@ object BuiltinTransformations {
       budget = longKw("budget_select", kw, "budget"),
       buckets = intKw("budget_select", kw, "buckets", 1000),
       outStartCol = strKw("budget_select", kw, "out_col", "start_toks"))
+
+  /** `unicode_normalize(text_col, form=NFC, strip_accents=false,
+    * out_col=<text_col>)` — Unicode normalization + optional accent
+    * stripping ([[TextClean.normalizeUnicode]]/[[TextClean.stripAccents]],
+    * a native codegen'd expression). By default REPLACES the text column
+    * (the cleaning-stage convention); set `out_col` to keep the raw text. */
+  private def unicodeNormalize: CustomFn = (df, kw) => {
+    val name = "unicode_normalize"
+    val textCol = reqStr(name, kw, "text_col")
+    val form = strKw(name, kw, "form", "NFC")
+    require(graft.sparkext.UnicodeNormalize.Forms.contains(form),
+      s"$name: form must be one of " +
+        s"${graft.sparkext.UnicodeNormalize.Forms.mkString("/")}, got '$form'")
+    val strip = present(kw, "strip_accents") match {
+      case Some(b: Boolean) => b
+      case Some(s: String) if s == "true" || s == "false" => s.toBoolean
+      case Some(other) => typeFail(name, "strip_accents", "a boolean", other)
+      case None => false
+    }
+    val out = strKw(name, kw, "out_col", textCol)
+    df.withColumn(out,
+      if (strip) TextClean.stripAccents(col(textCol), form)
+      else TextClean.normalizeUnicode(col(textCol), form))
+  }
 
   /** `quantile_buckets(group_col, score_col, cuts=[0.25,0.75],
     * labels=[head,middle,tail], method=exact|approx, accuracy=10000,

@@ -1509,4 +1509,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("cap"), e2.getMessage)
   }
+
+  test("unicode normalization: compose/decompose/compat forms, accent strip, nulls") {
+    import graft.operators.TextClean
+    // explicit escapes only: editors silently re-normalize raw combining marks
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    val liga = "\ufb01n \u00f8re" // fi ligature (compat-only) + non-decomposable o-slash
+    val df = Seq((1L, composed), (2L, decomposed), (3L, liga),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    def got(c: org.apache.spark.sql.Column) =
+      df.select(col("id"), c.as("o")).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("o")).toMap
+    // NFC: both spellings converge on the composed form; ligature untouched
+    val nfc = got(TextClean.normalizeUnicode(col("t")))
+    assert(nfc(1L) == composed && nfc(2L) == composed && nfc(3L) == liga)
+    assert(nfc(4L) == null)
+    // NFKC additionally expands compatibility forms (fi-ligature -> f + i)
+    assert(got(TextClean.normalizeUnicode(col("t"), "NFKC"))(3L) == "fin \u00f8re")
+    // strip: marks drop from BOTH spellings; o-slash (no decomposition) and
+    // the ligature (compat-only, NFC path) survive - DuckDB strip_accents parity
+    val strip = got(TextClean.stripAccents(col("t")))
+    assert(strip(1L) == "cafe" && strip(2L) == "cafe" && strip(3L) == liga)
+    // interpreted run() agrees with the codegen'd projection above
+    assert(graft.sparkext.UnicodeNormalize.run(decomposed, "NFC", false) == composed)
+    assert(graft.sparkext.UnicodeNormalize.run(composed, "NFC", true) == "cafe")
+    val e = intercept[IllegalArgumentException] {
+      TextClean.normalizeUnicode(col("t"), "NFX")
+    }
+    assert(e.getMessage.contains("NFC"), e.getMessage)
+  }
 }

@@ -567,7 +567,13 @@ class PropertySpec extends AnyFunSuite {
         req("domain_col", Gen.const("lang"), wrongForStr),
         req("score_col", Gen.const("n_tok"), wrongForStr),
         req("cap", Gen.oneOf(1L, 2L), wrongForInt),
-        opt("salt", Gen.oneOf(1L, 4L), wrongForInt))
+        opt("salt", Gen.oneOf(1L, 4L), wrongForInt)),
+      "unicode_normalize" -> Seq(textCol,
+        opt("form", Gen.oneOf[Any]("NFC", "NFKC", "NFD", "NFKD"),
+          Gen.oneOf[Any](42L, true, junkMap, "NFX")),
+        opt("strip_accents", Gen.oneOf[Any](true, false, "true"),
+          Gen.oneOf[Any](42L, 1.5, junkMap, "yes")),
+        opt("out_col", Gen.const("norm_out"), wrongForStr))
     )
   }
 
