@@ -981,7 +981,8 @@ object ExprRegistry {
     "value_counts", "unique_counts", "sort_by",
     "quality_quantile_gate", "bpe_tokenize", "sq8_encode", "training_shard_assign",
     "gopher_rules", "label_propagate", "pagerank_centrality", "budget_select",
-    "quantile_buckets", "domain_cap", "unicode_normalize")
+    "quantile_buckets", "domain_cap", "unicode_normalize",
+    "c4_filter", "dup_line_signals")
 
   /** Damerau-free Levenshtein — small strings, called only on the error
     * path, so the O(|a|·|b|) DP is fine. */

@@ -329,4 +329,71 @@ object TextAnalysis {
       lit(0L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch), lit(0)).cast("long"), prime))
   }
+
+  // ------------------------------------------------------------ line level
+
+  /** Non-empty trimmed lines of the RAW text (no lowercasing — C4's line
+    * rules are case-aware only through explicit `lower()` where needed). */
+  def linesOf(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Gopher duplicate-line signals (Rae et al. 2021 A1.1 repetition rules
+    * at line granularity — the boilerplate axis [[withGopherSignals]]'
+    * top-bigram rule doesn't see): fraction of lines that repeat an
+    * earlier line, and the fraction of CHARACTERS those repeats account
+    * for. Pure per-row projection (array ops over the line list — no
+    * shuffle, no UDF); round-6 before any threshold, the house rule. */
+  def withDupLineSignals(df: DataFrame, textCol: String): DataFrame = {
+    Seq("n_lines", "dup_line_frac", "dup_line_char_frac").foreach(n =>
+      require(!df.columns.contains(n),
+        s"withDupLineSignals writes column '$n'; input already has one — rename it first"))
+    val ls = linesOf(col(textCol))
+    val distinctLs = array_distinct(ls)
+    val chars = (a: Column) => aggregate(a, lit(0L), (acc, l) => acc + length(l).cast("long"))
+    val nl = size(ls)
+    df.withColumn("n_lines", nl)
+      .withColumn("dup_line_frac",
+        when(nl === 0, lit(0.0))
+          .otherwise(round((nl - size(distinctLs)).cast("double") / nl, 6)))
+      .withColumn("dup_line_char_frac",
+        when(nl === 0, lit(0.0))
+          .otherwise(round((chars(ls) - chars(distinctLs)).cast("double") /
+            greatest(chars(ls), lit(1L)), 6)))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only lines
+    * that end in terminal punctuation ('.', '!', '?', '"'), have at least
+    * `minWords` words, and contain no line-blocklist phrase; pages
+    * containing a page-blocklist phrase are flagged `page_keep = false`
+    * whole (C4 drops them — flag-not-drop here so the decision composes
+    * and the drop stays observable). Surviving lines are reassembled in
+    * order. Pure per-row projection — no shuffle, linear at 100 TB. */
+  def c4LineFilter(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 3,
+      lineBlocklist: Seq[String] = Seq("javascript"),
+      pageBlocklist: Seq[String] = Seq("lorem ipsum", "{"),
+      outCol: String = "clean_text"
+  ): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    require(lineBlocklist.nonEmpty && pageBlocklist.nonEmpty,
+      "blocklists must be non-empty (pass the defaults to mean C4's)")
+    Seq(outCol, "n_kept", "page_keep").foreach(n =>
+      require(!df.columns.contains(n),
+        s"c4LineFilter writes column '$n'; input already has one — rename it first"))
+    val ls = linesOf(col(textCol))
+    val keepLine = (l: Column) => {
+      val lw = lower(l)
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        (size(split(l, "\\s+")) >= minWords) &&
+        lineBlocklist.map(p => !lw.contains(p)).reduce(_ && _)
+    }
+    val kept = filter(ls, keepLine)
+    val pageKeep = pageBlocklist
+      .map(p => !lower(col(textCol)).contains(p)).reduce(_ && _)
+    df.withColumn("n_kept", size(kept))
+      .withColumn("page_keep", pageKeep)
+      .withColumn(outCol, array_join(kept, "\n"))
+  }
 }

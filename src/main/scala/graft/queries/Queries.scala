@@ -4644,6 +4644,50 @@ object Queries {
       |  CAST(length(t2) - length(nfc_normalize(t2)) AS INTEGER) AS n_composed
       |FROM t""".stripMargin
 
+  /** C4 line-level cleaning + Gopher duplicate-line signals
+    * ([[TextAnalysis.c4LineFilter]]/[[TextAnalysis.withDupLineSignals]],
+    * Raffel et al. 2020 §2.2 / Rae et al. 2021 A1.1): the fixture text is
+    * single-line, so the query first splits sentences onto lines
+    * (". " -> ".\n") — the terminal-punctuation rule then does real work
+    * (the last line of most docs ends without punctuation and is cut).
+    * Pure per-row array projections, no shuffle; FULL hash oracle
+    * replaying the line split, both dup fractions, every line rule, and
+    * the reassembly. */
+  val q155: QueryFn = (s, d) => {
+    val withNl = tbl(s, d, "documents")
+      .withColumn("t2", regexp_replace(col("text"), "\\. ", ".\n"))
+    val sig = TextAnalysis.withDupLineSignals(withNl, "t2")
+    TextAnalysis.c4LineFilter(sig, "t2")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("page_keep"), col("clean_text"))
+  }
+
+  val q155Sql: String =
+    """WITH t AS (SELECT doc_id, lower(text) AS lt,
+      |  regexp_replace(text, '\. ', '.' || chr(10), 'g') AS t2 FROM documents),
+      |l AS (SELECT doc_id, lt,
+      |  list_filter(list_transform(string_split(t2, chr(10)), x -> trim(x)),
+      |    x -> length(x) > 0) AS ls FROM t),
+      |s AS (SELECT doc_id, lt, ls,
+      |  len(ls) AS n_lines,
+      |  len(list_distinct(ls)) AS n_dls,
+      |  CAST(list_sum(list_transform(ls, x -> length(x))) AS BIGINT) AS lc,
+      |  CAST(list_sum(list_transform(list_distinct(ls), x -> length(x))) AS BIGINT) AS dlc,
+      |  list_filter(ls, x -> right(x, 1) IN ('.', '!', '?', '"')
+      |    AND len(regexp_split_to_array(x, '\s+')) >= 3
+      |    AND NOT contains(lower(x), 'javascript')) AS kept
+      |  FROM l)
+      |SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+      |  CAST(len(kept) AS INTEGER) AS n_kept,
+      |  CASE WHEN n_lines = 0 THEN 0.0
+      |    ELSE round(CAST(n_lines - n_dls AS DOUBLE) / n_lines, 6) END AS dup_line_frac,
+      |  CASE WHEN n_lines = 0 THEN 0.0
+      |    ELSE round(CAST(lc - dlc AS DOUBLE) / greatest(lc, 1), 6) END AS dup_line_char_frac,
+      |  (NOT contains(lt, 'lorem ipsum') AND NOT contains(lt, '{')) AS page_keep,
+      |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+      |FROM s""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4802,7 +4846,8 @@ object Queries {
     ("q151_pagerank_centrality", q151, Some(q151Sql)),
     ("q152_ccnet_buckets", q152, Some(q152Sql)),
     ("q153_domain_cap", q153, Some(q153Sql)),
-    ("q154_unicode_normalize", q154, Some(q154Sql))
+    ("q154_unicode_normalize", q154, Some(q154Sql)),
+    ("q155_c4_line_filter", q155, Some(q155Sql))
   )
 }
 

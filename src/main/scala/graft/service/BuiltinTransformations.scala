@@ -75,6 +75,8 @@ object BuiltinTransformations {
     "quantile_buckets" -> quantileBuckets,
     "domain_cap" -> domainCap,
     "unicode_normalize" -> unicodeNormalize,
+    "c4_filter" -> c4Filter,
+    "dup_line_signals" -> dupLineSignals,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
@@ -274,6 +276,33 @@ object BuiltinTransformations {
       if (strip) TextClean.stripAccents(col(textCol), form)
       else TextClean.normalizeUnicode(col(textCol), form))
   }
+
+  /** `c4_filter(text_col, min_words=3, action=flag|filter,
+    * out_col=clean_text)` — C4 line-level cleaning
+    * ([[TextAnalysis.c4LineFilter]], Raffel et al. 2020 §2.2): lines
+    * without terminal punctuation / under `min_words` / on the line
+    * blocklist are cut and the text reassembled; `action: filter`
+    * additionally drops pages failing the page blocklist (`flag` keeps
+    * them with `page_keep = false`). */
+  private def c4Filter: CustomFn = (df, kw) => {
+    val name = "c4_filter"
+    val out = TextAnalysis.c4LineFilter(df,
+      reqStr(name, kw, "text_col"),
+      minWords = intKw(name, kw, "min_words", 3),
+      outCol = strKw(name, kw, "out_col", "clean_text"))
+    strKw(name, kw, "action", "flag") match {
+      case "flag"   => out
+      case "filter" => out.filter(col("page_keep")).drop("page_keep")
+      case other => throw new IllegalArgumentException(
+        s"$name: action must be 'flag' or 'filter', got '$other'")
+    }
+  }
+
+  /** `dup_line_signals(text_col)` — Gopher duplicate-line repetition
+    * signals ([[TextAnalysis.withDupLineSignals]]): appends `n_lines`,
+    * `dup_line_frac`, `dup_line_char_frac`. */
+  private def dupLineSignals: CustomFn = (df, kw) =>
+    TextAnalysis.withDupLineSignals(df, reqStr("dup_line_signals", kw, "text_col"))
 
   /** `quantile_buckets(group_col, score_col, cuts=[0.25,0.75],
     * labels=[head,middle,tail], method=exact|approx, accuracy=10000,

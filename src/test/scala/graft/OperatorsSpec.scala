@@ -1539,4 +1539,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("NFC"), e.getMessage)
   }
+
+  test("c4LineFilter + dup-line signals: every line rule, page blocklist, reassembly") {
+    val df = Seq(
+      (1L, "Good line one here.\nshort.\nno punct at all here\nGood line two here!\nthis page uses JavaScript heavily.\nGood line one here."),
+      (2L, "lorem ipsum dolor sit amet.\nA fine line survives here."),
+      (3L, ""),
+      (4L, "Repeat me twice.\nRepeat me twice.\nRepeat me twice.\nUnique closer line."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(
+        TextAnalysis.withDupLineSignals(df, "text"), "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_kept"),
+          r.getAs[Double]("dup_line_frac"), r.getAs[Boolean]("page_keep"),
+          r.getAs[String]("clean_text"))).toMap
+    // doc 1: 6 lines; 'short.' fails min_words, 'no punct...' fails the
+    // terminal rule, the javascript line is blocklisted; the duplicated
+    // good line is kept BOTH times (C4 cuts rules, not repeats — the dup
+    // signal is Gopher's axis, reported not cut)
+    assert(out(1L)._1 == 6 && out(1L)._2 == 3, s"${out(1L)}")
+    assert(out(1L)._5 == "Good line one here.\nGood line two here!\nGood line one here.")
+    assert(out(1L)._3 == round6(1.0 / 6.0) && out(1L)._4)
+    // doc 2: page blocklist ('lorem ipsum') flags the WHOLE page; line
+    // cleaning still reported
+    assert(!out(2L)._4 && out(2L)._2 == 2)
+    // doc 3: empty -> all zeros, keep, empty clean text
+    assert(out(3L) == ((0, 0, 0.0, true, "")))
+    // doc 4: 4 lines, 2 exact repeats of an earlier line -> frac 0.5
+    assert(out(4L)._3 == 0.5 && out(4L)._2 == 4)
+    val charFrac = TextAnalysis.withDupLineSignals(df, "text")
+      .filter(col("doc_id") === 4L).head().getAs[Double]("dup_line_char_frac")
+    // 4 lines of 16,16,16,19 chars; 32 duplicated chars of 67
+    assert(charFrac == round6(32.0 / 67.0), s"$charFrac")
+    val shadow = intercept[IllegalArgumentException] {
+      TextAnalysis.c4LineFilter(df.withColumn("page_keep", lit(true)), "text")
+    }
+    assert(shadow.getMessage.contains("page_keep"), shadow.getMessage)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -573,7 +573,13 @@ class PropertySpec extends AnyFunSuite {
           Gen.oneOf[Any](42L, true, junkMap, "NFX")),
         opt("strip_accents", Gen.oneOf[Any](true, false, "true"),
           Gen.oneOf[Any](42L, 1.5, junkMap, "yes")),
-        opt("out_col", Gen.const("norm_out"), wrongForStr))
+        opt("out_col", Gen.const("norm_out"), wrongForStr)),
+      "c4_filter" -> Seq(textCol,
+        opt("min_words", Gen.oneOf(1L, 3L), wrongForInt),
+        opt("action", Gen.oneOf[Any]("flag", "filter"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_action")),
+        opt("out_col", Gen.const("c4_out"), wrongForStr)),
+      "dup_line_signals" -> Seq(textCol)
     )
   }
 
