@@ -562,6 +562,126 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("sq_cosine"), col("rk"))
   }
 
+  // --------------------------------------------------------------------- pca
+
+  /** Top principal component of an embedding corpus by distributed power
+    * iteration — the spectral step behind embedding whitening, ABTT-style
+    * dominant-direction removal, and 1-D spectral ordering of a corpus.
+    *
+    * Scale shape: ONE pass computes per-dimension means (shuffle = dim
+    * rows), ONE pass the centered covariance (per row, the dim² outer
+    * product explodes map-side and hash-aggregates on (i, j) — shuffle =
+    * dim² rows, corpus-size independent, map-side combined). Only the
+    * dim² matrix is collected (LOUD `maxDim` guard — the k-centroid house
+    * rule); the power rounds run on the driver over that matrix, and the
+    * per-row projection is a [[dot]] against the returned literal. The
+    * dim² explode costs dim²/row map-side — linear in corpus size; at
+    * production dim (≥ 768) fold the outer product in a `mapPartitions`
+    * long-accumulator pass instead (same µ-unit determinism, constant
+    * factor only — the plan shape here stays the contract).
+    *
+    * Determinism (oracle-replayable end to end): every cross-row sum runs
+    * through the exact decimal adder ([[graft.sparkext.DoubleToScaled.exactSum]]);
+    * the driver's power rounds add `BigDecimal(product).setScale(6)`
+    * terms — exact decimal addition, the same value DuckDB's
+    * `SUM(CAST(round(x, 6) AS DECIMAL(28,6)))` carries — and every emitted
+    * coefficient is round-6. v₀ = all-ones fixes the eigenvector sign.
+    *
+    * @return (per-dimension means, unit top component), both round-6
+    */
+  def pcaTopComponent(
+      corpus: DataFrame,
+      vecCol: String,
+      iters: Int = 2,
+      maxDim: Int = 256
+  ): (Seq[Double], Seq[Double]) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxDim >= 1 && maxDim <= 1024,
+      s"maxDim bounds the dim x dim driver collect; got $maxDim")
+    val n = corpus.count()
+    require(n > 0, "pcaTopComponent: corpus is empty")
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val meanRows = vecs
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(round(graft.sparkext.DoubleToScaled.exactSum(col("x"), 6) / lit(n.toDouble), 6)
+        .as("m"),
+        count(lit(1)).as("cnt"))
+      .limit(maxDim + 1).collect()
+    require(meanRows.length <= maxDim,
+      s"pcaTopComponent saw ${meanRows.length} dimensions > maxDim=$maxDim — raise it " +
+        "deliberately (the covariance collect is dim^2 rows)")
+    val byDim = meanRows.map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    require(byDim.map(_._1).toSeq == byDim.indices.toSeq && byDim.forall(_._3 == n),
+      "pcaTopComponent: dimensions must be dense 0..dim-1 with every vector the same " +
+        "length (ragged or null-element vectors in the corpus)")
+    val means = byDim.map(_._2).toSeq
+    val dim = means.size
+    val mlit = typedLit(means)
+    val contrib = round(
+      (col("xi") - element_at(mlit, col("i") + 1)) *
+        (col("xj") - element_at(mlit, col("j") + 1)), 6)
+    val covRows = vecs
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .select(col("i"), col("j"), contrib.as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(graft.sparkext.DoubleToScaled.exactSum(col("p"), 6) / lit(n.toDouble), 6)
+        .as("c"))
+      .collect()
+    require(covRows.length == dim * dim,
+      s"pcaTopComponent covariance collected ${covRows.length} cells, expected ${dim * dim}")
+    val cov = Array.ofDim[Double](dim, dim)
+    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // normalize after EVERY multiply (textbook power iteration): unscaled,
+    // the iterate shrinks like λ^t (λ ≈ per-dim variance, ~1e-2 on unit
+    // embeddings) and its round-6 SQUARES underflow to zero by round 2 —
+    // measured, which is why the unit step is inside the loop
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val norm = math.sqrt(
+        v.foldLeft(java.math.BigDecimal.ZERO)((acc, x) =>
+          acc.add(java.math.BigDecimal.valueOf(x * x)
+            .setScale(6, java.math.RoundingMode.HALF_UP))).doubleValue)
+      require(norm > 0.0,
+        "pcaTopComponent: zero-variance corpus after centering — no principal direction")
+      v.map(x => r6(x / norm))
+    }
+    var v: Seq[Double] = Seq.fill(dim)(1.0)
+    (1 to iters).foreach { _ =>
+      v = unit((0 until dim).map { i =>
+        // exact decimal accumulation of round-6 terms — order-free, the
+        // driver-side twin of the in-plan exactSum (and the oracle's
+        // SUM(CAST(round(c*v, 6) AS DECIMAL)))
+        val s = (0 until dim).foldLeft(java.math.BigDecimal.ZERO) { (acc, j) =>
+          acc.add(java.math.BigDecimal.valueOf(cov(i)(j) * v(j))
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+        }
+        r6(s.doubleValue)
+      })
+    }
+    (means, v)
+  }
+
+  /** Project vectors onto a fitted top component: score = (v − m)·p,
+    * assembled as v·p − m·p (the bilinear split keeps the oracle exact:
+    * both engines run ONE sequential dot per row and subtract the same
+    * precomputed scalar). Pure projection — no shuffle. */
+  def pcaProject(
+      df: DataFrame,
+      vecCol: String,
+      means: Seq[Double],
+      component: Seq[Double],
+      outCol: String = "pc1_score"
+  ): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"pcaProject writes column '$outCol'; input already has one — rename it first")
+    val mp = means.zip(component).foldLeft(0.0)((acc, ab) => acc + ab._1 * ab._2)
+    df.withColumn(outCol,
+      round(dot(col(vecCol).cast("array<double>"), typedLit(component)) - lit(mp), 6))
+  }
+
   // ------------------------------------------- incremental index maintenance
 
   /** Serialize a fitted index (IVF coarse centroids + PQ codebook) to two

@@ -3509,6 +3509,11 @@ object Queries {
     memoIndex(s"pq:${new java.io.File(d).getCanonicalPath}:$label:m=$m:ksub=$ksub:iters=$iters") {
       Similarity.pqTrain(corpus, "vec_id", "v", m, ksub, iters)
     }
+  private def cachedPca(d: String, label: String, corpus: org.apache.spark.sql.DataFrame,
+      iters: Int): (Seq[Double], Seq[Double]) =
+    memoIndex(s"pca:${new java.io.File(d).getCanonicalPath}:$label:iters=$iters") {
+      Similarity.pcaTopComponent(corpus, "v", iters)
+    }
 
   /** Product quantization ([[Similarity.pqTrain]]/[[Similarity.pqEncode]]/
     * [[Similarity.pqTopK]]): train a 16-subspace x 32-code L2 codebook,
@@ -4688,6 +4693,52 @@ object Queries {
       |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
       |FROM s""".stripMargin
 
+  /** Distributed PCA top component ([[Similarity.pcaTopComponent]] +
+    * [[Similarity.pcaProject]]): per-dim means and the centered dim²
+    * covariance aggregate in-cluster (shuffle = dim² rows, corpus-size
+    * independent), two power rounds on the collected matrix, and every
+    * embedding projected onto the unit component. FULL hash oracle —
+    * DuckDB replays means, covariance, both power rounds, the
+    * normalization, and the v·p − m·p projection split with the exact
+    * decimal adder at every cross-row (and cross-dim) sum. */
+  val q156: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // deployment shape: the component is fitted once and amortized across
+    // projections (the q126 train-once memo); a fresh JVM refits
+    val (means, pc1) = cachedPca(d, "emb", emb, iters = 2)
+    Similarity.pcaProject(emb, "v", means, pc1)
+      .select(col("vec_id"), col("pc1_score"))
+  }
+
+  val q156Sql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (SELECT COUNT(*) AS n FROM c),
+      |ex AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM c),
+      |mm AS (SELECT i, round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) / n, 6) AS m
+      |  FROM ex CROSS JOIN nn GROUP BY i, n),
+      |pr AS (SELECT a.i AS i, b.i AS j,
+      |  round((a.x - ma.m) * (b.x - mb.m), 6) AS p
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+      |  JOIN mm ma ON ma.i = a.i JOIN mm mb ON mb.i = b.i),
+      |cov AS (SELECT i, j,
+      |  round(CAST(SUM(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / n, 6) AS cv
+      |  FROM pr CROSS JOIN nn GROUP BY i, j, n),
+      |v1 AS (SELECT i, round(CAST(SUM(CAST(round(cv * 1.0, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS p
+      |  FROM cov GROUP BY i),
+      |n1 AS (SELECT sqrt(CAST(SUM(CAST(round(p * p, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nv FROM v1),
+      |u1 AS (SELECT i, round(p / nv, 6) AS p FROM v1 CROSS JOIN n1),
+      |v2 AS (SELECT cov.i AS i,
+      |  round(CAST(SUM(CAST(round(cv * u1.p, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS p
+      |  FROM cov JOIN u1 ON cov.j = u1.i GROUP BY cov.i),
+      |nrm AS (SELECT sqrt(CAST(SUM(CAST(round(p * p, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nv FROM v2),
+      |pc AS (SELECT i, round(p / nv, 6) AS p FROM v2 CROSS JOIN nrm),
+      |parr AS (SELECT list(p ORDER BY i) AS pa FROM pc),
+      |marr AS (SELECT list(m ORDER BY i) AS ma FROM mm),
+      |mp AS (SELECT list_dot_product(ma, pa) AS mp FROM marr CROSS JOIN parr)
+      |SELECT vec_id, round(list_dot_product(v, pa) - mp, 6) AS pc1_score
+      |FROM c CROSS JOIN parr CROSS JOIN mp""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4847,7 +4898,8 @@ object Queries {
     ("q152_ccnet_buckets", q152, Some(q152Sql)),
     ("q153_domain_cap", q153, Some(q153Sql)),
     ("q154_unicode_normalize", q154, Some(q154Sql)),
-    ("q155_c4_line_filter", q155, Some(q155Sql))
+    ("q155_c4_line_filter", q155, Some(q155Sql)),
+    ("q156_pca_power", q156, Some(q156Sql))
   )
 }
 

@@ -77,6 +77,7 @@ object BuiltinTransformations {
     "unicode_normalize" -> unicodeNormalize,
     "c4_filter" -> c4Filter,
     "dup_line_signals" -> dupLineSignals,
+    "pca_project" -> pcaProject,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
@@ -303,6 +304,23 @@ object BuiltinTransformations {
     * `dup_line_frac`, `dup_line_char_frac`. */
   private def dupLineSignals: CustomFn = (df, kw) =>
     TextAnalysis.withDupLineSignals(df, reqStr("dup_line_signals", kw, "text_col"))
+
+  /** `pca_project(vec_col, iters=2, max_dim=256, out_col=pc1_score)` —
+    * top-principal-component projection
+    * ([[Similarity.pcaTopComponent]]/[[Similarity.pcaProject]]): fit the
+    * dominant direction of the embedding corpus in-cluster (the fit RUNS
+    * during plan build, the quality_classifier shape) and append each
+    * row's round-6 projection score. */
+  private def pcaProject: CustomFn = (df, kw) => {
+    val name = "pca_project"
+    val vecCol = reqStr(name, kw, "vec_col")
+    val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val (means, pc1) = Similarity.pcaTopComponent(typed, vecCol,
+      iters = intKw(name, kw, "iters", 2),
+      maxDim = intKw(name, kw, "max_dim", 256))
+    Similarity.pcaProject(typed, vecCol, means, pc1,
+      outCol = strKw(name, kw, "out_col", "pc1_score"))
+  }
 
   /** `quantile_buckets(group_col, score_col, cuts=[0.25,0.75],
     * labels=[head,middle,tail], method=exact|approx, accuracy=10000,

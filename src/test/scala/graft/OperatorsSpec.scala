@@ -1577,6 +1577,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(shadow.getMessage.contains("page_keep"), shadow.getMessage)
   }
 
+  test("pcaTopComponent: dominant axis found, unit component, centered scores, guards") {
+    // variance lives overwhelmingly on dim 0; dim 1 is near-constant
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.50)), (2L, Seq(10.0, 0.51)),
+      (3L, Seq(20.0, 0.49)), (4L, Seq(30.0, 0.50)))
+      .toDF("vec_id", "v")
+    val (means, pc1) = Similarity.pcaTopComponent(corpus, "v", iters = 2)
+    assert(means == Seq(15.0, 0.5), s"$means")
+    assert(math.abs(pc1.map(x => x * x).sum - 1.0) < 1e-4, s"$pc1 not unit")
+    assert(math.abs(pc1.head) > 0.999, s"dominant axis missed: $pc1")
+    val scored = Similarity.pcaProject(corpus, "v", means, pc1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1_score")).toMap
+    // centered projections sum to ~0 and order along the dominant axis
+    assert(math.abs(scored.values.sum) < 1e-3, s"$scored")
+    assert(scored(1L) < scored(2L) && scored(2L) < scored(3L) && scored(3L) < scored(4L))
+    // pure function of content: partitioning changes nothing
+    val (m2, p2) = Similarity.pcaTopComponent(corpus.repartition(7), "v", iters = 2)
+    assert(m2 == means && p2 == pc1)
+    val ragged = Seq((1L, Seq(1.0)), (2L, Seq(1.0, 2.0))).toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaTopComponent(ragged, "v")
+    }
+    assert(e.getMessage.contains("dense"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pcaTopComponent(corpus, "v", maxDim = 1)
+    }
+    assert(e2.getMessage.contains("maxDim"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pcaProject(corpus.withColumn("pc1_score", lit(0.0)), "v", means, pc1)
+    }
+    assert(e3.getMessage.contains("pc1_score"), e3.getMessage)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

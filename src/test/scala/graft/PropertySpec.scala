@@ -579,7 +579,13 @@ class PropertySpec extends AnyFunSuite {
         opt("action", Gen.oneOf[Any]("flag", "filter"),
           Gen.oneOf[Any](42L, true, junkMap, "bogus_action")),
         opt("out_col", Gen.const("c4_out"), wrongForStr)),
-      "dup_line_signals" -> Seq(textCol)
+      "dup_line_signals" -> Seq(textCol),
+      "pca_project" -> Seq(
+        req("vec_col", Gen.const("emb"), wrongForStr),
+        // fit RUNS during plan build (quality_classifier shape)
+        opt("iters", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("max_dim", Gen.oneOf(8L, 256L), wrongForInt),
+        opt("out_col", Gen.const("pca_out"), wrongForStr))
     )
   }
 
