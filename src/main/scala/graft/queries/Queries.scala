@@ -4739,6 +4739,49 @@ object Queries {
       |SELECT vec_id, round(list_dot_product(v, pa) - mp, 6) AS pc1_score
       |FROM c CROSS JOIN parr CROSS JOIN mp""".stripMargin
 
+  /** Streaming cleaning lane — the q154/q155 cleaning stack
+    * (sentence→line split, unicode normalization, C4 line filter) under
+    * Structured Streaming (the q133 pattern): documents arrive on a
+    * `readStream`, every step is a PURE PROJECTION (no state store, no
+    * watermark, no shuffle — cleaning runs at source rate on any executor
+    * count), and the sink is compared row-for-row with the batch path.
+    * Cleaning is a pure function of the row, so streaming vs batch is a
+    * plan property — this query turns it into data. Counted in Bench's
+    * total_streaming split. */
+  val q157: QueryFn = (s, d) => {
+    def cleanPipe(df: DataFrame): DataFrame = {
+      val t = df
+        .withColumn("t2", regexp_replace(col("text"), "\\. ", ".\n"))
+        .withColumn("t2", graft.operators.TextClean.normalizeUnicode(col("t2")))
+      TextAnalysis.c4LineFilter(t, "t2")
+        .select(col("doc_id"), col("n_kept"), col("page_keep"), col("clean_text"))
+    }
+    val schema = rawSchema(s, d, "documents")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "q157_stream_clean_sink"
+    s.catalog.dropTempView(name)
+    val q = cleanPipe(src).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = s.table(name)
+    val batch = cleanPipe(tbl(s, d, "documents"))
+      .select(col("doc_id"), col("n_kept").as("b_k"),
+        col("page_keep").as("b_p"), col("clean_text").as("b_t"))
+    streamed.join(batch, "doc_id")
+      .agg(count(lit(1)).as("n_streamed"),
+        sum(when(col("n_kept") === col("b_k") && col("page_keep") === col("b_p") &&
+          col("clean_text") === col("b_t"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("n_streamed"), col("n_match"),
+        (col("n_streamed") === col("n_match")).as("all_match"))
+  }
+
+  val q157Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_streamed,
+      |  CAST(COUNT(*) AS BIGINT) AS n_match, TRUE AS all_match
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4899,7 +4942,8 @@ object Queries {
     ("q153_domain_cap", q153, Some(q153Sql)),
     ("q154_unicode_normalize", q154, Some(q154Sql)),
     ("q155_c4_line_filter", q155, Some(q155Sql)),
-    ("q156_pca_power", q156, Some(q156Sql))
+    ("q156_pca_power", q156, Some(q156Sql)),
+    ("q157_stream_clean", q157, Some(q157Sql))
   )
 }
 

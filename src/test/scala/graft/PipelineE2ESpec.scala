@@ -234,6 +234,53 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(rows(4L)._1 == 5.0 && rows(4L)._2 == 5.0, "fresh key")
   }
 
+  test("YAML config alone drives the round-14 cleaning/selection stack end-to-end") {
+    val io = new FakeIO()
+    // d1: accented, two keepable lines (18 tokens clean) — best quality
+    // d2: one keepable line (8 tokens) — second
+    // d3: one keepable + one cut line (3 tokens) — third
+    // d4: its only line lacks terminal punct -> empty clean text, quality 0
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "The café fox runs far away from here tonight.\n" +
+          "A second clean line has eight more words inside."),
+        Row(2L, "One keepable line with exactly eight words here."),
+        Row(3L, "Short line here.\nno terminal punct on this line"),
+        Row(4L, "x y")
+      ), 2), docSchema)
+    io.frames.put("/src/docs.parquet", df)
+    val yaml =
+      """process_name: curate_r14
+        |src_path: /src/docs.parquet
+        |dst_root: /out
+        |custom_transformations:
+        |  unicode_normalize:
+        |    text_col: text
+        |    strip_accents: true
+        |  c4_filter:
+        |    text_col: text
+        |    min_words: 3
+        |  text_stats:
+        |    text_col: clean_text
+        |  budget_select:
+        |    id_col: doc_id
+        |    token_col: n_tokens
+        |    quality_col: quality_score
+        |    budget: 24
+        |""".stripMargin
+    val res = Pipeline.runPipeline(spark, ConfigLoader.fromYaml(yaml), io)
+    val rows = res.transformed
+      .select("doc_id", "clean_text", "n_tokens", "start_toks").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    // quality order 1 > 2 > 3 > 4; budget 24 spends 18 + 8 and cuts doc 3
+    assert(rows.keySet == Set(1L, 2L), s"$rows")
+    assert(rows(1L)._2 == 18 && rows(1L)._3 == 0L, s"${rows(1L)}")
+    assert(rows(2L)._2 == 8 && rows(2L)._3 == 18L, s"${rows(2L)}")
+    // the accent was stripped BEFORE cleaning, and both lines survived
+    assert(rows(1L)._1.contains("cafe") && !rows(1L)._1.contains("café"))
+    assert(rows(1L)._1.contains("\n"))
+  }
+
   test("user-supplied customFns shadow builtins by name") {
     val io = new FakeIO()
     io.frames.put("/src/docs.parquet", docsDf)
