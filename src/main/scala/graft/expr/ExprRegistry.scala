@@ -982,7 +982,7 @@ object ExprRegistry {
     "quality_quantile_gate", "bpe_tokenize", "sq8_encode", "training_shard_assign",
     "gopher_rules", "label_propagate", "pagerank_centrality", "budget_select",
     "quantile_buckets", "domain_cap", "unicode_normalize",
-    "c4_filter", "dup_line_signals", "pca_project")
+    "c4_filter", "dup_line_signals", "pca_project", "pca_remove_top")
 
   /** Damerau-free Levenshtein — small strings, called only on the error
     * path, so the O(|a|·|b|) DP is fine. */

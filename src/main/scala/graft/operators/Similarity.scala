@@ -682,6 +682,37 @@ object Similarity {
       round(dot(col(vecCol).cast("array<double>"), typedLit(component)) - lit(mp), 6))
   }
 
+  /** All-but-the-top post-processing (Mu & Viswanath 2018): remove the
+    * dominant direction from every embedding —
+    * `v' = (v − m) − ((v − m)·p)·p` — the standard isotropy fix that
+    * measurably improves similarity search on anisotropic embedding
+    * spaces (the corpus mean + top component soak up frequency signal).
+    * Pure per-row projection over the fitted (means, component) literals:
+    * no shuffle, ONE sequential dot per row for the coefficient (the
+    * [[pcaProject]] v·p − m·p split), round-6 elements — oracle-exact. */
+  def pcaRemoveTop(
+      df: DataFrame,
+      vecCol: String,
+      means: Seq[Double],
+      component: Seq[Double],
+      outCol: String = "abtt_v"
+  ): DataFrame = {
+    require(means.size == component.size && means.nonEmpty,
+      s"means (${means.size}) and component (${component.size}) must be same-length, non-empty")
+    Seq(outCol, "__abtt_s").foreach(n =>
+      require(!df.columns.contains(n),
+        s"pcaRemoveTop writes column '$n'; input already has one — rename it first"))
+    val mp = means.zip(component).foldLeft(0.0)((acc, ab) => acc + ab._1 * ab._2)
+    val mlit = typedLit(means)
+    val plit = typedLit(component)
+    df.withColumn("__abtt_s",
+        round(dot(col(vecCol).cast("array<double>"), plit) - lit(mp), 6))
+      .withColumn(outCol,
+        transform(col(vecCol).cast("array<double>"), (x, i) =>
+          round((x - element_at(mlit, i + 1)) - col("__abtt_s") * element_at(plit, i + 1), 6)))
+      .drop("__abtt_s")
+  }
+
   // ------------------------------------------- incremental index maintenance
 
   /** Serialize a fitted index (IVF coarse centroids + PQ codebook) to two

@@ -4782,6 +4782,34 @@ object Queries {
       |  CAST(COUNT(*) AS BIGINT) AS n_match, TRUE AS all_match
       |FROM documents""".stripMargin
 
+  /** All-but-the-top residuals ([[Similarity.pcaRemoveTop]], Mu &
+    * Viswanath 2018) over the q156 fit: every embedding minus its mean
+    * and its dominant-direction projection, emitted EXPLODED
+    * (vec_id, dim, r) so the oracle hashes scalars, not float arrays.
+    * FULL hash oracle — the q156 CTE chain plus the per-element residual
+    * formula, spelled identically on both sides. */
+  val q158: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (means, pc1) = cachedPca(d, "emb", emb, iters = 2)
+    Similarity.pcaRemoveTop(emb, "v", means, pc1)
+      .select(col("vec_id"), posexplode(col("abtt_v")).as(Seq("i", "r")))
+      .select(col("vec_id"), (col("i") + 1).as("dim"), col("r"))
+  }
+
+  val q158Sql: String = {
+    // everything through `mp` is exactly the q156 chain (strip its final
+    // SELECT); the residual SELECT replaces the projection one
+    val chain = q156Sql.substring(0, q156Sql.lastIndexOf("SELECT vec_id")).trim
+    chain + ",\n" +
+      """proj AS (SELECT vec_id, v, round(list_dot_product(v, pa) - mp, 6) AS s
+        |  FROM c CROSS JOIN parr CROSS JOIN mp),
+        |exv AS (SELECT vec_id, s, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM proj)
+        |SELECT vec_id, CAST(i AS INTEGER) AS dim,
+        |  round((x - mm.m) - s * pc.p, 6) AS r
+        |FROM exv JOIN mm USING (i) JOIN pc USING (i)""".stripMargin
+  }
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4943,7 +4971,8 @@ object Queries {
     ("q154_unicode_normalize", q154, Some(q154Sql)),
     ("q155_c4_line_filter", q155, Some(q155Sql)),
     ("q156_pca_power", q156, Some(q156Sql)),
-    ("q157_stream_clean", q157, Some(q157Sql))
+    ("q157_stream_clean", q157, Some(q157Sql)),
+    ("q158_abtt_residuals", q158, Some(q158Sql))
   )
 }
 

@@ -78,6 +78,7 @@ object BuiltinTransformations {
     "c4_filter" -> c4Filter,
     "dup_line_signals" -> dupLineSignals,
     "pca_project" -> pcaProject,
+    "pca_remove_top" -> pcaRemoveTop,
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
@@ -320,6 +321,22 @@ object BuiltinTransformations {
       maxDim = intKw(name, kw, "max_dim", 256))
     Similarity.pcaProject(typed, vecCol, means, pc1,
       outCol = strKw(name, kw, "out_col", "pc1_score"))
+  }
+
+  /** `pca_remove_top(vec_col, iters=2, max_dim=256, out_col=abtt_v)` —
+    * all-but-the-top embedding post-processing
+    * ([[Similarity.pcaRemoveTop]], Mu & Viswanath 2018): fit the corpus'
+    * dominant direction (inline, the `pca_project` shape) and append each
+    * row's mean-and-top-removed residual vector. */
+  private def pcaRemoveTop: CustomFn = (df, kw) => {
+    val name = "pca_remove_top"
+    val vecCol = reqStr(name, kw, "vec_col")
+    val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val (means, pc1) = Similarity.pcaTopComponent(typed, vecCol,
+      iters = intKw(name, kw, "iters", 2),
+      maxDim = intKw(name, kw, "max_dim", 256))
+    Similarity.pcaRemoveTop(typed, vecCol, means, pc1,
+      outCol = strKw(name, kw, "out_col", "abtt_v"))
   }
 
   /** `quantile_buckets(group_col, score_col, cuts=[0.25,0.75],

@@ -1608,6 +1608,18 @@ class OperatorsSpec extends AnyFunSuite {
       Similarity.pcaProject(corpus.withColumn("pc1_score", lit(0.0)), "v", means, pc1)
     }
     assert(e3.getMessage.contains("pc1_score"), e3.getMessage)
+    // ABTT residuals: the dominant-direction coordinate is (near-)zeroed,
+    // the orthogonal one reduces to its centered value
+    val abtt = Similarity.pcaRemoveTop(corpus, "v", means, pc1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](2)).toMap
+    abtt.values.foreach { r =>
+      assert(math.abs(r.head) < 1e-3, s"dominant coordinate survives: $r")
+    }
+    assert(math.abs(abtt(2L)(1) - (0.51 - 0.5)) < 2e-3, s"${abtt(2L)}")
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.pcaRemoveTop(corpus, "v", means, pc1.take(1))
+    }
+    assert(e4.getMessage.contains("same-length"), e4.getMessage)
   }
 
   private def round6(x: Double): Double =

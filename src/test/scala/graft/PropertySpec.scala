@@ -585,7 +585,12 @@ class PropertySpec extends AnyFunSuite {
         // fit RUNS during plan build (quality_classifier shape)
         opt("iters", Gen.oneOf(1L, 2L), wrongForInt),
         opt("max_dim", Gen.oneOf(8L, 256L), wrongForInt),
-        opt("out_col", Gen.const("pca_out"), wrongForStr))
+        opt("out_col", Gen.const("pca_out"), wrongForStr)),
+      "pca_remove_top" -> Seq(
+        req("vec_col", Gen.const("emb"), wrongForStr),
+        opt("iters", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("max_dim", Gen.oneOf(8L, 256L), wrongForInt),
+        opt("out_col", Gen.const("abtt_out"), wrongForStr))
     )
   }
 
