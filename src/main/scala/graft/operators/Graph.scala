@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Iterative score diffusion over an explicit edge frame — the graph
   * algorithms a curation pipeline runs ON TOP of the KNN graph
@@ -12,15 +13,17 @@ import org.apache.spark.sql.functions._
   * Both are FIXED-iteration loops composed declaratively: each round is
   * one hash join (edges against the current scores, keyed on the
   * neighbor id) plus one aggregation (keyed on the receiving id) — no
-  * driver-side graph, no per-round action, so the whole `iters`-deep
-  * plan executes as ONE Spark job. Shuffle volume per round is |E|,
-  * and the edge frame is persisted once and reused by every round.
-  * Unlike [[Dedup.connectedComponents]] (unbounded loop, per-round
-  * convergence action, snapshot-per-round), `iters` here is small and
-  * fixed by construction — diffusion beyond 2-4 hops adds nothing for
-  * curation — so lineage depth is bounded and snapshotting would only
-  * add actions. Callers running deep chains should checkpoint between
-  * calls.
+  * driver-side graph, no per-round action at the designed 2-4 iters.
+  * Shuffle volume per round is |E|, and the edge frame is persisted once
+  * and reused by every round. Deep chains are lineage-bounded by
+  * `checkpointEvery`: every that-many rounds the iterate is eagerly
+  * snapshotted (localCheckpoint + plan sever — the
+  * [[Dedup.connectedComponents]] pattern), so iters ~ 20+ no longer
+  * explodes analysis/codegen depth; at the default depths no snapshot
+  * fires and the whole plan stays ONE Spark job. The FINAL iterate is
+  * always snapshotted, which lets both operators unpersist their cached
+  * edge/node frames before returning — callers get a self-contained
+  * result and no cache residue accumulates across bench queries.
   *
   * Determinism (the catalog contract): all cross-row sums run in
   * fixed-point µ-units (1e-6, half-up via the `floor(x·1e6 + 0.5)`
@@ -38,6 +41,16 @@ object Graph {
     * [[Similarity.sqEncode]] spelling). */
   private def micro(x: Column): Column =
     floor(x * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** Eager lineage sever: localCheckpoint then rebuild over the
+    * checkpointed RDD (localCheckpoint alone carries the origin plan's
+    * constraints with stale attribute ids — the
+    * [[Dedup.connectedComponents]] lesson). Returns the severed frame and
+    * its RDD so superseded snapshots can be unpersisted deterministically. */
+  private def snapshot(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.localCheckpoint(true).rdd
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
 
   /** Semi-supervised label propagation (Zhou et al. 2004, "Learning with
     * Local and Global Consistency"): diffuse seed scores over a weighted
@@ -84,9 +97,14 @@ object Graph {
     *               edge list
     * @param nodes  one row per node; seedCol holds y (0.0 = unlabeled),
     *               round-6 in [0,1] (label scores — scale wider domains
-    *               down first; negative seeds would split the DIV
-    *               semantics between engines: Spark truncates, DuckDB
-    *               floors — identical only for non-negative operands)
+    *               down first). Negative seeds are REJECTED at execution
+    *               time (inline `raise_error`, no extra pass): Spark DIV
+    *               truncates toward zero while DuckDB `//` floors, so a
+    *               negative seed would silently desync engine and oracle
+    * @param checkpointEvery eagerly snapshot the iterate every this many
+    *               rounds (0 disables intermediate snapshots) — bounds
+    *               lineage/codegen depth for deep chains; values do not
+    *               change (the recurrence is already order-exact)
     * @return `nodes` with `outCol` appended (fµ/10^6, an
     *         exact-integer-derived double)
     */
@@ -101,24 +119,39 @@ object Graph {
       iters: Int = 2,
       alphaNumer: Long = 1L,
       alphaDenom: Long = 2L,
-      outCol: String = "score"
+      outCol: String = "score",
+      checkpointEvery: Int = 8
   ): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(alphaDenom > 0 && alphaNumer >= 0 && alphaNumer <= alphaDenom,
       s"alpha must be a rational in [0,1], got $alphaNumer/$alphaDenom")
     require(alphaDenom <= 1000L,
       s"alphaDenom > 1000 erodes the µ-unit resolution of the blend, got $alphaDenom")
+    require(checkpointEvery >= 0, s"checkpointEvery must be >= 0, got $checkpointEvery")
     require(!nodes.columns.contains(outCol),
       s"labelPropagate writes column '$outCol'; nodes already has one — rename it first")
     val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
     val e = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), micro(w).as("__wu"))
       .filter(col("__wu") > 0L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = nodes.select(col(idCol).as("__id"),
-      micro(round(col(seedCol).cast("double"), 6)).as("__yu"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // negative seeds desync Spark DIV (truncates) vs DuckDB // (floors) —
+    // fail LOUDLY inside the same job, no validation pass added
+    val seed = round(col(seedCol).cast("double"), 6)
+    val guardedSeed = when(seed < 0.0, raise_error(concat(
+      lit(s"labelPropagate: seed column '$seedCol' must be non-negative " +
+        "(integer DIV semantics differ across engines for negative operands); got "),
+      seed.cast("string")))).otherwise(seed)
+    val base = nodes.select(col(idCol).as("__id"), micro(guardedSeed).as("__yu"))
     var scores = base.withColumn("__fu", col("__yu"))
-    (1 to iters).foreach { _ =>
+    var prevSnap: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    def sever(df: DataFrame): DataFrame = {
+      val (severed, rdd) = snapshot(df)
+      prevSnap.foreach(_.unpersist(blocking = false))
+      prevSnap = Some(rdd)
+      severed
+    }
+    (1 to iters).foreach { it =>
       val contrib = e
         .join(scores.select(col("__id").as("__dst"), col("__fu")), "__dst")
         .groupBy(col("__src"))
@@ -128,9 +161,15 @@ object Graph {
         .select(col("__id"), col("__yu"),
           expr(s"(${alphaNumer}L * coalesce(__num DIV __den, 0L) " +
             s"+ ${alphaDenom - alphaNumer}L * __yu) DIV ${alphaDenom}L").as("__fu"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        scores = sever(scores)
     }
+    // final sever: the returned frame no longer references `e`, so the
+    // cache can be released here instead of leaking across callers
+    val finalScores = sever(scores)
+    e.unpersist(blocking = false)
     nodes.join(
-      scores.select(col("__id").as(idCol),
+      finalScores.select(col("__id").as(idCol),
         (col("__fu").cast("double") / lit(1000000.0)).as(outCol)),
       Seq(idCol))
   }
@@ -169,6 +208,10 @@ object Graph {
     * those rows contribute nothing and everyone's floor is (1-d); the
     * centrality ORDER, which is what selection consumes, is unaffected.
     *
+    * Lineage depth is bounded by `checkpointEvery` (see
+    * [[labelPropagate]]); the final ranks are severed and the cached
+    * node/probability frames unpersisted before returning.
+    *
     * @param edges directed (srcCol, dstCol, weightCol)
     * @return one row per node appearing as src or dst: (`id`, `outCol`),
     *         `outCol` = rµ/10^6 (an exact-integer-derived double)
@@ -181,19 +224,21 @@ object Graph {
       iters: Int = 2,
       dampingNumer: Long = 17L,
       dampingDenom: Long = 20L,
-      outCol: String = "rank"
+      outCol: String = "rank",
+      checkpointEvery: Int = 8
   ): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingDenom > 0 && dampingNumer >= 0 && dampingNumer <= dampingDenom,
       s"damping must be a rational in [0,1], got $dampingNumer/$dampingDenom")
     require(dampingDenom <= 1000L,
       s"dampingDenom > 1000 erodes the µ-unit resolution of (1-d), got $dampingDenom")
+    require(checkpointEvery >= 0, s"checkpointEvery must be >= 0, got $checkpointEvery")
     val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
     val raw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), micro(w).as("__wu"))
     val nodes = raw.select(col("__src").as("__id"))
       .union(raw.select(col("__dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val e = raw.filter(col("__wu") > 0L)
     val outw = e.groupBy(col("__src")).agg(sum(col("__wu")).as("__outwu"))
     // per-edge transition prob, round-6 then µ-encoded: the stored edge
@@ -201,11 +246,18 @@ object Graph {
     val p = e.join(outw, "__src")
       .select(col("__src"), col("__dst"),
         micro(round(col("__wu").cast("double") / col("__outwu").cast("double"), 6)).as("__pu"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val baseNumer = (dampingDenom - dampingNumer) * 1000000000000L
     val divDenom = dampingDenom * 1000000L
     var ranks = nodes.withColumn("__ru", lit(1000000L))
-    (1 to iters).foreach { _ =>
+    var prevSnap: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    def sever(df: DataFrame): DataFrame = {
+      val (severed, rdd) = snapshot(df)
+      prevSnap.foreach(_.unpersist(blocking = false))
+      prevSnap = Some(rdd)
+      severed
+    }
+    (1 to iters).foreach { it =>
       val contrib = p
         .join(ranks.select(col("__id").as("__src"), col("__ru")), "__src")
         .groupBy(col("__dst"))
@@ -215,8 +267,13 @@ object Graph {
         .select(col("__id"),
           expr(s"(${baseNumer}L + ${dampingNumer}L * coalesce(__num, 0L)) DIV ${divDenom}L")
             .as("__ru"))
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 && it < iters)
+        ranks = sever(ranks)
     }
-    ranks.select(col("__id").as("id"),
+    val finalRanks = sever(ranks)
+    p.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    finalRanks.select(col("__id").as("id"),
       (col("__ru").cast("double") / lit(1000000.0)).as(outCol))
   }
 }

@@ -76,9 +76,13 @@ object UnicodeNormalize {
       val sb = new java.lang.StringBuilder(d.length)
       var i = 0
       while (i < d.length) {
-        val c = d.charAt(i)
-        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-        i += 1
+        // iterate by code point: supplementary-plane combining marks
+        // (e.g. Adlam U+1E944) are surrogate pairs whose per-char type is
+        // SURROGATE, so a char loop would keep them — utf8proc (DuckDB's
+        // strip_accents) strips at codepoint level
+        val cp = d.codePointAt(i)
+        if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
       }
       sb.toString
     }

@@ -1392,6 +1392,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rational"), e2.getMessage)
   }
 
+  test("graph recurrences: deep iters with checkpointEvery match unchunked; negative seeds rejected") {
+    import graft.operators.Graph
+    val edges = Seq((2L, 1L, 1.0), (3L, 2L, 0.5), (1L, 3L, 0.8)).toDF("src", "dst", "cosine")
+    val nodes = Seq((1L, 1.0), (2L, 0.0), (3L, 0.25)).toDF("id", "seed")
+    // snapshotting is value-transparent: 20 rounds chunked every 4 equals
+    // the same 20 rounds with snapshots disabled (and completes without
+    // analysis/codegen-depth blowup — the knob's whole point)
+    val chunked = Graph.labelPropagate(edges, nodes, "id", "seed",
+        iters = 20, checkpointEvery = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    val unchunked = Graph.labelPropagate(edges, nodes, "id", "seed",
+        iters = 20, checkpointEvery = 0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(chunked == unchunked, s"$chunked vs $unchunked")
+    val prChunked = Graph.pagerankCentrality(edges, iters = 20, checkpointEvery = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    val prUnchunked = Graph.pagerankCentrality(edges, iters = 20, checkpointEvery = 0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(prChunked == prUnchunked, s"$prChunked vs $prUnchunked")
+    // negative seed fails LOUDLY (engines disagree on DIV for negatives)
+    val neg = intercept[Exception] {
+      Graph.labelPropagate(edges, Seq((1L, -0.5), (2L, 0.0), (3L, 0.0)).toDF("id", "seed"),
+        "id", "seed", iters = 1).collect()
+    }
+    assert(neg.getMessage != null && neg.getMessage.contains("non-negative"),
+      s"${neg.getMessage}")
+  }
+
   test("pagerankCentrality: symmetric cycle stationary at 1, chain hand-checked, rational guard") {
     import graft.operators.Graph
     // 2-cycle with equal weights is the stationary point: every round maps
@@ -1534,6 +1562,16 @@ class OperatorsSpec extends AnyFunSuite {
     // interpreted run() agrees with the codegen'd projection above
     assert(graft.sparkext.UnicodeNormalize.run(decomposed, "NFC", false) == composed)
     assert(graft.sparkext.UnicodeNormalize.run(composed, "NFC", true) == "cafe")
+    // supplementary-plane combining marks strip too (codepoint iteration —
+    // utf8proc parity): Adlam YEELO + combining Adlam mark U+1E944 (Mn),
+    // both surrogate pairs in UTF-16
+    val adlam = new String(Character.toChars(0x1E90D)) + new String(Character.toChars(0x1E944))
+    assert(graft.sparkext.UnicodeNormalize.run(adlam, "NFC", true) ==
+      new String(Character.toChars(0x1E90D)))
+    // and base astral chars (non-Mn) are preserved intact, not split
+    val gothic = new String(Character.toChars(0x10330))
+    assert(graft.sparkext.UnicodeNormalize.run(gothic + composed, "NFC", true) ==
+      gothic + "cafe")
     val e = intercept[IllegalArgumentException] {
       TextClean.normalizeUnicode(col("t"), "NFX")
     }
