@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every catalog query against
   * `SPARK_GRAFT_SF_DIR`, forcing full materialization through the `noop`
@@ -61,7 +61,16 @@ import org.apache.spark.sql.SparkSession
   * Streaming queries (micro-batch + state-store overhead, AQE off) are
   * also split out: `total_batch` / `total_streaming`, so relational perf
   * trends aren't drowned by micro-batch noise (q75 alone ballooned
-  * 6.8 s → 38 s under the r07 contention). */
+  * 6.8 s → 38 s under the r07 contention).
+  *
+  * IN-ARTIFACT ADJUDICATION (round 15): flagged queries (outliers ∪
+  * mini-lane suspects) are automatically re-timed after the main loop
+  * once the load and the mini lane decay back to idle; the artifact
+  * stamps both values (`adjudications` map: `timed` / `adjudicated` /
+  * `adj_mini` / `folded`) and folds the clean retime into every total
+  * and per-query field, so the artifact of record clears its own
+  * contention without out-of-band reruns. Retimes taken under a
+  * still-fired lane are NOT folded and the query stays in `suspects`. */
 object Bench {
 
   /** Structured-streaming catalog queries: timed like everything else but
@@ -221,6 +230,20 @@ object Bench {
       }
     }
     spark.catalog.clearCache()
+    // Harder first-query warm (round 15, judge item 1): q01/q02 opened
+    // every sbt-launched run as mini-lane suspects — the JVM/sbt startup
+    // burst is still decaying when the first measurements start, because
+    // the warm-up pass above runs in map order (q01 is warmed early, then
+    // ~150 queries of other work age its JIT state out of the hot caches).
+    // Re-warm the first TIMED query immediately before the loop and wait
+    // (bounded) for the mini lane to read clean before sampling anything.
+    val firstTimed = selected.toSeq.sortBy(_._1).headOption
+    firstTimed.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] re-warm of $name failed: ${e.getMessage}") }
+    }
+    spark.catalog.clearCache()
     // Per-query contention stamp (round 13, judge item 3): a cheap mini
     // parallel calibration lane (~0.1 s idle, ~11 s over 114 queries) runs
     // BEFORE each query's 3 reps. When external load steals cores mid-run,
@@ -235,14 +258,13 @@ object Bench {
     // well below the 0.7-1.4 s band observed under real external load.
     val miniIdle =
       sys.env.getOrElse("SPARK_GRAFT_CALIBRATION_MINI_IDLE_SEC", "0.25").toDouble
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val mini = graft.util.Calibration.miniLane(spark, cpus.toInt)
-      // median-of-3 timed runs: single-machine runs are noisy (GC, thread
-      // scheduling) with a ±3x per-query band observed across rounds;
-      // best-of-N under-reports systematically while the median is robust
-      // to a single outlier in either direction. The min is kept as a
-      // secondary field (the low-noise-floor estimate). A crashed query
-      // records -1, never a bogus near-zero "fast" time.
+    // median-of-3 timed runs: single-machine runs are noisy (GC, thread
+    // scheduling) with a ±3x per-query band observed across rounds;
+    // best-of-N under-reports systematically while the median is robust
+    // to a single outlier in either direction. The min is kept as a
+    // secondary field (the low-noise-floor estimate). A crashed query
+    // records -1, never a bogus near-zero "fast" time.
+    def timeQuery(name: String, fn: (SparkSession, String) => DataFrame): (Double, Double) = {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -257,37 +279,34 @@ object Bench {
       }
       val good = times.filter(_ >= 0).sorted
       // size/2 = true median for 3 good runs; the (pessimistic) upper of 2
-      (name,
-        if (good.nonEmpty) good(good.size / 2) else -1.0,
-        if (good.nonEmpty) good.head else -1.0,
-        mini)
+      (if (good.nonEmpty) good(good.size / 2) else -1.0,
+        if (good.nonEmpty) good.head else -1.0)
+    }
+    // ... and hold the start of measurement until the mini lane itself
+    // reads clean (the startup burst shows up there first)
+    val warmWaitMax = sys.env.getOrElse("SPARK_GRAFT_WARM_WAIT_SEC", "60").toInt
+    var warmWaited = 0
+    while (warmWaited < warmWaitMax &&
+        graft.util.Calibration.miniLane(spark, cpus.toInt) > 2.0 * miniIdle) {
+      Thread.sleep(5000)
+      warmWaited += 5
+    }
+    if (warmWaited > 0)
+      System.err.println(s"[bench] waited ${warmWaited}s for a clean mini lane before timing")
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val mini = graft.util.Calibration.miniLane(spark, cpus.toInt)
+      val (med, best) = timeQuery(name, fn)
+      (name, med, best, mini)
     }
     // queries whose pre-query mini lane fired: distrust THESE, not the run
-    val suspects = results.collect {
+    val timedSuspects = results.collect {
       case (name, _, _, mini) if mini > 2.0 * miniIdle => (name, mini)
     }
-    if (suspects.nonEmpty)
+    if (timedSuspects.nonEmpty)
       System.err.println(
-        f"[bench] WARNING: ${suspects.size} queries measured under contention " +
+        f"[bench] WARNING: ${timedSuspects.size} queries measured under contention " +
           f"(mini lane > 2x idle ref $miniIdle%.2fs): " +
-          suspects.map { case (n, m) => f"$n $m%.2fs" }.mkString(", "))
-    // -1 crash markers stay visible per-query but must not subtract from
-    // (or be hidden inside) the total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val totalStreaming =
-      results.filter(r => StreamingQueries(r._1)).map(_._2).filter(_ >= 0).sum
-    // batch-engine health metric (round 13, judge item 7): the streaming
-    // queries' local wall time is micro-batch scheduling + state-store
-    // overhead, not relational execution (q75 alone is ~3 s of trigger
-    // latency at ANY sf) — so the 2x perf gate should track total_batch;
-    // total keeps both for continuity but the artifact now says which
-    // number is the scale signal.
-    val totalBatch = total - totalStreaming
-    val tsEnd = System.currentTimeMillis() / 1000
-    // self-load, NOT box contention: the bench's own 32 threads drive this
-    // to 7-10 even on an idle machine (see the header doc)
-    val loadEnd = osBean.getSystemLoadAverage
-    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+          timedSuspects.map { case (n, m) => f"$n $m%.2fs" }.mkString(", "))
     // per-query outlier self-diff vs a clean reference artifact: defaults
     // to the repo-committed idle-box reference so the driver's per-round
     // artifact names its own suspects without any env setup; refTimes
@@ -300,16 +319,99 @@ object Bench {
     // query below, so "outliers: []" can never read as all-clean while the
     // check was dead (it was, silently, for all of round 12).
     val refParseFailed = ref.isEmpty
-    val outliers = results.collect {
-      case (name, med, _, _)
-          if med >= 0 && ref.get(name.takeWhile(_ != '_')).exists(r =>
-            r > 0 && med > 3.0 * r && med - r > 0.5) =>
+    def isOutlier(name: String, med: Double): Boolean =
+      med >= 0 && ref.get(name.takeWhile(_ != '_')).exists(r =>
+        r > 0 && med > 3.0 * r && med - r > 0.5)
+    val timedOutliers = results.collect {
+      case (name, med, _, _) if isOutlier(name, med) =>
         (name, med, ref(name.takeWhile(_ != '_')))
     }
-    if (outliers.nonEmpty)
+    if (timedOutliers.nonEmpty)
       System.err.println(
-        s"[bench] WARNING: ${outliers.size} queries >3x their reference: " +
-          outliers.map { case (n, m, r) => f"$n $m%.2fs (ref $r%.2fs)" }.mkString(", "))
+        s"[bench] WARNING: ${timedOutliers.size} queries >3x their reference: " +
+          timedOutliers.map { case (n, m, r) => f"$n $m%.2fs (ref $r%.2fs)" }.mkString(", "))
+    // IN-ARTIFACT ADJUDICATION (round 15, judge item 1): every round's
+    // artifact of record carried contention-flagged values that were only
+    // adjudicated clean in out-of-band targeted reruns recorded in
+    // BASELINE.md. The adjudication machinery now lives HERE: after the
+    // main loop, every outlier/suspect is re-timed once the load has
+    // decayed and the mini lane reads clean again; the artifact stamps the
+    // original (`timed`) and the retime (`adjudicated`) side by side and
+    // says which one was folded into the totals. A retime taken under a
+    // still-fired mini lane is NOT folded — the query stays a suspect.
+    // Cap (SPARK_GRAFT_ADJ_MAX): a fully contaminated run flags dozens of
+    // queries; re-timing them all would double the run, and a run that
+    // broad is discard-and-rerun territory anyway — skipped names are
+    // stamped so nothing silently goes unadjudicated.
+    val flagged = (timedOutliers.map(_._1) ++ timedSuspects.map(_._1)).distinct.sorted
+    val adjMax = sys.env.getOrElse("SPARK_GRAFT_ADJ_MAX", "24").toInt
+    val adjWaitMax = sys.env.getOrElse("SPARK_GRAFT_ADJ_WAIT_SEC", "120").toInt
+    val (toAdjudicate, adjSkipped) = flagged.splitAt(adjMax)
+    var adjWaited = 0
+    if (toAdjudicate.nonEmpty) {
+      System.err.println(s"[bench] adjudicating ${toAdjudicate.size} flagged queries: " +
+        toAdjudicate.mkString(", "))
+      while (adjWaited < adjWaitMax &&
+          (osBean.getSystemLoadAverage > loadStartMax0 ||
+            graft.util.Calibration.miniLane(spark, cpus.toInt) > 2.0 * miniIdle)) {
+        Thread.sleep(10000)
+        adjWaited += 10
+      }
+      if (adjWaited > 0)
+        System.err.println(s"[bench] waited ${adjWaited}s for load/lane decay before adjudicating")
+    }
+    val byName = selected
+    // name -> (adjudicated median, adjudication-lane mini, folded?)
+    val adjudications: Seq[(String, Double, Double, Boolean)] = toAdjudicate.map { name =>
+      val mini = graft.util.Calibration.miniLane(spark, cpus.toInt)
+      val (med, _) = timeQuery(name, byName(name))
+      val clean = mini <= 2.0 * miniIdle && med >= 0
+      if (!clean)
+        System.err.println(f"[bench] adjudication of $name itself ran under contention " +
+          f"(mini $mini%.2fs) — keeping the original timing, query stays flagged")
+      (name, med, mini, clean)
+    }
+    val adjByName = adjudications.map(a => a._1 -> a).toMap
+    // folded per-query values: the adjudicated median where the retime's
+    // lane was clean, the original otherwise; `lane` carries the mini of
+    // whichever measurement was folded (it drives the final suspect list)
+    val folded = results.map { case (name, med, best, mini) =>
+      adjByName.get(name) match {
+        case Some((_, amed, amini, true)) =>
+          (name, amed, math.min(if (best >= 0) best else amed, amed), amini)
+        case _ => (name, med, best, mini)
+      }
+    }
+    val suspects = folded.collect {
+      case (name, _, _, lane) if lane > 2.0 * miniIdle => (name, lane)
+    }
+    val outliers = folded.collect {
+      case (name, med, _, _) if isOutlier(name, med) =>
+        (name, med, ref(name.takeWhile(_ != '_')))
+    }
+    if (outliers.nonEmpty || suspects.nonEmpty)
+      System.err.println(
+        s"[bench] after adjudication: ${outliers.size} outliers " +
+          s"(${outliers.map(_._1).mkString(",")}), ${suspects.size} suspects " +
+          s"(${suspects.map(_._1).mkString(",")})")
+    // -1 crash markers stay visible per-query but must not subtract from
+    // (or be hidden inside) the total
+    val total = folded.map(_._2).filter(_ >= 0).sum
+    val totalTimed = results.map(_._2).filter(_ >= 0).sum
+    val totalStreaming =
+      folded.filter(r => StreamingQueries(r._1)).map(_._2).filter(_ >= 0).sum
+    // batch-engine health metric (round 13, judge item 7): the streaming
+    // queries' local wall time is micro-batch scheduling + state-store
+    // overhead, not relational execution (q75 alone is ~3 s of trigger
+    // latency at ANY sf) — so the 2x perf gate should track total_batch;
+    // total keeps both for continuity but the artifact now says which
+    // number is the scale signal.
+    val totalBatch = total - totalStreaming
+    val tsEnd = System.currentTimeMillis() / 1000
+    // self-load, NOT box contention: the bench's own 32 threads drive this
+    // to 7-10 even on an idle machine (see the header doc)
+    val loadEnd = osBean.getSystemLoadAverage
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // freshness guard (round-10): a query the reference has never seen
     // gets NO outlier check — silently, which reads as "all clean" when
     // it's really "not checked". Stamp the unchecked names so a stale
@@ -330,13 +432,21 @@ object Bench {
     val shortKeys = results.map { case (k, _, _, _) => k.takeWhile(_ != '_') }
     require(shortKeys.distinct.size == shortKeys.size,
       "catalog qNN prefixes must stay unique — the compact bench line keys on them")
-    val qsFull = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    // per-query values are the FOLDED ones (adjudicated where a clean
+    // retime exists); the adjudications map below preserves both sides
+    val qsFull = folded.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val bestFull = results.map { case (k, _, best, _) => "\"" + k + "\":" + best }
+    val bestFull = folded.map { case (k, _, best, _) => "\"" + k + "\":" + best }
       .mkString("{", ",", "}")
-    // full-file only: the mini lane observed before each query, for forensics
+    // full-file only: the mini lane observed before each query's ORIGINAL
+    // timing, for forensics (adjudication lanes live in `adjudications`)
     val miniFull = results.map { case (k, _, _, mini) => "\"" + k + "\":" + fmt(mini) }
       .mkString("{", ",", "}")
+    val timedByName = results.map(r => r._1 -> r._2).toMap
+    val adjudicationsFull = adjudications.map { case (n, amed, amini, clean) =>
+      s""""$n":{"timed":${timedByName(n)},"adjudicated":$amed,""" +
+        s""""adj_mini":${fmt(amini)},"folded":"${if (clean) "adjudicated" else "timed"}"}"""
+    }.mkString("{", ",", "}")
     // environment-evidence fields shared by both lines: a contaminated run
     // must be self-identifying wherever it is read
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -362,6 +472,7 @@ object Bench {
     // in the FULL file only (round 14: 134 queries pushed the compact line
     // past the driver's 2000-char tail capture — the contention VERDICT
     // fields all stay, the config echoes go)
+    val adjClean = adjudications.count(_._4)
     val envFieldsCompact =
       s""""load_avg_start":${fmt(loadStart)},"load_wait_sec":$loadWaited,""" +
         s""""calibration_sec":${fmt(calibrationSec)},""" +
@@ -369,10 +480,12 @@ object Bench {
         s""""contaminated":$contaminated,""" +
         s""""contaminated_by":${strArr(contaminatedBy)},""" +
         s""""ref_n":${ref.size},"ref_parse_failed":$refParseFailed,""" +
+        s""""adj_n":${adjudications.size},"adj_clean":$adjClean,""" +
         s""""total_batch":${fmt(totalBatch)},"total_streaming":${fmt(totalStreaming)}"""
     val envFieldsFull =
       s""""load_avg_start":${fmt(loadStart)},"load_avg_pre_warmup":${fmt(loadPreWarmup)},""" +
         s""""load_avg_end":${fmt(loadEnd)},"load_wait_sec":$loadWaited,""" +
+        s""""warm_wait_sec":$warmWaited,""" +
         s""""ts_start":$tsStart,"ts_end":$tsEnd,""" +
         s""""calibration_sec":${fmt(calibrationSec)},""" +
         s""""calibration_idle_ref":${fmt(calibrationIdle)},""" +
@@ -381,6 +494,8 @@ object Bench {
         s""""contaminated":$contaminated,""" +
         s""""contaminated_by":${strArr(contaminatedBy)},""" +
         s""""ref_n":${ref.size},"ref_parse_failed":$refParseFailed,""" +
+        s""""adjudications":$adjudicationsFull,"adj_wait_sec":$adjWaited,""" +
+        s""""adj_skipped":${strArr(adjSkipped)},"total_timed":${fmt(totalTimed)},""" +
         s""""total_batch":${fmt(totalBatch)},"total_streaming":${fmt(totalStreaming)}"""
     // "queries" are MEDIANS (round 7 on); best-of-3 rides along in the full
     // file only — the compact stdout line must stay inside the driver's
@@ -388,7 +503,7 @@ object Bench {
     // -> 1 decimals) as the catalog grows; 1 decimal is still far inside
     // the 3x outlier band any reader of this line could care about.
     def shortLine(decimals: Int): String = {
-      val q = results.map { case (k, med, _, _) =>
+      val q = folded.map { case (k, med, _, _) =>
         "\"" + k.takeWhile(_ != '_') + "\":" +
           s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, med)
       }.mkString("{", ",", "}")
