@@ -564,21 +564,255 @@ object Similarity {
 
   // --------------------------------------------------------------------- pca
 
+  /** Driver-side twin of Spark's `round(col, 6)` on DOUBLE: Spark's Round
+    * goes through the decimal STRING representation
+    * (`BigDecimal.valueOf(d)`), not the exact binary value — the two can
+    * disagree when the shortest decimal repr lands exactly on a 6th-place
+    * midpoint. The fold path must match the explode path's in-plan
+    * `round`, so it uses this, never `scaleRound`, for per-term rounding. */
+  private def sparkRound6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** µ-units (1e6-scaled long) of `round(t, 6)` under Spark semantics,
+    * allocation-free off midpoints: away from a .5 boundary by more than
+    * the worst combined repr discrepancy (~2.4e-7 for |t·1e6| < 1e9,
+    * band 1e-4), exact-binary and decimal-string rounding agree and a
+    * plain `rint` decides; only near-midpoint terms pay the BigDecimal. */
+  private def termMicro(t: Double): Long = {
+    val p = t * 1e6
+    if (p > -1e9 && p < 1e9) {
+      val c = java.lang.Math.rint(p)
+      val d = p - c
+      if (d > -0.4999 && d < 0.4999) return c.toLong
+    }
+    slowTermMicro(t)
+  }
+
+  private def slowTermMicro(t: Double): Long = {
+    // the explode path computes round(t, 6) as a DOUBLE then re-scales it
+    // ([[graft.sparkext.DoubleToScaled.scaleRound]]); that composition
+    // equals the direct 6-decimal integer only while the rounded double's
+    // half-ulp stays under 0.5 µ-units — |t| < ~4500. Embedding-covariance
+    // terms are O(1); anything bigger is a broken input, not a code path.
+    require(java.lang.Double.isFinite(t) && math.abs(t) < 4.5e3,
+      s"pca covariance term $t out of the exact-rounding domain (|t| < 4500) — " +
+        "normalize the embedding scale first")
+    java.math.BigDecimal.valueOf(t).setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+  }
+
+  /** hi/lo-split long accumulator pair — the [[graft.sparkext.DoubleToScaled.exactSum]]
+    * decomposition (`v = (v >> 20)·2^20 + (v & (2^20−1))`, arithmetic
+    * shift so it holds for negatives): each lane grows 2^20× slower than
+    * a naive long sum, exact through ~1e13 rows, recombined once in
+    * BigInteger. */
+  private def hiLoToDouble(hi: Long, lo: Long): Double =
+    new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(hi).shiftLeft(20)
+        .add(java.math.BigInteger.valueOf(lo)))
+      .movePointLeft(6).doubleValue
+
+  private final val LoMask = (1L << 20) - 1
+
+  /** Per-partition partial of the fold means pass. `dim = -1` marks an
+    * empty partition; `ragged` any row whose width differs. */
+  private final case class MeanPartial(
+      dim: Int, hi: Array[Long], lo: Array[Long], cnt: Array[Long], ragged: Boolean)
+
+  /** Per-dimension means and centered covariance of a single-column
+    * (`v array<double>`) frame — round-6, exact-decimal cross-row sums,
+    * BIT-IDENTICAL across both strategies:
+    *
+    *  - explode (`useFold = false`): declarative posexplode + hash-agg,
+    *    `exactSum` per cell — dim² intermediate rows per input row. The
+    *    catalog path (dim = 64), whole plan stays in Spark SQL.
+    *  - fold (`useFold = true`): `mapPartitions` accumulating the dim²
+    *    outer product into hi/lo long arrays (one pair per partition,
+    *    tree-reduced), per-term rounding via [[termMicro]] (Spark `round`
+    *    semantics), per-element scaling via the SAME `scaleRound` the
+    *    explode path's `exactSum` uses. dim² multiply-adds per row, no
+    *    row explosion — the production-dim (≥ 768) path where the explode
+    *    is a ~590k-rows-per-vector constant-factor wall.
+    *
+    * Both paths REJECT ragged, null-element, and non-finite-element
+    * corpora loudly (a NaN/Inf element would silently drop out of the
+    * decimal sums and bias the moments). Symmetry: the fold computes the
+    * upper triangle and mirrors — `(xi−mi)·(xj−mj)` is the same IEEE
+    * multiply both ways. */
+  private[graft] def pcaMoments(
+      vecs: DataFrame,
+      n: Long,
+      maxDim: Int,
+      useFold: Boolean
+  ): (Seq[Double], Array[Array[Double]]) = {
+    if (!useFold) {
+      val finite = !isnan(col("x")) &&
+        col("x") > lit(Double.NegativeInfinity) && col("x") < lit(Double.PositiveInfinity)
+      val meanRows = vecs
+        .select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(round(graft.sparkext.DoubleToScaled.exactSum(col("x"), 6) / lit(n.toDouble), 6)
+          .as("m"),
+          count(when(finite, lit(1))).as("cnt"))
+        .limit(maxDim + 1).collect()
+      require(meanRows.length <= maxDim,
+        s"pcaTopComponent saw ${meanRows.length} dimensions > maxDim=$maxDim — raise it " +
+          "deliberately (the covariance collect is dim^2 rows)")
+      val byDim = meanRows.map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+      require(byDim.map(_._1).toSeq == byDim.indices.toSeq && byDim.forall(_._3 == n),
+        "pcaTopComponent: dimensions must be dense 0..dim-1 with every vector the same " +
+          "length (ragged, null-element, or non-finite-element vectors in the corpus)")
+      val means = byDim.map(_._2).toSeq
+      val dim = means.size
+      val mlit = typedLit(means)
+      val contrib = round(
+        (col("xi") - element_at(mlit, col("i") + 1)) *
+          (col("xj") - element_at(mlit, col("j") + 1)), 6)
+      val covRows = vecs
+        .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+        .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+        .select(col("i"), col("j"), contrib.as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(round(graft.sparkext.DoubleToScaled.exactSum(col("p"), 6) / lit(n.toDouble), 6)
+          .as("c"))
+        .collect()
+      require(covRows.length == dim * dim,
+        s"pcaTopComponent covariance collected ${covRows.length} cells, expected ${dim * dim}")
+      val cov = Array.ofDim[Double](dim, dim)
+      covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      (means, cov)
+    } else {
+      import vecs.sparkSession.implicits._
+      // null vectors become a 1-wide NaN row (caught as ragged/non-finite);
+      // null ELEMENTS become NaN (caught by the finite count) — the
+      // Array[Double] encoder would otherwise NPE with no diagnosis
+      val shielded = vecs.select(
+        coalesce(
+          transform(col("v"), x => coalesce(x, lit(Double.NaN))),
+          array(lit(Double.NaN))).as("v"))
+        .as[Array[Double]]
+      val rdd = shielded.rdd
+      // ---- pass 1: per-dim scaled sums + finite counts ------------------
+      val mp = rdd.mapPartitions { it =>
+        var dim = -1
+        var hi: Array[Long] = null
+        var lo: Array[Long] = null
+        var cnt: Array[Long] = null
+        var ragged = false
+        while (it.hasNext) {
+          val v = it.next()
+          if (dim == -1) {
+            dim = v.length
+            require(dim <= maxDim,
+              s"pcaTopComponent saw a $dim-wide vector > maxDim=$maxDim — raise it " +
+                "deliberately (the covariance collect is dim^2 cells)")
+            hi = new Array[Long](dim); lo = new Array[Long](dim); cnt = new Array[Long](dim)
+          }
+          if (v.length != dim) ragged = true
+          else {
+            var i = 0
+            while (i < dim) {
+              val x = v(i)
+              if (java.lang.Double.isFinite(x)) {
+                cnt(i) += 1
+                val s = graft.sparkext.DoubleToScaled.scaleRound(x, 1e6)
+                hi(i) += s >> 20
+                lo(i) += s & LoMask
+              }
+              i += 1
+            }
+          }
+        }
+        Iterator.single(MeanPartial(dim, hi, lo, cnt, ragged))
+      }.treeReduce({ (a, b) =>
+        if (a.dim == -1) b
+        else if (b.dim == -1) a
+        else if (a.dim != b.dim) MeanPartial(a.dim, a.hi, a.lo, a.cnt, ragged = true)
+        else {
+          var i = 0
+          while (i < a.dim) {
+            a.hi(i) += b.hi(i); a.lo(i) += b.lo(i); a.cnt(i) += b.cnt(i); i += 1
+          }
+          a.copy(ragged = a.ragged || b.ragged)
+        }
+      }, depth = 2)
+      require(mp.dim >= 1 && !mp.ragged && mp.cnt.forall(_ == n),
+        "pcaTopComponent: dimensions must be dense 0..dim-1 with every vector the same " +
+          "length (ragged, null-element, or non-finite-element vectors in the corpus)")
+      val dim = mp.dim
+      val means = (0 until dim).map(i => sparkRound6(hiLoToDouble(mp.hi(i), mp.lo(i)) / n))
+      // ---- pass 2: centered outer-product fold (upper triangle) ---------
+      val m = means.toArray
+      val (covHi, covLo) = rdd.mapPartitions { it =>
+        val hi = new Array[Long](dim * dim)
+        val lo = new Array[Long](dim * dim)
+        val c = new Array[Double](dim)
+        while (it.hasNext) {
+          val v = it.next()
+          var i = 0
+          while (i < dim) { c(i) = v(i) - m(i); i += 1 }
+          i = 0
+          while (i < dim) {
+            val ci = c(i)
+            var j = i
+            while (j < dim) {
+              val t = termMicro(ci * c(j))
+              val k = i * dim + j
+              hi(k) += t >> 20
+              lo(k) += t & LoMask
+              j += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.single((hi, lo))
+      }.treeReduce({ (a, b) =>
+        var k = 0
+        while (k < a._1.length) { a._1(k) += b._1(k); a._2(k) += b._2(k); k += 1 }
+        a
+      }, depth = 2)
+      val cov = Array.ofDim[Double](dim, dim)
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          val cell = sparkRound6(hiLoToDouble(covHi(i * dim + j), covLo(i * dim + j)) / n)
+          cov(i)(j) = cell
+          cov(j)(i) = cell
+          j += 1
+        }
+        i += 1
+      }
+      (means, cov)
+    }
+  }
+
   /** Top principal component of an embedding corpus by distributed power
     * iteration — the spectral step behind embedding whitening, ABTT-style
     * dominant-direction removal, and 1-D spectral ordering of a corpus.
     *
     * Scale shape: ONE pass computes per-dimension means (shuffle = dim
-    * rows), ONE pass the centered covariance (per row, the dim² outer
-    * product explodes map-side and hash-aggregates on (i, j) — shuffle =
-    * dim² rows, corpus-size independent, map-side combined). Only the
-    * dim² matrix is collected (LOUD `maxDim` guard — the k-centroid house
+    * rows), ONE pass the centered covariance — at catalog dims via the
+    * declarative dim² explode (map-side posexplode² hash-aggregating on
+    * (i, j), shuffle = dim² rows), and ABOVE `foldAboveDim` via a
+    * `mapPartitions` long-accumulator outer-product fold (one dim²
+    * hi/lo-long array per partition, tree-reduced — shuffle = a handful
+    * of dim²-long partials, no per-cell row explosion). The explode costs
+    * dim² intermediate ROWS per input row, which at production dim = 768
+    * is ~590k rows per vector — a constant-factor wall; the fold costs
+    * dim² long multiply-adds per row and is BIT-IDENTICAL by construction
+    * (per-term round-6 replicates Spark's `round`, per-element scaling is
+    * the same [[graft.sparkext.DoubleToScaled.scaleRound]], recombination
+    * the same hi/lo decimal — pinned by OperatorsSpec). Only the dim²
+    * matrix is collected (LOUD `maxDim` guard — the k-centroid house
     * rule); the power rounds run on the driver over that matrix, and the
-    * per-row projection is a [[dot]] against the returned literal. The
-    * dim² explode costs dim²/row map-side — linear in corpus size; at
-    * production dim (≥ 768) fold the outer product in a `mapPartitions`
-    * long-accumulator pass instead (same µ-unit determinism, constant
-    * factor only — the plan shape here stays the contract).
+    * per-row projection is a [[dot]] against the returned literal.
+    * Measured (PcaProbe, local[8]): fold beats explode at EVERY real dim —
+    * 10.9× at dim=64, 44.8× at 256, 74.1× at 768, per-row-flat — so the
+    * default folds from dim > 32 up; the explode path stays as the
+    * declarative cross-check the bit-identity spec pins against.
     *
     * Determinism (oracle-replayable end to end): every cross-row sum runs
     * through the exact decimal adder ([[graft.sparkext.DoubleToScaled.exactSum]]);
@@ -593,7 +827,8 @@ object Similarity {
       corpus: DataFrame,
       vecCol: String,
       iters: Int = 2,
-      maxDim: Int = 256
+      maxDim: Int = 256,
+      foldAboveDim: Int = 32
   ): (Seq[Double], Seq[Double]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(maxDim >= 1 && maxDim <= 1024,
@@ -601,38 +836,11 @@ object Similarity {
     val n = corpus.count()
     require(n > 0, "pcaTopComponent: corpus is empty")
     val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
-    val meanRows = vecs
-      .select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(round(graft.sparkext.DoubleToScaled.exactSum(col("x"), 6) / lit(n.toDouble), 6)
-        .as("m"),
-        count(lit(1)).as("cnt"))
-      .limit(maxDim + 1).collect()
-    require(meanRows.length <= maxDim,
-      s"pcaTopComponent saw ${meanRows.length} dimensions > maxDim=$maxDim — raise it " +
-        "deliberately (the covariance collect is dim^2 rows)")
-    val byDim = meanRows.map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
-    require(byDim.map(_._1).toSeq == byDim.indices.toSeq && byDim.forall(_._3 == n),
-      "pcaTopComponent: dimensions must be dense 0..dim-1 with every vector the same " +
-        "length (ragged or null-element vectors in the corpus)")
-    val means = byDim.map(_._2).toSeq
+    // strategy probe: one row's width decides explode vs fold (a limit-1
+    // job — the guards inside both paths still validate EVERY row)
+    val probeDim = vecs.select(coalesce(size(col("v")), lit(0)).as("d")).head().getInt(0)
+    val (means, cov) = pcaMoments(vecs, n, maxDim, useFold = probeDim > foldAboveDim)
     val dim = means.size
-    val mlit = typedLit(means)
-    val contrib = round(
-      (col("xi") - element_at(mlit, col("i") + 1)) *
-        (col("xj") - element_at(mlit, col("j") + 1)), 6)
-    val covRows = vecs
-      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .select(col("i"), col("j"), contrib.as("p"))
-      .groupBy(col("i"), col("j"))
-      .agg(round(graft.sparkext.DoubleToScaled.exactSum(col("p"), 6) / lit(n.toDouble), 6)
-        .as("c"))
-      .collect()
-    require(covRows.length == dim * dim,
-      s"pcaTopComponent covariance collected ${covRows.length} cells, expected ${dim * dim}")
-    val cov = Array.ofDim[Double](dim, dim)
-    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // normalize after EVERY multiply (textbook power iteration): unscaled,

@@ -1392,6 +1392,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rational"), e2.getMessage)
   }
 
+  test("pcaMoments: fold path bit-identical to explode path; bad elements rejected by both") {
+    import graft.operators.Similarity
+    // irregular values spanning binary-exact, decimal-exact, and
+    // midpoint-adjacent magnitudes — 500 x 8 = 4000 elements, 500*36
+    // upper-triangle covariance terms through every rounding branch
+    val data = Seq.tabulate(500) { i =>
+      (i.toLong, Array.tabulate(8) { j =>
+        val k = i * 31 + j * 17
+        (k % 13) match {
+          case 0 => (k % 128) / 64.0 - 1.0          // binary-exact
+          case 1 => (k % 100) / 10.0 - 5.0          // decimal-exact
+          case 2 => (k % 2000001) / 2000000.0 - 0.5 // lands near .5 µ-midpoints
+          case _ => math.sin(k.toDouble) * 0.7      // irregular mantissas
+        }
+      })
+    }
+    val df = data.toDF("vec_id", "v").select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val vecs = df.select(col("v"))
+    val n = vecs.count()
+    val (meansE, covE) = Similarity.pcaMoments(vecs, n, 256, useFold = false)
+    val (meansF, covF) = Similarity.pcaMoments(vecs, n, 256, useFold = true)
+    assert(meansE == meansF, s"means diverge:\n$meansE\n$meansF")
+    for (i <- covE.indices; j <- covE.indices)
+      assert(covE(i)(j) == covF(i)(j),
+        s"cov($i)($j): explode ${covE(i)(j)} vs fold ${covF(i)(j)}")
+    // ... and so does the whole fitted component, partitioning-independent
+    val fitE = Similarity.pcaTopComponent(df, "v")
+    val fitF = Similarity.pcaTopComponent(df.repartition(7), "v", foldAboveDim = 0)
+    assert(fitE == fitF, s"$fitE vs $fitF")
+    // null elements / NaN elements fail LOUDLY on both paths
+    val bad = Seq((1L, Array[java.lang.Double](1.0, null)), (2L, Array[java.lang.Double](0.5, 0.25)))
+      .toDF("vec_id", "v").select(col("v").cast("array<double>").as("v"))
+    for (fold <- Seq(false, true)) {
+      val e = intercept[Exception] { Similarity.pcaMoments(bad, 2L, 256, useFold = fold) }
+      assert(e.getMessage.contains("non-finite"), s"fold=$fold: ${e.getMessage}")
+    }
+    val nan = Seq((1L, Array(1.0, Double.NaN)), (2L, Array(0.5, 0.25)))
+      .toDF("vec_id", "v").select(col("v").cast("array<double>").as("v"))
+    for (fold <- Seq(false, true)) {
+      val e = intercept[Exception] { Similarity.pcaMoments(nan, 2L, 256, useFold = fold) }
+      assert(e.getMessage.contains("non-finite"), s"fold=$fold: ${e.getMessage}")
+    }
+    // ragged corpora too (the fold flags width mismatches across rows)
+    val ragged = Seq((1L, Array(1.0, 2.0, 3.0)), (2L, Array(0.5, 0.25)))
+      .toDF("vec_id", "v").select(col("v").cast("array<double>").as("v"))
+    for (fold <- Seq(false, true)) {
+      val e = intercept[Exception] { Similarity.pcaMoments(ragged, 2L, 256, useFold = fold) }
+      assert(e.getMessage.contains("same"), s"fold=$fold: ${e.getMessage}")
+    }
+  }
+
   test("graph recurrences: deep iters with checkpointEvery match unchunked; negative seeds rejected") {
     import graft.operators.Graph
     val edges = Seq((2L, 1L, 1.0), (3L, 2L, 0.5), (1L, 3L, 0.8)).toDF("src", "dst", "cosine")
