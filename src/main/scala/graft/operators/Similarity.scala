@@ -840,36 +840,99 @@ object Similarity {
     // job — the guards inside both paths still validate EVERY row)
     val probeDim = vecs.select(coalesce(size(col("v")), lit(0)).as("d")).head().getInt(0)
     val (means, cov) = pcaMoments(vecs, n, maxDim, useFold = probeDim > foldAboveDim)
-    val dim = means.size
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // normalize after EVERY multiply (textbook power iteration): unscaled,
-    // the iterate shrinks like λ^t (λ ≈ per-dim variance, ~1e-2 on unit
-    // embeddings) and its round-6 SQUARES underflow to zero by round 2 —
-    // measured, which is why the unit step is inside the loop
+    (means, powerIterate(cov, iters))
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact decimal accumulation of round-6 terms — order-free, the
+    * driver-side twin of the in-plan exactSum (and the oracle's
+    * SUM(CAST(round(t, 6) AS DECIMAL))). */
+  private def exactSumR6(terms: IterableOnce[Double]): Double =
+    terms.iterator.foldLeft(java.math.BigDecimal.ZERO)((acc, t) =>
+      acc.add(java.math.BigDecimal.valueOf(t)
+        .setScale(6, java.math.RoundingMode.HALF_UP))).doubleValue
+
+  /** One power-iteration fit over a collected covariance matrix — the
+    * driver-side tail shared by [[pcaTopComponent]] and the deflation
+    * loop of [[pcaTopComponents]]. v₀ = all-ones fixes the sign; every
+    * emitted coefficient is round-6; all cross-dim sums are exact-decimal
+    * adds of round-6 terms (oracle-replayable).
+    *
+    * Normalize after EVERY multiply (textbook power iteration): unscaled,
+    * the iterate shrinks like λ^t (λ ≈ per-dim variance, ~1e-2 on unit
+    * embeddings) and its round-6 SQUARES underflow to zero by round 2 —
+    * measured, which is why the unit step is inside the loop. */
+  private def powerIterate(cov: Array[Array[Double]], iters: Int): Seq[Double] = {
+    val dim = cov.length
     def unit(v: Seq[Double]): Seq[Double] = {
-      val norm = math.sqrt(
-        v.foldLeft(java.math.BigDecimal.ZERO)((acc, x) =>
-          acc.add(java.math.BigDecimal.valueOf(x * x)
-            .setScale(6, java.math.RoundingMode.HALF_UP))).doubleValue)
+      val norm = math.sqrt(exactSumR6(v.map(x => x * x)))
       require(norm > 0.0,
         "pcaTopComponent: zero-variance corpus after centering — no principal direction")
       v.map(x => r6(x / norm))
     }
     var v: Seq[Double] = Seq.fill(dim)(1.0)
     (1 to iters).foreach { _ =>
-      v = unit((0 until dim).map { i =>
-        // exact decimal accumulation of round-6 terms — order-free, the
-        // driver-side twin of the in-plan exactSum (and the oracle's
-        // SUM(CAST(round(c*v, 6) AS DECIMAL)))
-        val s = (0 until dim).foldLeft(java.math.BigDecimal.ZERO) { (acc, j) =>
-          acc.add(java.math.BigDecimal.valueOf(cov(i)(j) * v(j))
-            .setScale(6, java.math.RoundingMode.HALF_UP))
-        }
-        r6(s.doubleValue)
-      })
+      v = unit((0 until dim).map(i =>
+        r6(exactSumR6((0 until dim).map(j => cov(i)(j) * v(j))))))
     }
-    (means, v)
+    v
+  }
+
+  /** Top-D principal components by deflation (the multi-component ABTT
+    * fit — Mu & Viswanath 2018 remove the top D ≈ dim/100 directions, not
+    * just one): the moments aggregate ONCE in-cluster (see
+    * [[pcaMoments]] — no new shuffle per component), then each component
+    * is a [[powerIterate]] on the running residual covariance,
+    *
+    *   λ_c = v_cᵀ C_c v_c  (as w = C_c·v_c, then λ = w·v_c),
+    *   C_{c+1}(i,j) = round(C_c(i,j) − round(λ_c·v_c(i)·v_c(j), 6), 6)
+    *
+    * — Hotelling deflation, entirely driver-side on the dim² matrix.
+    * Every intermediate (w, λ, deflated cells) is round-6 with
+    * exact-decimal cross-dim sums, so a SQL oracle replays the whole
+    * chain. Components come out approximately orthogonal (exactly, up to
+    * the round-6 grid — spec-checked).
+    *
+    * @return (per-dimension means, components ordered by decreasing
+    *         eigenvalue), all round-6 */
+  def pcaTopComponents(
+      corpus: DataFrame,
+      vecCol: String,
+      nComponents: Int,
+      iters: Int = 2,
+      maxDim: Int = 256,
+      foldAboveDim: Int = 32
+  ): (Seq[Double], Seq[Seq[Double]]) = {
+    require(nComponents >= 1, s"nComponents must be >= 1, got $nComponents")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxDim >= 1 && maxDim <= 1024,
+      s"maxDim bounds the dim x dim driver collect; got $maxDim")
+    val n = corpus.count()
+    require(n > 0, "pcaTopComponents: corpus is empty")
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val probeDim = vecs.select(coalesce(size(col("v")), lit(0)).as("d")).head().getInt(0)
+    val (means, cov0) = pcaMoments(vecs, n, maxDim, useFold = probeDim > foldAboveDim)
+    val dim = means.size
+    require(nComponents <= dim,
+      s"nComponents=$nComponents exceeds the corpus dimensionality $dim")
+    var cov = cov0
+    val comps = Seq.newBuilder[Seq[Double]]
+    (1 to nComponents).foreach { c =>
+      val v = powerIterate(cov, iters)
+      comps += v
+      if (c < nComponents) {
+        // w = C·v and λ = w·v, both round-6 exact-decimal — the same
+        // multiply-then-sum shape the oracle's CTEs spell
+        val w = (0 until dim).map(i =>
+          r6(exactSumR6((0 until dim).map(j => cov(i)(j) * v(j)))))
+        val lam = r6(exactSumR6((0 until dim).map(i => w(i) * v(i))))
+        cov = Array.tabulate(dim, dim)((i, j) =>
+          r6(cov(i)(j) - r6(lam * v(i) * v(j))))
+      }
+    }
+    (means, comps.result())
   }
 
   /** Project vectors onto a fitted top component: score = (v − m)·p,
@@ -904,21 +967,48 @@ object Similarity {
       means: Seq[Double],
       component: Seq[Double],
       outCol: String = "abtt_v"
+  ): DataFrame =
+    pcaRemoveTopD(df, vecCol, means, Seq(component), outCol)
+
+  /** Multi-component all-but-the-top (Mu & Viswanath 2018, the full
+    * prescription — remove the top D ≈ dim/100 directions):
+    * `v' = (v − m) − Σ_c ((v − m)·p_c)·p_c`, components from
+    * [[pcaTopComponents]]. Each coefficient is ONE sequential dot on the
+    * ORIGINAL vector (the [[pcaProject]] v·p − m·p split — projections
+    * against near-orthogonal components don't interact), the element
+    * update subtracts the D terms left-to-right and rounds once — the
+    * exact IEEE order a SQL oracle spells as
+    * `(x − m) − s1·p1_i − s2·p2_i`. Pure per-row projection over D
+    * literal arrays: no shuffle, embarrassingly parallel at any corpus
+    * size; cost is D dots + D·dim multiply-subtracts per row. */
+  def pcaRemoveTopD(
+      df: DataFrame,
+      vecCol: String,
+      means: Seq[Double],
+      components: Seq[Seq[Double]],
+      outCol: String = "abtt_v"
   ): DataFrame = {
-    require(means.size == component.size && means.nonEmpty,
-      s"means (${means.size}) and component (${component.size}) must be same-length, non-empty")
-    Seq(outCol, "__abtt_s").foreach(n =>
+    require(components.nonEmpty, "pcaRemoveTopD needs at least one component")
+    components.foreach(p => require(means.size == p.size && means.nonEmpty,
+      s"means (${means.size}) and component (${p.size}) must be same-length, non-empty"))
+    val sCols = components.indices.map(c => s"__abtt_s$c")
+    (sCols :+ outCol).foreach(n =>
       require(!df.columns.contains(n),
-        s"pcaRemoveTop writes column '$n'; input already has one — rename it first"))
-    val mp = means.zip(component).foldLeft(0.0)((acc, ab) => acc + ab._1 * ab._2)
+        s"pcaRemoveTopD writes column '$n'; input already has one — rename it first"))
     val mlit = typedLit(means)
-    val plit = typedLit(component)
-    df.withColumn("__abtt_s",
-        round(dot(col(vecCol).cast("array<double>"), plit) - lit(mp), 6))
+    val plits = components.map(typedLit(_))
+    val withS = components.indices.foldLeft(df) { (acc, c) =>
+      val mp = means.zip(components(c)).foldLeft(0.0)((a, ab) => a + ab._1 * ab._2)
+      acc.withColumn(sCols(c),
+        round(dot(col(vecCol).cast("array<double>"), plits(c)) - lit(mp), 6))
+    }
+    withS
       .withColumn(outCol,
         transform(col(vecCol).cast("array<double>"), (x, i) =>
-          round((x - element_at(mlit, i + 1)) - col("__abtt_s") * element_at(plit, i + 1), 6)))
-      .drop("__abtt_s")
+          round(
+            components.indices.foldLeft(x - element_at(mlit, i + 1))((acc, c) =>
+              acc - col(sCols(c)) * element_at(plits(c), i + 1)), 6)))
+      .drop(sCols: _*)
   }
 
   // ------------------------------------------- incremental index maintenance

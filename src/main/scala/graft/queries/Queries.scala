@@ -3514,6 +3514,11 @@ object Queries {
     memoIndex(s"pca:${new java.io.File(d).getCanonicalPath}:$label:iters=$iters") {
       Similarity.pcaTopComponent(corpus, "v", iters)
     }
+  private def cachedPcaD(d: String, label: String, corpus: org.apache.spark.sql.DataFrame,
+      nComponents: Int, iters: Int): (Seq[Double], Seq[Seq[Double]]) =
+    memoIndex(s"pcaD:${new java.io.File(d).getCanonicalPath}:$label:nc=$nComponents:iters=$iters") {
+      Similarity.pcaTopComponents(corpus, "v", nComponents, iters)
+    }
 
   /** Product quantization ([[Similarity.pqTrain]]/[[Similarity.pqEncode]]/
     * [[Similarity.pqTopK]]): train a 16-subspace x 32-code L2 codebook,
@@ -4810,6 +4815,59 @@ object Queries {
         |FROM exv JOIN mm USING (i) JOIN pc USING (i)""".stripMargin
   }
 
+  /** Multi-component all-but-the-top ([[Similarity.pcaTopComponents]] +
+    * [[Similarity.pcaRemoveTopD]], Mu & Viswanath 2018's full top-D
+    * prescription): fit the top TWO principal directions by Hotelling
+    * deflation (moments aggregate once; λ and the residual covariance are
+    * driver-side round-6 exact-decimal over the collected dim² matrix)
+    * and remove both from every embedding. Emitted EXPLODED
+    * (vec_id, dim, r) like q158. FULL hash oracle — the q156 CTE chain,
+    * then λ = (C·p)·p, the deflated covariance, the second component's
+    * two power rounds, and the two-term residual, all spelled identically
+    * on both sides. */
+  val q159: QueryFn = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (means, comps) = cachedPcaD(d, "emb", emb, nComponents = 2, iters = 2)
+    Similarity.pcaRemoveTopD(emb, "v", means, comps)
+      .select(col("vec_id"), posexplode(col("abtt_v")).as(Seq("i", "r")))
+      .select(col("vec_id"), (col("i") + 1).as("dim"), col("r"))
+  }
+
+  val q159Sql: String = {
+    // everything through `mp` is exactly the q156 chain (strip its final
+    // SELECT); then deflation + the second component + the 2-term residual
+    val chain = q156Sql.substring(0, q156Sql.lastIndexOf("SELECT vec_id")).trim
+    chain + ",\n" +
+      """w AS (SELECT cov.i AS i,
+        |  round(CAST(SUM(CAST(round(cv * pc.p, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS w
+        |  FROM cov JOIN pc ON cov.j = pc.i GROUP BY cov.i),
+        |lam AS (SELECT round(CAST(SUM(CAST(round(w.w * pc.p, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS l
+        |  FROM w JOIN pc USING (i)),
+        |cov2 AS (SELECT c2.i AS i, c2.j AS j,
+        |  round(c2.cv - round(l.l * pa.p * pb.p, 6), 6) AS cv
+        |  FROM cov c2 JOIN pc pa ON pa.i = c2.i JOIN pc pb ON pb.i = c2.j CROSS JOIN lam l),
+        |v1b AS (SELECT i, round(CAST(SUM(CAST(round(cv * 1.0, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS p
+        |  FROM cov2 GROUP BY i),
+        |n1b AS (SELECT sqrt(CAST(SUM(CAST(round(p * p, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nv FROM v1b),
+        |u1b AS (SELECT i, round(p / nv, 6) AS p FROM v1b CROSS JOIN n1b),
+        |v2b AS (SELECT cov2.i AS i,
+        |  round(CAST(SUM(CAST(round(cv * u1b.p, 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS p
+        |  FROM cov2 JOIN u1b ON cov2.j = u1b.i GROUP BY cov2.i),
+        |nrmb AS (SELECT sqrt(CAST(SUM(CAST(round(p * p, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nv FROM v2b),
+        |pc2 AS (SELECT i, round(p / nv, 6) AS p FROM v2b CROSS JOIN nrmb),
+        |parr2 AS (SELECT list(p ORDER BY i) AS pa2 FROM pc2),
+        |mp2 AS (SELECT list_dot_product(ma, pa2) AS mp2 FROM marr CROSS JOIN parr2),
+        |proj AS (SELECT vec_id, v,
+        |  round(list_dot_product(v, pa) - mp, 6) AS s1,
+        |  round(list_dot_product(v, pa2) - mp2, 6) AS s2
+        |  FROM c CROSS JOIN parr CROSS JOIN mp CROSS JOIN parr2 CROSS JOIN mp2),
+        |exv AS (SELECT vec_id, s1, s2, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM proj)
+        |SELECT vec_id, CAST(i AS INTEGER) AS dim,
+        |  round((x - mm.m) - s1 * pc.p - s2 * pc2.p, 6) AS r
+        |FROM exv JOIN mm USING (i) JOIN pc USING (i) JOIN pc2 USING (i)""".stripMargin
+  }
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -4972,7 +5030,8 @@ object Queries {
     ("q155_c4_line_filter", q155, Some(q155Sql)),
     ("q156_pca_power", q156, Some(q156Sql)),
     ("q157_stream_clean", q157, Some(q157Sql)),
-    ("q158_abtt_residuals", q158, Some(q158Sql))
+    ("q158_abtt_residuals", q158, Some(q158Sql)),
+    ("q159_abtt_top2", q159, Some(q159Sql))
   )
 }
 

@@ -323,19 +323,21 @@ object BuiltinTransformations {
       outCol = strKw(name, kw, "out_col", "pc1_score"))
   }
 
-  /** `pca_remove_top(vec_col, iters=2, max_dim=256, out_col=abtt_v)` —
-    * all-but-the-top embedding post-processing
-    * ([[Similarity.pcaRemoveTop]], Mu & Viswanath 2018): fit the corpus'
-    * dominant direction (inline, the `pca_project` shape) and append each
-    * row's mean-and-top-removed residual vector. */
+  /** `pca_remove_top(vec_col, n_components=1, iters=2, max_dim=256,
+    * out_col=abtt_v)` — all-but-the-top embedding post-processing
+    * ([[Similarity.pcaRemoveTopD]], Mu & Viswanath 2018): fit the corpus'
+    * top `n_components` directions by deflation (inline, the
+    * `pca_project` shape; the paper's D ≈ dim/100) and append each row's
+    * mean-and-top-removed residual vector. */
   private def pcaRemoveTop: CustomFn = (df, kw) => {
     val name = "pca_remove_top"
     val vecCol = reqStr(name, kw, "vec_col")
     val typed = df.withColumn(vecCol, col(vecCol).cast("array<double>"))
-    val (means, pc1) = Similarity.pcaTopComponent(typed, vecCol,
+    val (means, comps) = Similarity.pcaTopComponents(typed, vecCol,
+      nComponents = intKw(name, kw, "n_components", 1),
       iters = intKw(name, kw, "iters", 2),
       maxDim = intKw(name, kw, "max_dim", 256))
-    Similarity.pcaRemoveTop(typed, vecCol, means, pc1,
+    Similarity.pcaRemoveTopD(typed, vecCol, means, comps,
       outCol = strKw(name, kw, "out_col", "abtt_v"))
   }
 

@@ -1443,6 +1443,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaTopComponents: deflation orthogonality, residual kills both directions, D=1 == single") {
+    import graft.operators.Similarity
+    // corpus with two dominant, well-separated directions: x-axis var ~50,
+    // y-axis var ~0.5, z-axis var ~0.005 — deflation must find x then y
+    val data = Seq.tabulate(400) { i =>
+      val a = math.sin(i * 0.7) * 10.0
+      val b = math.cos(i * 1.3) * 1.0
+      val c = math.sin(i * 2.9) * 0.1
+      (i.toLong, Array(a, b, c))
+    }
+    val df = data.toDF("vec_id", "v").select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val (means, comps) = Similarity.pcaTopComponents(df, "v", nComponents = 2, iters = 4)
+    assert(comps.size == 2 && comps.forall(_.size == 3))
+    // components are unit (round-6) and near-orthogonal
+    for (p <- comps) {
+      val nrm = p.map(x => x * x).sum
+      assert(math.abs(nrm - 1.0) < 1e-4, s"norm² $nrm for $p")
+    }
+    val dot12 = comps(0).zip(comps(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-3, s"components not orthogonal: $dot12")
+    // first component ~ x-axis, second ~ y-axis
+    assert(math.abs(comps(0)(0)) > 0.99, s"pc1 ${comps(0)}")
+    assert(math.abs(comps(1)(1)) > 0.99, s"pc2 ${comps(1)}")
+    // residuals have ~zero projection on BOTH removed directions
+    val resid = Similarity.pcaRemoveTopD(df, "v", means, comps)
+    for (c <- 0 to 1) {
+      val proj = Similarity.pcaProject(
+        resid.select(col("vec_id"), col("abtt_v").as("v")), "v",
+        means.map(_ => 0.0), comps(c), s"pr$c")
+      val maxAbs = proj.agg(max(abs(col(s"pr$c")))).head().getDouble(0)
+      assert(maxAbs < 2e-3, s"residual still projects $maxAbs on component $c")
+    }
+    // D=1 removal equals the long-standing single-component form
+    val one = Similarity.pcaRemoveTopD(df, "v", means, Seq(comps(0)))
+      .select(col("vec_id"), col("abtt_v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val legacy = Similarity.pcaRemoveTop(df, "v", means, comps(0))
+      .select(col("vec_id"), col("abtt_v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(one == legacy)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaTopComponents(df, "v", nComponents = 4)
+    }
+    assert(e.getMessage.contains("dimensionality"), e.getMessage)
+  }
+
   test("graph recurrences: deep iters with checkpointEvery match unchunked; negative seeds rejected") {
     import graft.operators.Graph
     val edges = Seq((2L, 1L, 1.0), (3L, 2L, 0.5), (1L, 3L, 0.8)).toDF("src", "dst", "cosine")
