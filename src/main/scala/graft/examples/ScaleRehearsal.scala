@@ -155,7 +155,8 @@ object ScaleRehearsal {
         "bloom_prejoin_scaled" -> bloomAtScale,
         "label_propagate_scaled" -> labelPropagateAtScale(cents, k = 8, vidStride),
         "domain_cap_scaled" -> domainCapAtScale,
-        "budget_select_scaled" -> budgetSelectAtScale)
+        "budget_select_scaled" -> budgetSelectAtScale,
+        "dsir_threshold_scaled" -> dsirThresholdAtScale)
     // targeted runs (round 13): time only the named rows — a full ladder
     // is ~15 min, and adding one rehearsal shouldn't cost re-timing all
     val rehearsals = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
@@ -447,6 +448,25 @@ object ScaleRehearsal {
     val budget = math.max(1L,
       docs.agg(sum(col("n_toks"))).head().getLong(0) / 2)
     Curation.budgetSelect(docs, "doc_id", "n_toks", "quality", budget)
+  }
+
+  /** [[Curation.dsirResample]] in THRESHOLD form with `m` GROWING with
+    * the corpus (half the docs — the regime where TakeOrdered's m-row
+    * driver merge is the bottleneck the threshold form removes): the
+    * driver sees only the approx-rank boundary (~n·relErr rows) at any M,
+    * so the ladder should stay ~linear in M — the scan/count passes are
+    * the whole cost. Weights reuse the q147 shape (unigram+bigram DSIR
+    * against a fixed target slice). */
+  private def dsirThresholdAtScale: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val target = docs.filter(col("doc_id") % 97 === 0)
+    val w = Curation.dsirWeights(docs, target, "doc_id", "text", buckets = 4096)
+      .select(col("doc_id"), col("log_weight"))
+    val n = docs.count()
+    Curation.dsirResample(w, "doc_id", "log_weight",
+      m = math.max(1L, n / 2).toInt, takeOrderedMaxM = 0)
+      .filter(col("selected"))
+      .groupBy().agg(count(lit(1)).as("n_selected"))
   }
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {

@@ -725,22 +725,38 @@ object Curation {
     * selects the same docs, on any engine or cluster size (the house
     * determinism rule; a seeded rand() reshuffles on every retry).
     *
-    * Scale shape: the top-m cut is `orderBy(key).limit(m)` — Spark's
-    * TakeOrdered (per-partition top-m, m-row merge), NOT a global sort or
-    * a single-partition window; the m-row id set then broadcast
-    * semi-joins back to flag every row. `m` is a selection budget
-    * (driver-bounded by contract, like the k-centroid collects — loud
-    * guard at 10M).
+    * Scale shape, m ≤ `takeOrderedMaxM`: the top-m cut is
+    * `orderBy(key).limit(m)` — Spark's TakeOrdered (per-partition top-m,
+    * m-row merge), and the m-row id set broadcast semi-joins back to
+    * flag every row. That materializes m rows ON THE DRIVER — fine for
+    * catalog budgets, a bottleneck at a 100 TB selection (m ~ 10⁸ docs).
+    *
+    * Above the bound, THRESHOLD selection (same result, never more than
+    * ~rank-error rows on the driver):
+    *   1. one `approxQuantile` pass estimates the m-th largest key t₀;
+    *   2. one count fixes the exact rank a₀ = |key > t₀|;
+    *   3. the |a₀ − m| BOUNDARY rows (≈ n·relErr, LOUDLY guarded) are
+    *      resolved by a TakeOrdered over the band only — included
+    *      (top m−a₀ of key ≤ t₀) or excluded (bottom a₀−m of key > t₀),
+    *      (key, id)-tie-broken exactly like the global order;
+    *   4. broadcast of the boundary ids; everything else is the pure
+    *      predicate `key > t₀`.
+    * The two forms select IDENTICAL rows (spec-pinned): t₀ only moves
+    * work between the predicate and the band.
     *
     * Returns EVERY input row plus `gumbel_key` and boolean `selected`. */
   def dsirResample(
       weighted: DataFrame,
       idCol: String,
       weightCol: String,
-      m: Int
+      m: Int,
+      takeOrderedMaxM: Int = 4000000,
+      thresholdRelErr: Double = 1e-4
   ): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
-    require(m <= 10000000, s"m is a driver-merged selection budget; got $m > 10M")
+    require(takeOrderedMaxM >= 0, s"takeOrderedMaxM must be >= 0, got $takeOrderedMaxM")
+    require(thresholdRelErr > 0 && thresholdRelErr <= 0.01,
+      s"thresholdRelErr bounds the boundary band; got $thresholdRelErr")
     Seq("gumbel_key", "selected").foreach(n =>
       require(!weighted.columns.contains(n),
         s"dsirResample writes column '$n'; input already has one — rename it first"))
@@ -752,14 +768,61 @@ object Curation {
     val keyed = weighted.withColumn("gumbel_key",
       (col(weightCol).cast("decimal(28,6)") + g.cast("decimal(28,6)"))
         .cast("double"))
-    val chosen = keyed
-      .select(col(idCol).as("__sel_id"), col("gumbel_key"))
-      .orderBy(col("gumbel_key").desc, col("__sel_id").asc)
-      .limit(m)
-      .select(col("__sel_id"))
-    keyed.join(broadcast(chosen), col(idCol) === col("__sel_id"), "left")
-      .withColumn("selected", col("__sel_id").isNotNull)
-      .drop("__sel_id")
+    if (m <= takeOrderedMaxM) {
+      val chosen = keyed
+        .select(col(idCol).as("__sel_id"), col("gumbel_key"))
+        .orderBy(col("gumbel_key").desc, col("__sel_id").asc)
+        .limit(m)
+        .select(col("__sel_id"))
+      keyed.join(broadcast(chosen), col(idCol) === col("__sel_id"), "left")
+        .withColumn("selected", col("__sel_id").isNotNull)
+        .drop("__sel_id")
+    } else {
+      val keys = keyed.select(col(idCol).as("__sel_id"), col("gumbel_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = keys.count()
+        if (m >= n) return keyed.withColumn("selected", lit(true))
+        // the m-th largest key sits at ascending quantile (n-m)/n
+        val p = math.min(1.0, math.max(0.0, (n - m).toDouble / n))
+        val t0 = keys.stat.approxQuantile("gumbel_key", Array(p), thresholdRelErr)(0)
+        val above = keys.filter(col("gumbel_key") > t0).count()
+        // boundary = approx-rank error + tie mass at t0 — loud, not silent
+        val boundaryMax = math.max(takeOrderedMaxM.toLong, (4 * thresholdRelErr * n).toLong)
+        val boundary: DataFrame =
+          if (above == m) keys.limit(0).select(col("__sel_id"))
+          else if (above < m) {
+            val r = m - above
+            require(r <= boundaryMax,
+              s"dsirResample threshold boundary needs $r rows > $boundaryMax — " +
+                "lower thresholdRelErr (tighter approxQuantile) or raise takeOrderedMaxM")
+            keys.filter(col("gumbel_key") <= t0)
+              .orderBy(col("gumbel_key").desc, col("__sel_id").asc)
+              .limit(r.toInt).select(col("__sel_id"))
+          } else {
+            val r = above - m
+            require(r <= boundaryMax,
+              s"dsirResample threshold boundary needs $r rows > $boundaryMax — " +
+                "lower thresholdRelErr (tighter approxQuantile) or raise takeOrderedMaxM")
+            // the r SMALLEST of the over-threshold set are the exclusions
+            keys.filter(col("gumbel_key") > t0)
+              .orderBy(col("gumbel_key").asc, col("__sel_id").desc)
+              .limit(r.toInt).select(col("__sel_id"))
+          }
+        val include = above <= m
+        // sever the (small) boundary eagerly so unpersisting `keys` below
+        // cannot force its lineage to recompute at result materialization
+        val band = {
+          val b = boundary.withColumn("__in_band", lit(true))
+          b.sparkSession.createDataFrame(b.localCheckpoint(true).rdd, b.schema)
+        }
+        keyed.join(broadcast(band), col(idCol) === col("__sel_id"), "left")
+          .withColumn("selected",
+            if (include) col("gumbel_key") > t0 || col("__in_band").isNotNull
+            else col("gumbel_key") > t0 && col("__in_band").isNull)
+          .drop("__sel_id", "__in_band")
+      } finally keys.unpersist(blocking = false)
+    }
   }
 
   /** Token-budget selection: keep the BEST documents (by a [0,1] quality

@@ -1335,6 +1335,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("gumbel_key"), e.getMessage)
   }
 
+  test("dsirResample: threshold form selects exactly the TakeOrdered rows at every m") {
+    import graft.operators.Curation
+    // 2000 docs with clustered weights (heavy ties in log_weight, the
+    // Gumbel key splits them) — boundary handling gets real work
+    val w = Seq.tabulate(2000)(i => (i.toLong, (i % 7).toDouble / 10.0))
+      .toDF("doc_id", "log_weight")
+    def picked(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.filter(col("selected")).select("doc_id").as[Long].collect().sorted.toSeq
+    for (m <- Seq(1, 13, 500, 1999, 2000, 5000)) {
+      val take = Curation.dsirResample(w, "doc_id", "log_weight", m)
+      val thr = Curation.dsirResample(w, "doc_id", "log_weight", m,
+        takeOrderedMaxM = 0)
+      val (pt, ph) = (picked(take), picked(thr))
+      assert(pt == ph, s"m=$m: TakeOrdered ${pt.size} vs threshold ${ph.size} rows differ")
+      assert(pt.size == math.min(m, 2000))
+      // the appended columns agree row-for-row too
+      val a = take.select("doc_id", "gumbel_key", "selected").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1).toSeq
+      val b = thr.select("doc_id", "gumbel_key", "selected").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1).toSeq
+      assert(a == b, s"m=$m: per-row columns diverge")
+    }
+    // a coarse approxQuantile still resolves exactly (bigger band, same set)
+    val loose = Curation.dsirResample(w, "doc_id", "log_weight", 500,
+      takeOrderedMaxM = 0, thresholdRelErr = 0.01)
+    val tight = Curation.dsirResample(w, "doc_id", "log_weight", 500)
+    assert(picked(loose) == picked(tight))
+  }
+
   test("hardNegatives: nearest same-label positive, nearest diff-label negative, null sides") {
     val cents = Seq(0 -> Seq(1.0, 0.0))
     val corpus = Seq(
