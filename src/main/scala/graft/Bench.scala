@@ -79,7 +79,7 @@ object Bench {
   private val StreamingQueries: Set[String] =
     Set("q40_stream_window", "q61_stream_dedup", "q75_stream_stream_join",
       "q102_stream_ewm", "q104_stream_ewm_var", "q125_stream_content_dedup",
-      "q133_stream_ann_encode", "q157_stream_clean")
+      "q133_stream_ann_encode", "q157_stream_clean", "q161_stream_bpe")
 
   /** Pure-CPU calibration: one warm-up then min-of-3 of summing a 2e8
     * range in a SINGLE partition — one task on one core, so the idle

@@ -243,4 +243,45 @@ object Bpe {
     * is available. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(segment(text, merges))
+
+  /** Serialize a learned merge table to a frame-shaped relation
+    * `(rank int, left string, right string, cnt long)` — writable through
+    * any [[graft.io.GraftIO]] sink and restorable with
+    * [[mergesFromFrame]] (the q130 index-persistence pattern: train once,
+    * persist as a plain table, reload everywhere — a tokenizer outlives
+    * the job that fitted it). `rank` is the APPLICATION order: BPE merges
+    * replay in training order, so the rank column, not file order, is the
+    * contract. */
+  def mergesToFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String, Long)]
+  ): DataFrame = {
+    import spark.implicits._
+    require(merges.nonEmpty, "mergesToFrame: empty merge table")
+    merges.zipWithIndex
+      .map { case ((l, r, c), rank) => (rank, l, r, c) }
+      .toDF("rank", "left", "right", "cnt")
+  }
+
+  /** Restore a merge table from a persisted `(rank, left, right, cnt)`
+    * frame, in application order. DRIVER-BOUNDED collect: a merge table
+    * is vocab-sized by construction (50k-100k rows for production
+    * tokenizers) — the cap turns a mistaken data-sized frame into a loud
+    * failure instead of a silent driver OOM (house rule). Requires dense
+    * ranks 0..n-1 so a partially-written table cannot silently segment
+    * differently from the one that was trained. */
+  def mergesFromFrame(df: DataFrame, maxMerges: Int = 1 << 20): Seq[(String, String, Long)] = {
+    val rows = df.select(col("rank").cast("int"), col("left").cast("string"),
+        col("right").cast("string"), col("cnt").cast("long"))
+      .limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"merge-table frame exceeds $maxMerges rows — not a BPE merge table; " +
+        "raise maxMerges deliberately if the vocabulary really is this large")
+    require(rows.nonEmpty, "merge-table frame is empty")
+    val byRank = rows.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    require(byRank.map(_._1).toSeq == byRank.indices.toSeq,
+      s"merge ranks must be dense 0..${byRank.length - 1} (partial or corrupted table)")
+    byRank.map(t => (t._2, t._3, t._4)).toSeq
+  }
 }

@@ -4868,6 +4868,71 @@ object Queries {
         |FROM exv JOIN mm USING (i) JOIN pc USING (i) JOIN pc2 USING (i)""".stripMargin
   }
 
+  /** BPE merge-table persistence through the IO seam
+    * ([[Bpe.mergesToFrame]]/[[Bpe.mergesFromFrame]], the q130
+    * train-once-reload-everywhere pattern): the q137 table round-trips
+    * through a frame-shaped relation and the reloaded table must segment
+    * EVERY document identically to the in-memory one. `tables_match`
+    * compares the merge tables themselves; `seg_match` the per-doc
+    * subword arrays. Oracle is the q130 boolean pattern — the booleans
+    * are the assertion, `n_ws_tokens` the DuckDB-recomputable anchor. */
+  val q160: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val merges = cachedBpe(d, docs, 8)
+    val reloaded = Bpe.mergesFromFrame(Bpe.mergesToFrame(s, merges))
+    val tablesMatch = reloaded == merges
+    val memPairs = merges.map(m => (m._1, m._2))
+    val rldPairs = reloaded.map(m => (m._1, m._2))
+    docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("int").as("n_ws_tokens"),
+        lit(tablesMatch).as("tables_match"),
+        (Bpe.segment(col("text"), memPairs) === Bpe.segment(col("text"), rldPairs))
+          .as("seg_match"))
+  }
+
+  val q160Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    t -> length(t) > 0)) AS INTEGER) AS n_ws_tokens,
+      |  TRUE AS tables_match, TRUE AS seg_match
+      |FROM documents""".stripMargin
+
+  /** Streaming BPE apply lane — the learned (and frame-round-tripped)
+    * tokenizer under Structured Streaming (the q133/q157 pattern):
+    * documents arrive on a `readStream`, segmentation is a PURE
+    * PROJECTION ([[graft.sparkext.BpeApply]] — no state store, no
+    * shuffle, tokenizes at source rate on any executor count), and the
+    * sink is compared row-for-row with the batch path. Counted in
+    * Bench's total_streaming split. */
+  val q161: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val merges = cachedBpe(d, docs, 8)
+    val pairs = Bpe.mergesFromFrame(Bpe.mergesToFrame(s, merges)).map(m => (m._1, m._2))
+    val schema = rawSchema(s, d, "documents")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val enc = src.select(col("doc_id"),
+      Bpe.segment(col("text"), pairs).as("subwords"))
+    val name = "q161_stream_bpe_sink"
+    s.catalog.dropTempView(name)
+    val q = enc.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = s.table(name)
+    val batch = docs.select(col("doc_id"),
+      Bpe.segment(col("text"), pairs).as("b_subwords"))
+    streamed.join(batch, "doc_id")
+      .agg(count(lit(1)).as("n_streamed"),
+        sum(when(col("subwords") === col("b_subwords"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("n_streamed"), col("n_match"),
+        (col("n_streamed") === col("n_match")).as("all_match"))
+  }
+
+  val q161Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_streamed,
+      |  CAST(COUNT(*) AS BIGINT) AS n_match, TRUE AS all_match
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -5031,7 +5096,9 @@ object Queries {
     ("q156_pca_power", q156, Some(q156Sql)),
     ("q157_stream_clean", q157, Some(q157Sql)),
     ("q158_abtt_residuals", q158, Some(q158Sql)),
-    ("q159_abtt_top2", q159, Some(q159Sql))
+    ("q159_abtt_top2", q159, Some(q159Sql)),
+    ("q160_bpe_reload", q160, Some(q160Sql)),
+    ("q161_stream_bpe", q161, Some(q161Sql))
   )
 }
 

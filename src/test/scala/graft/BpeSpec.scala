@@ -145,4 +145,33 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.size <= 4 && merges.nonEmpty, s"$merges")
     assert(merges.head == (("a", "b", 2L)), s"(a,b) count 2 beats (c,d) count 1: $merges")
   }
+
+  test("merge table persists through the IO seam and segments identically (FakeIO)") {
+    val df = Seq((1L, "low lower lowest"), (2L, "newest widest")).toDF("id", "text")
+    val merges = Bpe.trainFromCorpus(df, "text", 6)
+    // round-trip through a GraftIO sink+source, the way a real deployment
+    // persists a tokenizer next to its corpus
+    val io = new graft.io.FakeIO()
+    io.write(Bpe.mergesToFrame(spark, merges), "store/bpe_merges", "parquet")
+    val reloaded = Bpe.mergesFromFrame(io.read(spark, "store/bpe_merges", "parquet"))
+    assert(reloaded == merges, s"\n$merges\n$reloaded")
+    // rank column, not row order, is the contract: a shuffled frame
+    // restores the same table
+    val shuffled = Bpe.mergesFromFrame(
+      Bpe.mergesToFrame(spark, merges).orderBy(col("left").desc).repartition(5))
+    assert(shuffled == merges)
+    val segA = df.select(Bpe.segment(col("text"), merges.map(m => (m._1, m._2))).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val segB = df.select(Bpe.segment(col("text"), reloaded.map(m => (m._1, m._2))).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(segA == segB)
+    // a partial table (missing rank) fails loudly, never mis-segments
+    val partial = Bpe.mergesToFrame(spark, merges).filter(col("rank") =!= 2)
+    val e = intercept[IllegalArgumentException] { Bpe.mergesFromFrame(partial) }
+    assert(e.getMessage.contains("dense"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.mergesFromFrame(Bpe.mergesToFrame(spark, merges), maxMerges = 2)
+    }
+    assert(e2.getMessage.contains("exceeds"), e2.getMessage)
+  }
 }
