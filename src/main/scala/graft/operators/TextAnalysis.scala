@@ -112,6 +112,203 @@ object TextAnalysis {
     }
   }
 
+  /** Character n-grams of a string as an array (normalized: lowercased,
+    * whitespace collapsed) — the fastText feature unit. Pure expression,
+    * no shuffle; strings shorter than `n` yield an empty array. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = normalize(text)
+    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(0))),
+      i => t.substr(i, lit(n)))
+  }
+
+  /** Hashed char-n-gram features (fastText's input layer, Joulin et al.
+    * 2017): every char n-gram hashes into one of `buckets` slots; the
+    * feature vector is the per-slot gram-count fraction, round-6 —
+    * columns `f0..f{buckets-1}` appended one row per input id. Feeds
+    * [[graft.operators.Curation.logisticFit]] for supervised text
+    * classification (language ID, quality).
+    *
+    * Scale shape: ONE explode + pivot-count aggregation (hash-partitioned
+    * on the id, map-side combined; `buckets` is a fixed small width, so
+    * the pivot is a bounded column fan-out, never a driver collect), one
+    * join back. Docs with no grams get all-zero features. */
+  def hashedCharNgramFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      buckets: Int = 32
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets is the feature width (a column fan-out); got $buckets")
+    val featNames = (0 until buckets).map(b => s"f$b")
+    featNames.foreach(f => require(!df.columns.contains(f),
+      s"hashedCharNgramFeatures writes column '$f'; input already has one — rename it first"))
+    val grams = df
+      .select(col(idCol), explode(charNgrams(col(textCol), n)).as("__g"))
+      .select(col(idCol), pmod(xxhash64(col("__g")), lit(buckets.toLong)).as("__b"))
+    val counts = grams.groupBy(col(idCol))
+      .pivot("__b", (0 until buckets).map(_.asInstanceOf[AnyRef]).toSeq)
+      .count()
+    val total = (0 until buckets).map(b => coalesce(col(b.toString), lit(0L)))
+      .reduce(_ + _)
+    val feats = counts.select(
+      col(idCol) +:
+        (0 until buckets).map(b =>
+          round(coalesce(col(b.toString), lit(0L)).cast("double") /
+            greatest(total, lit(1L)), 6).as(s"f$b")): _*)
+    df.join(feats, Seq(idCol), "left")
+      .na.fill(0.0, featNames)
+  }
+
+  /** Supervised language ID — the fastText shape (Joulin et al. 2017)
+    * assembled from machinery already in the engine: hashed char-n-gram
+    * features ([[hashedCharNgramFeatures]]) into one-vs-rest logistic
+    * models, BIT-IDENTICAL per class to
+    * [[graft.operators.Curation.logisticFit]] (spec-pinned) but trained
+    * ALL AT ONCE: each gradient step is ONE `mapPartitions` pass
+    * accumulating every language's exact µ-unit gradient in hi/lo long
+    * arrays (the PCA-fold pattern) — the declarative per-class spelling
+    * would recompile a `buckets`-wide codegen'd aggregate per step per
+    * language (measured minutes at 64 buckets × 5 langs; this is
+    * seconds). Upgrades the [[langId]] marker heuristic when labeled
+    * data exists.
+    *
+    * Scale shape: featurization is one explode+pivot agg; stats are two
+    * exact-sum aggregates; each step tree-reduces k·(buckets+1) longs per
+    * partition — corpus-independent shuffle, nothing data-sized on the
+    * driver. Determinism: the same `scaleRound` terms `exactSum` carries,
+    * order-free on any partitioning.
+    *
+    * @return (language, fitted model) in label-sorted order — feed to
+    *         [[langIdPredict]] */
+  def langIdFit(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      n: Int = 3,
+      buckets: Int = 32,
+      iters: Int = 12,
+      lr: Double = 1.0,
+      maxLangs: Int = 64
+  ): Seq[(String, Curation.LogisticModel)] = {
+    import graft.sparkext.DoubleToScaled
+    val langs = labeled.select(col(langCol).cast("string").as("l"))
+      .filter(col("l").isNotNull).distinct()
+      .orderBy(col("l")).limit(maxLangs + 1).collect().map(_.getString(0)).toSeq
+    require(langs.size <= maxLangs,
+      s"langIdFit saw > $maxLangs distinct languages — not a language column?")
+    require(langs.nonEmpty, "langIdFit: no non-null language labels")
+    val featNames = (0 until buckets).map(b => s"f$b")
+    val exactSum = DoubleToScaled.exactSum(_: Column, 6)
+    val feats = hashedCharNgramFeatures(
+      labeled.select(col(idCol), col(textCol), col(langCol)),
+      idCol, textCol, n, buckets)
+      .filter(col(langCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // standardization stats — logisticFit's exact spelling
+      val statRow = feats.agg(count(lit(1)).as("n"),
+        featNames.map(f => exactSum(col(f).cast("double")).as(s"s_$f")): _*).head()
+      val nRows = statRow.getLong(0)
+      require(nRows > 0, "langIdFit: no rows to fit on")
+      val means = featNames.indices.map(i => statRow.getDouble(i + 1) / nRows)
+      val varRow = feats.agg(
+        exactSum(pow(col(featNames.head).cast("double") - means.head, 2)).as("v0"),
+        featNames.zipWithIndex.drop(1).map { case (f, i) =>
+          exactSum(pow(col(f).cast("double") - means(i), 2)).as(s"v_$f")
+        }: _*).head()
+      val stds = featNames.indices.map { i =>
+        val sd = math.sqrt(varRow.getDouble(i) / nRows)
+        if (sd == 0.0) 1.0 else sd
+      }
+      val zCols = featNames.indices.map(i =>
+        ((col(featNames(i)).cast("double") - means(i)) / stds(i)))
+      import feats.sparkSession.implicits._
+      val rows = feats.select(
+          (array_position(typedLit(langs), col(langCol).cast("string")).cast("int") - 1)
+            .as("li"),
+          array(zCols: _*).as("z"))
+        .as[(Int, Array[Double])].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val k = langs.size
+      val width = buckets + 1
+      val LoMask = (1L << 20) - 1
+      var w = Array.fill(k, width)(0.0)
+      (1 to iters).foreach { _ =>
+        val wB = w.map(_.clone()) // stable snapshot into the closure
+        val (gHi, gLo) = rows.mapPartitions { it =>
+          val hi = new Array[Long](k * width)
+          val lo = new Array[Long](k * width)
+          while (it.hasNext) {
+            val (li, z) = it.next()
+            var c = 0
+            while (c < k) {
+              // same left-to-right margin fold as logisticFit's Column
+              // expression — identical IEEE order, identical fit
+              var m = wB(c)(0)
+              var j = 0
+              while (j < buckets) { m += z(j) * wB(c)(j + 1); j += 1 }
+              val err = (if (li == c) 1.0 else 0.0) - 1.0 / (1.0 + math.exp(-m))
+              val base = c * width
+              var t = DoubleToScaled.scaleRound(err, 1e6)
+              hi(base) += t >> 20; lo(base) += t & LoMask
+              j = 0
+              while (j < buckets) {
+                t = DoubleToScaled.scaleRound(err * z(j), 1e6)
+                hi(base + 1 + j) += t >> 20; lo(base + 1 + j) += t & LoMask
+                j += 1
+              }
+              c += 1
+            }
+          }
+          Iterator.single((hi, lo))
+        }.treeReduce({ (a, b) =>
+          var i = 0
+          while (i < a._1.length) { a._1(i) += b._1(i); a._2(i) += b._2(i); i += 1 }
+          a
+        }, depth = 2)
+        w = Array.tabulate(k, width)((c, j) =>
+          w(c)(j) + lr * DoubleToScaled.hiLoToDouble(
+            gHi(c * width + j), gLo(c * width + j)) / nRows)
+      }
+      rows.unpersist(blocking = false)
+      langs.zipWithIndex.map { case (l, c) =>
+        l -> Curation.LogisticModel(featNames, means, stds, w(c).toVector)
+      }
+    } finally feats.unpersist(blocking = false)
+  }
+
+  /** Predict language under fitted one-vs-rest models: featurize, score
+    * every model, argmax with first-model tie-break (the [[langId]]
+    * convention). Appends `outCol`; scoring is a pure projection over
+    * the one featurization aggregate. */
+  def langIdPredict(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      models: Seq[(String, Curation.LogisticModel)],
+      n: Int = 3,
+      buckets: Int = 32,
+      outCol: String = "pred_lang"
+  ): DataFrame = {
+    require(models.nonEmpty, "langIdPredict: no models")
+    require(!df.columns.contains(outCol),
+      s"langIdPredict writes column '$outCol'; input already has one — rename it first")
+    val feats = hashedCharNgramFeatures(df, idCol, textCol, n, buckets)
+    val scored = models.zipWithIndex.foldLeft(feats) { case (acc, ((_, m), i)) =>
+      Curation.logisticScore(acc, m, s"__p$i")
+    }
+    val best = models.indices.map(i => col(s"__p$i")).reduce((a, b) => greatest(a, b))
+    val pred = models.zipWithIndex.reverse.foldLeft(lit(models.head._1)) {
+      case (acc, ((l, _), i)) => when(col(s"__p$i") === best, lit(l)).otherwise(acc)
+    }
+    scored.withColumn(outCol, pred)
+      .drop((0 until buckets).map(b => s"f$b") ++ models.indices.map(i => s"__p$i"): _*)
+  }
+
   /** Okapi BM25 document relevance against a fixed query term set
     * (Robertson/Spärck Jones; the keyword-scoring step seed-based
     * curation pipelines run to rank a corpus against a topic list

@@ -4933,6 +4933,49 @@ object Queries {
       |  CAST(COUNT(*) AS BIGINT) AS n_match, TRUE AS all_match
       |FROM documents""".stripMargin
 
+  private def cachedLangId(d: String, train: org.apache.spark.sql.DataFrame,
+      textCol: String): Seq[(String, Curation.LogisticModel)] =
+    memoIndex(s"langid:${new java.io.File(d).getCanonicalPath}:$textCol") {
+      TextAnalysis.langIdFit(train, "doc_id", textCol, "lang")
+    }
+
+  /** Supervised language ID ([[TextAnalysis.langIdFit]]/
+    * [[TextAnalysis.langIdPredict]] — the fastText shape: hashed
+    * char-trigram features into one-vs-rest exact-gradient logistic fits,
+    * q134's trainer): the fixture's `lang` column is uncorrelated with
+    * its synthetic English-ish text (verified: token distributions are
+    * uniform across labels), so the query first appends each row's
+    * language's marker tokens (the q154/q155 fixture-grounding precedent
+    * — inject the phenomenon, then genuinely detect it). Train on
+    * doc_id % 4 != 0, predict the held-out quarter, report per-language
+    * accuracy against a 0.9 floor — an EMPIRICAL pin (measured 1.0 at all
+    * three SFs with the markers repeated 3x; the learned signal is the
+    * injected marker n-grams against ~90 tokens of shared vocabulary).
+    * Deployment shape: the five models fit once per JVM (the q126
+    * train-once memo); a fresh JVM retrains. */
+  val q162: QueryFn = (s, d) => {
+    val markerText = TextAnalysis.langMarkers.foldLeft(lit("")) {
+      case (acc, (lang, ms)) =>
+        when(col("lang") === lang,
+          lit(Seq.fill(3)(ms.mkString(" ")).mkString(" "))).otherwise(acc)
+    }
+    val docs = tbl(s, d, "documents")
+      .select(col("doc_id"), concat_ws(" ", col("text"), markerText).as("text2"),
+        col("lang"))
+    val train = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val test = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val models = cachedLangId(d, train, "text2")
+    TextAnalysis.langIdPredict(test, "doc_id", "text2", models)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_test"),
+        avg(when(col("pred_lang") === col("lang"), 1.0).otherwise(0.0)).as("acc"))
+      .select(col("lang"), col("n_test"), (col("acc") >= 0.9).as("acc_ok"))
+  }
+
+  val q162Sql: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test, TRUE AS acc_ok
+      |FROM documents WHERE doc_id % 4 = 0 GROUP BY lang""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -5098,7 +5141,8 @@ object Queries {
     ("q158_abtt_residuals", q158, Some(q158Sql)),
     ("q159_abtt_top2", q159, Some(q159Sql)),
     ("q160_bpe_reload", q160, Some(q160Sql)),
-    ("q161_stream_bpe", q161, Some(q161Sql))
+    ("q161_stream_bpe", q161, Some(q161Sql)),
+    ("q162_lang_id_supervised", q162, Some(q162Sql))
   )
 }
 

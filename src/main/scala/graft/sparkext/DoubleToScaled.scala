@@ -104,6 +104,18 @@ object DoubleToScaled {
     n
   }
 
+  /** Driver-side recombination of a hi/lo-split long accumulator pair
+    * (`v = (v >> 20)·2^20 + (v & (2^20−1))`, arithmetic shift — each lane
+    * grows 2^20× slower than a naive long sum): the exact decimal value
+    * of the µ-unit sum as a double — the same number [[exactSum]]'s
+    * in-plan recombination produces, for `mapPartitions` folds that
+    * accumulate the identical per-row `scaleRound` terms. */
+  def hiLoToDouble(hi: Long, lo: Long, scale: Int = 6): Double =
+    new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(hi).shiftLeft(20)
+        .add(java.math.BigInteger.valueOf(lo)))
+      .movePointLeft(scale).doubleValue
+
   /** Column-level helper: exact scaled-long view of a double column. */
   def scaled(c: Column, scale: Int): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(DoubleToScaled(expression(c), scale))

@@ -1472,6 +1472,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("langIdFit/Predict: supervised lang-id recovers held-out labels, partitioning-independent") {
+    import graft.operators.TextAnalysis
+    // three synthetic "languages" with distinct character inventories —
+    // real signal for the hashed char-trigram features
+    val words = Map(
+      "aa" -> Seq("alpha", "apple", "area", "amara", "banana"),
+      "zz" -> Seq("zigzag", "puzzle", "fuzzy", "zizzle", "buzz"),
+      "oo" -> Seq("oolong", "book", "moon", "spoon", "igloo"))
+    val rows = (0 until 300).map { i =>
+      val lang = Seq("aa", "zz", "oo")(i % 3)
+      val w = words(lang)
+      (i.toLong, s"${w(i % 5)} ${w((i + 1) % 5)} ${w((i + 2) % 5)}", lang)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val train = df.filter(col("doc_id") % 4 =!= 0)
+    val test = df.filter(col("doc_id") % 4 === 0)
+    val models = TextAnalysis.langIdFit(train, "doc_id", "text", "lang")
+    assert(models.map(_._1) == Seq("aa", "oo", "zz")) // sorted label order
+    val pred = TextAnalysis.langIdPredict(test, "doc_id", "text", models)
+    val acc = pred.agg(
+      avg(when(col("pred_lang") === col("lang"), 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    // deterministic across partitionings (exact-sum gradients)
+    val models2 = TextAnalysis.langIdFit(train.repartition(7), "doc_id", "text", "lang")
+    assert(models2 == models)
+    // prediction columns come back clean (features and scores dropped)
+    assert(pred.columns.toSeq == Seq("doc_id", "text", "lang", "pred_lang"))
+    // the fused multiclass fold is BIT-IDENTICAL per class to the
+    // declarative Curation.logisticFit on the same features (same margin
+    // fold order, same scaleRound gradient terms, same update arithmetic)
+    val feats = TextAnalysis.hashedCharNgramFeatures(train, "doc_id", "text")
+    val binAa = feats.withColumn("__y", (col("lang") === "aa").cast("int"))
+    val ref = graft.operators.Curation.logisticFit(
+      binAa, "__y", (0 until 32).map(b => s"f$b"), iters = 12, lr = 1.0)
+    assert(models.toMap.apply("aa") == ref,
+      s"fused fold diverged from logisticFit:\n${models.toMap.apply("aa")}\n$ref")
+  }
+
   test("pcaTopComponents: deflation orthogonality, residual kills both directions, D=1 == single") {
     import graft.operators.Similarity
     // corpus with two dominant, well-separated directions: x-axis var ~50,
