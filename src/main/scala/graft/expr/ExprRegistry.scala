@@ -178,6 +178,24 @@ object ExprRegistry {
     * kwarg the aggregate broadcasts per key (an unordered window — one
     * hash shuffle on the keys, fine at scale when keys are numerous);
     * without it, the whole-frame agg+broadcast-join path. */
+  /** Like [[aggOrOver]] for fns whose aggregate(s) sit INSIDE
+    * post-processing (slice over collect_list, compares, when-chains):
+    * `build` receives a wrapper applied to EACH aggregate — identity in
+    * the whole-frame pass, `.over(partition window)` in the windowed form.
+    * `.over` attaches to an aggregate function, not to expressions around
+    * it: `slice(collect_list(x), ...).over(w)` raises MISSING_GROUP_BY
+    * (latent in top_k/bottom_k/null_count with partition_by until round
+    * 15 — ExprRegistrySpec now pins the windowed forms). */
+  private def aggOrOverEach(build: (Map[String, Any], Column => Column) => Column): DeriveFn =
+    kw => {
+      val parts = strSeq(kw, "partition_by")
+      if (parts.isEmpty) WholeFrameAgg(build(kw, identity))
+      else {
+        val w = Window.partitionBy(parts.map(col): _*)
+        RowWise(build(kw, a => a.over(w)))
+      }
+    }
+
   private def aggOrOver(f: Map[String, Any] => Column): DeriveFn = kw => {
     val parts = strSeq(kw, "partition_by")
     if (parts.isEmpty) WholeFrameAgg(f(kw))
@@ -320,7 +338,7 @@ object ExprRegistry {
       }
     }),
     "approx_n_unique" -> aggOrOver(kw => approx_count_distinct(c(kw))),
-    "null_count" -> aggOrOver(kw => count(lit(1)) - count(c(kw))),
+    "null_count" -> aggOrOverEach((kw, w) => w(count(lit(1))) - w(count(c(kw)))),
 
     // cumulative / running (explicit order_by; optional partition_by)
     "cum_sum" -> rw(kw => sum(c(kw)).over(runningFrame(kw, "cum_sum"))),
@@ -396,6 +414,70 @@ object ExprRegistry {
     "rolling_sum_by" -> rw(kw => sum(c(kw)).over(rollingByFrame(kw, "rolling_sum_by"))),
     "rolling_min_by" -> rw(kw => min(c(kw)).over(rollingByFrame(kw, "rolling_min_by"))),
     "rolling_max_by" -> rw(kw => max(c(kw)).over(rollingByFrame(kw, "rolling_max_by"))),
+
+    // registry tail (round 15): the LAST cheaply-expressible top-level
+    // pl.Expr names — with these, [[PolarsExprParity]] pins that every
+    // Polars 1.34 Expr method is implemented, builtin-spelled, or
+    // documented-excluded (the exact-complement contract DocsParitySpec
+    // enforces).
+    "cot" -> rw(kw => cos(c(kw)) / sin(c(kw))),
+    // null-safe equality (polars eq_missing/ne_missing = Spark <=>)
+    "eq_missing" -> rw(kw => c(kw) <=> other(kw)),
+    "ne_missing" -> rw(kw => !(c(kw) <=> other(kw))),
+    // polars is_close (1.32+): |a−b| <= max(rel_tol·max(|a|,|b|), abs_tol);
+    // nans_equal makes NaN==NaN true (both sides' defaults)
+    "is_close" -> rw { kw =>
+      val a = c(kw).cast("double")
+      val b = other(kw).cast("double")
+      val relTol = kw.get("rel_tol").map(_.toString.toDouble).getOrElse(1e-9)
+      val absTol = kw.get("abs_tol").map(_.toString.toDouble).getOrElse(0.0)
+      val nansEqual = kw.get("nans_equal").exists(_.toString.toBoolean)
+      // explicit NaN guard: Spark's NaN-equality semantics (NaN = NaN is
+      // TRUE, NaN sorts greatest) would otherwise make NaN "close" to
+      // anything through the <= — polars returns false unless nans_equal
+      val close = !isnan(a) && !isnan(b) &&
+        (abs(a - b) <= greatest(lit(relTol) * greatest(abs(a), abs(b)), lit(absTol)))
+      if (nansEqual) (isnan(a) && isnan(b)) || close else close
+    },
+    "is_last_distinct" -> rw { kw =>
+      val ord = strSeq(kw, "order_by")
+      require(ord.nonEmpty,
+        "'is_last_distinct' requires an 'order_by' kwarg: Spark rows have no implicit order")
+      row_number().over(Window.partitionBy(c(kw)).orderBy(ord.map(col(_).desc): _*)) === 1
+    },
+    "has_nulls" -> aggOrOverEach((kw, w) => w(sum(c(kw).isNull.cast("long"))) > 0),
+    // nan_max/nan_min PROPAGATE NaN (polars semantics). Spark orders NaN
+    // greatest, so max already propagates; min needs the explicit guard.
+    "nan_max" -> aggOrOver(kw => max(c(kw).cast("double"))),
+    "nan_min" -> aggOrOverEach { (kw, w) =>
+      val x = c(kw).cast("double")
+      when(w(sum(when(isnan(x), 1L).otherwise(0L))) > 0, lit(Double.NaN))
+        .otherwise(w(min(x)))
+    },
+    // 64-bit two's-complement view (schema-blind registry: cast to bigint
+    // first — polars counts within the column's own dtype width)
+    "bitwise_count_ones" -> rw(kw => bit_count(c(kw).cast("long"))),
+    "bitwise_count_zeros" -> rw(kw => lit(64) - bit_count(c(kw).cast("long"))),
+    // the *_by variants polars has that the round-13 tail missed
+    "rolling_std_by" -> rw(kw => stddev_samp(c(kw)).over(rollingByFrame(kw, "rolling_std_by"))),
+    "rolling_var_by" -> rw(kw => var_samp(c(kw)).over(rollingByFrame(kw, "rolling_var_by"))),
+    "rolling_median_by" -> rw(kw =>
+      expr(s"percentile(${str(kw, "col")}, 0.5)").over(rollingByFrame(kw, "rolling_median_by"))),
+    "rolling_quantile_by" -> rw(kw =>
+      expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})")
+        .over(rollingByFrame(kw, "rolling_quantile_by"))),
+    // k largest/smallest of ANOTHER column's order (polars top_k_by):
+    // values of `col` at the k largest/smallest `by` rows, by-order sorted
+    "top_k_by" -> aggOrOverEach { (kw, w) =>
+      val by = col(str(kw, "by"))
+      slice(transform(sort_array(w(collect_list(struct(by.as("b"), c(kw).as("v")))), asc = false),
+        s => s.getField("v")), 1, intVal(kw, "k", 5))
+    },
+    "bottom_k_by" -> aggOrOverEach { (kw, w) =>
+      val by = col(str(kw, "by"))
+      slice(transform(sort_array(w(collect_list(struct(by.as("b"), c(kw).as("v")))), asc = true),
+        s => s.getField("v")), 1, intVal(kw, "k", 5))
+    },
 
     // strings (additive: the reference uses these internally — trim/lower/
     // to_json/concat_ws — even though .str.* is not config-facing there)
@@ -940,10 +1022,10 @@ object ExprRegistry {
     // top_k / bottom_k: the k largest/smallest values of the group as a
     // sorted list (collect_list order is nondeterministic; sort_array
     // makes the result deterministic)
-    "top_k" -> aggOrOver(kw =>
-      slice(sort_array(collect_list(c(kw)), asc = false), 1, intVal(kw, "k", 5))),
-    "bottom_k" -> aggOrOver(kw =>
-      slice(sort_array(collect_list(c(kw)), asc = true), 1, intVal(kw, "k", 5))),
+    "top_k" -> aggOrOverEach((kw, w) =>
+      slice(sort_array(w(collect_list(c(kw))), asc = false), 1, intVal(kw, "k", 5))),
+    "bottom_k" -> aggOrOverEach((kw, w) =>
+      slice(sort_array(w(collect_list(c(kw))), asc = true), 1, intVal(kw, "k", 5))),
 
     // polars rank(method='average'): ties share the mean of their positions
     "avg_rank" -> rw { kw =>
@@ -971,6 +1053,130 @@ object ExprRegistry {
     * `pl.Expr` surface (see the header's DELIBERATE EXCLUSIONS). Kept as a
     * literal here (graft.service depends on this package, not vice versa);
     * ExprRegistrySpec pins it against `BuiltinTransformations.registry`. */
+  /** Pinned inventory of Polars 1.34's public top-level `pl.Expr` METHODS
+    * (what the reference's reflective registry exposes — `inspect
+    * .getmembers(pl.Expr, isfunction)` minus underscore names and its own
+    * `map_batches`/`apply` exclusions; namespace accessors like `.str`
+    * are properties, covered here by the `str_*`/`dt_*`/`list_*`/
+    * `struct_*` registry families). Best-effort from the public API docs
+    * — the DocsParitySpec contract is that every name here is either a
+    * registry fn, a frame-level builtin ([[polarsBuiltinSpelled]]), or a
+    * DOCUMENTED exclusion ([[polarsExcluded]]), and that those three sets
+    * exactly partition this one (no stale exclusions, nothing silently
+    * missing). A config porting any reflective name lands on an
+    * implementation or an explanation, never a wall. */
+  private[graft] val polarsExprMethods: Set[String] = Set(
+    // arithmetic / comparison / boolean
+    "abs", "add", "sub", "mul", "truediv", "floordiv", "mod", "pow", "neg",
+    "eq", "ne", "lt", "le", "gt", "ge", "eq_missing", "ne_missing",
+    "and_", "or_", "xor", "not_",
+    // math
+    "arccos", "arccosh", "arcsin", "arcsinh", "arctan", "arctanh",
+    "cbrt", "ceil", "cos", "cosh", "cot", "degrees", "exp", "floor",
+    "log", "log10", "log1p", "radians", "sign", "sin", "sinh", "sqrt",
+    "tan", "tanh", "round", "round_sig_figs", "clip",
+    // aggregates
+    "all", "any", "approx_n_unique", "count", "entropy", "first", "implode",
+    "kurtosis", "last", "len", "max", "mean", "median", "min", "mode",
+    "n_unique", "nan_max", "nan_min", "null_count", "product", "quantile",
+    "skew", "std", "sum", "var", "has_nulls", "dot",
+    // position / extremes
+    "arg_max", "arg_min", "arg_sort", "arg_true", "arg_unique",
+    // sequence / window
+    "cum_count", "cum_max", "cum_min", "cum_prod", "cum_sum",
+    "cumulative_eval", "diff", "pct_change", "shift", "rank",
+    "peak_max", "peak_min", "is_first_distinct", "is_last_distinct",
+    "is_duplicated", "is_unique", "search_sorted",
+    "top_k", "bottom_k", "top_k_by", "bottom_k_by",
+    "rolling_mean", "rolling_sum", "rolling_min", "rolling_max",
+    "rolling_std", "rolling_var", "rolling_median", "rolling_quantile",
+    "rolling_skew", "rolling_kurtosis",
+    "rolling_mean_by", "rolling_sum_by", "rolling_min_by", "rolling_max_by",
+    "rolling_std_by", "rolling_var_by", "rolling_median_by",
+    "rolling_quantile_by", "rolling",
+    "ewm_mean", "ewm_std", "ewm_var", "ewm_mean_by",
+    "interpolate", "interpolate_by",
+    // nulls / predicates
+    "backward_fill", "forward_fill", "fill_nan", "fill_null",
+    "drop_nans", "drop_nulls", "is_nan", "is_not_nan", "is_null",
+    "is_not_null", "is_finite", "is_infinite", "is_between", "is_in",
+    "is_close",
+    // binning / remapping
+    "cut", "qcut", "replace", "replace_strict", "rle", "rle_id", "hist",
+    // bitwise
+    "bitwise_and", "bitwise_or", "bitwise_xor",
+    "bitwise_count_ones", "bitwise_count_zeros",
+    "bitwise_leading_ones", "bitwise_leading_zeros",
+    "bitwise_trailing_ones", "bitwise_trailing_zeros",
+    // structure / selection / meta
+    "alias", "agg_groups", "append", "cast", "exclude", "explode",
+    "extend_constant", "filter", "flatten", "gather", "gather_every",
+    "get", "hash", "head", "tail", "limit", "slice", "sort", "sort_by",
+    "reverse", "unique", "unique_counts", "value_counts", "over", "pipe",
+    "map_elements", "repeat_by", "reshape", "rechunk", "reinterpret",
+    "set_sorted", "shrink_dtype", "to_physical", "item",
+    "lower_bound", "upper_bound", "index_of", "sample", "shuffle")
+
+  /** Polars names that exist as FRAME-LEVEL builtins (the reference spells
+    * them inside `with_columns`; the Spark implementations are ordered
+    * scans or frame reshapes, not Column expressions) — the resolver's
+    * error message routes these to the `custom_transformations` stage. */
+  private[graft] val polarsBuiltinSpelled: Set[String] = Set(
+    "ewm_mean", "ewm_std", "ewm_var", "ewm_mean_by", "rle",
+    "sort_by", "value_counts", "unique_counts")
+
+  /** DELIBERATE exclusions from the reflective surface, name → why.
+    * DocsParitySpec asserts this map is the EXACT complement of
+    * implemented + builtin-spelled within [[polarsExprMethods]]. */
+  private[graft] val polarsExcluded: Map[String, String] = Map(
+    "sample" -> ("non-deterministic by definition — breaks the oracle/reproducibility " +
+      "contract; use the stratified_sample builtin or hash_split (seeded hash threshold)"),
+    "shuffle" -> "non-deterministic — use training_shard_assign (md5-ordered deterministic shuffle)",
+    "alias" -> "the derive stage's output column name IS the alias",
+    "agg_groups" -> "group-by-context only; no meaning in a derive projection",
+    "append" -> "vertical expression concat — a frame-level union, not a column",
+    "exclude" -> "column-selection meta — the final-select stage owns projection",
+    "explode" -> "length-changing — stage S11 (unnest) owns row fan-out",
+    "extend_constant" -> "length-changing — frames grow by union, not by expression",
+    "filter" -> "length-changing in expression position — stage S12 (filter) owns row removal",
+    "drop_nans" -> "length-changing — compose stage S12 filter with is_nan",
+    "drop_nulls" -> "length-changing — compose stage S12 filter with is_null",
+    "gather" -> "positional indexing — Spark rows have no implicit order",
+    "gather_every" -> "positional — no implicit row order; hash_split covers systematic sampling",
+    "get" -> "positional — no implicit row order (list_get covers list element access)",
+    "head" -> "positional subsetting — a frame limit, not a column expression",
+    "tail" -> "positional subsetting — no implicit row order",
+    "limit" -> "positional subsetting — a frame limit",
+    "slice" -> "positional subsetting — no implicit row order (str_slice/list_slice exist)",
+    "sort" -> "whole-frame reorder — the sort_by builtin orders frames; rows have no implicit order",
+    "reverse" -> "positional reorder — no implicit row order (str_reverse/list_reverse exist)",
+    "unique" -> "length-changing — stage S10 (deduplicate_rows) owns dedup",
+    "over" -> "spelled as the partition_by/order_by kwargs every windowed registry fn takes",
+    "pipe" -> "meta-composition — chain derive rows instead",
+    "map_elements" -> ("arbitrary-callable escape hatch (a Python UDF) — the reference itself " +
+      "excludes map_batches/apply; use the custom_transformations stage for arbitrary logic"),
+    "reshape" -> "tensor reshape — no relational analog",
+    "rechunk" -> "memory-layout hint — no Spark analog (partitioning is explicit)",
+    "reinterpret" -> "physical dtype reinterpretation — no codegen-safe Spark analog",
+    "set_sorted" -> "physical sortedness flag — Spark tracks ordering in the plan",
+    "shrink_dtype" -> "dtype narrowing by value inspection — schema-blind registry; use recast (S14)",
+    "to_physical" -> "physical dtype view — no Spark analog",
+    "item" -> "driver-side scalar extraction — an action, not an expression",
+    "lower_bound" -> "dtype-introspective (type's min) — registry builders are schema-blind",
+    "upper_bound" -> "dtype-introspective (type's max) — registry builders are schema-blind",
+    "index_of" -> "positional (first index of a value) — no implicit row order",
+    "arg_sort" -> "positional permutation — no implicit row order; rank/row_number cover ordering",
+    "arg_true" -> "positional indices — no implicit row order",
+    "arg_unique" -> "positional indices — no implicit row order",
+    "interpolate" -> ("needs an implicit row order — interpolate_by (value-axis) is implemented; " +
+      "the q70 interpolate operator covers ordered frames"),
+    "rolling" -> "generic window constructor — covered by the rolling_* family",
+    "hist" -> "struct-typed histogram — the q54 histogram operator covers it",
+    "bitwise_leading_ones" -> "no codegen-native Spark spelling (would need a custom expression); niche",
+    "bitwise_leading_zeros" -> "no codegen-native Spark spelling; niche",
+    "bitwise_trailing_ones" -> "no codegen-native Spark spelling; niche",
+    "bitwise_trailing_zeros" -> "no codegen-native Spark spelling; niche")
+
   private[graft] val builtinSpellings: Set[String] = Set(
     "exact_dedup", "fuzzy_dedup", "minhash_near_dup", "semantic_dedup",
     "quality_filter", "quality_classifier", "clean_text", "decontaminate", "incremental_dedup",

@@ -4976,6 +4976,68 @@ object Queries {
     """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test, TRUE AS acc_ok
       |FROM documents WHERE doc_id % 4 = 0 GROUP BY lang""".stripMargin
 
+  /** Registry tail, round 15 (the sweep that closes the reflective
+    * `pl.Expr` surface — DocsParitySpec pins the inventory partition):
+    * cot, null-safe eq/ne (`eq_missing`/`ne_missing` = `<=>`), is_close,
+    * is_last_distinct, has_nulls (whole-frame agg broadcast), 64-bit
+    * bitwise_count_ones/zeros, the rolling `_by` variants the round-13
+    * tail missed (std/median over a doc_id-RANGE frame), and top_k_by
+    * (value at the k largest of ANOTHER column's order — emitted as its
+    * top-1 scalar so the oracle hashes a scalar, DuckDB's arg_max
+    * window). r_std rounds to 4 (value²-magnitude statistic, the q115
+    * rule); everything else is exact by construction. */
+  val q163: QueryFn = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("__x", col("n_chars").cast("double") / 100.0)
+      .withColumn("__xr", round(col("n_chars").cast("double") / 100.0, 1))
+      .transform(Transforms.deriveNewCols(Seq(
+        "cot_v" -> DeriveSpec("cot",
+          Map("col" -> "__x")),
+        "eqm" -> DeriveSpec("eq_missing", Map("col" -> "lang", "other_col" -> "source")),
+        "nem" -> DeriveSpec("ne_missing", Map("col" -> "lang", "other_col" -> "source")),
+        "close" -> DeriveSpec("is_close", Map("col" -> "__x", "other_col" -> "__xr",
+          "rel_tol" -> 0.0, "abs_tol" -> 0.05)),
+        "last_d" -> DeriveSpec("is_last_distinct", Map("col" -> "source",
+          "order_by" -> Seq("doc_id"))),
+        "has_n" -> DeriveSpec("has_nulls", Map("col" -> "lang")),
+        "ones" -> DeriveSpec("bitwise_count_ones", Map("col" -> "n_chars")),
+        "zeros" -> DeriveSpec("bitwise_count_zeros", Map("col" -> "n_chars")),
+        "r_std" -> DeriveSpec("rolling_std_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500, "partition_by" -> Seq("lang"))),
+        "r_med" -> DeriveSpec("rolling_median_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500, "partition_by" -> Seq("lang"))),
+        "topv" -> DeriveSpec("top_k_by", Map("col" -> "n_chars", "by" -> "doc_id",
+          "k" -> 3, "partition_by" -> Seq("lang"))))))
+      .select(col("doc_id"), col("lang"),
+        round(col("cot_v"), 6).as("cot_v"),
+        col("eqm"), col("nem"), col("close"), col("last_d"), col("has_n"),
+        col("ones").cast("int").as("ones"), col("zeros").cast("int").as("zeros"),
+        (round(col("r_std"), 4) + lit(0.0)).as("r_std"),
+        col("r_med").cast("double").as("r_med"),
+        element_at(col("topv"), 1).cast("long").as("top1"))
+
+  val q163Sql: String =
+    """WITH t AS (SELECT doc_id, lang, source, n_chars,
+      |  CAST(n_chars AS DOUBLE) / 100.0 AS x,
+      |  round(CAST(n_chars AS DOUBLE) / 100.0, 1) AS xr FROM documents),
+      |h AS (SELECT CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
+      |  AS has_n FROM t)
+      |SELECT doc_id, lang,
+      |  round(cos(x) / sin(x), 6) AS cot_v,
+      |  lang IS NOT DISTINCT FROM source AS eqm,
+      |  lang IS DISTINCT FROM source AS nem,
+      |  abs(x - xr) <= greatest(0.0 * greatest(abs(x), abs(xr)), 0.05) AS close,
+      |  row_number() OVER (PARTITION BY source ORDER BY doc_id DESC) = 1 AS last_d,
+      |  h.has_n,
+      |  CAST(bit_count(CAST(n_chars AS BIGINT)) AS INTEGER) AS ones,
+      |  CAST(64 - bit_count(CAST(n_chars AS BIGINT)) AS INTEGER) AS zeros,
+      |  round(stddev_samp(n_chars) OVER w, 4) + 0.0 AS r_std,
+      |  CAST(median(n_chars) OVER w AS DOUBLE) AS r_med,
+      |  CAST(arg_max(n_chars, doc_id) OVER (PARTITION BY lang) AS BIGINT) AS top1
+      |FROM t CROSS JOIN h
+      |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+      |  RANGE BETWEEN 499 PRECEDING AND CURRENT ROW)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -5142,7 +5204,8 @@ object Queries {
     ("q159_abtt_top2", q159, Some(q159Sql)),
     ("q160_bpe_reload", q160, Some(q160Sql)),
     ("q161_stream_bpe", q161, Some(q161Sql)),
-    ("q162_lang_id_supervised", q162, Some(q162Sql))
+    ("q162_lang_id_supervised", q162, Some(q162Sql)),
+    ("q163_registry_tail_r15", q163, Some(q163Sql))
   )
 }
 

@@ -63,6 +63,43 @@ class DocsParitySpec extends AnyFunSuite {
          |Add/remove the bullet(s) to match BuiltinTransformations.registry.""".stripMargin)
   }
 
+  test("Polars Expr inventory exactly partitions into implemented / builtin-spelled / excluded") {
+    import graft.expr.ExprRegistry
+    val inventory = ExprRegistry.polarsExprMethods
+    val implemented = ExprRegistry.fns.keySet
+    val builtin = ExprRegistry.polarsBuiltinSpelled
+    val excluded = ExprRegistry.polarsExcluded.keySet
+    // the three classifications live inside the inventory
+    assert((builtin -- inventory).isEmpty,
+      s"builtin-spelled names not in the inventory: ${(builtin -- inventory).toSeq.sorted}")
+    assert((excluded -- inventory).isEmpty,
+      s"excluded names not in the inventory: ${(excluded -- inventory).toSeq.sorted}")
+    // no stale classifications: an excluded or builtin-spelled name that
+    // IS now a registry fn means the doc drifted from the code
+    assert((excluded intersect implemented).isEmpty,
+      s"stale exclusions (now implemented): ${(excluded intersect implemented).toSeq.sorted}")
+    assert((builtin intersect implemented).isEmpty,
+      s"builtin-spelled names shadowed by registry fns: ${(builtin intersect implemented).toSeq.sorted}")
+    assert((excluded intersect builtin).isEmpty,
+      s"double-classified: ${(excluded intersect builtin).toSeq.sorted}")
+    // EXACT COMPLEMENT: every inventory name is implemented, builtin, or excluded
+    val uncovered = inventory -- implemented -- builtin -- excluded
+    assert(uncovered.isEmpty,
+      s"pl.Expr methods with no implementation, builtin spelling, or documented " +
+        s"exclusion: ${uncovered.toSeq.sorted.mkString(", ")}")
+    // builtin spellings must resolve in the ACTUAL builtin registry, and
+    // the resolver must route them there with an actionable error
+    val missingBuiltins = builtin.filterNot(
+      graft.service.BuiltinTransformations.registry.contains)
+    assert(missingBuiltins.isEmpty,
+      s"builtin-spelled names absent from BuiltinTransformations.registry: " +
+        s"${missingBuiltins.toSeq.sorted.mkString(", ")}")
+    for (name <- builtin) {
+      val e = intercept[IllegalArgumentException] { ExprRegistry.resolve(name) }
+      assert(e.getMessage.contains("custom_transformations"), s"$name: ${e.getMessage}")
+    }
+  }
+
   test("README curation YAML parses and every custom transformation resolves to a builtin") {
     val block = "(?s)```yaml\\n(.*?)```".r
       .findFirstMatchIn(section("YAML-only curation pipeline"))

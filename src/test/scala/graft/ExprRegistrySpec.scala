@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions._
 import graft.config.DeriveSpec
 import graft.expr.ExprRegistry
 import graft.stages.Transforms
@@ -515,6 +516,52 @@ class ExprRegistrySpec extends AnyFunSuite {
     // far-off garbage still lists the catalog
     val far = intercept[IllegalArgumentException](ExprRegistry.resolve("zzzzzzzzzzz"))
     assert(far.getMessage.contains("known:"))
+  }
+
+  test("wrapped-aggregate fns work WINDOWED (the aggOrOverEach regression) + NaN semantics") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, Double.NaN), ("a", 3L, 3.0),
+      ("b", 4L, 5.0), ("b", 5L, 2.0)).toDF("g", "id", "x")
+      .withColumn("xn", when(col("id") === 4L, lit(null).cast("double")).otherwise(col("x")))
+    // top_k / top_k_by / null_count / has_nulls / nan_min with
+    // partition_by used to raise MISSING_GROUP_BY (.over on the outer
+    // expression instead of the aggregate) — pin the windowed forms
+    val out = derive(
+      "tk" -> DeriveSpec("top_k", Map("col" -> "id", "k" -> 2, "partition_by" -> Seq("g"))),
+      "tkb" -> DeriveSpec("top_k_by", Map("col" -> "x", "by" -> "id", "k" -> 1,
+        "partition_by" -> Seq("g"))),
+      "nc" -> DeriveSpec("null_count", Map("col" -> "xn", "partition_by" -> Seq("g"))),
+      "hn" -> DeriveSpec("has_nulls", Map("col" -> "xn", "partition_by" -> Seq("g"))),
+      "nmin" -> DeriveSpec("nan_min", Map("col" -> "x", "partition_by" -> Seq("g"))),
+      "nmax" -> DeriveSpec("nan_max", Map("col" -> "x", "partition_by" -> Seq("g"))))(df)
+      .collect().map(r => (r.getLong(1),
+        (r.getSeq[Long](4), r.getSeq[Double](5), r.getLong(6), r.getBoolean(7),
+          r.getDouble(8), r.getDouble(9)))).toMap
+    val (tkA, tkbA, ncA, hnA, nminA, nmaxA) = out(1L)
+    assert(tkA == Seq(3L, 2L) && tkbA == Seq(3.0))
+    assert(ncA == 0L && !hnA)
+    // NaN PROPAGATES (polars nan_min/nan_max), in the windowed form too
+    assert(nminA.isNaN && nmaxA.isNaN)
+    val (tkB, tkbB, ncB, hnB, nminB, nmaxB) = out(4L)
+    assert(tkB == Seq(5L, 4L) && tkbB == Seq(2.0))
+    assert(ncB == 1L && hnB)
+    assert(nminB == 2.0 && nmaxB == 5.0)
+    // whole-frame forms of the same fns (one agg pass + broadcast)
+    val whole = derive(
+      "nc" -> DeriveSpec("null_count", Map("col" -> "xn")),
+      "hn" -> DeriveSpec("has_nulls", Map("col" -> "xn")),
+      "nmin" -> DeriveSpec("nan_min", Map("col" -> "x")))(df).head()
+    assert(whole.getLong(4) == 1L && whole.getBoolean(5) && whole.getDouble(6).isNaN)
+    // is_close: rel/abs tolerance + nans_equal
+    val cl = derive(
+      "c1" -> DeriveSpec("is_close", Map("col" -> "x", "other_col" -> "x",
+        "nans_equal" -> true)))(df)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(cl.values.forall(identity)) // x ~ x everywhere, NaN==NaN allowed
+    val cl2 = derive(
+      "c2" -> DeriveSpec("is_close", Map("col" -> "x", "other_col" -> "x")))(df)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(!cl2(2L)) // NaN != NaN by default
   }
 
   test("builtinSpellings stays in sync with BuiltinTransformations.registry") {
