@@ -251,7 +251,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "q135_sq8_ann", // 5-row query set broadcast-crossed over the SQ8 codes (q27/q126 shape)
       "q147_dsir_weights", // 1-row (n_raw, n_target) totals frame broadcast onto buckets (q118 shape)
       "q148_dsir_resample", // same DSIR totals broadcast inside the weight stage
-      "q152_ccnet_buckets" // q132's 1-row corpus-total-tokens broadcast inside the NLL stage
+      "q152_ccnet_buckets", // q132's 1-row corpus-total-tokens broadcast inside the NLL stage
+      "q163_registry_tail_r15" // has_nulls: 1-row whole-frame aggregate broadcast (q09 shape)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
