@@ -1182,7 +1182,7 @@ object ExprRegistry {
     "quality_filter", "quality_classifier", "clean_text", "decontaminate", "incremental_dedup",
     "incremental_fuzzy_dedup", "incremental_ann_index", "fuzzy_dedup_keep_best", "pack_sequences",
     "remove_dup_spans", "density_prune", "hard_negatives", "dsir_select",
-    "stratified_sample", "lang_id", "text_stats", "doc_fingerprint",
+    "stratified_sample", "lang_id", "lang_id_supervised", "text_stats", "doc_fingerprint",
     "ewm_mean", "ewm_var", "ewm_std", "ewm_mean_by", "rle",
     "value_counts", "unique_counts", "sort_by",
     "quality_quantile_gate", "bpe_tokenize", "sq8_encode", "training_shard_assign",

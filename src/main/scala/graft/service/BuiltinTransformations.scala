@@ -82,6 +82,7 @@ object BuiltinTransformations {
     "pack_sequences" -> packSequences,
     "stratified_sample" -> stratifiedSample,
     "lang_id" -> langId,
+    "lang_id_supervised" -> langIdSupervised,
     "text_stats" -> textStats,
     "doc_fingerprint" -> docFingerprint,
     "ewm_mean" -> ewm(TimeSeries.EwmMean, "ewm_mean"),
@@ -734,6 +735,28 @@ object BuiltinTransformations {
   private def langId: CustomFn = (df, kw) =>
     df.withColumn(strKw("lang_id", kw, "out_col", "lang_pred"),
       TextAnalysis.langId(col(reqStr("lang_id", kw, "text_col"))))
+
+  /** `lang_id_supervised(id_col, text_col, label_col, n=3, buckets=32,
+    * iters=12, lr=1.0, out_col=pred_lang)` — supervised language ID
+    * ([[TextAnalysis.langIdFit]]/[[TextAnalysis.langIdPredict]], the
+    * fastText shape): fit one-vs-rest logistic models over hashed
+    * char-n-gram features on the LABELED rows (label_col non-null), then
+    * predict EVERY row — the few-labels-to-whole-corpus usage. Upgrades
+    * the `lang_id` marker heuristic when labels exist. */
+  private def langIdSupervised: CustomFn = (df, kw) => {
+    val name = "lang_id_supervised"
+    val idCol = reqStr(name, kw, "id_col")
+    val textCol = reqStr(name, kw, "text_col")
+    val labelCol = reqStr(name, kw, "label_col")
+    val n = intKw(name, kw, "n", 3)
+    val buckets = intKw(name, kw, "buckets", 32)
+    val models = TextAnalysis.langIdFit(
+      df.filter(col(labelCol).isNotNull), idCol, textCol, labelCol,
+      n = n, buckets = buckets,
+      iters = intKw(name, kw, "iters", 12), lr = dblKw(name, kw, "lr", 1.0))
+    TextAnalysis.langIdPredict(df, idCol, textCol, models, n = n,
+      buckets = buckets, outCol = strKw(name, kw, "out_col", "pred_lang"))
+  }
 
   /** `text_stats(text_col, prefix="")` — token count + quality signal
     * columns (`n_tokens`, `punct_ratio`, `digit_ratio`, `quality_score`),

@@ -81,6 +81,37 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(4L), "fingerprint keys exact dedup")
   }
 
+  test("lang_id_supervised fits on labeled rows and predicts every row (builtin == direct)") {
+    import graft.operators.TextAnalysis
+    val words = Map("aa" -> Seq("alpha", "apple", "amara"), "zz" -> Seq("zigzag", "puzzle", "fuzzy"))
+    val rows = (0 until 120).map { i =>
+      val lang = Seq("aa", "zz")(i % 2)
+      val w = words(lang)
+      // every 5th row is UNLABELED — the builtin must still predict it
+      (i.toLong, s"${w(i % 3)} ${w((i + 1) % 3)}", if (i % 5 == 0) null else lang)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val out = registry("lang_id_supervised")(df,
+      Map("id_col" -> "doc_id", "text_col" -> "text", "label_col" -> "lang"))
+    assert(out.columns.toSeq == df.columns.toSeq :+ "pred_lang")
+    assert(out.count() == 120)
+    // labeled rows recovered; unlabeled rows got a prediction
+    val acc = out.filter(col("lang").isNotNull)
+      .agg(avg(when(col("pred_lang") === col("lang"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc >= 0.95, s"labeled accuracy $acc")
+    assert(out.filter(col("lang").isNull && col("pred_lang").isNull).count() == 0)
+    // builtin == direct operator composition
+    val models = TextAnalysis.langIdFit(
+      df.filter(col("lang").isNotNull), "doc_id", "text", "lang")
+    val direct = TextAnalysis.langIdPredict(df, "doc_id", "text", models)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaB = out.select("doc_id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaB == direct)
+  }
+
   test("semantic_dedup drops embedding near-dups via k-means cells (float input ok)") {
     // floats on purpose: the builtin must normalize to array<double> before
     // the fit; ids 1/2 are near-parallel (cos ~0.9999) -> 2 drops; 3 is a
