@@ -156,7 +156,8 @@ object ScaleRehearsal {
         "label_propagate_scaled" -> labelPropagateAtScale(cents, k = 8, vidStride),
         "domain_cap_scaled" -> domainCapAtScale,
         "budget_select_scaled" -> budgetSelectAtScale,
-        "dsir_threshold_scaled" -> dsirThresholdAtScale)
+        "dsir_threshold_scaled" -> dsirThresholdAtScale,
+        "lang_id_fit_scaled" -> langIdFitAtScale)
     // targeted runs (round 13): time only the named rows — a full ladder
     // is ~15 min, and adding one rehearsal shouldn't cost re-timing all
     val rehearsals = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
@@ -467,6 +468,30 @@ object ScaleRehearsal {
       m = math.max(1L, n / 2).toInt, takeOrderedMaxM = 0)
       .filter(col("selected"))
       .groupBy().agg(count(lit(1)).as("n_selected"))
+  }
+
+  /** [[TextAnalysis.langIdFit]] + predict on the Mx corpus (round 15):
+    * featurization is one explode+pivot agg (grams linear in corpus
+    * chars) and each of the 12 fused gradient steps is one mapPartitions
+    * pass over the cached standardized rows with a k·(buckets+1)-long
+    * tree-reduce — per-step shuffle corpus-independent, so the ladder
+    * should stay ~linear in M. Marker injection as in q162 (the fixture
+    * text carries no language signal of its own). */
+  private def langIdFitAtScale: (SparkSession, String) => DataFrame = (s, dir) => {
+    val markerText = TextAnalysis.langMarkers.foldLeft(lit("")) {
+      case (acc, (lang, ms)) =>
+        when(col("lang") === lang,
+          lit(Seq.fill(3)(ms.mkString(" ")).mkString(" "))).otherwise(acc)
+    }
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), concat_ws(" ", col("text"), markerText).as("text2"), col("lang"))
+    val models = TextAnalysis.langIdFit(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text2", "lang")
+    TextAnalysis.langIdPredict(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text2", models)
+      .groupBy().agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
   }
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
