@@ -1214,6 +1214,12 @@ object ExprRegistry {
           s"'$fnName' is a frame-level builtin, not a derive fn: invoke it via the " +
             s"custom_transformations stage (e.g. custom_transformations: [[$fnName, {...}]]), " +
             "not derive_new_cols — see BuiltinTransformations")
+      // a config porting a DOCUMENTED-excluded pl.Expr method gets its
+      // exclusion reason (which names the substitute), not a fuzzy match
+      polarsExcluded.get(fnName).foreach { why =>
+        throw new IllegalArgumentException(
+          s"'$fnName' is a deliberately-excluded pl.Expr method: $why")
+      }
       val near = fns.keys.toSeq
         .map(k => (k, editDistance(fnName.toLowerCase, k)))
         .filter(_._2 <= 3).sortBy(p => (p._2, p._1)).take(5).map(_._1)

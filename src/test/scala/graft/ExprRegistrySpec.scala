@@ -564,6 +564,14 @@ class ExprRegistrySpec extends AnyFunSuite {
     assert(!cl2(2L)) // NaN != NaN by default
   }
 
+  test("excluded pl.Expr names resolve to their documented reason, not a fuzzy match") {
+    val e = intercept[IllegalArgumentException](ExprRegistry.resolve("sample"))
+    assert(e.getMessage.contains("deliberately-excluded") &&
+      e.getMessage.contains("stratified_sample"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](ExprRegistry.resolve("explode"))
+    assert(e2.getMessage.contains("unnest") || e2.getMessage.contains("S11"), e2.getMessage)
+  }
+
   test("builtinSpellings stays in sync with BuiltinTransformations.registry") {
     assert(ExprRegistry.builtinSpellings == graft.service.BuiltinTransformations.registry.keySet,
       "update ExprRegistry.builtinSpellings when adding/removing a builtin")

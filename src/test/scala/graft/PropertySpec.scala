@@ -428,6 +428,15 @@ class PropertySpec extends AnyFunSuite {
         opt("threshold", Gen.chooseNum(0.5, 1.0), wrongForNum),
         opt("max_cluster", Gen.oneOf(100L, 10000L), wrongForInt)),
       "lang_id" -> Seq(textCol, opt("out_col", Gen.const("lp"), wrongForStr)),
+      "lang_id_supervised" -> Seq(idCol, textCol,
+        req("label_col", Gen.const("lang"), wrongForStr),
+        // fit RUNS during plan build (quality_classifier shape) — keep the
+        // generated widths/steps small so the property pass stays fast
+        opt("n", Gen.oneOf(2L, 3L), wrongForInt),
+        opt("buckets", Gen.const(8L), wrongForInt),
+        opt("iters", Gen.const(2L), wrongForInt),
+        opt("lr", Gen.const(1.0), wrongForNum),
+        opt("out_col", Gen.const("plang"), wrongForStr)),
       "text_stats" -> Seq(textCol, opt("prefix", Gen.oneOf("", "ts_"), wrongForStr)),
       "doc_fingerprint" -> Seq(textCol, opt("out_col", Gen.const("fp"), wrongForStr)),
       "ewm_mean" -> ewmSpecs(req, opt),
