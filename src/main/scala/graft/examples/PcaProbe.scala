@@ -8,8 +8,9 @@ import graft.operators.Similarity
   * dim² intermediate ROWS per input row — free at the catalog's dim=64,
   * a constant-factor wall at production dim ≥ 256 — while the
   * mapPartitions hi/lo-long fold costs dim² multiply-adds per row and
-  * stays flat. The numbers behind `pcaTopComponent(foldAboveDim = 96)`
-  * (BASELINE.md has the table). Row counts shrink as dim grows so the
+  * stays flat. The numbers behind `pcaTopComponent(foldAboveDim = 32)`
+  * — the shipped default folds from dim > 32 up (BASELINE.md has the
+  * table). Row counts shrink as dim grows so the
   * explode lane finishes at all; the per-row-normalized column is the
   * comparable number. Re-run after any moments change with the usual
   * plain-java launch, main class `graft.examples.PcaProbe`.

@@ -58,6 +58,16 @@ object ExprRegistry {
     * under a temp name, applies `row` to it, and drops the temp — same
     * two-scan shape as [[WholeFrameAgg]], zero single-partition stages. */
   final case class AggThenRow(agg: Column, row: Column => Column) extends Derived
+  /** A GLOBAL ordered fn (no `partition_by`): the derive stage routes it
+    * through [[OrderedAtScale.applyGlobal]]'s range-bucketed two-level
+    * decomposition, so no config can compile to a single-partition
+    * WindowExec (round-16: the last scale cliff, closed). */
+  final case class GlobalOrdered(spec: OrderedAtScale.GlobalOrderedSpec) extends Derived
+  /** A frame-level rewrite for global ordered fns whose decomposition
+    * needs more than prefix+within recombination (`rle_id`'s bucket
+    * chain-merge): the derive stage calls `build(frame, outName)`. */
+  final case class FrameLevel(build: (org.apache.spark.sql.DataFrame, String) =>
+    org.apache.spark.sql.DataFrame) extends Derived
 
   type DeriveFn = Map[String, Any] => Derived
 
@@ -108,9 +118,16 @@ object ExprRegistry {
         }
     }
 
-  /** Window for ordered ops. `order_by` mandatory; `partition_by` optional
-    * but strongly recommended at scale (a global ordered window is a single
-    * partition). `desc: true` reverses the order. */
+  /** Window for ordered ops. `order_by` mandatory; `partition_by` optional.
+    * `desc: true` reverses the order.
+    *
+    * Round 16: every GLOBAL (no partition_by) running/ranking/positional/
+    * fill fn routes through [[OrderedAtScale]]'s range-bucketed two-level
+    * decomposition instead of the empty-partition form this helper builds
+    * — the single-partition window survives ONLY in the rolling_* family
+    * and cumulative_eval std/var (whose sum-of-squares recomposition would
+    * change their floating-point profile); pass `partition_by` for those
+    * at scale. */
   private def orderedWindow(kw: Map[String, Any], fn: String): WindowSpec = {
     val ord = strSeq(kw, "order_by")
     require(ord.nonEmpty, s"'$fn' requires an 'order_by' kwarg: Spark rows have no implicit order")
@@ -123,6 +140,135 @@ object ExprRegistry {
 
   private def runningFrame(kw: Map[String, Any], fn: String): WindowSpec =
     orderedWindow(kw, fn).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** order_by names + desc flag, validated — shared by the windowed and
+    * two-level global forms. */
+  private def ordAndDesc(kw: Map[String, Any], fn: String): (Seq[String], Boolean) = {
+    val ord = strSeq(kw, "order_by")
+    require(ord.nonEmpty, s"'$fn' requires an 'order_by' kwarg: Spark rows have no implicit order")
+    (ord, kw.get("desc").exists(_.toString.toBoolean))
+  }
+
+  /** Running aggregate along an explicit order: the per-key windowed form
+    * with `partition_by`; WITHOUT it, the range-bucketed two-level
+    * decomposition ([[OrderedAtScale.applyGlobal]]) — a global running fn
+    * never compiles to a single-partition window. `recombine`
+    * re-aggregates bucket totals; `combine` merges a row's prior-bucket
+    * prefix (null in the first bucket) with its within-bucket running
+    * value (null while every prior value in the bucket is null). */
+  private def runningAgg(
+      fn: String,
+      aggF: Column => Column,
+      recombine: Column => Column,
+      combine: (Column, Column) => Column): DeriveFn = kw => {
+    if (strSeq(kw, "partition_by").nonEmpty)
+      RowWise(aggF(c(kw)).over(runningFrame(kw, fn)))
+    else {
+      val (ord, desc) = ordAndDesc(kw, fn)
+      GlobalOrdered(OrderedAtScale.GlobalOrderedSpec(
+        ord, desc,
+        w => aggF(c(kw)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        aggF(c(kw)),
+        recombine,
+        (p, _, v) => combine(p, v)))
+    }
+  }
+
+  /** Shift family (`shift`/`diff`/`pct_change`, and `lead` via a negated
+    * offset): per-key windowed lag with `partition_by`; the global form is
+    * [[OrderedAtScale.globalShift]]'s tail-exchange decomposition (bucket
+    * boundary rows read the prior buckets' exported n-row tails). `post`
+    * wraps the shifted value (diff: `x - shifted`). Offset 0 is the
+    * column itself; negative offsets flip the order direction (lead(n) ==
+    * lag(n) over the reversed total order). */
+  private def shiftLike(fn: String, post: (Column, Column) => Column): DeriveFn = kw => {
+    val n = intVal(kw, "n", 1)
+    val x = c(kw)
+    if (strSeq(kw, "partition_by").nonEmpty)
+      RowWise(post(x, lag(x, n).over(orderedWindow(kw, fn))))
+    else if (n == 0) {
+      ordAndDesc(kw, fn) // the order contract holds even for the no-op
+      RowWise(post(x, x))
+    } else {
+      val (ord, desc) = ordAndDesc(kw, fn)
+      val flip = if (n < 0) !desc else desc
+      FrameLevel((df, out) =>
+        OrderedAtScale.globalShift(df, x, math.abs(n), ord, flip, out, post(x, _)))
+    }
+  }
+
+  /** peak_max/peak_min: strict neighbor comparison in both directions.
+    * Global forms stage prev/next via two [[OrderedAtScale.globalShift]]
+    * passes (one per direction). */
+  private def peakLike(fn: String, beats: (Column, Column) => Column): DeriveFn = kw => {
+    val x = c(kw)
+    if (strSeq(kw, "partition_by").nonEmpty) {
+      val ow = orderedWindow(kw, fn)
+      val (prev, next) = (lag(x, 1).over(ow), lead(x, 1).over(ow))
+      RowWise((prev.isNull || beats(x, prev)) && (next.isNull || beats(x, next)))
+    } else {
+      val (ord, desc) = ordAndDesc(kw, fn)
+      FrameLevel { (df, out) =>
+        Seq("__pk_prev", "__pk_next").find(df.columns.contains).foreach(n =>
+          throw new IllegalArgumentException(
+            s"$fn: input frame already has internal shadow column '$n' — rename it first"))
+        val staged = OrderedAtScale.globalShift(
+          OrderedAtScale.globalShift(df, x, 1, ord, desc, "__pk_prev"),
+          x, 1, ord, !desc, "__pk_next")
+        val (prev, next) = (col("__pk_prev"), col("__pk_next"))
+        staged.withColumn(out,
+          (prev.isNull || beats(x, prev)) && (next.isNull || beats(x, next)))
+          .drop("__pk_prev", "__pk_next")
+      }
+    }
+  }
+
+  /** Two-level spec for a GLOBAL ordered fill: within-bucket
+    * last-non-null running value patched with the latest non-null value of
+    * any PRIOR bucket (selected by bucket recency via min_by/max_by on the
+    * order key — per-bucket state is ONE value). `value` may be a struct
+    * (interpolate_by packs (v, x)); pass it pre-nulled (`when(valid, …)`)
+    * so ignoreNulls skips invalid rows. Flip `desc` for backward fill. */
+  private def fillSpec(value: Column, ord: Seq[String], desc: Boolean)
+    : OrderedAtScale.GlobalOrderedSpec = {
+    val key = struct(ord.map(col): _*)
+    val keyWhenValid = when(value.isNotNull, key)
+    OrderedAtScale.GlobalOrderedSpec(
+      ord, desc,
+      w => last(value, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      // bucket total: the bucket's LAST (in order) non-null value —
+      // max_by/min_by skip rows whose key is nulled, i.e. null values
+      if (desc) min_by(struct(value.as("v")), keyWhenValid)
+      else max_by(struct(value.as("v")), keyWhenValid),
+      c => max_by(c, when(c.isNotNull && c.getField("v").isNotNull,
+        OrderedAtScale.priorBucket)),
+      (p, _, v) => coalesce(v, p.getField("v")))
+  }
+
+  /** Rank-family along an explicit order: windowed with `partition_by`,
+    * two-level global otherwise. Global ranks/row numbers come back as
+    * LONG (they add a long prefix count); the windowed per-key forms keep
+    * Spark's native int. `bucketAgg` counts rows (or distinct keys, for
+    * dense_rank); `combine` gets (prefixCount, globalTotal, withinValue). */
+  private def rankLike(
+      fn: String,
+      windowed: (Map[String, Any], WindowSpec) => Column,
+      within: (Map[String, Any], WindowSpec) => Column,
+      bucketAgg: Map[String, Any] => Column,
+      combine: (Map[String, Any], Column, Column, Column) => Column): DeriveFn = kw => {
+    if (strSeq(kw, "partition_by").nonEmpty)
+      RowWise(windowed(kw, orderedWindow(kw, fn)))
+    else {
+      val (ord, desc) = ordAndDesc(kw, fn)
+      GlobalOrdered(OrderedAtScale.GlobalOrderedSpec(
+        ord, desc,
+        w => within(kw, w),
+        bucketAgg(kw),
+        sum,
+        (p, t, v) => combine(kw, p, t, v)))
+    }
+  }
 
   private def rollingFrame(kw: Map[String, Any], fn: String): WindowSpec = {
     val k = intVal(kw, "window_size", -1)
@@ -340,30 +486,47 @@ object ExprRegistry {
     "approx_n_unique" -> aggOrOver(kw => approx_count_distinct(c(kw))),
     "null_count" -> aggOrOverEach((kw, w) => w(count(lit(1))) - w(count(c(kw)))),
 
-    // cumulative / running (explicit order_by; optional partition_by)
-    "cum_sum" -> rw(kw => sum(c(kw)).over(runningFrame(kw, "cum_sum"))),
-    "cum_min" -> rw(kw => min(c(kw)).over(runningFrame(kw, "cum_min"))),
-    "cum_max" -> rw(kw => max(c(kw)).over(runningFrame(kw, "cum_max"))),
-    "cum_count" -> rw(kw => count(c(kw)).over(runningFrame(kw, "cum_count"))),
-    "cum_prod" -> rw(kw => product(c(kw)).over(runningFrame(kw, "cum_prod"))),
+    // cumulative / running (explicit order_by; optional partition_by —
+    // WITHOUT it these take the two-level global decomposition, never a
+    // single-partition window)
+    "cum_sum" -> runningAgg("cum_sum", sum, sum,
+      (p, v) => coalesce(p + v, p, v)),
+    "cum_min" -> runningAgg("cum_min", min, min,
+      (p, v) => least(p, v)), // least/greatest skip nulls: null prefix → v
+    "cum_max" -> runningAgg("cum_max", max, max,
+      (p, v) => greatest(p, v)),
+    "cum_count" -> runningAgg("cum_count", count, sum,
+      (p, v) => coalesce(p, lit(0L)) + v),
+    "cum_prod" -> runningAgg("cum_prod", product, product,
+      (p, v) => coalesce(p * v, p, v)),
 
-    // ranking / positional
-    "rank" -> rw(kw => rank().over(orderedWindow(kw, "rank"))),
-    "dense_rank" -> rw(kw => dense_rank().over(orderedWindow(kw, "dense_rank"))),
-    "row_number" -> rw(kw => row_number().over(orderedWindow(kw, "row_number"))),
-    "shift" -> rw { kw =>
-      val n = intVal(kw, "n", 1)
-      lag(c(kw), n).over(orderedWindow(kw, "shift"))
-    },
-    "diff" -> rw { kw =>
-      val n = intVal(kw, "n", 1)
-      c(kw) - lag(c(kw), n).over(orderedWindow(kw, "diff"))
-    },
-    "pct_change" -> rw { kw =>
-      val n = intVal(kw, "n", 1)
-      val prev = lag(c(kw), n).over(orderedWindow(kw, "pct_change"))
-      (c(kw) - prev) / prev
-    },
+    // ranking / positional (two-level global forms return LONG — they add
+    // a long prefix count; the per-key windowed forms keep Spark's int)
+    "rank" -> rankLike("rank",
+      (_, w) => rank().over(w),
+      (_, w) => rank().over(w).cast("long"),
+      _ => count(lit(1)),
+      (_, p, _, v) => coalesce(p, lit(0L)) + v),
+    "dense_rank" -> rankLike("dense_rank",
+      (_, w) => dense_rank().over(w),
+      (_, w) => dense_rank().over(w).cast("long"),
+      // distinct ORDER-KEY tuples per bucket: ties never split buckets
+      // (range partitioning is a pure function of the key), so the
+      // prefix sum of distincts is the exact global dense-rank offset
+      kw => count_distinct(struct(strSeq(kw, "order_by").map(col): _*)),
+      (_, p, _, v) => coalesce(p, lit(0L)) + v),
+    "row_number" -> rankLike("row_number",
+      (_, w) => row_number().over(w),
+      (_, w) => row_number().over(w).cast("long"),
+      _ => count(lit(1)),
+      (_, p, _, v) => coalesce(p, lit(0L)) + v),
+    // positional shift family: per-key windowed lag with partition_by;
+    // global forms take the tail-exchange decomposition
+    // ([[OrderedAtScale.globalShift]]) — negative n = lead = the same
+    // machinery with the order direction flipped
+    "shift" -> shiftLike("shift", (_, s) => s),
+    "diff" -> shiftLike("diff", (x, s) => x - s),
+    "pct_change" -> shiftLike("pct_change", (x, s) => (x - s) / s),
     "is_first_distinct" -> rw { kw =>
       val ord = strSeq(kw, "order_by")
       require(ord.nonEmpty,
@@ -396,7 +559,16 @@ object ExprRegistry {
     "dot" -> aggOrOver(kw => sum(c(kw) * other(kw))),
     "rolling_skew" -> rw(kw => skewness(c(kw)).over(rollingFrame(kw, "rolling_skew"))),
     "rolling_kurtosis" -> rw(kw => kurtosis(c(kw)).over(rollingFrame(kw, "rolling_kurtosis"))),
-    "cumulative_eval" -> rw { kw =>
+    // cumulative_eval's GLOBAL (no partition_by) forms decompose like the
+    // cum_* family. `mean` recomposes as running-sum/running-count (exact
+    // for integer inputs; for doubles the bucket-total addition order may
+    // differ from a sequential scan by ulps). `first` over an expanding
+    // frame is the GLOBAL first element — a one-pass min_by/max_by
+    // whole-frame agg, no window at all; `last` is the current row.
+    // `std`/`var` keep the single-partition fallback DELIBERATELY: a
+    // sum-of-squares recomposition would silently change their
+    // floating-point profile — pass partition_by for those at scale.
+    "cumulative_eval" -> { kw =>
       val aggs: Map[String, Column => Column] = Map(
         "sum" -> (x => sum(x)), "min" -> (x => min(x)), "max" -> (x => max(x)),
         "mean" -> (x => avg(x)), "count" -> (x => count(x)),
@@ -405,7 +577,47 @@ object ExprRegistry {
       val name = str(kw, "agg")
       val f = aggs.getOrElse(name, throw new IllegalArgumentException(
         s"'cumulative_eval' supports agg in {${aggs.keys.toSeq.sorted.mkString(",")}}, got '$name'"))
-      f(c(kw)).over(runningFrame(kw, "cumulative_eval"))
+      val global = strSeq(kw, "partition_by").isEmpty
+      def running(
+          aggF: Column => Column,
+          recombine: Column => Column,
+          combine: (Column, Column) => Column): Derived =
+        runningAgg("cumulative_eval", aggF, recombine, combine)(kw)
+      if (!global) RowWise(f(c(kw)).over(runningFrame(kw, "cumulative_eval")))
+      else name match {
+        case "sum" => running(sum, sum, (p, v) => coalesce(p + v, p, v))
+        case "min" => running(min, min, (p, v) => least(p, v))
+        case "max" => running(max, max, (p, v) => greatest(p, v))
+        case "count" => running(count, sum, (p, v) => coalesce(p, lit(0L)) + v)
+        case "product" => running(product, product, (p, v) => coalesce(p * v, p, v))
+        case "mean" =>
+          val (ord, desc) = ordAndDesc(kw, "cumulative_eval")
+          val x = c(kw)
+          def pair(wrap: Column => Column): Column =
+            struct(wrap(sum(x)).as("s"), wrap(count(x)).as("n"))
+          GlobalOrdered(OrderedAtScale.GlobalOrderedSpec(
+            ord, desc,
+            w => pair(_.over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+            pair(identity),
+            t => struct(sum(t.getField("s")).as("s"), sum(t.getField("n")).as("n")),
+            (p, _, v) => {
+              val ts = coalesce(
+                p.getField("s") + v.getField("s"), p.getField("s"), v.getField("s"))
+              val tn = coalesce(p.getField("n"), lit(0L)) + v.getField("n")
+              when(tn > 0L, ts.cast("double") / tn.cast("double"))
+            }))
+        case "first" =>
+          val (ord, desc) = ordAndDesc(kw, "cumulative_eval")
+          val key = struct(ord.map(col): _*)
+          // value rides inside a struct so min_by cannot skip a null first
+          val firstStruct =
+            if (desc) max_by(struct(c(kw).as("v")), key) else min_by(struct(c(kw).as("v")), key)
+          AggThenRow(firstStruct, s => s.getField("v"))
+        case "last" =>
+          ordAndDesc(kw, "cumulative_eval") // validate the order contract anyway
+          RowWise(c(kw))
+        case _ => RowWise(f(c(kw)).over(runningFrame(kw, "cumulative_eval")))
+      }
     },
 
     // time-windowed rolling (polars rolling_*_by): RANGE frame over an
@@ -420,7 +632,19 @@ object ExprRegistry {
     // Polars 1.34 Expr method is implemented, builtin-spelled, or
     // documented-excluded (the exact-complement contract DocsParitySpec
     // enforces).
-    "cot" -> rw(kw => cos(c(kw)) / sin(c(kw))),
+    // cot at the poles (sin x == 0): Spark's non-ANSI double division
+    // yields NULL, Polars yields ±inf with cos's sign — special-case the
+    // zero divisor so the semantics match (x=0 → +inf, x=±pi → -inf/+inf
+    // per cos sign; exact zeros only occur at x=0 in binary64, but the
+    // guard keeps the contract total)
+    "cot" -> rw { kw =>
+      val x = c(kw)
+      val s = sin(x)
+      when(s === lit(0.0),
+        when(cos(x) >= lit(0.0), lit(Double.PositiveInfinity))
+          .otherwise(lit(Double.NegativeInfinity)))
+        .otherwise(cos(x) / s)
+    },
     // null-safe equality (polars eq_missing/ne_missing = Spark <=>)
     "eq_missing" -> rw(kw => c(kw) <=> other(kw)),
     "ne_missing" -> rw(kw => !(c(kw) <=> other(kw))),
@@ -592,27 +816,101 @@ object ExprRegistry {
     // ---- round-2 widening (pl.Expr parity, SURVEY.md §2.2) ----------------
 
     // positional window functions
-    "lead" -> rw { kw =>
+    // lead(n) == shift over the reversed total order — the global form
+    // rides the same tail-exchange decomposition
+    "lead" -> { kw =>
       val n = intVal(kw, "n", 1)
-      lead(c(kw), n).over(orderedWindow(kw, "lead"))
+      if (strSeq(kw, "partition_by").nonEmpty)
+        RowWise(lead(c(kw), n).over(orderedWindow(kw, "lead")))
+      else shiftLike("lead", (_, s) => s)(kw + ("n" -> -n))
     },
-    "first_value" -> rw(kw => first(c(kw)).over(
-      orderedWindow(kw, "first_value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
-    "last_value" -> rw(kw => last(c(kw)).over(
-      orderedWindow(kw, "last_value")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))),
-    "ntile" -> rw(kw => ntile(intVal(kw, "n", 4)).over(orderedWindow(kw, "ntile"))),
-    "percent_rank" -> rw(kw => percent_rank().over(orderedWindow(kw, "percent_rank"))),
-    "cume_dist" -> rw(kw => cume_dist().over(orderedWindow(kw, "cume_dist"))),
+    // first_value over an expanding frame is the GLOBAL first row's value
+    // for every row; last_value over the full frame is the global last —
+    // both are one-pass min_by/max_by whole-frame aggs in the global form
+    // (no window at all), per-key windows otherwise
+    "first_value" -> { kw =>
+      if (strSeq(kw, "partition_by").nonEmpty)
+        RowWise(first(c(kw)).over(orderedWindow(kw, "first_value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      else {
+        val (ord, desc) = ordAndDesc(kw, "first_value")
+        val key = struct(ord.map(col): _*)
+        val s = if (desc) max_by(struct(c(kw).as("v")), key)
+        else min_by(struct(c(kw).as("v")), key)
+        AggThenRow(s, _.getField("v"))
+      }
+    },
+    "last_value" -> { kw =>
+      if (strSeq(kw, "partition_by").nonEmpty)
+        RowWise(last(c(kw)).over(orderedWindow(kw, "last_value")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      else {
+        val (ord, desc) = ordAndDesc(kw, "last_value")
+        val key = struct(ord.map(col): _*)
+        val s = if (desc) min_by(struct(c(kw).as("v")), key)
+        else max_by(struct(c(kw).as("v")), key)
+        AggThenRow(s, _.getField("v"))
+      }
+    },
+    // ntile/percent_rank/cume_dist need the GLOBAL row count in their
+    // two-level form — rankLike passes the recombined total through.
+    // Global ntile recomposes Spark's bucket arithmetic from the global
+    // row number: the first (N mod n) tiles carry ceil(N/n) rows (division
+    // via double is exact below 2^53 rows).
+    "ntile" -> rankLike("ntile",
+      (kw, w) => ntile(intVal(kw, "n", 4)).over(w),
+      (_, w) => row_number().over(w).cast("long"),
+      _ => count(lit(1)),
+      (kw, p, t, v) => {
+        val rn = coalesce(p, lit(0L)) + v
+        val n = lit(intVal(kw, "n", 4).toLong)
+        val big = (t / n).cast("long")
+        val r = t - big * n
+        when(big === 0L, rn)
+          .otherwise(when(rn <= r * (big + 1L),
+            ((rn - 1L) / (big + 1L)).cast("long") + 1L)
+            .otherwise(r + ((rn - r * (big + 1L) - 1L) / big).cast("long") + 1L))
+      }),
+    "percent_rank" -> rankLike("percent_rank",
+      (_, w) => percent_rank().over(w),
+      (_, w) => rank().over(w).cast("long"),
+      _ => count(lit(1)),
+      (_, p, t, v) => {
+        val gr = coalesce(p, lit(0L)) + v
+        when(t <= 1L, lit(0.0))
+          .otherwise((gr - 1L).cast("double") / (t - 1L).cast("double"))
+      }),
+    "cume_dist" -> rankLike("cume_dist",
+      (_, w) => cume_dist().over(w),
+      // RANGE frame to CURRENT ROW includes peers — rows with key <= mine
+      (_, w) => count(lit(1))
+        .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow)),
+      _ => count(lit(1)),
+      (_, p, t, v) => (coalesce(p, lit(0L)) + v).cast("double") / t.cast("double")),
 
-    // null-fill along an explicit order (polars forward_fill/backward_fill)
-    "forward_fill" -> rw(kw => last(c(kw), ignoreNulls = true).over(
-      orderedWindow(kw, "forward_fill")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))),
-    "backward_fill" -> rw(kw => first(c(kw), ignoreNulls = true).over(
-      orderedWindow(kw, "backward_fill")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing))),
+    // null-fill along an explicit order (polars forward_fill/backward_fill);
+    // global forms take the fill decomposition (per-bucket state = ONE
+    // value) — backward fill is forward fill over the reversed order
+    "forward_fill" -> { kw =>
+      if (strSeq(kw, "partition_by").nonEmpty)
+        RowWise(last(c(kw), ignoreNulls = true).over(
+          orderedWindow(kw, "forward_fill")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      else {
+        val (ord, desc) = ordAndDesc(kw, "forward_fill")
+        GlobalOrdered(fillSpec(c(kw), ord, desc))
+      }
+    },
+    "backward_fill" -> { kw =>
+      if (strSeq(kw, "partition_by").nonEmpty)
+        RowWise(first(c(kw), ignoreNulls = true).over(
+          orderedWindow(kw, "backward_fill")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else {
+        val (ord, desc) = ordAndDesc(kw, "backward_fill")
+        GlobalOrdered(fillSpec(c(kw), ord, !desc))
+      }
+    },
 
     // strings, part 2
     "str_to_titlecase" -> rw(kw => initcap(c(kw))),
@@ -819,24 +1117,46 @@ object ExprRegistry {
 
     // linear interpolation of nulls against a numeric x column (polars
     // interpolate_by): boundary nulls stay null, interior nulls fill
-    // linearly between the surrounding non-null points.
-    "interpolate_by" -> rw { kw =>
+    // linearly between the surrounding non-null points. The global form
+    // stages the surrounding points via two fill decompositions (past +
+    // future), each carrying a packed (v, x) struct.
+    "interpolate_by" -> { kw =>
       val v = c(kw)
       val x = col(str(kw, "by")).cast("double")
-      val past = orderedWindow(kw, "interpolate_by")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val future = orderedWindow(kw, "interpolate_by")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val pv = last(v, ignoreNulls = true).over(past)
-      val px = last(when(v.isNotNull, x), ignoreNulls = true).over(past)
-      val nv = first(v, ignoreNulls = true).over(future)
-      val nx = first(when(v.isNotNull, x), ignoreNulls = true).over(future)
-      when(v.isNotNull, v).otherwise(
-        when(pv.isNull || nv.isNull, lit(null))
-          // equal x on both neighbors -> zero gap; take the previous value
-          // (ANSI mode would raise DIVIDE_BY_ZERO on 0/0)
-          .when(nx === px, pv)
-          .otherwise(pv + (nv - pv) * (x - px) / (nx - px)))
+      def interp(pv: Column, px: Column, nv: Column, nx: Column): Column =
+        when(v.isNotNull, v).otherwise(
+          when(pv.isNull || nv.isNull, lit(null))
+            // equal x on both neighbors -> zero gap; take the previous value
+            // (ANSI mode would raise DIVIDE_BY_ZERO on 0/0)
+            .when(nx === px, pv)
+            .otherwise(pv + (nv - pv) * (x - px) / (nx - px)))
+      if (strSeq(kw, "partition_by").nonEmpty) {
+        val past = orderedWindow(kw, "interpolate_by")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val future = orderedWindow(kw, "interpolate_by")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        RowWise(interp(
+          last(v, ignoreNulls = true).over(past),
+          last(when(v.isNotNull, x), ignoreNulls = true).over(past),
+          first(v, ignoreNulls = true).over(future),
+          first(when(v.isNotNull, x), ignoreNulls = true).over(future)))
+      } else {
+        val (ord, desc) = ordAndDesc(kw, "interpolate_by")
+        val pack = when(v.isNotNull, struct(v.as("pv"), x.as("px")))
+        FrameLevel { (df, out) =>
+          Seq("__ip_p", "__ip_n").find(df.columns.contains).foreach(n =>
+            throw new IllegalArgumentException(
+              "interpolate_by: input frame already has internal shadow " +
+                s"column '$n' — rename it first"))
+          val staged = OrderedAtScale.applyGlobal(
+            OrderedAtScale.applyGlobal(df, "__ip_p", fillSpec(pack, ord, desc)),
+            "__ip_n", fillSpec(pack, ord, !desc))
+          staged.withColumn(out, interp(
+            col("__ip_p.pv"), col("__ip_p.px"),
+            col("__ip_n.pv"), col("__ip_n.px")))
+            .drop("__ip_p", "__ip_n")
+        }
+      }
     },
 
     // binning: polars cut — label by the first break >= value; labels
@@ -980,26 +1300,28 @@ object ExprRegistry {
     // run/peak structure along an explicit order
     // rle_id: 0-based run id, incrementing whenever the value changes
     // (null-safe compare; first row of a partition is run 0)
-    "rle_id" -> rw { kw =>
-      val ow = orderedWindow(kw, "rle_id")
-      val x = c(kw)
-      val flag = when(row_number().over(ow) === 1, lit(0L))
-        .otherwise((!(x <=> lag(x, 1).over(ow))).cast("long"))
-      sum(flag).over(orderedWindow(kw, "rle_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    "rle_id" -> { kw =>
+      val parts = strSeq(kw, "partition_by")
+      if (parts.nonEmpty) {
+        val ow = orderedWindow(kw, "rle_id")
+        val x = c(kw)
+        val flag = when(row_number().over(ow) === 1, lit(0L))
+          .otherwise((!(x <=> lag(x, 1).over(ow))).cast("long"))
+        RowWise(sum(flag).over(orderedWindow(kw, "rle_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      } else {
+        // global form: range-bucketed run ids + driver chain-merge over
+        // <= B bucket boundary rows (never a single-partition window)
+        val (ord, desc) = ordAndDesc(kw, "rle_id")
+        val valCol = str(kw, "col")
+        FrameLevel((df, out) => OrderedAtScale.globalRunIds(df, valCol, ord, out, desc))
+      }
     },
     // peak_max/peak_min: strictly greater/less than both neighbors;
-    // boundary rows compare against their single neighbor (polars semantics)
-    "peak_max" -> rw { kw =>
-      val ow = orderedWindow(kw, "peak_max")
-      val (x, prev, next) = (c(kw), lag(c(kw), 1).over(ow), lead(c(kw), 1).over(ow))
-      (prev.isNull || x > prev) && (next.isNull || x > next)
-    },
-    "peak_min" -> rw { kw =>
-      val ow = orderedWindow(kw, "peak_min")
-      val (x, prev, next) = (c(kw), lag(c(kw), 1).over(ow), lead(c(kw), 1).over(ow))
-      (prev.isNull || x < prev) && (next.isNull || x < next)
-    },
+    // boundary rows compare against their single neighbor (polars
+    // semantics). Global forms: two tail-exchange shifts (prev + next)
+    "peak_max" -> peakLike("peak_max", (x, o) => x > o),
+    "peak_min" -> peakLike("peak_min", (x, o) => x < o),
     // repeat_by: value repeated `by` times into a list (polars repeat_by)
     "repeat_by" -> rw { kw =>
       val times = kw.get("by").map(v => col(v.toString))
@@ -1028,13 +1350,26 @@ object ExprRegistry {
       slice(sort_array(w(collect_list(c(kw))), asc = true), 1, intVal(kw, "k", 5))),
 
     // polars rank(method='average'): ties share the mean of their positions
-    "avg_rank" -> rw { kw =>
+    // the tie-count window partitions by the order key itself (many
+    // groups — scale-fine either way); only the rank part needs the
+    // two-level global decomposition when partition_by is empty
+    "avg_rank" -> { kw =>
       val parts = strSeq(kw, "partition_by")
       val ord = strSeq(kw, "order_by")
       require(ord.nonEmpty, "'avg_rank' requires an 'order_by' kwarg")
       val ties = Window.partitionBy((parts ++ ord).map(col): _*)
-      rank().over(orderedWindow(kw, "avg_rank")).cast("double") +
-        (count(lit(1)).over(ties) - 1).cast("double") / 2.0
+      val half = (count(lit(1)).over(ties) - 1).cast("double") / 2.0
+      if (parts.nonEmpty)
+        RowWise(rank().over(orderedWindow(kw, "avg_rank")).cast("double") + half)
+      else {
+        val desc = kw.get("desc").exists(_.toString.toBoolean)
+        GlobalOrdered(OrderedAtScale.GlobalOrderedSpec(
+          ord, desc,
+          w => rank().over(w).cast("double") + half,
+          count(lit(1)),
+          sum,
+          (p, _, v) => coalesce(p, lit(0L)).cast("double") + v))
+      }
     },
 
     // whole-frame aggregates, part 2. first/last demand an explicit order
@@ -1185,7 +1520,8 @@ object ExprRegistry {
     "stratified_sample", "lang_id", "lang_id_supervised", "text_stats", "doc_fingerprint",
     "ewm_mean", "ewm_var", "ewm_std", "ewm_mean_by", "rle",
     "value_counts", "unique_counts", "sort_by",
-    "quality_quantile_gate", "bpe_tokenize", "sq8_encode", "training_shard_assign",
+    "quality_quantile_gate", "bpe_tokenize", "unigram_tokenize", "sq8_encode",
+    "training_shard_assign",
     "gopher_rules", "label_propagate", "pagerank_centrality", "budget_select",
     "quantile_buckets", "domain_cap", "unicode_normalize",
     "c4_filter", "dup_line_signals", "pca_project", "pca_remove_top")

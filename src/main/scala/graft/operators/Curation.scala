@@ -816,10 +816,15 @@ object Curation {
           val b = boundary.withColumn("__in_band", lit(true))
           b.sparkSession.createDataFrame(b.localCheckpoint(true).rdd, b.schema)
         }
+        // coalesce: a null gumbel_key (null/overflowing weight) must yield
+        // selected = false, matching the TakeOrdered form's left-antijoin
+        // semantics — the two forms select IDENTICAL rows by contract
         keyed.join(broadcast(band), col(idCol) === col("__sel_id"), "left")
           .withColumn("selected",
-            if (include) col("gumbel_key") > t0 || col("__in_band").isNotNull
-            else col("gumbel_key") > t0 && col("__in_band").isNull)
+            coalesce(
+              if (include) col("gumbel_key") > t0 || col("__in_band").isNotNull
+              else col("gumbel_key") > t0 && col("__in_band").isNull,
+              lit(false)))
           .drop("__sel_id", "__in_band")
       } finally keys.unpersist(blocking = false)
     }

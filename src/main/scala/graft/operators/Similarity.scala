@@ -236,8 +236,23 @@ object Similarity {
       .sortBy(_._1).toSeq
   }
 
+  /** Ceiling for any driver-side centroid/codebook pull, in BYTES
+    * (round-16 advisory: the row-count caps alone admit a k=1M × dim=768
+    * ≈ 6 GB pull). 256 MiB of raw doubles — far above any sane coarse
+    * quantizer, far below driver heap. */
+  private[graft] val MaxSeedCollectBytes: Long = 256L << 20
+
+  private def requireSeedBytes(what: String, rows: Long, dim: Long): Unit = {
+    val bytes = rows * dim * 8
+    require(bytes <= MaxSeedCollectBytes,
+      s"$what would pull ~$bytes bytes ($rows vectors × $dim dims) to the driver — " +
+        s"above the $MaxSeedCollectBytes-byte ceiling; shrink k/ksub or the vector " +
+        "dim (a coarse quantizer does not need this many cells)")
+  }
+
   /** Fit an IVF coarse quantizer: seed with the `k` lowest-id vectors,
-    * run `iters` Lloyd updates. Driver holds only the centroid matrix. */
+    * run `iters` Lloyd updates. Driver holds only the centroid matrix —
+    * loudly byte-bounded ([[MaxSeedCollectBytes]]). */
   def kmeansFit(
       corpus: DataFrame,
       idCol: String,
@@ -245,6 +260,9 @@ object Similarity {
       k: Int,
       iters: Int
   ): Seq[(Int, Seq[Double])] = {
+    requireSeedBytes("kmeansFit", k.toLong,
+      corpus.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0).toLong).getOrElse(0L))
     // the k LOWEST ids (not ids numerically < k): corpora whose ids don't
     // start at 0 must still seed exactly k centroids
     var cents: Seq[(Int, Seq[Double])] = corpus
@@ -355,6 +373,9 @@ object Similarity {
   ): Seq[Seq[Seq[Double]]] = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    // both the seed pull (ksub full vectors) and each Lloyd-round collect
+    // (m × ksub × dim/m cells) are ksub × dim doubles
+    requireSeedBytes("pqTrain", ksub.toLong, dim.toLong)
     val subDim = dim / m
     // ONE seed collect (the ksub lowest-id FULL vectors, sliced driver-side
     // for every subspace) and ONE Spark job per Lloyd round covering ALL
@@ -603,16 +624,10 @@ object Similarity {
       .movePointRight(6).longValueExact()
   }
 
-  /** hi/lo-split long accumulator pair — the [[graft.sparkext.DoubleToScaled.exactSum]]
-    * decomposition (`v = (v >> 20)·2^20 + (v & (2^20−1))`, arithmetic
-    * shift so it holds for negatives): each lane grows 2^20× slower than
-    * a naive long sum, exact through ~1e13 rows, recombined once in
-    * BigInteger. */
+  /** hi/lo-split recombination — delegated to the one exactness-critical
+    * implementation at [[graft.sparkext.DoubleToScaled.hiLoToDouble]]. */
   private def hiLoToDouble(hi: Long, lo: Long): Double =
-    new java.math.BigDecimal(
-      java.math.BigInteger.valueOf(hi).shiftLeft(20)
-        .add(java.math.BigInteger.valueOf(lo)))
-      .movePointLeft(6).doubleValue
+    graft.sparkext.DoubleToScaled.hiLoToDouble(hi, lo)
 
   private final val LoMask = (1L << 20) - 1
 
@@ -718,6 +733,11 @@ object Similarity {
               if (java.lang.Double.isFinite(x)) {
                 cnt(i) += 1
                 val s = graft.sparkext.DoubleToScaled.scaleRound(x, 1e6)
+                // a finite x with |x|·1e6 >= 2^63 scales to the null
+                // sentinel; summing it would silently corrupt the means
+                require(s != graft.sparkext.DoubleToScaled.NullSentinel,
+                  s"pca element $x out of the exact-rounding domain — " +
+                    "normalize the embedding scale first")
                 hi(i) += s >> 20
                 lo(i) += s & LoMask
               }
@@ -1039,6 +1059,9 @@ object Similarity {
     * cap turns a mistaken data-sized frame into a loud failure instead of
     * a silent driver OOM (house rule, same as [[kmeansUpdate]]). */
   def centroidsFromFrame(df: DataFrame, maxCells: Int = 65536): Seq[(Int, Seq[Double])] = {
+    requireSeedBytes("centroidsFromFrame", maxCells.toLong,
+      df.select(size(col("cvec").cast("array<double>"))).limit(1).collect()
+        .headOption.map(_.getInt(0).toLong).getOrElse(0L))
     val rows = df.select(col("cid").cast("int"), col("cvec").cast("array<double>"))
       .limit(maxCells + 1).collect()
     require(rows.length <= maxCells,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.{GraftIO, SparkIO}
-import graft.operators.{Bpe, Curation, Dedup, Similarity, TextAnalysis, TextClean, TimeSeries}
+import graft.operators.{Bpe, Curation, Dedup, Similarity, TextAnalysis, TextClean, TimeSeries, Unigram}
 import graft.stages.Transforms.CustomFn
 
 /** Built-in named custom transformations: the LLM-curation operators as
@@ -62,6 +62,7 @@ object BuiltinTransformations {
     "quality_classifier" -> qualityClassifier,
     "quality_quantile_gate" -> qualityQuantileGate,
     "bpe_tokenize" -> bpeTokenize,
+    "unigram_tokenize" -> unigramTokenize,
     "sq8_encode" -> sq8Encode,
     "training_shard_assign" -> trainingShardAssign,
     "fuzzy_dedup_keep_best" -> fuzzyDedupKeepBest,
@@ -650,6 +651,30 @@ object BuiltinTransformations {
     }
   }
 
+  /** `unigram_tokenize(text_col, vocab_size=512, max_piece_len=6,
+    * out_col=unigram_tokens, mode=count|segments)` — train a unigram-LM
+    * (SentencePiece-style) vocabulary ON THE INPUT frame
+    * ([[Unigram.trainFromCorpusLocal]]: one corpus scan to the word
+    * vocab, driver-side Viterbi-EM + prune) and append the subword count
+    * or the segmented subwords ([[graft.sparkext.UnigramApply]] — a pure
+    * projection). Deterministic like `bpe_tokenize`: exact counts, fixed
+    * tie-breaks, partition-independent. */
+  private def unigramTokenize: CustomFn = (df, kw) => {
+    val name = "unigram_tokenize"
+    val textCol = reqStr(name, kw, "text_col")
+    val outCol = strKw(name, kw, "out_col", "unigram_tokens")
+    rejectShadow(name, df, outCol)
+    val vocab = Unigram.trainFromCorpusLocal(df, textCol,
+      vocabSize = intKw(name, kw, "vocab_size", 512),
+      maxPieceLen = intKw(name, kw, "max_piece_len", 6))
+    strKw(name, kw, "mode", "count") match {
+      case "count"    => df.withColumn(outCol, Unigram.tokenCount(col(textCol), vocab))
+      case "segments" => df.withColumn(outCol, Unigram.segment(col(textCol), vocab))
+      case other => throw new IllegalArgumentException(
+        s"$name: mode must be 'count' or 'segments', got '$other'")
+    }
+  }
+
   /** `sq8_encode(vec_col, out_col=sq_codes)` — train per-dimension SQ8
     * ranges on the input frame (one scan; shuffle = dim rows) and append
     * the 0..255 code array ([[Similarity.sqTrain]]/[[Similarity.sqEncode]]
@@ -866,14 +891,21 @@ object BuiltinTransformations {
     Seq("rle_id", "len", "value").filter(parts.contains).foreach(n =>
       throw new IllegalArgumentException(
         s"$name: partition column '$n' collides with an output column — rename it first"))
-    val ow =
-      if (parts.nonEmpty) Window.partitionBy(parts.map(col): _*).orderBy(ord.map(col): _*)
-      else Window.partitionBy().orderBy(ord.map(col): _*)
     val x = col(valCol)
-    val chg = when(row_number().over(ow) === 1, lit(0L))
-      .otherwise((!(x <=> lag(x, 1).over(ow))).cast("long"))
-    val rid = sum(chg).over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn("__rle_id", rid)
+    // global form (no partition_by): range-bucketed run ids with a driver
+    // chain-merge over <= B bucket rows — never a single-partition window
+    // (graft.expr.OrderedAtScale, round 16)
+    val withRid =
+      if (parts.isEmpty)
+        graft.expr.OrderedAtScale.globalRunIds(df, valCol, ord, "__rle_id")
+      else {
+        val ow = Window.partitionBy(parts.map(col): _*).orderBy(ord.map(col): _*)
+        val chg = when(row_number().over(ow) === 1, lit(0L))
+          .otherwise((!(x <=> lag(x, 1).over(ow))).cast("long"))
+        df.withColumn("__rle_id",
+          sum(chg).over(ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      }
+    withRid
       .groupBy((parts.map(col) :+ col("__rle_id").as("rle_id")) :+ x.as("value"): _*)
       .agg(count(lit(1)).as("len"))
       .select(parts.map(col) ++ Seq(col("rle_id"), col("len"), col("value")): _*)
@@ -897,8 +929,11 @@ object BuiltinTransformations {
     * (a list of columns, include a unique one) defines it and the rank
     * comes back as an explicit `first_seen` ordinal (1 = first distinct
     * value to appear) instead of an implicit row order. Scale shape: one
-    * hash aggregation (count + min appearance key), then a rank window
-    * over GROUP rows (distinct values, not data rows). */
+    * hash aggregation (count + min appearance key), then the first-seen
+    * rank over GROUP rows (distinct values — still potentially huge, a
+    * user-id column has one group per user) via the range-bucketed
+    * two-level row_number decomposition — never a single-partition window
+    * (graft.expr.OrderedAtScale, round 16). */
   private def uniqueCounts: CustomFn = (df, kw) => {
     import org.apache.spark.sql.expressions.Window
     val name = "unique_counts"
@@ -909,9 +944,13 @@ object BuiltinTransformations {
       .groupBy(col(reqStr(name, kw, "col")).as("value"))
       .agg(count(lit(1)).as("count"),
         min(struct(ord.map(col): _*)).as("__first_key"))
-    grouped
-      .withColumn("first_seen",
-        row_number().over(Window.partitionBy().orderBy(col("__first_key"))).cast("long"))
+    graft.expr.OrderedAtScale.applyGlobal(grouped, "first_seen",
+      graft.expr.OrderedAtScale.GlobalOrderedSpec(
+        Seq("__first_key"), desc = false,
+        w => row_number().over(w).cast("long"),
+        count(lit(1)),
+        sum,
+        (p, _, v) => coalesce(p, lit(0L)) + v))
       .drop("__first_key")
   }
 

@@ -24,8 +24,21 @@ object Inspect {
 
   type StatFn = String => Column
 
-  /** Custom stats beyond describe's core set (reference: inspect.py:19-26). */
+  /** Custom stats beyond describe's core set (reference: inspect.py:19-26).
+    * `n_unique` is the fixed-memory `approx_count_distinct` sketch BY
+    * DEFAULT (round 16): one exact `countDistinct` per column in a single
+    * agg pass makes Catalyst Expand the scan — one duplicated input row
+    * per distinct aggregate, a wide-table cost multiplier — and exact
+    * distinct is itself an executor-OOM path at 100 TB cardinality.
+    * [[exactCustomStats]] restores the exact count where small-data
+    * exactness matters (tests, oracles). */
   val defaultCustomStats: Seq[(String, StatFn)] = Seq(
+    "null_proportion" -> (c => (count(lit(1)) - count(col(c))).cast(DoubleType) / count(lit(1))),
+    "n_unique" -> (c => approx_count_distinct(col(c)))
+  )
+
+  /** Exact-distinct variant — the `exactQuantiles = true` companion. */
+  val exactCustomStats: Seq[(String, StatFn)] = Seq(
     "null_proportion" -> (c => (count(lit(1)) - count(col(c))).cast(DoubleType) / count(lit(1))),
     "n_unique" -> (c => countDistinct(col(c)))
   )
@@ -38,17 +51,20 @@ object Inspect {
     *   per column — at 100 TB that is an executor-OOM path for high-cardinality
     *   columns. The DEFAULT is the fixed-memory `approx_percentile` sketch
     *   (single-pass, bounded error, returns a real data value); flip the
-    *   switch where small-data exactness matters (tests, oracles). The same
-    *   trade exists for the `n_unique` custom stat (exact countDistinct) —
-    *   swap in `approx_count_distinct` via `customStats` for 100 TB runs. */
+    *   switch where small-data exactness matters (tests, oracles). The
+    *   switch also picks the custom-stat set when `customStats` is not
+    *   given: approx `n_unique` by default, [[exactCustomStats]] when
+    *   exact — one flag, one memory contract. */
   def describe(
       df: DataFrame,
-      customStats: Seq[(String, StatFn)] = defaultCustomStats,
+      customStats: Option[Seq[(String, StatFn)]] = None,
       exactQuantiles: Boolean = false
   ): DataFrame = {
     val spark: SparkSession = df.sparkSession
     val fields = df.schema.fields.toSeq
-    val statNames = coreStats ++ customStats.map(_._1)
+    val custom = customStats.getOrElse(
+      if (exactQuantiles) exactCustomStats else defaultCustomStats)
+    val statNames = coreStats ++ custom.map(_._1)
 
     def quantile(name: String, p: Double): Column =
       if (exactQuantiles) expr(s"percentile(`$name`, $p)")
@@ -81,8 +97,8 @@ object Inspect {
         num(quantile(f.name, 0.75)),
         ord(max(c))
       )
-      val custom = customStats.map { case (_, fn) => fn(f.name).cast(StringType) }
-      core ++ custom
+      val customCols = custom.map { case (_, fn) => fn(f.name).cast(StringType) }
+      core ++ customCols
     }
 
     val flat: Row = df.agg(aggExprs.head, aggExprs.tail: _*).head()

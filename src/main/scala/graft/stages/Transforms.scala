@@ -185,13 +185,27 @@ object Transforms {
       // Sequential semantics (later entries may reference earlier ones,
       // including aggregates over derived columns) while still batching:
       // CONSECUTIVE INDEPENDENT whole-frame aggregates share one
-      // distributed agg pass + broadcast cross join; a row-wise entry — or
-      // an aggregate referencing a name the pending batch will produce —
-      // flushes the batch first so successors see its columns.
+      // distributed agg pass + broadcast cross join, and CONSECUTIVE
+      // INDEPENDENT same-(order_by, desc) global ordered fns share ONE
+      // two-level decomposition (one range exchange, one totals agg, one
+      // window — 12 naive chained decompositions would be 12 range
+      // shuffles). A row-wise entry — or any entry referencing a name a
+      // pending batch will produce — flushes first so successors see its
+      // columns.
       def refs(c: Column): Set[String] =
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c).collect {
           case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
         }.toSet
+      // every input column a GlobalOrdered spec reads (combine is probed
+      // with dummy placeholders, subtracted back out)
+      def goRefs(spec: graft.expr.OrderedAtScale.GlobalOrderedSpec): Set[String] = {
+        import org.apache.spark.sql.expressions.Window
+        val dummyW = Window.partitionBy(col("__go_probe_b")).orderBy(spec.orderBy.map(col): _*)
+        val dummies = Set("__go_probe_b", "__go_probe_p", "__go_probe_t", "__go_probe_v")
+        (refs(spec.bucketAgg) ++ refs(spec.within(dummyW)) ++
+          refs(spec.combine(col("__go_probe_p"), col("__go_probe_t"), col("__go_probe_v"))) ++
+          spec.orderBy) -- dummies - graft.expr.OrderedAtScale.priorBucketName
+      }
       def flush(acc: DataFrame, pending: Seq[(String, Column)]): DataFrame =
         if (pending.isEmpty) acc
         else {
@@ -204,25 +218,64 @@ object Transforms {
           val colliding = pending.map(_._1).filter(acc.columns.contains)
           acc.drop(colliding: _*).crossJoin(broadcast(aggRow))
         }
-      val (lastAcc, lastPending) =
-        resolved.foldLeft((df, Seq.empty[(String, Column)])) {
-          case ((acc, pending), (n, ExprRegistry.WholeFrameAgg(a))) =>
+      // Chained decompositions re-analyze the whole accumulated tree and
+      // grow optimizer cost ~3× per level (measured via ChainProbe); a
+      // zero-copy plan barrier between levels keeps it linear. The FIRST
+      // decomposition never pays it, so single-decomposition plans keep
+      // their pushdown/plan-pin shape.
+      var decomps = 0
+      def flushGlobals(
+          acc: DataFrame,
+          globals: Seq[(String, graft.expr.OrderedAtScale.GlobalOrderedSpec)]): DataFrame =
+        if (globals.isEmpty) acc
+        else {
+          val base =
+            if (decomps == 0) acc else org.apache.spark.sql.graftbridge.PlanBarrier.freeze(acc)
+          decomps += 1
+          graft.expr.OrderedAtScale.applyGlobalMulti(base, globals)
+        }
+      type Globals = Seq[(String, graft.expr.OrderedAtScale.GlobalOrderedSpec)]
+      def frameLevel(acc: DataFrame, n: String,
+          build: (DataFrame, String) => DataFrame): DataFrame = {
+        val base =
+          if (decomps == 0) acc else org.apache.spark.sql.graftbridge.PlanBarrier.freeze(acc)
+        decomps += 1
+        build(base, n)
+      }
+      val (lastAcc, lastPending, lastGlobals) =
+        resolved.foldLeft((df, Seq.empty[(String, Column)], Seq.empty[(String,
+            graft.expr.OrderedAtScale.GlobalOrderedSpec)])) {
+          case ((acc, pending, globals), (n, ExprRegistry.WholeFrameAgg(a))) =>
+            val acc1 = flushGlobals(acc, globals)
             val pendingNames = pending.map(_._1).toSet
             if (refs(a).exists(pendingNames.contains))
-              (flush(acc, pending), Seq(n -> a)) // depends on the batch
-            else (acc, pending :+ (n -> a))
-          case ((acc, pending), (n, ExprRegistry.RowWise(c))) =>
-            (flush(acc, pending).withColumn(n, c), Nil)
-          case ((acc, pending), (n, ExprRegistry.AggThenRow(a, rowFn))) =>
+              (flush(acc1, pending), Seq(n -> a), Nil) // depends on the batch
+            else (acc1, pending :+ (n -> a), Nil)
+          case ((acc, pending, globals), (n, ExprRegistry.RowWise(c))) =>
+            (flushGlobals(flush(acc, pending), globals).withColumn(n, c), Nil, Nil)
+          case ((acc, pending, globals), (n, ExprRegistry.AggThenRow(a, rowFn))) =>
             // agg pass + broadcast join like WholeFrameAgg, but the joined
             // 1-row result lands under a temp name that the row-wise
             // post-expression consumes (qcut: breakpoints -> bin label)
-            val flushed = flush(acc, pending)
+            val flushed = flushGlobals(flush(acc, pending), globals)
             val tmp = s"__agg_then_row_$n"
             val joined = flushed.crossJoin(broadcast(flushed.agg(a.as(tmp))))
-            (joined.withColumn(n, rowFn(col(tmp))).drop(tmp), Nil)
+            (joined.withColumn(n, rowFn(col(tmp))).drop(tmp), Nil, Nil)
+          case ((acc, pending, globals), (n, ExprRegistry.GlobalOrdered(spec))) =>
+            // global (no partition_by) ordered fn: range-bucketed two-level
+            // decomposition — never a single-partition window (round 16).
+            // Batch with the pending same-order globals when independent.
+            val sameOrder = globals.forall(g =>
+              g._2.orderBy == spec.orderBy && g._2.desc == spec.desc)
+            val pendingOut = (globals.map(_._1) ++ pending.map(_._1)).toSet
+            if (pending.isEmpty && sameOrder && !goRefs(spec).exists(pendingOut.contains))
+              (acc, Nil, globals :+ (n -> spec))
+            else
+              (flushGlobals(flush(acc, pending), globals), Nil, Seq(n -> spec))
+          case ((acc, pending, globals), (n, ExprRegistry.FrameLevel(build))) =>
+            (frameLevel(flushGlobals(flush(acc, pending), globals), n, build), Nil, Nil)
         }
-      val derived = flush(lastAcc, lastPending)
+      val derived = flushGlobals(flush(lastAcc, lastPending), lastGlobals)
       // restore declared column order (cross joins append agg columns out
       // of order); a derive overwriting an existing column keeps its
       // original position and must not be projected twice

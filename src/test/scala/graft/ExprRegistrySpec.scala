@@ -92,7 +92,9 @@ class ExprRegistrySpec extends AnyFunSuite {
       .orderBy("t").collect()
     assert(out(0).getDouble(2) == 20.0 && out(3).isNullAt(2))
     assert(out.forall(r => r.getDouble(3) == 10.0 && r.getDouble(4) == 40.0))
-    assert(out.map(_.getInt(5)).toSeq == Seq(1, 1, 2, 2))
+    // global (no partition_by) ntile takes the two-level decomposition and
+    // returns LONG (round 16); per-key windowed ntile stays int
+    assert(out.map(_.getLong(5)).toSeq == Seq(1L, 1L, 2L, 2L))
   }
 
   test("forward_fill / backward_fill along explicit order") {

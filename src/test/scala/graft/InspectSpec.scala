@@ -40,6 +40,29 @@ class InspectSpec extends AnyFunSuite {
     assert(exact("50%").toDouble == 500.5)
   }
 
+  test("describe DEFAULTS to approx n_unique: single-agg plan has NO Expand (round 16)") {
+    val df = Seq((1, "a"), (2, "b"), (3, "b")).toDF("x", "s")
+    // describe materializes eagerly (the returned stats frame is
+    // driver-built), so the Expand property is pinned on the agg the stat
+    // fns produce: one n_unique per column in ONE pass. Expand duplicates
+    // every scan row once per exact-distinct column — the default
+    // (approx_count_distinct sketch) must not pay it.
+    def aggPlan(stats: Seq[(String, Inspect.StatFn)]): String = {
+      val exprs = df.columns.toSeq.flatMap(c => stats.map(_._2(c)))
+      df.agg(exprs.head, exprs.tail: _*).queryExecution.executedPlan.toString
+    }
+    assert(!aggPlan(Inspect.defaultCustomStats).contains("Expand"),
+      "default stat set must not Expand the scan")
+    assert(aggPlan(Inspect.exactCustomStats).contains("Expand"),
+      "exact stat set is the countDistinct path")
+    // values: the sketch is exact at this cardinality; both paths agree
+    val d = Inspect.describe(df).collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(d("n_unique") == "2")
+    val e = Inspect.describe(df, exactQuantiles = true)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(e("n_unique") == "2")
+  }
+
   test("yaml emit: scalars, nesting, quoting") {
     val yaml = YamlEmit.emit(scala.collection.immutable.ListMap(
       "plain" -> "x", "quoted" -> "a: b", "n" -> 3, "seq" -> Seq("a", "b"),

@@ -1824,6 +1824,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("same-length"), e4.getMessage)
   }
 
+  test("seed collects are byte-bounded: kmeansFit/pqTrain/centroidsFromFrame refuse k×dim pulls") {
+    // 8-dim vectors; a k far above the 256 MiB/8-byte/8-dim budget
+    val corpus = Seq((1L, Seq.fill(8)(1.0)), (2L, Seq.fill(8)(2.0)))
+      .toDF("vec_id", "v")
+    val tooManyCells = (Similarity.MaxSeedCollectBytes / 8L / 8L + 1L).toInt
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(corpus, "vec_id", "v", k = tooManyCells, iters = 1)
+    }
+    assert(e.getMessage.contains("driver") && e.getMessage.contains("kmeansFit"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(corpus, "vec_id", "v", m = 2, ksub = tooManyCells, iters = 1)
+    }
+    assert(e2.getMessage.contains("pqTrain"), e2.getMessage)
+    val cents = Seq((0, Seq.fill(8)(0.0))).toDF("cid", "cvec")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.centroidsFromFrame(cents, maxCells = tooManyCells)
+    }
+    assert(e3.getMessage.contains("centroidsFromFrame"), e3.getMessage)
+    // in-budget calls still work (the guard is a ceiling, not a tax);
+    // Lloyd rounds may collapse cells, so only non-emptiness is pinned
+    assert(Similarity.kmeansFit(corpus, "vec_id", "v", k = 2, iters = 1).nonEmpty)
+    assert(Similarity.centroidsFromFrame(cents).size == 1)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

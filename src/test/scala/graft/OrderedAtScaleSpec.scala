@@ -1,0 +1,175 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.config.DeriveSpec
+import graft.expr.OrderedAtScale
+import graft.stages.Transforms
+
+/** Round 16: the two-level decomposition behind GLOBAL (no partition_by)
+  * ordered derive fns. Pins (a) VALUE-identity against the same fn run in
+  * its per-key windowed form over one constant key (the exact semantics a
+  * global window would give), and (b) the PLAN property the whole exercise
+  * exists for: no WindowExec with an empty partition spec anywhere. */
+class OrderedAtScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Messy fixture: ties in the order key (via t % groups), nulls in the
+    * value column, spread over several input partitions so range buckets
+    * are genuinely exercised (shuffle.partitions = 4 → 4 buckets). */
+  private def fixture(n: Int = 400): DataFrame =
+    spark.range(n.toLong)
+      .select(
+        (col("id") % 97).as("t"), // ties: ~4 rows share each t
+        col("id").as("uid"), // unique tie-break
+        when(col("id") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 13).as("v"))
+      .repartition(7)
+
+  private def derive(specs: (String, DeriveSpec)*)(df: DataFrame) =
+    Transforms.deriveNewCols(specs)(df)
+
+  /** The fn under its GLOBAL form vs the SAME fn per-key-windowed over a
+    * constant key (bit-identical semantics to a global window, without
+    * relying on the code path under test). */
+  private def check(fn: String, kwargs: Map[String, Any], castTo: String = ""): Unit = {
+    val df = fixture().withColumn("one", lit(1))
+    val global = derive("out" -> DeriveSpec(fn, kwargs))(df)
+    val windowed = derive("out" -> DeriveSpec(fn,
+      kwargs + ("partition_by" -> Seq("one"))))(df)
+    def canon(d: DataFrame) = {
+      val o = if (castTo.isEmpty) col("out") else col("out").cast(castTo)
+      d.select(col("uid"), o.as("out")).orderBy("uid").collect().toSeq
+    }
+    assert(canon(global) == canon(windowed), s"$fn: global two-level != windowed")
+  }
+
+  test("cum_sum/cum_min/cum_max/cum_count/cum_prod: global == windowed (ties + nulls)") {
+    for (fn <- Seq("cum_sum", "cum_min", "cum_max", "cum_count"))
+      check(fn, Map("col" -> "v", "order_by" -> Seq("t", "uid")))
+    // product over powers of two: exact in binary64 at any association
+    // order (the recombined prefix multiplies in bucket order, which can
+    // differ from a sequential scan by ulps for general doubles)
+    val df = fixture(60).withColumn("p",
+      when(col("v").isNull, lit(null).cast("double")).otherwise(lit(2.0)))
+      .withColumn("one", lit(1))
+    val g = derive("out" -> DeriveSpec("cum_prod",
+      Map("col" -> "p", "order_by" -> Seq("t", "uid"))))(df)
+    val w = derive("out" -> DeriveSpec("cum_prod",
+      Map("col" -> "p", "order_by" -> Seq("t", "uid"), "partition_by" -> Seq("one"))))(df)
+    def canon(d: DataFrame) =
+      d.select(col("uid"), col("out")).orderBy("uid").collect().toSeq
+    assert(canon(g) == canon(w))
+  }
+
+  test("rank/dense_rank/row_number/percent_rank/cume_dist/ntile/avg_rank: global == windowed") {
+    // rank/dense_rank are tie-deterministic; row_number (like any engine's)
+    // needs a unique order
+    for (fn <- Seq("rank", "dense_rank"))
+      check(fn, Map("order_by" -> Seq("t")), castTo = "long")
+    check("row_number", Map("order_by" -> Seq("t", "uid")), castTo = "long")
+    check("row_number", Map("order_by" -> Seq("t", "uid"), "desc" -> true), castTo = "long")
+    check("percent_rank", Map("order_by" -> Seq("t")))
+    check("cume_dist", Map("order_by" -> Seq("t")))
+    check("ntile", Map("n" -> 7, "order_by" -> Seq("t", "uid")), castTo = "long")
+    check("ntile", Map("n" -> 3, "order_by" -> Seq("t", "uid")), castTo = "long")
+    check("avg_rank", Map("order_by" -> Seq("t")))
+  }
+
+  test("cumulative_eval global: sum/min/max/count/product/mean/first/last == windowed") {
+    for (agg <- Seq("sum", "min", "max", "count", "mean"))
+      check("cumulative_eval",
+        Map("col" -> "v", "agg" -> agg, "order_by" -> Seq("t", "uid")), castTo = "double")
+    // first/last take dedicated global shapes (whole-frame agg / identity)
+    check("cumulative_eval",
+      Map("col" -> "v", "agg" -> "first", "order_by" -> Seq("t", "uid")), castTo = "long")
+    check("cumulative_eval",
+      Map("col" -> "v", "agg" -> "last", "order_by" -> Seq("t", "uid")), castTo = "long")
+    check("cumulative_eval",
+      Map("col" -> "v", "agg" -> "first", "order_by" -> Seq("t", "uid"),
+        "desc" -> true), castTo = "long")
+  }
+
+  test("rle_id global: runs spanning bucket boundaries get ONE id (chain-merge)") {
+    // long runs force runs across range-bucket boundaries; null runs too
+    val df = spark.range(300)
+      .select(col("id").as("t"),
+        when(col("id") < 90, lit("a"))
+          .otherwise(when(col("id") < 95, lit(null).cast("string"))
+            .otherwise(when(col("id") < 210, lit("b")).otherwise(lit("c")))).as("s"))
+      .repartition(5).withColumn("one", lit(1))
+    val g = derive("out" -> DeriveSpec("rle_id",
+      Map("col" -> "s", "order_by" -> Seq("t"))))(df)
+    val w = derive("out" -> DeriveSpec("rle_id",
+      Map("col" -> "s", "order_by" -> Seq("t"), "partition_by" -> Seq("one"))))(df)
+    def canon(d: DataFrame) =
+      d.select(col("t"), col("out")).orderBy("t").collect().toSeq
+    assert(canon(g) == canon(w))
+    assert(g.select(max(col("out"))).head().getLong(0) == 3L) // a, null, b, c
+  }
+
+  test("globalRunIds desc flips the chain direction") {
+    val df = spark.range(100)
+      .select(col("id").as("t"), (col("id") >= 50).cast("string").as("s"))
+      .repartition(3)
+    val out = OrderedAtScale.globalRunIds(df, "s", Seq("t"), "rid", desc = true)
+      .orderBy(col("t").desc).select("rid").as[Long].collect().toSeq
+    assert(out == Seq.fill(50)(0L) ++ Seq.fill(50)(1L))
+  }
+
+  test("PLAN PIN: no WindowExec with an empty partition spec in any global form") {
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val df = fixture()
+    val specs = Seq(
+      "a" -> DeriveSpec("cum_sum", Map("col" -> "v", "order_by" -> Seq("t", "uid"))),
+      "b" -> DeriveSpec("rank", Map("order_by" -> Seq("t"))),
+      "c" -> DeriveSpec("dense_rank", Map("order_by" -> Seq("t"))),
+      "d" -> DeriveSpec("percent_rank", Map("order_by" -> Seq("t"))),
+      "e" -> DeriveSpec("ntile", Map("n" -> 4, "order_by" -> Seq("t", "uid"))),
+      "f" -> DeriveSpec("cume_dist", Map("order_by" -> Seq("t"))),
+      "g" -> DeriveSpec("avg_rank", Map("order_by" -> Seq("t"))),
+      "h" -> DeriveSpec("rle_id", Map("col" -> "v", "order_by" -> Seq("t", "uid"))),
+      "i" -> DeriveSpec("cumulative_eval",
+        Map("col" -> "v", "agg" -> "mean", "order_by" -> Seq("t", "uid"))))
+    for ((n, s) <- specs) {
+      val out = derive(n -> s)(df)
+      out.collect() // finalize AQE so the real executed plan is inspectable
+      val windows = flatten(out.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      // rle_id ("h") freezes its bucketed plan for the driver chain-merge,
+      // so its window lives behind the barrier — for everything else the
+      // bucketed window must be visible, and NOWHERE may one be
+      // single-partition
+      if (n != "h")
+        assert(windows.nonEmpty, s"$n: expected a bucketed window in the plan")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$n: found a single-partition WindowExec — the scale cliff is back:\n$w"))
+    }
+  }
+
+  test("buckets honor spark.graft.orderedBuckets; shadow-column collision is loud") {
+    spark.conf.set("spark.graft.orderedBuckets", "2")
+    try {
+      val out = derive("cs" -> DeriveSpec("cum_sum",
+        Map("col" -> "v", "order_by" -> Seq("t", "uid"))))(fixture(50))
+      assert(out.count() == 50)
+    } finally spark.conf.unset("spark.graft.orderedBuckets")
+    val bad = fixture(10).withColumn("__go_bucket", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      derive("cs" -> DeriveSpec("cum_sum",
+        Map("col" -> "v", "order_by" -> Seq("t", "uid"))))(bad).collect()
+    }
+    assert(e.getMessage.contains("__go_bucket"))
+  }
+}

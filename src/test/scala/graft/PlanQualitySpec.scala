@@ -252,7 +252,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "q147_dsir_weights", // 1-row (n_raw, n_target) totals frame broadcast onto buckets (q118 shape)
       "q148_dsir_resample", // same DSIR totals broadcast inside the weight stage
       "q152_ccnet_buckets", // q132's 1-row corpus-total-tokens broadcast inside the NLL stage
-      "q163_registry_tail_r15" // has_nulls: 1-row whole-frame aggregate broadcast (q09 shape)
+      "q163_registry_tail_r15", // has_nulls: 1-row whole-frame aggregate broadcast (q09 shape)
+      // round 16: the two-level global ordered decomposition's prefix join
+      // is a deliberate ≤B² broadcast self-join of the bucket-TOTALS frame
+      // (≤ shuffle-partitions rows, never data-sized) on prior < bucket
+      "q113_unique_counts",
+      "q164_global_ordered",
+      "q165_global_rle"
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

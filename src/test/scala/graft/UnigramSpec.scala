@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Unigram
+import graft.sparkext.{UnigramApply, UnigramTable}
+
+/** Round 16, judge item 8: the unigram-LM (SentencePiece-style) tokenizer
+  * trainer beside BPE — Viterbi decode pinned against an independent
+  * in-test reference implementation, hard-EM training on fixtures with
+  * known best pieces, frame persistence round-trip, and the
+  * reconstruction/determinism contracts. */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent reference Viterbi: brute-force over ALL segmentations
+    * (exponential — test words are short). Tie rule mirrors the
+    * documented contract: higher score wins; exact ties prefer the
+    * segmentation whose LAST piece is longer, recursively. */
+  private def refSegment(s: String, vocab: Map[String, Double]): Seq[String] = {
+    def all(i: Int): Seq[(Seq[String], Double)] =
+      if (i == 0) Seq((Nil, 0.0))
+      else (1 to math.min(i, vocab.keys.map(_.length).max)).flatMap { l =>
+        val piece = s.substring(i - l, i)
+        val sc = vocab.get(piece)
+          .orElse(if (l == 1) Some(UnigramTable.UnkScore) else None)
+        sc.toSeq.flatMap(v => all(i - l).map { case (segs, tot) => (segs :+ piece, tot + v) })
+      }
+    if (s.isEmpty) Nil
+    else all(s.length).maxBy { case (segs, tot) =>
+      // score first; then longer last piece, then longer second-to-last...
+      (tot, segs.reverse.map(_.length).toSeq)
+    }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Implicits.seqOrdering))._1
+  }
+
+  test("Viterbi decode == brute-force reference on a mixed vocabulary") {
+    val vocab = Map("a" -> -3.0, "b" -> -3.5, "c" -> -4.0, "ab" -> -2.0,
+      "bc" -> -2.5, "abc" -> -5.9, "cc" -> -3.0)
+    val table = new UnigramTable(vocab.keys.toArray.sorted,
+      vocab.keys.toArray.sorted.map(vocab))
+    for (w <- Seq("abc", "abcc", "ccc", "abab", "bca", "a", "", "xyz", "axb")) {
+      val got = table.segmentString(w).toSeq
+      val want = refSegment(w, vocab)
+      assert(got == want, s"word '$w': got $got want $want")
+      assert(got.mkString("") == w, s"reconstruction broke on '$w'")
+    }
+  }
+
+  test("trainLocal learns the obvious piece and keeps every single char") {
+    // 'ab' dominates: words are ab-repeats plus noise chars
+    val docs = Seq.fill(50)("ababab abab xq").toDF("text")
+    val vocab = Unigram.trainFromCorpusLocal(docs, "text", vocabSize = 8, maxPieceLen = 4)
+    val pieces = vocab.map(_._1).toSet
+    for (ch <- Seq("a", "b", "x", "q"))
+      assert(pieces.contains(ch), s"single char '$ch' must never be pruned: $pieces")
+    assert(vocab.size <= 8, s"vocabSize must cap the inventory: $vocab")
+    // the dominant multi-char piece survives pruning and wins the decode
+    assert(pieces.exists(p => p.length > 1 && "ababab".contains(p)), s"$vocab")
+    val seg = new UnigramTable(vocab.map(_._1).toArray, vocab.map(_._2).toArray)
+      .segmentString("ababab").toSeq
+    assert(seg.mkString("") == "ababab")
+    assert(seg.length < 6, s"trained decode must beat char-split: $seg")
+  }
+
+  test("training is content-deterministic: repartitioned corpus, same vocabulary") {
+    val docs = Seq("the quick brown fox", "the lazy dog the fox", "quick quick brown")
+      .toDF("text")
+    val a = Unigram.trainFromCorpusLocal(docs, "text", vocabSize = 20)
+    val b = Unigram.trainFromCorpusLocal(docs.repartition(7), "text", vocabSize = 20)
+    assert(a == b, "vocabulary must not depend on partitioning")
+  }
+
+  test("segment/tokenCount columns: projection over documents, reconstruction-exact") {
+    val docs = Seq((1L, "hello world"), (2L, "worldly hello"), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val vocab = Unigram.trainFromCorpusLocal(
+      docs.filter(col("text").isNotNull), "text", vocabSize = 24)
+    val out = docs
+      .withColumn("segs", Unigram.segment(col("text"), vocab))
+      .withColumn("n", Unigram.tokenCount(col("text"), vocab))
+      .withColumn("rejoined", concat_ws("", col("segs")))
+      .withColumn("joined_words",
+        concat_ws("", graft.operators.TextAnalysis.tokens(col("text"))))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(4) == out(0).getString(5), "pieces must rejoin to the words")
+    assert(out(1).getString(4) == out(1).getString(5))
+    assert(out(2).getSeq[String](2).isEmpty && out(2).getInt(3) == 0)
+    assert(out(3).isNullAt(2), "null text stays null")
+    // the plan is a pure projection: no shuffle anywhere
+    val plan = docs.withColumn("n", Unigram.tokenCount(col("text"), vocab))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tokenize must not shuffle:\n$plan")
+  }
+
+  test("piecesToFrame / piecesFromFrame round-trip; dense-rank + cap guards") {
+    val vocab = Seq(("ab", -1.0), ("a", -2.0), ("b", -2.5))
+    val frame = Unigram.piecesToFrame(spark, vocab)
+    assert(Unigram.piecesFromFrame(frame) == vocab)
+    val e = intercept[IllegalArgumentException] {
+      Unigram.piecesFromFrame(frame.filter(col("rank") =!= 1))
+    }
+    assert(e.getMessage.contains("dense"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Unigram.piecesFromFrame(frame, maxPieces = 2)
+    }
+    assert(e2.getMessage.contains("maxPieces") || e2.getMessage.contains("exceeds"),
+      e2.getMessage)
+    // loud vocab cap on the trainer's collect (the Bpe.trainLocal rule)
+    val docs = Seq("a b c d e f").toDF("text")
+    val e3 = intercept[IllegalArgumentException] {
+      Unigram.trainFromCorpusLocal(docs, "text", vocabSize = 4, maxVocab = 3)
+    }
+    assert(e3.getMessage.contains("maxVocab"), e3.getMessage)
+  }
+}
