@@ -1520,8 +1520,8 @@ object ExprRegistry {
     "stratified_sample", "lang_id", "lang_id_supervised", "text_stats", "doc_fingerprint",
     "ewm_mean", "ewm_var", "ewm_std", "ewm_mean_by", "rle",
     "value_counts", "unique_counts", "sort_by",
-    "quality_quantile_gate", "bpe_tokenize", "unigram_tokenize", "sq8_encode",
-    "training_shard_assign",
+    "quality_quantile_gate", "bpe_tokenize", "unigram_tokenize", "image_near_dup",
+    "lm_nll", "sq8_encode", "training_shard_assign",
     "gopher_rules", "label_propagate", "pagerank_centrality", "budget_select",
     "quantile_buckets", "domain_cap", "unicode_normalize",
     "c4_filter", "dup_line_signals", "pca_project", "pca_remove_top")

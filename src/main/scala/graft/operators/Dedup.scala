@@ -572,6 +572,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Hamming near-duplicate pairs over a 64-bit fingerprint column
+    * (perceptual image hashes — [[graft.operators.Multimodal.imageHashes]]
+    * — or any simhash-style signature): candidate generation by the
+    * PIGEONHOLE segment trick the [[simHash]] scaladoc sketches — the 64
+    * bits split into `maxHamming + 1` contiguous segments, so any pair
+    * within `maxHamming` flips must agree EXACTLY on at least one segment;
+    * candidates come from a hash-partitioned equi-join on
+    * (segment index, segment value) — never an all-pairs comparison —
+    * and are verified with the exact popcount of the XOR.
+    *
+    * `maxBucket` is the same f² valve as [[embeddingNearDupPairs]]'s: a
+    * mass-duplicated image puts f rows in one (segment, value) bucket and
+    * the self-join emits f² candidates; over-wide buckets are dropped
+    * (members can still pair via their other segments, and identical
+    * hashes agree on EVERY segment, so a duplicate class only goes
+    * unreported when all its segments are over the cap). */
+  def hammingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming must be in [0, 16], got $maxHamming (segments get too short above)")
+    require(maxBucket > 1, "maxBucket must allow at least a pair")
+    val nSeg = maxHamming + 1
+    val h = col(hashCol).cast("long")
+    val segCols = (0 until nSeg).map { i =>
+      val lo = i * 64 / nSeg
+      val hi = (i + 1) * 64 / nSeg
+      val width = hi - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("seg"), shiftrightunsigned(h, lo).bitwiseAND(lit(mask)).as("segv"))
+    }
+    val bucketed = df
+      .select(col(idCol), h.as("__h"), explode(array(segCols: _*)).as("sk"))
+      .select(col(idCol), col("__h"), col("sk.seg").as("seg"), col("sk.segv").as("segv"))
+    val wcap = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"), col("segv"))
+    val bounded = bucketed
+      .withColumn("__bn", count(lit(1)).over(wcap))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bounded.as("a")
+    val b = bounded.as("b")
+    a.join(b,
+        col("a.seg") === col("b.seg") && col("a.segv") === col("b.segv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.__h").bitwiseXOR(col("b.__h"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Drop every row that has a LOWER-id hamming near-duplicate (pair-drop
+    * keep-min-id semantics, not transitive components — use
+    * [[fuzzyDedup]]'s CC machinery over [[hammingNearDupPairs]] output
+    * when chain semantics are wanted). */
+  def hammingDedup(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000
+  ): DataFrame = {
+    val drops = hammingNearDupPairs(df, idCol, hashCol, maxHamming, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic deduplication (public recipe: Abbas et al.
     * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): cluster the embedding space with k-means, compare

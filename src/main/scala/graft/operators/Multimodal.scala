@@ -237,6 +237,211 @@ object Multimodal {
       .toDF(idCol, "content")
   }
 
+  /** Per-image perceptual hashes ([[imageHashes]]). */
+  final case class ImageHash(
+      id: Long,
+      width: Int,
+      height: Int,
+      ahash: Long,
+      dhash: Long)
+
+  /** Deterministic block-mean downscale of a decoded image to `tw`×`th`
+    * grayscale: cell (tx,ty) is the exact mean of the source pixels
+    * [⌊tx·w/tw⌋, max(+1, ⌊(tx+1)·w/tw⌋)) × [⌊ty·h/th⌋, …) averaged over
+    * all bands — no Graphics2D scaler (whose interpolation varies by
+    * JDK), so the same bytes hash identically everywhere. Images
+    * SMALLER than the target repeat source pixels (the max(+1) floor).
+    * Indexed color models are converted to RGB first (palette indices
+    * are not intensities — the [[imageIoDecode]] rule). */
+  private[graft] def blockMeanGray(
+      decoded: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Double] = {
+    val img = decoded.getColorModel match {
+      case _: java.awt.image.IndexColorModel =>
+        val conv = new java.awt.image.BufferedImage(
+          decoded.getWidth, decoded.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = conv.createGraphics()
+        try g.drawImage(decoded, 0, 0, null) finally g.dispose()
+        conv
+      case _ => decoded
+    }
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val out = new Array[Double](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * h / th
+      val y1 = math.min(h, math.max(y0 + 1, (ty + 1) * h / th))
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw
+        val x1 = math.min(w, math.max(x0 + 1, (tx + 1) * w / tw))
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            var b = 0
+            while (b < bands) { sum += raster.getSampleDouble(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        out(ty * tw + tx) = sum / ((y1 - y0).toLong * (x1 - x0) * bands)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** aHash (average hash): 8×8 block means; bit (y·8+x) set iff the cell
+    * is STRICTLY above the 64-cell mean. Brightness-shift invariant: a
+    * constant offset moves every cell and the mean equally. */
+  private[graft] def aHash64(g: Array[Double]): Long = {
+    require(g.length == 64, s"aHash needs 64 cells, got ${g.length}")
+    val mean = g.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (g(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** dHash (difference hash): 9×8 block means; bit (y·8+x) set iff the
+    * right neighbor is strictly brighter — a horizontal-gradient sign
+    * map, brightness-shift invariant by construction. */
+  private[graft] def dHash64(g: Array[Double]): Long = {
+    require(g.length == 72, s"dHash needs 9x8 cells, got ${g.length}")
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) bits |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Header-guarded decode to a raster (the [[imageIoDecode]] admission
+    * path, returning the image instead of its features). */
+  private[graft] def decodeBuffered(content: Array[Byte],
+      maxPixels: Long = MaxDecodePixels): Option[java.awt.image.BufferedImage] = {
+    if (content == null || content.isEmpty) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            val bpp =
+              try {
+                Option(reader.getRawImageType(0))
+                  .orElse {
+                    val it = reader.getImageTypes(0)
+                    if (it != null && it.hasNext) Option(it.next()) else None
+                  }
+                  .map(_.getColorModel.getPixelSize)
+                  .filter(_ > 0)
+                  .getOrElse(32)
+              } catch { case scala.util.control.NonFatal(_) => 32 }
+            if (!headerAdmissible(w, h, bpp, maxPixels)) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Perceptual hashes per image — the feature extraction under image
+    * near-dup detection ([[graft.operators.Dedup.hammingNearDupPairs]]):
+    * REAL `javax.imageio` decode through the same bomb-guarded
+    * per-partition codec seam as [[decodeImagesReal]], then deterministic
+    * block-mean downscale → 64-bit aHash + dHash. Undecodable payloads
+    * are dropped (discard-not-crash). Partition-preserving: no shuffle;
+    * hashing is the map side of the near-dup pipeline. */
+  def imageHashes(df: DataFrame, idCol: String, contentCol: String): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) None
+          else decodeBuffered(r.getAs[Array[Byte]](1)).map { img =>
+            ImageHash(r.getLong(0), img.getWidth, img.getHeight,
+              aHash64(blockMeanGray(img, 8, 8)),
+              dHash64(blockMeanGray(img, 9, 8)))
+          }
+        }
+      }
+  }
+
+  /** Deterministic PATTERNED-PNG fixture generator — the near-dup twin of
+    * [[synthesizeGrayPngs]] (whose constant-intensity images all share
+    * the all-zero perceptual hash and so cannot exercise near-dup
+    * clustering). Image for `id`: 36×32 gray — 9×8 blocks of 4×4 pixels,
+    * mapping 1:1 onto the dHash grid — whose horizontal GRADIENT SIGNS
+    * encode `pk = id % patterns` as an 8-bit extended-parity codeword
+    * replicated down all 8 rows: adjacent blocks step ±15 by the
+    * codeword's bits, so dHash(pk) IS the codeword ×8 and distinct
+    * patterns sit at hamming distance ≥ 16 BY CONSTRUCTION (parity makes
+    * word distance ≥ 2). A per-id brightness jitter
+    * ((id / patterns) % 20, intensities stay < 256) gives same-pk images
+    * DIFFERENT bytes (exact dedup misses them) but IDENTICAL perceptual
+    * hashes (both hashes are brightness-shift invariant) — near-dup
+    * ground truth is id-arithmetic a SQL oracle can predict: clusters =
+    * id mod patterns, byte-identical repeats = id mod (patterns·20). */
+  def synthesizePatternPngs(df: DataFrame, idCol: String, patterns: Int = 25): DataFrame = {
+    require(patterns >= 1 && patterns <= 128, s"patterns must be in [1,128], got $patterns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val pk = (id % patterns).toInt
+          val jitter = ((id / patterns) % 20).toInt
+          // extended-parity codeword: distinct pks differ in >= 2 bits
+          val word = (pk << 1) | (Integer.bitCount(pk) & 1)
+          // 9 block intensity levels: +-15 walk by the codeword's bits,
+          // shifted so the minimum sits at 10 (range <= 130 + jitter < 256)
+          val levels = new Array[Int](9)
+          var x = 0
+          while (x < 8) {
+            levels(x + 1) = levels(x) + (if (((word >> x) & 1) == 1) 15 else -15)
+            x += 1
+          }
+          val shift = 10 - levels.min
+          val img = new java.awt.image.BufferedImage(
+            36, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var bx = 0
+          while (bx < 9) {
+            val v = levels(bx) + shift + jitter
+            var y = 0
+            while (y < 32) {
+              var px = bx * 4
+              while (px < bx * 4 + 4) { raster.setSample(px, y, 0, v); px += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Frame-sampling stub for video-like payloads: cut the byte stream into
     * fixed-size "frames" and keep every `stride`-th — exercises the
     * explode/posexplode shape a real frame sampler produces. Pure column

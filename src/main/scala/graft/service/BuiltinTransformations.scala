@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.{GraftIO, SparkIO}
-import graft.operators.{Bpe, Curation, Dedup, Similarity, TextAnalysis, TextClean, TimeSeries, Unigram}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextClean, TimeSeries, Unigram}
 import graft.stages.Transforms.CustomFn
 
 /** Built-in named custom transformations: the LLM-curation operators as
@@ -63,6 +63,8 @@ object BuiltinTransformations {
     "quality_quantile_gate" -> qualityQuantileGate,
     "bpe_tokenize" -> bpeTokenize,
     "unigram_tokenize" -> unigramTokenize,
+    "image_near_dup" -> imageNearDup,
+    "lm_nll" -> lmNll,
     "sq8_encode" -> sq8Encode,
     "training_shard_assign" -> trainingShardAssign,
     "fuzzy_dedup_keep_best" -> fuzzyDedupKeepBest,
@@ -672,6 +674,55 @@ object BuiltinTransformations {
       case "segments" => df.withColumn(outCol, Unigram.segment(col(textCol), vocab))
       case other => throw new IllegalArgumentException(
         s"$name: mode must be 'count' or 'segments', got '$other'")
+    }
+  }
+
+  /** `lm_nll(id_col, text_col, order=bigram|unigram, lambda=0.75)` —
+    * self-trained LM negative-log-likelihood document score (the
+    * CCNet-style perplexity ranking): `bigram` is the interpolated
+    * Jelinek–Mercer scorer ([[TextAnalysis.bigramNll]]), `unigram` the
+    * zero-dependency proxy ([[TextAnalysis.unigramNll]]). Joins (dl, nll)
+    * back onto the input frame. */
+  private def lmNll: CustomFn = (df, kw) => {
+    val name = "lm_nll"
+    val idCol = reqStr(name, kw, "id_col")
+    val textCol = reqStr(name, kw, "text_col")
+    rejectShadow(name, df, "dl", "nll")
+    val scored = strKw(name, kw, "order", "bigram") match {
+      case "bigram" => TextAnalysis.bigramNll(df, idCol, textCol,
+        lambda = dblKw(name, kw, "lambda", 0.75))
+      case "unigram" => TextAnalysis.unigramNll(df, idCol, textCol)
+      case other => throw new IllegalArgumentException(
+        s"$name: order must be 'bigram' or 'unigram', got '$other'")
+    }
+    df.join(scored, Seq(idCol), "left")
+  }
+
+  /** `image_near_dup(id_col, content_col, max_hamming=3, hash=dhash|ahash,
+    * action=drop|pairs)` — perceptual-hash image near-dup: decode through
+    * the bomb-guarded codec seam, 64-bit dHash/aHash
+    * ([[Multimodal.imageHashes]]), pigeonhole hamming-segment candidate
+    * join + exact popcount verify ([[Dedup.hammingNearDupPairs]]).
+    * `drop` keeps one exemplar (min id) per duplicate relation; `pairs`
+    * returns (id_a, id_b, hamming). Undecodable payloads never pair (they
+    * always survive a drop). */
+  private def imageNearDup: CustomFn = (df, kw) => {
+    val name = "image_near_dup"
+    val idCol = reqStr(name, kw, "id_col")
+    val contentCol = reqStr(name, kw, "content_col")
+    val maxHamming = intKw(name, kw, "max_hamming", 3)
+    val hashCol = strKw(name, kw, "hash", "dhash")
+    require(hashCol == "dhash" || hashCol == "ahash",
+      s"$name: hash must be 'dhash' or 'ahash', got '$hashCol'")
+    val hashed = Multimodal.imageHashes(df, idCol, contentCol).toDF()
+    strKw(name, kw, "action", "drop") match {
+      case "pairs" => Dedup.hammingNearDupPairs(hashed, "id", hashCol, maxHamming)
+      case "drop" =>
+        val drops = Dedup.hammingNearDupPairs(hashed, "id", hashCol, maxHamming)
+          .select(col("id_b").as(idCol)).distinct()
+        df.join(drops, Seq(idCol), "left_anti")
+      case other => throw new IllegalArgumentException(
+        s"$name: action must be 'drop' or 'pairs', got '$other'")
     }
   }
 

@@ -1849,6 +1849,112 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Similarity.centroidsFromFrame(cents).size == 1)
   }
 
+  test("perceptual hashes: brightness invariance, dHash gradient bits, hamming pairs") {
+    import spark.implicits._
+    // hand-built 9x8 gray PNGs (1:1 with the dHash grid) through the REAL
+    // codec: a horizontal gradient, the same gradient +40 brightness
+    // (near-dup), its mirror (far), and a one-column tweak (small
+    // hamming > 0)
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 9) img.getRaster.setSample(x, y, 0, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val grad = png((x, _) => 20 * x)
+    val gradBright = png((x, _) => 20 * x + 40)
+    val mirror = png((x, _) => 20 * (8 - x))
+    val tweak = png((x, y) => 20 * x + (if (x == 3 && y < 4) 25 else 0))
+    val df = Seq((1L, grad), (2L, gradBright), (3L, mirror), (4L, tweak),
+      (5L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val hashed = Multimodal.imageHashes(df, "id", "content").collect()
+      .map(h => h.id -> h).toMap
+    assert(hashed.keySet == Set(1L, 2L, 3L, 4L), "undecodable payloads drop")
+    // ascending gradient: every right neighbor brighter -> all 64 dHash bits
+    assert(hashed(1L).dhash == -1L, s"${hashed(1L)}")
+    assert(hashed(3L).dhash == 0L, "descending gradient: no bit set")
+    // brightness shift changes bytes, not hashes
+    assert(hashed(1L).dhash == hashed(2L).dhash && hashed(1L).ahash == hashed(2L).ahash)
+    val dTweak = java.lang.Long.bitCount(hashed(1L).dhash ^ hashed(4L).dhash)
+    assert(dTweak > 0 && dTweak <= 16, s"one-column tweak flips few dHash bits: $dTweak")
+    // pigeonhole pairs: (1,2) at hamming 0; (1,4)/(2,4) iff within the cap;
+    // the mirror pairs with nothing
+    val pairs = Dedup.hammingNearDupPairs(
+      Multimodal.imageHashes(df, "id", "content").toDF(), "id", "dhash",
+      maxHamming = dTweak)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)), s"$pairs")
+    assert(pairs.contains((1L, 4L, dTweak)), s"$pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"mirror must not pair: $pairs")
+    // exact-hamming verify gate: threshold below the tweak distance drops it
+    val tight = Dedup.hammingNearDupPairs(
+      Multimodal.imageHashes(df, "id", "content").toDF(), "id", "dhash",
+      maxHamming = dTweak - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L)), s"$tight")
+    // keep-min drop semantics
+    val kept = Dedup.hammingDedup(
+      Multimodal.imageHashes(df, "id", "content").toDF(), "id", "dhash",
+      maxHamming = dTweak)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"$kept")
+  }
+
+  test("bigramNll: boilerplate scores below rare text; edges; builtin == direct") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat the cat sat on the mat"),
+      (2L, "zyx quux flurble grok xenon plasma warble"),
+      (3L, "the cat sat on the mat"),
+      (4L, ""),
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the CCNet ranking role: repeated common sequences are predictable
+    // (low NLL), one-off rare sequences are not
+    assert(out(1L)._2 < out(3L)._2 && out(3L)._2 < out(2L)._2,
+      s"expected nll(boilerplate) < nll(short-common) < nll(rare): $out")
+    assert(out(4L) == (0L, 0.0), s"empty doc: ${out(4L)}")
+    assert(out(5L)._1 == 1L && out(5L)._2 > 0.0, s"1-token doc scores its unigram: ${out(5L)}")
+    // interpolation keeps every score finite and positive
+    assert(out.values.forall(v => !v._2.isNaN && !v._2.isInfinite && v._2 >= 0.0))
+    // builtin spelling routes to the same frame
+    val viaBuiltin = graft.service.BuiltinTransformations.registry("lm_nll")(
+      docs, Map("id_col" -> "doc_id", "text_col" -> "text"))
+      .select("doc_id", "dl", "nll").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaBuiltin == out)
+  }
+
+  test("synthesizePatternPngs: 25 base patterns pairwise far; jitter is hash-invariant") {
+    import spark.implicits._
+    // one image per (pattern, jitter) corner: jitter 0 and jitter 19
+    val base = spark.range(25).select(col("id").as("doc_id"))
+    val jit = spark.range(25 * 19, 25 * 20).select(col("id").as("doc_id")) // jitter 19
+    val hb = Multimodal.imageHashes(
+      Multimodal.synthesizePatternPngs(base, "doc_id"), "doc_id", "content")
+      .collect().map(h => (h.id % 25) -> h).toMap
+    val hj = Multimodal.imageHashes(
+      Multimodal.synthesizePatternPngs(jit, "doc_id"), "doc_id", "content")
+      .collect().map(h => (h.id % 25) -> h).toMap
+    for (pk <- 0L until 25L) {
+      assert(hb(pk).dhash == hj(pk).dhash && hb(pk).ahash == hj(pk).ahash,
+        s"pattern $pk: jitter must not move the hashes")
+    }
+    // the q167 oracle rests on every cross-pattern distance exceeding the
+    // query's hamming threshold: the gradient-sign construction
+    // (extended-parity codeword × 8 rows) guarantees >= 16 — pin the
+    // whole margin, not just the threshold
+    val minD = (for (a <- 0L until 25L; b <- (a + 1) until 25L)
+      yield java.lang.Long.bitCount(hb(a).dhash ^ hb(b).dhash)).min
+    assert(minD >= 16, s"closest cross-pattern dHash distance fell to $minD — " +
+      "the codeword construction broke")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -258,7 +258,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // (≤ shuffle-partitions rows, never data-sized) on prior < bucket
       "q113_unique_counts",
       "q164_global_ordered",
-      "q165_global_rle"
+      "q165_global_rle",
+      "q167_image_near_dup", // 1-row exact-dup-total frame broadcast (q09 shape)
+      "q168_bigram_nll" // 1-row corpus-total broadcast (q132 shape)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -488,6 +488,25 @@ class PropertySpec extends AnyFunSuite {
           Gen.oneOf[Any](42L, true, junkMap, "bogus_trainer")),
         opt("mode", Gen.oneOf[Any]("count", "segments"),
           Gen.oneOf[Any](42L, true, junkMap, "bogus_mode"))),
+      "unigram_tokenize" -> Seq(textCol,
+        // tiny vocab: the Viterbi-EM fit RUNS during plan build
+        opt("vocab_size", Gen.oneOf(8L, 16L), wrongForInt),
+        opt("max_piece_len", Gen.oneOf(2L, 4L), wrongForInt),
+        opt("out_col", Gen.const("ug_out"), wrongForStr),
+        opt("mode", Gen.oneOf[Any]("count", "segments"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_mode"))),
+      "image_near_dup" -> Seq(idCol,
+        // text bytes are undecodable payloads — drop-not-crash by contract
+        req("content_col", Gen.const("text"), wrongForStr),
+        opt("max_hamming", Gen.oneOf(0L, 3L), wrongForInt),
+        opt("hash", Gen.oneOf[Any]("dhash", "ahash"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_hash")),
+        opt("action", Gen.oneOf[Any]("drop", "pairs"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_action"))),
+      "lm_nll" -> Seq(idCol, textCol,
+        opt("order", Gen.oneOf[Any]("bigram", "unigram"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_order")),
+        opt("lambda", Gen.oneOf(0.5, 0.75), wrongForNum)),
       "sq8_encode" -> Seq(
         req("vec_col", Gen.const("emb"), wrongForStr),
         opt("out_col", Gen.const("sq_out"), wrongForStr)),
