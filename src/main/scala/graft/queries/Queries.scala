@@ -5050,19 +5050,23 @@ object Queries {
     * to prove tie groups never split across range buckets. */
   val q164: QueryFn = (s, d) =>
     tbl(s, d, "documents")
+      // entries GROUPED by (order_by, desc) on purpose: consecutive
+      // same-order globals batch into ONE two-level decomposition, so
+      // this is 4 decomposition levels (doc_id run / n_chars ranks /
+      // unique-key positionals / rle chain), not 12
       .transform(Transforms.deriveNewCols(Seq(
         "cs" -> DeriveSpec("cum_sum", Map("col" -> "n_chars", "order_by" -> Seq("doc_id"))),
         "cmin" -> DeriveSpec("cum_min", Map("col" -> "n_chars", "order_by" -> Seq("doc_id"))),
         "cmax" -> DeriveSpec("cum_max", Map("col" -> "n_chars", "order_by" -> Seq("doc_id"))),
         "ccnt" -> DeriveSpec("cum_count", Map("col" -> "lang", "order_by" -> Seq("doc_id"))),
-        "rk" -> DeriveSpec("rank", Map("order_by" -> Seq("n_chars"))),
-        "dr" -> DeriveSpec("dense_rank", Map("order_by" -> Seq("n_chars"))),
-        "rn" -> DeriveSpec("row_number", Map("order_by" -> Seq("n_chars", "doc_id"))),
-        "pr" -> DeriveSpec("percent_rank", Map("order_by" -> Seq("n_chars"))),
-        "cd" -> DeriveSpec("cume_dist", Map("order_by" -> Seq("n_chars"))),
-        "nt" -> DeriveSpec("ntile", Map("n" -> 7, "order_by" -> Seq("n_chars", "doc_id"))),
         "cmean" -> DeriveSpec("cumulative_eval", Map("col" -> "n_chars",
           "agg" -> "mean", "order_by" -> Seq("doc_id"))),
+        "rk" -> DeriveSpec("rank", Map("order_by" -> Seq("n_chars"))),
+        "dr" -> DeriveSpec("dense_rank", Map("order_by" -> Seq("n_chars"))),
+        "pr" -> DeriveSpec("percent_rank", Map("order_by" -> Seq("n_chars"))),
+        "cd" -> DeriveSpec("cume_dist", Map("order_by" -> Seq("n_chars"))),
+        "rn" -> DeriveSpec("row_number", Map("order_by" -> Seq("n_chars", "doc_id"))),
+        "nt" -> DeriveSpec("ntile", Map("n" -> 7, "order_by" -> Seq("n_chars", "doc_id"))),
         "rid" -> DeriveSpec("rle_id", Map("col" -> "source", "order_by" -> Seq("doc_id"))))))
       .select(col("doc_id"),
         col("cs").cast("long").as("cs"), col("cmin"), col("cmax"),
