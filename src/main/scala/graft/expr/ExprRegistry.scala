@@ -122,12 +122,13 @@ object ExprRegistry {
     * `desc: true` reverses the order.
     *
     * Round 16: every GLOBAL (no partition_by) running/ranking/positional/
-    * fill fn routes through [[OrderedAtScale]]'s range-bucketed two-level
-    * decomposition instead of the empty-partition form this helper builds
-    * — the single-partition window survives ONLY in the rolling_* family
-    * and cumulative_eval std/var (whose sum-of-squares recomposition would
-    * change their floating-point profile); pass `partition_by` for those
-    * at scale. */
+    * fill/decomposable-rolling fn routes through [[OrderedAtScale]]'s
+    * range-bucketed decompositions instead of the empty-partition form
+    * this helper builds — the single-partition window survives ONLY in
+    * the rolling moment/percentile family (std/var/median/quantile/
+    * skew/kurtosis), the rolling_*_by RANGE family, and cumulative_eval
+    * std/var (recomposing those would change their float/interpolation
+    * profile); pass `partition_by` for those at scale. */
   private def orderedWindow(kw: Map[String, Any], fn: String): WindowSpec = {
     val ord = strSeq(kw, "order_by")
     require(ord.nonEmpty, s"'$fn' requires an 'order_by' kwarg: Spark rows have no implicit order")
@@ -220,6 +221,36 @@ object ExprRegistry {
           (prev.isNull || beats(x, prev)) && (next.isNull || beats(x, next)))
           .drop("__pk_prev", "__pk_next")
       }
+    }
+  }
+
+  /** Decomposable rolling aggregate (sum/min/max): per-key windowed with
+    * `partition_by`; the global form routes through
+    * [[OrderedAtScale.globalRolling]]'s tail exchange. `tailCombine`
+    * folds the prior-tail slice (null acc seeds; null values must pass
+    * through to the other operand); `merge` joins the tail partial with
+    * the row's running partial. */
+  private def rollingDecomposable(
+      fn: String,
+      aggF: Column => Column,
+      tailCombine: (Column, Column) => Column,
+      merge: (Column, Column) => Column): DeriveFn = kw => {
+    if (strSeq(kw, "partition_by").nonEmpty)
+      RowWise(aggF(c(kw)).over(rollingFrame(kw, fn)))
+    else {
+      val (ord, desc) = ordAndDesc(kw, fn)
+      val k = intVal(kw, "window_size", -1)
+      require(k > 0, s"'$fn' requires a positive 'window_size' kwarg")
+      val x = c(kw)
+      if (k == 1) RowWise(x) // a 1-row frame is the row itself
+      else FrameLevel((df, out) => OrderedAtScale.globalRolling(df, out, x, ord, desc, k,
+        w => aggF(x).over(w.rowsBetween(-(k.toLong - 1), Window.currentRow)),
+        w => aggF(x).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        a => {
+          val xs = transform(a, _.getField("x"))
+          aggregate(xs, when(lit(false), element_at(xs, 1)), tailCombine)
+        },
+        merge))
     }
   }
 
@@ -538,11 +569,51 @@ object ExprRegistry {
     "is_duplicated" -> rw(kw => count(lit(1)).over(Window.partitionBy(c(kw))) > 1),
     "is_unique" -> rw(kw => count(lit(1)).over(Window.partitionBy(c(kw))) === 1),
 
-    // rolling windows (explicit order_by + window_size)
-    "rolling_mean" -> rw(kw => avg(c(kw)).over(rollingFrame(kw, "rolling_mean"))),
-    "rolling_sum" -> rw(kw => sum(c(kw)).over(rollingFrame(kw, "rolling_sum"))),
-    "rolling_min" -> rw(kw => min(c(kw)).over(rollingFrame(kw, "rolling_min"))),
-    "rolling_max" -> rw(kw => max(c(kw)).over(rollingFrame(kw, "rolling_max"))),
+    // rolling windows (explicit order_by + window_size). The DECOMPOSABLE
+    // aggregates (sum/min/max + mean via a (sum,count) pair) take the
+    // tail-exchange decomposition in their GLOBAL form
+    // ([[OrderedAtScale.globalRolling]]); the moment/percentile family
+    // (std/var/median/quantile/skew/kurtosis) keeps the single-partition
+    // fallback — recomposing them would change their float profile —
+    // pass partition_by for those at scale.
+    "rolling_mean" -> { kw =>
+      if (strSeq(kw, "partition_by").nonEmpty)
+        RowWise(avg(c(kw)).over(rollingFrame(kw, "rolling_mean")))
+      else {
+        val (ord, desc) = ordAndDesc(kw, "rolling_mean")
+        val k = intVal(kw, "window_size", -1)
+        require(k > 0, "'rolling_mean' requires a positive 'window_size' kwarg")
+        val x = c(kw)
+        if (k == 1) RowWise(x.cast("double"))
+        else FrameLevel((df, out) => OrderedAtScale.globalRolling(df, out, x, ord, desc, k,
+          w => avg(x).over(w.rowsBetween(-(k.toLong - 1), Window.currentRow)),
+          w => struct(
+            sum(x).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"),
+            count(x).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("n")),
+          a => {
+            val xs = filter(transform(a, _.getField("x")), v => v.isNotNull)
+            struct(
+              aggregate(xs, when(lit(false), element_at(xs, 1)),
+                (acc, v) => coalesce(acc + v, acc, v)).as("s"),
+              size(xs).cast("long").as("n"))
+          },
+          (t, r) => {
+            val ts = coalesce(t.getField("s") + r.getField("s"),
+              t.getField("s"), r.getField("s"))
+            val tn = coalesce(t.getField("n"), lit(0L)) + r.getField("n")
+            when(tn > 0L, ts.cast("double") / tn.cast("double"))
+          }))
+      }
+    },
+    "rolling_sum" -> rollingDecomposable("rolling_sum", sum,
+      (acc, v) => coalesce(acc + v, acc, v),
+      (t, r) => coalesce(t + r, t, r)),
+    "rolling_min" -> rollingDecomposable("rolling_min", min,
+      (acc, v) => least(acc, v),
+      (t, r) => least(t, r)),
+    "rolling_max" -> rollingDecomposable("rolling_max", max,
+      (acc, v) => greatest(acc, v),
+      (t, r) => greatest(t, r)),
     "rolling_std" -> rw(kw => stddev_samp(c(kw)).over(rollingFrame(kw, "rolling_std"))),
 
     // registry tail (round 13): the last reflective pl.Expr names in use.

@@ -5067,12 +5067,19 @@ object Queries {
         "cd" -> DeriveSpec("cume_dist", Map("order_by" -> Seq("n_chars"))),
         "rn" -> DeriveSpec("row_number", Map("order_by" -> Seq("n_chars", "doc_id"))),
         "nt" -> DeriveSpec("ntile", Map("n" -> 7, "order_by" -> Seq("n_chars", "doc_id"))),
-        "rid" -> DeriveSpec("rle_id", Map("col" -> "source", "order_by" -> Seq("doc_id"))))))
+        "rid" -> DeriveSpec("rle_id", Map("col" -> "source", "order_by" -> Seq("doc_id"))),
+        // round-16 second tranche: global ROLLING over the last 50 rows —
+        // the tail-exchange path (boundary rows read prior-bucket tails)
+        "rsum" -> DeriveSpec("rolling_sum", Map("col" -> "n_chars",
+          "order_by" -> Seq("doc_id"), "window_size" -> 50)),
+        "rmax" -> DeriveSpec("rolling_max", Map("col" -> "n_chars",
+          "order_by" -> Seq("doc_id"), "window_size" -> 50)))))
       .select(col("doc_id"),
         col("cs").cast("long").as("cs"), col("cmin"), col("cmax"),
         col("ccnt"), col("rk"), col("dr"), col("rn"),
         round(col("pr"), 6).as("pr"), round(col("cd"), 6).as("cd"),
-        col("nt"), round(col("cmean"), 6).as("cmean"), col("rid"))
+        col("nt"), round(col("cmean"), 6).as("cmean"), col("rid"),
+        col("rsum").cast("long").as("rsum"), col("rmax"))
 
   val q164Sql: String =
     """SELECT doc_id,
@@ -5087,7 +5094,11 @@ object Queries {
       |  round(cume_dist() OVER (ORDER BY n_chars), 6) AS cd,
       |  CAST(ntile(7) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS nt,
       |  round(avg(n_chars) OVER run, 6) AS cmean,
-      |  CAST(sum(chg) OVER (ORDER BY doc_id) AS BIGINT) AS rid
+      |  CAST(sum(chg) OVER (ORDER BY doc_id) AS BIGINT) AS rid,
+      |  CAST(sum(n_chars) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum,
+      |  max(n_chars) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS rmax
       |FROM (SELECT *, CASE WHEN row_number() OVER (ORDER BY doc_id) = 1 THEN 0
       |    WHEN source IS NOT DISTINCT FROM lag(source) OVER (ORDER BY doc_id) THEN 0
       |    ELSE 1 END AS chg

@@ -97,6 +97,27 @@ class OrderedAtScaleSpec extends AnyFunSuite {
         "desc" -> true), castTo = "long")
   }
 
+  test("rolling sum/min/max/mean global == windowed (tail exchange at bucket boundaries)") {
+    // window sizes straddling the per-bucket row count so boundary rows
+    // genuinely read prior-bucket tails
+    for (k <- Seq(2, 5, 150)) {
+      check("rolling_sum", Map("col" -> "v", "order_by" -> Seq("t", "uid"),
+        "window_size" -> k))
+      check("rolling_min", Map("col" -> "v", "order_by" -> Seq("t", "uid"),
+        "window_size" -> k))
+      check("rolling_max", Map("col" -> "v", "order_by" -> Seq("t", "uid"),
+        "window_size" -> k))
+      check("rolling_mean", Map("col" -> "v", "order_by" -> Seq("t", "uid"),
+        "window_size" -> k), castTo = "double")
+    }
+    // k = 1 short-circuit: the frame is the row itself
+    check("rolling_sum", Map("col" -> "v", "order_by" -> Seq("t", "uid"),
+      "window_size" -> 1))
+    // desc order flips the tail direction
+    check("rolling_sum", Map("col" -> "v", "order_by" -> Seq("t", "uid"),
+      "window_size" -> 7, "desc" -> true))
+  }
+
   test("rle_id global: runs spanning bucket boundaries get ONE id (chain-merge)") {
     // long runs force runs across range-bucket boundaries; null runs too
     val df = spark.range(300)
