@@ -121,14 +121,15 @@ object ExprRegistry {
   /** Window for ordered ops. `order_by` mandatory; `partition_by` optional.
     * `desc: true` reverses the order.
     *
-    * Round 16: every GLOBAL (no partition_by) running/ranking/positional/
-    * fill/decomposable-rolling fn routes through [[OrderedAtScale]]'s
-    * range-bucketed decompositions instead of the empty-partition form
-    * this helper builds — the single-partition window survives ONLY in
-    * the rolling moment/percentile family (std/var/median/quantile/
-    * skew/kurtosis), the rolling_*_by RANGE family, and cumulative_eval
-    * std/var (recomposing those would change their float/interpolation
-    * profile); pass `partition_by` for those at scale. */
+    * Round 16: EVERY global (no partition_by) ordered fn — running/
+    * ranking/positional/fill, the full rolling family INCLUDING the
+    * moment/percentile aggregates (raw-value head+tail exchange with
+    * bit-identical [[FrameStats]] folds), the rolling_*_by RANGE family
+    * (value-range tail exchange), and cumulative_eval std/var (Chan-merge
+    * states) — routes through [[OrderedAtScale]]'s range-bucketed
+    * decompositions. No registry fn reaches the empty-partition arm below
+    * anymore (OrderedAtScaleSpec's plan pin enforces it); it remains only
+    * as the generic fallthrough for hypothetical future fns. */
   private def orderedWindow(kw: Map[String, Any], fn: String): WindowSpec = {
     val ord = strSeq(kw, "order_by")
     require(ord.nonEmpty, s"'$fn' requires an 'order_by' kwarg: Spark rows have no implicit order")
@@ -254,6 +255,34 @@ object ExprRegistry {
     }
   }
 
+  /** Rolling fn whose aggregate needs the RAW frame values (the moment/
+    * percentile family): per-key windowed with `partition_by`; WITHOUT it,
+    * the head+tail raw-value exchange
+    * ([[OrderedAtScale.globalRollingFrame]]) whose boundary rows
+    * re-aggregate with a [[FrameStats]] fold that is BIT-IDENTICAL to the
+    * windowed aggregate — closing the last family that used to fall back
+    * to a single-partition window. `windowedAgg` is the native aggregate
+    * (also used within buckets for interior rows); `frameAgg` recomputes
+    * it from an array of frame values in order. */
+  private def rollingFromFrame(
+      fn: String,
+      windowedAgg: Map[String, Any] => Column,
+      frameAgg: Map[String, Any] => Column => Column): DeriveFn = kw => {
+    if (strSeq(kw, "partition_by").nonEmpty)
+      RowWise(windowedAgg(kw).over(rollingFrame(kw, fn)))
+    else {
+      val (ord, desc) = ordAndDesc(kw, fn)
+      val k = intVal(kw, "window_size", -1)
+      require(k > 0, s"'$fn' requires a positive 'window_size' kwarg")
+      val x = c(kw)
+      if (k == 1) RowWise(frameAgg(kw)(array(x))) // 1-row frame: the row itself
+      else FrameLevel((df, out) => OrderedAtScale.globalRollingFrame(
+        df, out, x, ord, desc, k,
+        w => windowedAgg(kw).over(w.rowsBetween(-(k.toLong - 1), Window.currentRow)),
+        frameAgg(kw)))
+    }
+  }
+
   /** Two-level spec for a GLOBAL ordered fill: within-bucket
     * last-non-null running value patched with the latest non-null value of
     * any PRIOR bucket (selected by bucket recency via min_by/max_by on the
@@ -317,8 +346,9 @@ object ExprRegistry {
     * plain integer in `by`'s own units or a `"<n>s|m|h|d"` duration
     * string (which assumes `by` is epoch SECONDS). `closed` ∈ right
     * (default, polars') | both | left | none. */
-  private def rollingByFrame(kw: Map[String, Any], fn: String): WindowSpec = {
-    val by = str(kw, "by")
+  /** (window length in `by` units, closed mode) — shared by the windowed
+    * frame builder and the global value-range tail exchange. */
+  private def rollingByParams(kw: Map[String, Any], fn: String): (Long, String) = {
     val w = kw.getOrElse("window_size",
       throw new IllegalArgumentException(s"'$fn' requires a 'window_size' kwarg")) match {
       case s: String if s.nonEmpty && s.last.isLetter =>
@@ -334,19 +364,60 @@ object ExprRegistry {
       case v => v.toString.toLong
     }
     require(w > 0, s"'$fn' requires a positive 'window_size', got $w")
+    val closed = kw.getOrElse("closed", "right").toString
+    require(Set("right", "both", "left", "none")(closed),
+      s"'$fn' closed='$closed' not in right/both/left/none")
+    (w, closed)
+  }
+
+  private def rollingByFrame(kw: Map[String, Any], fn: String): WindowSpec = {
+    val by = str(kw, "by")
+    val (w, closed) = rollingByParams(kw, fn)
     val parts = strSeq(kw, "partition_by")
     val base =
       if (parts.nonEmpty) Window.partitionBy(parts.map(col): _*).orderBy(col(by))
       else Window.partitionBy().orderBy(col(by))
-    kw.getOrElse("closed", "right").toString match {
+    closed match {
       case "right" => base.rangeBetween(-(w - 1), 0) // (t-w, t]
       case "both" => base.rangeBetween(-w, 0) // [t-w, t]
       case "left" => base.rangeBetween(-w, -1) // [t-w, t)
       case "none" => base.rangeBetween(-(w - 1), -1) // (t-w, t)
-      case other => throw new IllegalArgumentException(
-        s"'$fn' closed='$other' not in right/both/left/none")
     }
   }
+
+  /** RANGE-framed rolling fn (`rolling_*_by`): per-key windowed with
+    * `partition_by`; WITHOUT it, the value-range tail exchange
+    * ([[OrderedAtScale.globalRollingBy]]) — the last family that used to
+    * fall back to a single-partition window. `boundary` recomputes a
+    * boundary row's value from (tail values in range, own frame values,
+    * within value); raw-frame re-aggregations use [[FrameStats]] folds so
+    * the recomposition is bit-identical to the windowed form (up to tied
+    * `by` values' engine-arbitrary tie order for double moments). */
+  private def rollingByAtScale(
+      fn: String,
+      windowedAgg: Map[String, Any] => Column,
+      boundary: Map[String, Any] => (Column, Column, Column) => Column,
+      needOwnFrame: Boolean): DeriveFn = kw => {
+    if (strSeq(kw, "partition_by").nonEmpty)
+      RowWise(windowedAgg(kw).over(rollingByFrame(kw, fn)))
+    else {
+      val (w, closed) = rollingByParams(kw, fn)
+      FrameLevel((df, out) => OrderedAtScale.globalRollingBy(
+        df, out, c(kw), str(kw, "by"), w, closed,
+        ws => windowedAgg(kw).over(ws), boundary(kw), needOwnFrame))
+    }
+  }
+
+  /** Null-seeded fold over possibly-null `xs` (null elements skipped by
+    * the combine's coalesce) — the tail-partial arithmetic the
+    * decomposable rolling merges share. */
+  private def tailFold(xs: Column, combine: (Column, Column) => Column): Column =
+    aggregate(xs, when(lit(false), element_at(xs, 1)), combine)
+
+  /** Frame values for a raw-frame boundary re-aggregation: tail (already
+    * range-filtered, in (by, x) order) ++ own-frame values. */
+  private def boundaryFrame(t: Column, o: Column): Column =
+    when(t.isNull, o).otherwise(concat(t, o))
 
   private def rw(f: Map[String, Any] => Column): DeriveFn = kw => RowWise(f(kw))
   private def agg(f: Map[String, Any] => Column): DeriveFn = kw => WholeFrameAgg(f(kw))
@@ -573,9 +644,11 @@ object ExprRegistry {
     // aggregates (sum/min/max + mean via a (sum,count) pair) take the
     // tail-exchange decomposition in their GLOBAL form
     // ([[OrderedAtScale.globalRolling]]); the moment/percentile family
-    // (std/var/median/quantile/skew/kurtosis) keeps the single-partition
-    // fallback — recomposing them would change their float profile —
-    // pass partition_by for those at scale.
+    // (std/var/median/quantile/skew/kurtosis) takes the raw-value
+    // head+tail exchange ([[OrderedAtScale.globalRollingFrame]]) whose
+    // boundary folds are BIT-IDENTICAL to the windowed aggregates
+    // (FrameStats replicates CentralMomentAgg's sequential updates and
+    // percentile's sorted-multiset interpolation exactly).
     "rolling_mean" -> { kw =>
       if (strSeq(kw, "partition_by").nonEmpty)
         RowWise(avg(c(kw)).over(rollingFrame(kw, "rolling_mean")))
@@ -614,7 +687,9 @@ object ExprRegistry {
     "rolling_max" -> rollingDecomposable("rolling_max", max,
       (acc, v) => greatest(acc, v),
       (t, r) => greatest(t, r)),
-    "rolling_std" -> rw(kw => stddev_samp(c(kw)).over(rollingFrame(kw, "rolling_std"))),
+    "rolling_std" -> rollingFromFrame("rolling_std",
+      kw => stddev_samp(c(kw)),
+      _ => xs => FrameStats.stddevSamp(FrameStats.momentState(xs, 2))),
 
     // registry tail (round 13): the last reflective pl.Expr names in use.
     // dot = Σ a·b — a true aggregate in polars (scalar result), so it takes
@@ -628,17 +703,25 @@ object ExprRegistry {
     // naming the aggregate evaluated over the expanding frame — the shapes
     // the reference's configs actually use.
     "dot" -> aggOrOver(kw => sum(c(kw) * other(kw))),
-    "rolling_skew" -> rw(kw => skewness(c(kw)).over(rollingFrame(kw, "rolling_skew"))),
-    "rolling_kurtosis" -> rw(kw => kurtosis(c(kw)).over(rollingFrame(kw, "rolling_kurtosis"))),
+    "rolling_skew" -> rollingFromFrame("rolling_skew",
+      kw => skewness(c(kw)),
+      _ => xs => FrameStats.skewness(FrameStats.momentState(xs, 4))),
+    "rolling_kurtosis" -> rollingFromFrame("rolling_kurtosis",
+      kw => kurtosis(c(kw)),
+      _ => xs => FrameStats.kurtosis(FrameStats.momentState(xs, 4))),
     // cumulative_eval's GLOBAL (no partition_by) forms decompose like the
     // cum_* family. `mean` recomposes as running-sum/running-count (exact
     // for integer inputs; for doubles the bucket-total addition order may
     // differ from a sequential scan by ulps). `first` over an expanding
     // frame is the GLOBAL first element — a one-pass min_by/max_by
     // whole-frame agg, no window at all; `last` is the current row.
-    // `std`/`var` keep the single-partition fallback DELIBERATELY: a
-    // sum-of-squares recomposition would silently change their
-    // floating-point profile — pass partition_by for those at scale.
+    // `std`/`var` decompose through (n, mean, M2) states merged with the
+    // Chan et al. pairwise formula (never a catastrophic sum-of-squares):
+    // the association differs from a sequential scan, so values can
+    // differ from the windowed form in the last ulp — the same documented
+    // float profile as the cum_sum prefix adds. Degenerate frames (n<2)
+    // yield NULL (ANSI/DuckDB semantics; non-ANSI windowed Spark gives
+    // NaN).
     "cumulative_eval" -> { kw =>
       val aggs: Map[String, Column => Column] = Map(
         "sum" -> (x => sum(x)), "min" -> (x => min(x)), "max" -> (x => max(x)),
@@ -687,16 +770,74 @@ object ExprRegistry {
         case "last" =>
           ordAndDesc(kw, "cumulative_eval") // validate the order contract anyway
           RowWise(c(kw))
+        case "std" | "var" =>
+          val (ord, desc) = ordAndDesc(kw, "cumulative_eval")
+          val x = c(kw)
+          // running (n, mean, M2) state; M2 recovered as var·(n−1) (one
+          // ulp-level multiply — the forward division is Spark's own)
+          def mstate(wrap: Column => Column): Column = {
+            val n = wrap(count(x))
+            val m = wrap(avg(x))
+            val v = wrap(var_samp(x))
+            struct(n.cast("double").as("n"), m.cast("double").as("m"),
+              when(n >= 2L, v * (n.cast("double") - lit(1.0))).otherwise(lit(0.0)).as("m2"))
+          }
+          GlobalOrdered(OrderedAtScale.GlobalOrderedSpec(
+            ord, desc,
+            w => mstate(_.over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+            mstate(identity),
+            t => {
+              // prior-bucket states merged IN BUCKET ORDER (deterministic
+              // association): sort the collected (bucket, state) pairs,
+              // fold with the Chan merge
+              val items = sort_array(collect_list(
+                when(t.getField("n").isNotNull,
+                  struct(OrderedAtScale.priorBucket.as("b"), t.as("s")))))
+              val zero = struct(lit(0.0).as("n"),
+                lit(null).cast("double").as("m"), lit(0.0).as("m2"))
+              aggregate(items, zero, (acc, e) => FrameStats.chanMerge2(acc, e.getField("s")))
+            },
+            (p, _, v) => {
+              val mrg = FrameStats.chanMerge2(p, v)
+              val variance = when(mrg.getField("n") >= 2.0,
+                mrg.getField("m2") / (mrg.getField("n") - lit(1.0)))
+              if (name == "std") sqrt(variance) else variance
+            }))
         case _ => RowWise(f(c(kw)).over(runningFrame(kw, "cumulative_eval")))
       }
     },
 
     // time-windowed rolling (polars rolling_*_by): RANGE frame over an
-    // integer `by` axis — see rollingByFrame for the closed/unit contract
-    "rolling_mean_by" -> rw(kw => avg(c(kw)).over(rollingByFrame(kw, "rolling_mean_by"))),
-    "rolling_sum_by" -> rw(kw => sum(c(kw)).over(rollingByFrame(kw, "rolling_sum_by"))),
-    "rolling_min_by" -> rw(kw => min(c(kw)).over(rollingByFrame(kw, "rolling_min_by"))),
-    "rolling_max_by" -> rw(kw => max(c(kw)).over(rollingByFrame(kw, "rolling_max_by"))),
+    // integer `by` axis — see rollingByFrame for the closed/unit contract.
+    // Global (no partition_by) forms take the value-range tail exchange;
+    // sum/min/max merge a tail partial with the native within value,
+    // mean re-folds the raw frame as double sum/count (bit-identical to
+    // Spark's Average, which also accumulates non-decimal inputs as
+    // double)
+    "rolling_mean_by" -> rollingByAtScale("rolling_mean_by",
+      kw => avg(c(kw)),
+      _ => (t, o, _) => {
+        val xs = filter(boundaryFrame(t, o), _.isNotNull)
+        val s = aggregate(transform(xs, _.cast("double")),
+          lit(null).cast("double"), (a, v) => coalesce(a + v, a, v))
+        when(size(xs) > 0, s / size(xs).cast("double"))
+      },
+      needOwnFrame = true),
+    "rolling_sum_by" -> rollingByAtScale("rolling_sum_by",
+      kw => sum(c(kw)),
+      _ => (t, _, v) => {
+        val tp = tailFold(t, (a, e) => coalesce(a + e, a, e))
+        coalesce(tp + v, tp, v)
+      },
+      needOwnFrame = false),
+    "rolling_min_by" -> rollingByAtScale("rolling_min_by",
+      kw => min(c(kw)),
+      _ => (t, _, v) => least(tailFold(t, least(_, _)), v),
+      needOwnFrame = false),
+    "rolling_max_by" -> rollingByAtScale("rolling_max_by",
+      kw => max(c(kw)),
+      _ => (t, _, v) => greatest(tailFold(t, greatest(_, _)), v),
+      needOwnFrame = false),
 
     // registry tail (round 15): the LAST cheaply-expressible top-level
     // pl.Expr names — with these, [[PolarsExprParity]] pins that every
@@ -754,13 +895,25 @@ object ExprRegistry {
     "bitwise_count_ones" -> rw(kw => bit_count(c(kw).cast("long"))),
     "bitwise_count_zeros" -> rw(kw => lit(64) - bit_count(c(kw).cast("long"))),
     // the *_by variants polars has that the round-13 tail missed
-    "rolling_std_by" -> rw(kw => stddev_samp(c(kw)).over(rollingByFrame(kw, "rolling_std_by"))),
-    "rolling_var_by" -> rw(kw => var_samp(c(kw)).over(rollingByFrame(kw, "rolling_var_by"))),
-    "rolling_median_by" -> rw(kw =>
-      expr(s"percentile(${str(kw, "col")}, 0.5)").over(rollingByFrame(kw, "rolling_median_by"))),
-    "rolling_quantile_by" -> rw(kw =>
-      expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})")
-        .over(rollingByFrame(kw, "rolling_quantile_by"))),
+    "rolling_std_by" -> rollingByAtScale("rolling_std_by",
+      kw => stddev_samp(c(kw)),
+      _ => (t, o, _) =>
+        FrameStats.stddevSamp(FrameStats.momentState(boundaryFrame(t, o), 2)),
+      needOwnFrame = true),
+    "rolling_var_by" -> rollingByAtScale("rolling_var_by",
+      kw => var_samp(c(kw)),
+      _ => (t, o, _) =>
+        FrameStats.varSamp(FrameStats.momentState(boundaryFrame(t, o), 2)),
+      needOwnFrame = true),
+    "rolling_median_by" -> rollingByAtScale("rolling_median_by",
+      kw => expr(s"percentile(${str(kw, "col")}, 0.5)"),
+      _ => (t, o, _) => FrameStats.percentileExact(boundaryFrame(t, o), 0.5),
+      needOwnFrame = true),
+    "rolling_quantile_by" -> rollingByAtScale("rolling_quantile_by",
+      kw => expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})"),
+      kw => (t, o, _) => FrameStats.percentileExact(
+        boundaryFrame(t, o), numVal(kw, "quantile").toString.toDouble),
+      needOwnFrame = true),
     // k largest/smallest of ANOTHER column's order (polars top_k_by):
     // values of `col` at the k largest/smallest `by` rows, by-order sorted
     "top_k_by" -> aggOrOverEach { (kw, w) =>
@@ -1361,12 +1514,15 @@ object ExprRegistry {
     },
 
     // rolling exact median / quantile (percentile over the trailing frame)
-    "rolling_median" -> rw(kw =>
-      expr(s"percentile(${str(kw, "col")}, 0.5)").over(rollingFrame(kw, "rolling_median"))),
-    "rolling_quantile" -> rw(kw =>
-      expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})")
-        .over(rollingFrame(kw, "rolling_quantile"))),
-    "rolling_var" -> rw(kw => var_samp(c(kw)).over(rollingFrame(kw, "rolling_var"))),
+    "rolling_median" -> rollingFromFrame("rolling_median",
+      kw => expr(s"percentile(${str(kw, "col")}, 0.5)"),
+      _ => xs => FrameStats.percentileExact(xs, 0.5)),
+    "rolling_quantile" -> rollingFromFrame("rolling_quantile",
+      kw => expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})"),
+      kw => xs => FrameStats.percentileExact(xs, numVal(kw, "quantile").toString.toDouble)),
+    "rolling_var" -> rollingFromFrame("rolling_var",
+      kw => var_samp(c(kw)),
+      _ => xs => FrameStats.varSamp(FrameStats.momentState(xs, 2))),
 
     // run/peak structure along an explicit order
     // rle_id: 0-based run id, incrementing whenever the value changes

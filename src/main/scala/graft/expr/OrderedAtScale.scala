@@ -323,6 +323,214 @@ object OrderedAtScale {
       .drop(BucketCol, "__go_roll", "__go_run", "__go_rn", "__go_rne", PrefixCol)
   }
 
+  /** Global ROLLING window over the last `k` rows for a NON-decomposable
+    * aggregate (the moment/percentile family) — the raw-value head+tail
+    * exchange: interior rows (within-bucket row number ≥ k) take the plain
+    * within-bucket windowed aggregate; each boundary row (first k−1 of a
+    * bucket — ≤ B·(k−1) rows total) recomposes its frame's RAW values as
+    * (a slice of the prior buckets' exported (k−1)-row tails) ++ (its own
+    * bucket's first-rows slice, from a (k−1)-row head export) and
+    * re-aggregates with `frameAgg` — which [[FrameStats]] makes
+    * BIT-IDENTICAL to the windowed aggregate (same sequential
+    * central-moment updates in frame order / same sorted-multiset
+    * interpolation), so the recomposition has NO float-profile cost.
+    * Per-bucket exported state is O(k) structs, never a whole-bucket
+    * collect; the exports join only the ≤ B·(k−1)-row boundary branch
+    * (interior rows never carry an array), and the two branches reunite
+    * with `unionByName` off one frozen range exchange.
+    *
+    * Tie contract (same as every positional fn): include a unique
+    * tie-break in `orderBy` — the head/tail struct sort and the window's
+    * tie order must agree for the recomposed frame to be THE frame. */
+  def globalRollingFrame(
+      df: DataFrame,
+      outName: String,
+      x: Column,
+      orderBy: Seq[String],
+      desc: Boolean,
+      k: Int,
+      rollingAgg: WindowSpec => Column,
+      frameAgg: Column => Column): DataFrame = {
+    require(k >= 2, s"globalRollingFrame window_size must be >= 2, got $k (1 is the row itself)")
+    val HeadCol = "__go_head"
+    val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol,
+      HeadCol, "__go_roll", "__go_rn", "__go_rne")
+    shadows.find(df.columns.contains).foreach(c0 =>
+      throw new IllegalArgumentException(
+        s"global rolling: input frame already has internal shadow column '$c0' — rename it first"))
+    val n = k - 1
+    val b = bucketCount(df)
+    val ordCols = orderBy.map(nm => if (desc) col(nm).desc else col(nm).asc)
+    val revCols = orderBy.map(nm => if (desc) col(nm).asc else col(nm).desc)
+    val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
+      df.repartitionByRange(b, ordCols: _*)
+        .withColumn(BucketCol, spark_partition_id()))
+    val w = Window.partitionBy(col(BucketCol)).orderBy(ordCols: _*)
+    val wRev = Window.partitionBy(col(BucketCol)).orderBy(revCols: _*)
+    // the window evaluates over the FULL bucket before the branch filters
+    val staged = bucketed
+      .withColumn("__go_roll", rollingAgg(w))
+      .withColumn("__go_rn", row_number().over(w))
+      .withColumn("__go_rne", row_number().over(wRev))
+    val tailStruct = struct(
+      (orderBy.zipWithIndex.map { case (o, i) => col(o).as(s"o$i") } :+ x.as("x")): _*)
+    val tails = staged.filter(col("__go_rne") <= n)
+      .groupBy(col(BucketCol)).agg(collect_list(tailStruct).as(TotCol))
+    def lastN(a: Column): Column = {
+      val s = sort_array(a, asc = !desc)
+      when(size(s) > n, slice(s, -n, n)).otherwise(s)
+    }
+    val prefixTails = tails
+      .join(
+        broadcast(tails.select(
+          col(BucketCol).as(PriorBucketCol), col(TotCol).as(PriorTotCol))),
+        col(PriorBucketCol) < col(BucketCol), "left")
+      .groupBy(col(BucketCol))
+      .agg(lastN(flatten(collect_list(col(PriorTotCol)))).as(PrefixCol))
+      .select(col(BucketCol), col(PrefixCol))
+    // head export: the bucket's first k−1 rows in frame order (the struct
+    // sort agrees with the window order given a unique tie-break)
+    val heads = staged.filter(col("__go_rn") <= n)
+      .groupBy(col(BucketCol))
+      .agg(sort_array(collect_list(tailStruct), asc = !desc).as(HeadCol))
+    val interior = staged.filter(col("__go_rn") > n).withColumn(outName, col("__go_roll"))
+    val rn = col("__go_rn").cast("long")
+    val p = col(PrefixCol)
+    val want = lit(k.toLong) - rn
+    val start = greatest(lit(1), size(p) - want.cast("int") + 1)
+    val cnt = least(size(p).cast("long"), want).cast("int")
+    val tailSlice = when(p.isNotNull && cnt > 0, slice(p, start, cnt))
+    val ownXs = transform(slice(col(HeadCol), lit(1), col("__go_rn")), _.getField("x"))
+    val frameVals = when(tailSlice.isNull, ownXs)
+      .otherwise(concat(transform(tailSlice, _.getField("x")), ownXs))
+    val boundary = staged.filter(col("__go_rn") <= n)
+      .join(broadcast(prefixTails), Seq(BucketCol), "left")
+      .join(broadcast(heads), Seq(BucketCol), "left")
+      .withColumn(outName, frameAgg(frameVals))
+    val dropCols = Seq(BucketCol, "__go_roll", "__go_rn", "__go_rne", PrefixCol, HeadCol)
+    interior.drop(dropCols: _*).unionByName(boundary.drop(dropCols: _*))
+  }
+
+  /** Global RANGE-framed rolling window (the `rolling_*_by` family with no
+    * `partition_by`) — the value-range tail exchange: rows are
+    * range-bucketed by the integer `by` axis; each bucket exports only the
+    * rows inside the last `window`-length slice of its `by` range (so a
+    * later bucket can rebuild frames that reach back across the boundary),
+    * and BOUNDARY rows (frame lower bound below the bucket's min `by`)
+    * recompose their frame as (prior-tail elements inside the row's range)
+    * ++ (the within-bucket part). Interior rows take the plain
+    * within-bucket RANGE window.
+    *
+    * Unlike the row-count frames, the export size is DATA-DEPENDENT (how
+    * many rows fall in a `window`-length slice) — a dense axis or a huge
+    * `window` can make it explode, so the export and the per-bucket merged
+    * prefix both carry a loud `maxTailRows` valve (raise_error, never a
+    * silent drop). Bit-identity: `boundaryValue` implementations fold raw
+    * values in frame order ([[FrameStats]]), so recomposed rows match the
+    * windowed form exactly; with TIED `by` values the tie order inside a
+    * frame is engine-arbitrary for the windowed form too, so double-typed
+    * moment recompositions can differ in the last ulp (documented).
+    *
+    * Frame-containment note: a boundary row's own-bucket frame members are
+    * themselves boundary rows (s_by ≤ hi(t) ⇒ lo(s) ≤ hi(t)+loOff ≤
+    * t_by+loOff < bucketMin), so the boundary branch may filter FIRST and
+    * then run its own windows — interior rows never pay the raw-value
+    * collects.
+    *
+    * @param rangeAgg      native aggregate over the within-bucket range
+    *                      frame (evaluated for ALL rows, pre-branch)
+    * @param boundaryValue (tailXsInRange, ownFrameXs, withinValue) →
+    *                      boundary output; `ownFrameXs` is null unless
+    *                      `needOwnFrame`
+    * @param needOwnFrame  collect the boundary rows' own frame values
+    *                      (raw-frame re-aggregation: moments/percentiles/
+    *                      mean); leave false for tail-merge decomposables */
+  def globalRollingBy(
+      df: DataFrame,
+      outName: String,
+      x: Column,
+      by: String,
+      window: Long,
+      closed: String,
+      rangeAgg: WindowSpec => Column,
+      boundaryValue: (Column, Column, Column) => Column,
+      needOwnFrame: Boolean,
+      maxTailRows: Int = 1 << 20): DataFrame = {
+    require(window > 0, s"globalRollingBy window must be positive, got $window")
+    val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol,
+      "__go_within", "__go_bmin", "__go_bmax", "__go_ownxs")
+    shadows.find(df.columns.contains).foreach(c0 =>
+      throw new IllegalArgumentException(
+        s"global rolling_by: input frame already has internal shadow column '$c0' — " +
+          "rename it first"))
+    val (loOff, hiOff) = closed match {
+      case "right" => (-(window - 1), 0L)
+      case "both" => (-window, 0L)
+      case "left" => (-window, -1L)
+      case "none" => (-(window - 1), -1L)
+      case other => throw new IllegalArgumentException(
+        s"globalRollingBy closed='$other' not in right/both/left/none")
+    }
+    val b = bucketCount(df)
+    val byC = col(by)
+    val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
+      df.repartitionByRange(b, byC.asc)
+        .withColumn(BucketCol, spark_partition_id()))
+    val wBucket = Window.partitionBy(col(BucketCol))
+    val wb = wBucket.orderBy(byC).rangeBetween(loOff, hiOff)
+    val staged = bucketed
+      .withColumn("__go_within", rangeAgg(wb))
+      .withColumn("__go_bmin", min(byC).over(wBucket))
+      .withColumn("__go_bmax", max(byC).over(wBucket))
+    def capped(frame: DataFrame, arr: String, what: String): DataFrame =
+      frame.filter(
+        when(size(col(arr)) > maxTailRows,
+          raise_error(concat(
+            lit(s"globalRollingBy: $what exceeds maxTailRows=$maxTailRows (got "),
+            size(col(arr)).cast("string"),
+            lit(s") — the '$by' axis is too dense for window=$window; raise maxTailRows " +
+              "deliberately or shrink the window"))).cast("boolean"))
+          .otherwise(lit(true)))
+    // export: rows within the last `window` of the bucket's by-range
+    // (superset of what any later row can reach: lo(t) ≥ bMax+1+loOff)
+    val tails = capped(
+      staged.filter(byC >= col("__go_bmax") - lit(window - 1))
+        .groupBy(col(BucketCol))
+        .agg(collect_list(struct(byC.as("b"), x.as("x"))).as(TotCol)),
+      TotCol, "a bucket's tail export")
+    val bounds = staged.groupBy(col(BucketCol)).agg(min(byC).as("__go_pbmin"))
+    val prefixTails = capped(
+      bounds
+        .join(
+          broadcast(tails.select(
+            col(BucketCol).as(PriorBucketCol), col(TotCol).as(PriorTotCol))),
+          col(PriorBucketCol) < col(BucketCol), "left")
+        .groupBy(col(BucketCol), col("__go_pbmin"))
+        .agg(flatten(collect_list(col(PriorTotCol))).as(PriorTotCol))
+        .select(col(BucketCol),
+          sort_array(filter(col(PriorTotCol),
+            e => e.getField("b") >= col("__go_pbmin") + lit(loOff))).as(PrefixCol)),
+      PrefixCol, "a bucket's merged prior-tail prefix")
+    val isBoundary = (byC + lit(loOff)) < col("__go_bmin")
+    val interior = staged.filter(!isBoundary).withColumn(outName, col("__go_within"))
+    val bnd0 = staged.filter(isBoundary)
+      .join(broadcast(prefixTails), Seq(BucketCol), "left")
+    val bnd =
+      if (needOwnFrame) bnd0.withColumn("__go_ownxs", collect_list(x).over(wb))
+      else bnd0.withColumn("__go_ownxs", lit(null).cast("array<double>"))
+    val lo = byC + lit(loOff)
+    val hi = byC + lit(hiOff)
+    val tailInRange = when(col(PrefixCol).isNotNull,
+      transform(
+        filter(col(PrefixCol), e => e.getField("b") >= lo && e.getField("b") <= hi),
+        _.getField("x")))
+    val boundary = bnd.withColumn(outName,
+      boundaryValue(tailInRange, col("__go_ownxs"), col("__go_within")))
+    val dropCols =
+      Seq(BucketCol, "__go_within", "__go_bmin", "__go_bmax", "__go_ownxs", PrefixCol)
+    interior.drop(dropCols: _*).unionByName(boundary.drop(dropCols: _*))
+  }
+
   /** Global run-id assignment — the frame-level primitive under the
     * no-`partition_by` forms of `rle`/`rle_id`/`unique_counts`: adds
     * `outName` = 0-based GLOBAL run index along `orderBy`, where a run is a

@@ -118,6 +118,85 @@ class OrderedAtScaleSpec extends AnyFunSuite {
       "window_size" -> 7, "desc" -> true))
   }
 
+  test("rolling std/var/median/quantile/skew/kurtosis global == windowed BITWISE " +
+    "(raw-value head+tail exchange, FrameStats fold)") {
+    // the FrameStats fold replicates Spark's CentralMomentAgg updates and
+    // percentile interpolation exactly, so even these non-decomposable
+    // aggregates compare with plain == (no rounding)
+    for (k <- Seq(2, 5, 150)) {
+      for (fn <- Seq("rolling_std", "rolling_var", "rolling_median",
+        "rolling_skew", "rolling_kurtosis"))
+        check(fn, Map("col" -> "v", "order_by" -> Seq("t", "uid"), "window_size" -> k))
+      check("rolling_quantile", Map("col" -> "v", "order_by" -> Seq("t", "uid"),
+        "window_size" -> k, "quantile" -> 0.25))
+    }
+    check("rolling_median", Map("col" -> "v", "order_by" -> Seq("t", "uid"),
+      "window_size" -> 7, "desc" -> true))
+    // k = 1: the frame is the row — var/std/skew/kurt degenerate to NULL,
+    // median is the row itself
+    val one = derive(
+      "m" -> DeriveSpec("rolling_median",
+        Map("col" -> "v", "order_by" -> Seq("t", "uid"), "window_size" -> 1)),
+      "s" -> DeriveSpec("rolling_std",
+        Map("col" -> "v", "order_by" -> Seq("t", "uid"), "window_size" -> 1)))(fixture(40))
+    assert(one.filter(col("s").isNotNull).count() == 0)
+    assert(one.filter(col("v").isNotNull && col("m") =!= col("v").cast("double")).count() == 0)
+  }
+
+  test("cumulative_eval std/var global == windowed (Chan merge; round-9 tolerance)") {
+    // the (n, mean, M2) Chan recomposition documents a last-ulp float
+    // profile vs the sequential windowed scan — compare rounded
+    val df = fixture().withColumn("one", lit(1))
+    for (agg <- Seq("std", "var")) {
+      val kwargs = Map("col" -> "v", "agg" -> agg, "order_by" -> Seq("t", "uid"))
+      val g = derive("out" -> DeriveSpec("cumulative_eval", kwargs))(df)
+      val w = derive("out" -> DeriveSpec("cumulative_eval",
+        kwargs + ("partition_by" -> Seq("one"))))(df)
+      def canon(d: DataFrame) = d.select(col("uid"), round(col("out"), 9).as("out"))
+        .orderBy("uid").collect().toSeq
+      assert(canon(g) == canon(w), s"cumulative_eval $agg: global != windowed (round 9)")
+    }
+  }
+
+  test("rolling_*_by global == windowed (value-range tail exchange, all closed modes)") {
+    // integer by axis WITH duplicates and gaps so range frames straddle
+    // bucket boundaries and tie groups land whole
+    val df = spark.range(400)
+      .select(((col("id") * 7) % 251).as("ts"), col("id").as("uid"),
+        when(col("id") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 13).as("v"))
+      .repartition(7).withColumn("one", lit(1))
+    def canon(d: DataFrame) = d
+      .select(col("uid"), round(col("out").cast("double"), 9).as("out"))
+      .orderBy("uid").collect().toSeq
+    for (fn <- Seq("rolling_sum_by", "rolling_min_by", "rolling_max_by",
+      "rolling_mean_by", "rolling_std_by", "rolling_var_by", "rolling_median_by");
+      closed <- Seq("right", "both", "left", "none");
+      w <- Seq(3, 40)) {
+      val kwargs = Map("col" -> "v", "by" -> "ts", "window_size" -> w, "closed" -> closed)
+      val g = derive("out" -> DeriveSpec(fn, kwargs))(df)
+      val win = derive("out" -> DeriveSpec(fn,
+        kwargs + ("partition_by" -> Seq("one"))))(df)
+      assert(canon(g) == canon(win), s"$fn closed=$closed w=$w: global != windowed")
+    }
+    val qk = Map("col" -> "v", "by" -> "ts", "window_size" -> 25, "quantile" -> 0.75)
+    val gq = derive("out" -> DeriveSpec("rolling_quantile_by", qk))(df)
+    val wq = derive("out" -> DeriveSpec("rolling_quantile_by",
+      qk + ("partition_by" -> Seq("one"))))(df)
+    assert(canon(gq) == canon(wq), "rolling_quantile_by: global != windowed")
+  }
+
+  test("globalRollingBy: dense-axis tail valve is loud, not a silent drop") {
+    val df = spark.range(200)
+      .select(lit(5L).as("ts"), col("id").as("uid"), col("id").as("v"))
+    val e = intercept[Exception] {
+      OrderedAtScale.globalRollingBy(df.toDF(), "out", col("v"), "ts", 10L, "right",
+        w => sum(col("v")).over(w), (t, _, v) => v, needOwnFrame = false,
+        maxTailRows = 16).collect()
+    }
+    assert(e.getMessage.contains("maxTailRows"), s"wrong error: ${e.getMessage}")
+  }
+
   test("rle_id global: runs spanning bucket boundaries get ONE id (chain-merge)") {
     // long runs force runs across range-bucket boundaries; null runs too
     val df = spark.range(300)
@@ -162,7 +241,11 @@ class OrderedAtScaleSpec extends AnyFunSuite {
       "g" -> DeriveSpec("avg_rank", Map("order_by" -> Seq("t"))),
       "h" -> DeriveSpec("rle_id", Map("col" -> "v", "order_by" -> Seq("t", "uid"))),
       "i" -> DeriveSpec("cumulative_eval",
-        Map("col" -> "v", "agg" -> "mean", "order_by" -> Seq("t", "uid"))))
+        Map("col" -> "v", "agg" -> "mean", "order_by" -> Seq("t", "uid"))),
+      "j" -> DeriveSpec("rolling_std",
+        Map("col" -> "v", "order_by" -> Seq("t", "uid"), "window_size" -> 9)),
+      "k" -> DeriveSpec("cumulative_eval",
+        Map("col" -> "v", "agg" -> "std", "order_by" -> Seq("t", "uid"))))
     for ((n, s) <- specs) {
       val out = derive(n -> s)(df)
       out.collect() // finalize AQE so the real executed plan is inspectable
