@@ -158,7 +158,8 @@ object ScaleRehearsal {
         "budget_select_scaled" -> budgetSelectAtScale,
         "dsir_threshold_scaled" -> dsirThresholdAtScale,
         "lang_id_fit_scaled" -> langIdFitAtScale,
-        "global_ordered_scaled" -> globalOrderedAtScale)
+        "global_ordered_scaled" -> globalOrderedAtScale,
+        "global_rolling_moments_scaled" -> globalRollingMomentsAtScale)
     // targeted runs (round 13): time only the named rows — a full ladder
     // is ~15 min, and adding one rehearsal shouldn't cost re-timing all
     val rehearsals = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
@@ -379,6 +380,27 @@ object ScaleRehearsal {
       "rn" -> graft.config.DeriveSpec("row_number",
         Map("order_by" -> Seq("t", "event_id")))))(ev)
       .select(col("event_id"), col("cs"), col("rk"), col("rn"))
+  }
+
+  /** Round-16 second tranche: the GLOBAL rolling moment/percentile family
+    * (raw-value head+tail exchange — interior rows ride the bucketed
+    * window, ≤ B·(k−1) boundary rows re-fold raw frames) plus a global
+    * RANGE-framed rolling mean (value-range tail exchange) over the Mx
+    * events corpus. Expected ~linear: one frozen range shuffle feeding
+    * bucket-parallel windows, an O(B·k) head/tail exchange, and a
+    * boundary branch whose size is corpus-independent. */
+  private def globalRollingMomentsAtScale: (SparkSession, String) => DataFrame = (s, dir) => {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ev = raw.select(col("event_id"), tsSeconds(raw).as("t"),
+      col("value").cast("double").as("value"))
+    graft.stages.Transforms.deriveNewCols(Seq(
+      "rs" -> graft.config.DeriveSpec("rolling_std",
+        Map("col" -> "value", "order_by" -> Seq("t", "event_id"), "window_size" -> 50)),
+      "rm" -> graft.config.DeriveSpec("rolling_median",
+        Map("col" -> "value", "order_by" -> Seq("t", "event_id"), "window_size" -> 50)),
+      "rb" -> graft.config.DeriveSpec("rolling_mean_by",
+        Map("col" -> "value", "by" -> "t", "window_size" -> 3600))))(ev)
+      .select(col("event_id"), col("rs"), col("rm"), col("rb"))
   }
 
   private def ewmAtScale: (SparkSession, String) => DataFrame = (s, dir) => {

@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   * (JDK built-in — PNG/JPEG/BMP/GIF, no external native libs), and
   * [[decodeImages]] keeps the original deterministic STUB for payloads
   * that aren't actual images (the synthetic test corpus) and for hermetic
-  * tests that must not depend on codec behavior. Audio/video decode remains
-  * stubbed ([[sampleFrames]]) — no codec for those ships with the JDK.
+  * tests that must not depend on codec behavior. AUDIO decode is real too
+  * ([[decodeAudioReal]], round 16): `javax.sound.sampled` ships with the
+  * JDK and decodes WAV/AIFF/AU PCM — header-guarded, per-partition, with
+  * integer-exact signal features. Only VIDEO remains stubbed
+  * ([[sampleFrames]]) — no video codec ships with the JDK.
   */
 object Multimodal {
 
@@ -437,6 +440,165 @@ object Multimodal {
           val out = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", out)
           (id, out.toByteArray)
+        }
+      }
+      .toDF(idCol, "content")
+  }
+
+  /** Decoded-audio feature schema produced by [[decodeAudioReal]].
+    * Counts, not ratios: clip/silence FRACTIONS are exact-terminating
+    * rationals that land on round-half boundaries (the q169 hazard) —
+    * counts are exact longs a SQL oracle matches bit-for-bit; callers
+    * divide when they want ratios. */
+  final case class AudioFeatures(
+      id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long, // per-channel sample count
+      duration_us: Long, // n_frames·1e6 / sample_rate (integer division)
+      sumsq: Long, // Σ s² over ALL samples (rms = sqrt(sumsq/N), exact long)
+      peak: Int, // max |s|
+      zero_crossings: Long, // strict sign products < 0, channel 0
+      clip_count: Long, // samples with |s| ≥ ClipThreshold
+      silence_count: Long) // samples with |s| < SilenceThreshold
+
+  /** |s| ≥ this counts as clipped (16-bit full scale is 32767). */
+  val ClipThreshold: Int = 30000
+
+  /** |s| < this counts as silence (~1% of full scale). */
+  val SilenceThreshold: Int = 328
+
+  /** Decode bomb guard for audio: declared frames × frame size bounded
+    * before any sample buffer is allocated (the audio analogue of
+    * [[MaxDecodeBytes]]). */
+  val MaxAudioBytes: Long = 256L * 1024 * 1024
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK built-in — WAV/
+    * AIFF/AU containers, PCM payloads): stream parameters plus
+    * integer-exact signal features over the 16-bit samples. Returns None
+    * for payloads the codec rejects, for non-PCM/non-16-bit encodings,
+    * and for headers whose declared (frames × frameSize) exceeds
+    * `maxBytes` un-decoded — same poisoned-record rules as
+    * [[imageIoDecode]] (any non-fatal throw = undecodable). */
+  def audioDecode(id: Long, content: Array[Byte],
+      maxBytes: Long = MaxAudioBytes): Option[AudioFeatures] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (content == null || content.isEmpty) None
+    else try {
+      // header-only peek: file format carries frame length + frame size
+      // without touching sample data
+      val bin = new java.io.ByteArrayInputStream(content)
+      val fileFormat = AudioSystem.getAudioFileFormat(bin)
+      val fmt = fileFormat.getFormat
+      val declaredFrames = fileFormat.getFrameLength.toLong
+      val frameSize = fmt.getFrameSize.toLong
+      val admissible =
+        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 &&
+          fmt.getChannels >= 1 &&
+          declaredFrames >= 0 && frameSize > 0 &&
+          declaredFrames * frameSize <= maxBytes
+      if (!admissible) None
+      else {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val channels = fmt.getChannels
+          val bigEndian = fmt.isBigEndian
+          val data = ais.readAllBytes()
+          if (data.length > maxBytes) None
+          else {
+            val nSamples = data.length / 2
+            val nFrames = nSamples.toLong / channels
+            var sumsq = 0L
+            var peak = 0
+            var zc = 0L
+            var clip = 0L
+            var silent = 0L
+            var prevSign = 0 // channel-0 previous nonzero-product tracking
+            var i = 0
+            while (i < nSamples) {
+              val b0 = data(2 * i) & 0xff
+              val b1 = data(2 * i + 1) & 0xff
+              val s = (if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+              val a = math.abs(s)
+              sumsq += s.toLong * s
+              if (a > peak) peak = a
+              if (a >= ClipThreshold) clip += 1
+              if (a < SilenceThreshold) silent += 1
+              if (i % channels == 0) { // channel 0 only
+                val sign = Integer.signum(s)
+                if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+                if (sign != 0) prevSign = sign
+              }
+              i += 1
+            }
+            Some(AudioFeatures(id, fmt.getSampleRate.toInt, channels, 16,
+              nFrames, nFrames * 1000000L / fmt.getSampleRate.toInt,
+              sumsq, peak, zc, clip, silent))
+          }
+        } finally ais.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[decodeImagesReal]]'s audio twin: per-partition batch decode through
+    * [[audioDecode]]; undecodable payloads dropped (discard-not-crash). */
+  def decodeAudioReal(df: DataFrame, idCol: String, contentCol: String): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) None
+          else audioDecode(r.getLong(0), r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
+  /** Deterministic WAV fixture generator — the audio twin of
+    * [[synthesizeGrayPngs]]: one mono 16-bit 8 kHz PCM WAV per row whose
+    * samples are an INTEGER sawtooth (no trig — JVM `sin` and a SQL
+    * engine's `sin` differ in ulps; integer division is exact in both),
+    * so every decoded feature is id-arithmetic a SQL oracle can replay:
+    *
+    *   n   = 256 + (id % 7)·64          frames
+    *   p   = 16 + (id % 23)             sawtooth period
+    *   amp = 4000 + (id % 12)·2600      ≤ 32600 (some ids clip)
+    *   s_k = amp − (2·amp·(k mod p)) / p   (integer division)
+    *
+    * Rows with id % 97 == 0 get NON-audio bytes (the decoder must drop
+    * them — the oracle predicts their absence). Encoding goes through the
+    * real `AudioSystem.write` WAVE writer (encode IS a codec). */
+  def synthesizeWavs(df: DataFrame, idCol: String): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (id % 97 == 0) (id, s"not-a-wav-payload-$id".getBytes("UTF-8"))
+          else {
+            val n = 256 + (id % 7).toInt * 64
+            val p = 16 + (id % 23).toInt
+            val amp = 4000 + (id % 12).toInt * 2600
+            val pcm = new Array[Byte](n * 2)
+            var k = 0
+            while (k < n) {
+              val s = amp - (2 * amp * (k % p)) / p
+              pcm(2 * k) = (s & 0xff).toByte // little-endian
+              pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+              k += 1
+            }
+            val fmt = new AudioFormat(8000f, 16, 1, true, false)
+            val ais = new AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val out = new java.io.ByteArrayOutputStream()
+            AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+            (id, out.toByteArray)
+          }
         }
       }
       .toDF(idCol, "content")

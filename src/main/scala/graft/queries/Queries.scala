@@ -5288,6 +5288,153 @@ object Queries {
       |FROM documents d LEFT JOIN dl USING (doc_id)
       |LEFT JOIN interp USING (doc_id) LEFT JOIN first USING (doc_id)""".stripMargin
 
+  /** GLOBAL rolling moment/percentile fns + the rolling_*_by RANGE family
+    * + cumulative_eval std/var with NO `partition_by` — the round-16
+    * second tranche that closes the LAST single-partition-window
+    * fallbacks ([[graft.expr.OrderedAtScale.globalRollingFrame]] raw-value
+    * head+tail exchange, [[graft.expr.OrderedAtScale.globalRollingBy]]
+    * value-range tail exchange, Chan-merged cum moments). Parity recipe:
+    * std round-4 / var round-2 (value²-magnitude statistics get fewer
+    * decimals), +0.0 normalizes -0.0; median/quantile are EXACT both
+    * sides (same sorted-multiset interpolation on small integers — every
+    * term is an exact binary64); skew converts DuckDB's bias-corrected
+    * sample skewness to Spark's population form via ·(n−2)/√(n(n−1))
+    * behind an n≥3 guard (DuckDB's correction divides by n−2); kurtosis
+    * uses DuckDB's kurtosis_pop (same m4/m2²−3). The RATIONAL-valued
+    * statistics (var = m2/(n−1), skew, kurt — ratios of integers'
+    * moments) are output-scaled by the full-mantissa 1.0934 constant
+    * (q100's guard) before rounding: exact terminating values otherwise
+    * land ON round-half boundaries where the engines' ulp-apart doubles
+    * flip the kept digit (observed: c_var 19118.525 at doc_id 80 hashing
+    * as .53 vs .52). std/median/quantile don't need it (sqrt is
+    * irrational off perfect squares; the interpolations are exact both
+    * sides). */
+  val q169: QueryFn = (s, d) =>
+    tbl(s, d, "documents")
+      .transform(Transforms.deriveNewCols(Seq(
+        // global row-count rolling, raw-value exchange (window 20)
+        "g_std" -> DeriveSpec("rolling_std", Map("col" -> "n_chars",
+          "order_by" -> Seq("doc_id"), "window_size" -> 20)),
+        "g_var" -> DeriveSpec("rolling_var", Map("col" -> "n_chars",
+          "order_by" -> Seq("doc_id"), "window_size" -> 20)),
+        "g_med" -> DeriveSpec("rolling_median", Map("col" -> "n_chars",
+          "order_by" -> Seq("doc_id"), "window_size" -> 20)),
+        "g_q" -> DeriveSpec("rolling_quantile", Map("col" -> "n_chars",
+          "order_by" -> Seq("doc_id"), "window_size" -> 20, "quantile" -> 0.75)),
+        "g_skw" -> DeriveSpec("rolling_skew", Map("col" -> "n_chars",
+          "order_by" -> Seq("doc_id"), "window_size" -> 20)),
+        "g_krt" -> DeriveSpec("rolling_kurtosis", Map("col" -> "n_chars",
+          "order_by" -> Seq("doc_id"), "window_size" -> 20)),
+        // global RANGE frames over the doc_id axis (window 500)
+        "b_sum" -> DeriveSpec("rolling_sum_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500)),
+        "b_mean" -> DeriveSpec("rolling_mean_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500)),
+        "b_std" -> DeriveSpec("rolling_std_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500)),
+        "b_med" -> DeriveSpec("rolling_median_by", Map("col" -> "n_chars",
+          "by" -> "doc_id", "window_size" -> 500)),
+        // global expanding moments (Chan-merged states) — consecutive
+        // same-order entries batch into one decomposition
+        "c_std" -> DeriveSpec("cumulative_eval", Map("col" -> "n_chars",
+          "agg" -> "std", "order_by" -> Seq("doc_id"))),
+        "c_var" -> DeriveSpec("cumulative_eval", Map("col" -> "n_chars",
+          "agg" -> "var", "order_by" -> Seq("doc_id"))),
+        // global frame row count (n_chars is never null) for the skew guard
+        "grn" -> DeriveSpec("row_number", Map("order_by" -> Seq("doc_id"))))))
+      .select(col("doc_id"),
+        (round(col("g_std"), 4) + lit(0.0)).as("g_std"),
+        (round(col("g_var") * lit(1.0934), 2) + lit(0.0)).as("g_var"),
+        col("g_med").cast("double").as("g_med"),
+        col("g_q").cast("double").as("g_q"),
+        when(least(col("grn"), lit(20L)) >= 3L,
+          round(col("g_skw") * lit(1.0934), 6) + lit(0.0)).as("g_skw"),
+        (round(col("g_krt") * lit(1.0934), 6) + lit(0.0)).as("g_krt"),
+        col("b_sum").cast("long").as("b_sum"),
+        round(col("b_mean"), 6).as("b_mean"),
+        (round(col("b_std"), 4) + lit(0.0)).as("b_std"),
+        col("b_med").cast("double").as("b_med"),
+        (round(col("c_std"), 4) + lit(0.0)).as("c_std"),
+        (round(col("c_var") * lit(1.0934), 2) + lit(0.0)).as("c_var"))
+
+  val q169Sql: String =
+    """SELECT doc_id,
+      |  round(stddev_samp(n_chars) OVER r20, 4) + 0.0 AS g_std,
+      |  round(var_samp(n_chars) OVER r20 * 1.0934, 2) + 0.0 AS g_var,
+      |  CAST(median(n_chars) OVER r20 AS DOUBLE) AS g_med,
+      |  CAST(quantile_cont(n_chars, 0.75) OVER r20 AS DOUBLE) AS g_q,
+      |  CASE WHEN cnt >= 3 THEN round(skewness(n_chars) OVER r20
+      |    * (cnt - 2) / sqrt(cnt * (cnt - 1.0)) * 1.0934, 6) + 0.0 END AS g_skw,
+      |  round(kurtosis_pop(n_chars) OVER r20 * 1.0934, 6) + 0.0 AS g_krt,
+      |  CAST(sum(n_chars) OVER rb AS BIGINT) AS b_sum,
+      |  round(avg(n_chars) OVER rb, 6) AS b_mean,
+      |  round(stddev_samp(n_chars) OVER rb, 4) + 0.0 AS b_std,
+      |  CAST(median(n_chars) OVER rb AS DOUBLE) AS b_med,
+      |  round(stddev_samp(n_chars) OVER cum, 4) + 0.0 AS c_std,
+      |  round(var_samp(n_chars) OVER cum * 1.0934, 2) + 0.0 AS c_var
+      |FROM (SELECT *, least(row_number() OVER (ORDER BY doc_id), 20) AS cnt
+      |  FROM documents)
+      |WINDOW
+      |  r20 AS (ORDER BY doc_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |  rb AS (ORDER BY doc_id RANGE BETWEEN 499 PRECEDING AND CURRENT ROW),
+      |  cum AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)""".stripMargin
+
+  /** REAL audio decode + signal features ([[Multimodal.decodeAudioReal]],
+    * round 16 — the audio axis joins image decode/near-dup and video
+    * frame-sampling, so every multimodal axis now has a REAL JDK codec
+    * path): mono 16-bit WAVs synthesized per document by
+    * [[Multimodal.synthesizeWavs]]'s INTEGER sawtooth (no trig — engine
+    * `sin` ulps differ; integer division is exact everywhere), decoded
+    * back through `javax.sound.sampled`, features aggregated over the
+    * recovered samples. The oracle replays the same id-arithmetic in SQL:
+    * every count/sum is an exact integer; rms = sqrt(sumsq/n) is the one
+    * double (identical operands → identical binary64 both sides, round-6
+    * on an irrational). Rows with doc_id % 97 == 0 carry non-audio bytes
+    * the decoder must DROP — the oracle predicts their absence. */
+  val q170: QueryFn = (s, d) =>
+    Multimodal.decodeAudioReal(
+      Multimodal.synthesizeWavs(tbl(s, d, "documents"), "doc_id"),
+      "doc_id", "content")
+      .toDF()
+      .select(col("id").as("doc_id"),
+        col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_us"), col("sumsq"),
+        col("peak").cast("long").as("peak"),
+        col("zero_crossings"), col("clip_count"), col("silence_count"),
+        round(sqrt(col("sumsq").cast("double") / col("n_frames").cast("double")), 6)
+          .as("rms"))
+
+  val q170Sql: String =
+    """WITH params AS (SELECT doc_id, 256 + (doc_id % 7) * 64 AS n,
+      |    16 + (doc_id % 23) AS p, 4000 + (doc_id % 12) * 2600 AS amp
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |vals AS (SELECT doc_id, n, k, amp - ((2 * amp * (k % p)) // p) AS s
+      |  FROM (SELECT doc_id, n, p, amp, unnest(range(0, n)) AS k FROM params)),
+      |zc AS (SELECT doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND prev <> sg
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_crossings
+      |  FROM (SELECT doc_id, sign(s) AS sg,
+      |      lag(sign(s)) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+      |    FROM vals WHERE s <> 0) GROUP BY doc_id),
+      |agg AS (SELECT doc_id,
+      |    CAST(SUM(s * s) AS BIGINT) AS sumsq,
+      |    CAST(MAX(abs(s)) AS BIGINT) AS peak,
+      |    CAST(SUM(CASE WHEN abs(s) >= 30000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS clip_count,
+      |    CAST(SUM(CASE WHEN abs(s) < 328 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS silence_count
+      |  FROM vals GROUP BY doc_id)
+      |SELECT p.doc_id,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(p.n AS BIGINT) AS n_frames,
+      |  CAST(p.n * 125 AS BIGINT) AS duration_us,
+      |  agg.sumsq, agg.peak, zc.zero_crossings, agg.clip_count,
+      |  agg.silence_count,
+      |  round(sqrt(CAST(agg.sumsq AS DOUBLE) / p.n), 6) AS rms
+      |FROM params p JOIN agg USING (doc_id) JOIN zc USING (doc_id)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -5460,7 +5607,9 @@ object Queries {
     ("q165_global_rle", q165, Some(q165Sql)),
     ("q166_unigram_tokenize", q166, Some(q166Sql)),
     ("q167_image_near_dup", q167, Some(q167Sql)),
-    ("q168_bigram_nll", q168, Some(q168Sql))
+    ("q168_bigram_nll", q168, Some(q168Sql)),
+    ("q169_global_rolling_moments", q169, Some(q169Sql)),
+    ("q170_audio_features", q170, Some(q170Sql))
   )
 }
 

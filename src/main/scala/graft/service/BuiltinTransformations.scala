@@ -64,6 +64,7 @@ object BuiltinTransformations {
     "bpe_tokenize" -> bpeTokenize,
     "unigram_tokenize" -> unigramTokenize,
     "image_near_dup" -> imageNearDup,
+    "audio_features" -> audioFeatures,
     "lm_nll" -> lmNll,
     "sq8_encode" -> sq8Encode,
     "training_shard_assign" -> trainingShardAssign,
@@ -724,6 +725,31 @@ object BuiltinTransformations {
       case other => throw new IllegalArgumentException(
         s"$name: action must be 'drop' or 'pairs', got '$other'")
     }
+  }
+
+  /** `audio_features(id_col, content_col)` — REAL `javax.sound` WAV/AIFF/
+    * AU PCM decode through the bomb-guarded per-partition seam
+    * ([[Multimodal.decodeAudioReal]]): appends sample_rate, channels,
+    * n_frames, duration_us, sumsq, peak, zero_crossings, clip_count,
+    * silence_count, rms, and `audio_decoded`. Undecodable payloads get
+    * NULL features with audio_decoded=false (mark-not-drop — a curation
+    * config filters on the flag, so the drop is observable). */
+  private def audioFeatures: CustomFn = (df, kw) => {
+    val name = "audio_features"
+    val idCol = reqStr(name, kw, "id_col")
+    val contentCol = reqStr(name, kw, "content_col")
+    rejectShadow(name, df, "sample_rate", "channels", "n_frames",
+      "duration_us", "sumsq", "peak", "zero_crossings", "clip_count",
+      "silence_count", "rms", "audio_decoded")
+    val feats = Multimodal.decodeAudioReal(df, idCol, contentCol).toDF()
+      .select(col("id").as(idCol), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_us"), col("sumsq"), col("peak"),
+        col("zero_crossings"), col("clip_count"), col("silence_count"),
+        when(col("n_frames") > 0L,
+          sqrt(col("sumsq").cast("double") / col("n_frames").cast("double")))
+          .as("rms"))
+    df.join(feats, Seq(idCol), "left")
+      .withColumn("audio_decoded", col("sample_rate").isNotNull)
   }
 
   /** `sq8_encode(vec_col, out_col=sq_codes)` — train per-dimension SQ8

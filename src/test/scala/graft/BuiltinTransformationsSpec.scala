@@ -22,6 +22,19 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     (4L, "en", "completely different words about spark distributed engines maybe", 9L)
   ).toDF("doc_id", "lang", "text", "n_tokens")
 
+  test("audio_features appends decoded WAV features; junk payloads mark, not drop") {
+    val wavs = graft.operators.Multimodal.synthesizeWavs(
+      Seq(0L, 1L, 5L).toDF("doc_id"), "doc_id") // id 0 carries non-audio bytes
+    val out = registry("audio_features")(wavs,
+      Map("id_col" -> "doc_id", "content_col" -> "content"))
+    assert(out.count() == 3, "mark-not-drop: every input row survives")
+    assert(out.filter(col("audio_decoded")).count() == 2)
+    val r1 = out.filter(col("doc_id") === 1L)
+      .select("n_frames", "duration_us", "sample_rate").head
+    assert(r1.getLong(0) == 320L && r1.getLong(1) == 40000L && r1.getInt(2) == 8000)
+    assert(out.filter(col("doc_id") === 0L && col("rms").isNull).count() == 1)
+  }
+
   test("exact_dedup keeps min id per duplicate text") {
     val out = registry("exact_dedup")(docs,
       Map("id_col" -> "doc_id", "text_col" -> "text"))

@@ -569,6 +569,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.exists(x => x.width == 6 && x.height == 4))
   }
 
+  /** In-test replay of [[Multimodal.synthesizeWavs]]'s fixture math —
+    * the same integer sawtooth the SQL oracle replays. */
+  private def audioRef(id: Long): Multimodal.AudioFeatures = {
+    val n = 256 + (id % 7).toInt * 64
+    val p = 16 + (id % 23).toInt
+    val amp = 4000 + (id % 12).toInt * 2600
+    val s = Array.tabulate(n)(k => amp - (2 * amp * (k % p)) / p)
+    var sumsq = 0L; var peak = 0; var zc = 0L; var clip = 0L; var silent = 0L
+    var prevSign = 0
+    s.foreach { v =>
+      sumsq += v.toLong * v
+      peak = math.max(peak, math.abs(v))
+      if (math.abs(v) >= Multimodal.ClipThreshold) clip += 1
+      if (math.abs(v) < Multimodal.SilenceThreshold) silent += 1
+      val sg = Integer.signum(v)
+      if (sg != 0 && prevSign != 0 && sg != prevSign) zc += 1
+      if (sg != 0) prevSign = sg
+    }
+    Multimodal.AudioFeatures(id, 8000, 1, 16, n.toLong, n.toLong * 125,
+      sumsq, peak, zc, clip, silent)
+  }
+
+  test("multimodal: REAL javax.sound WAV decode — fixture round-trip, junk dropped") {
+    // id 0 is the id%97==0 junk row: non-audio bytes MUST be dropped
+    val ids = Seq(0L, 1L, 5L, 13L, 23L, 96L, 97L).toDF("doc_id")
+    val wavs = Multimodal.synthesizeWavs(ids, "doc_id")
+    val feats = Multimodal.decodeAudioReal(wavs, "doc_id", "content")
+      .collect().map(f => f.id -> f).toMap
+    assert(feats.keySet == Set(1L, 5L, 13L, 23L, 96L), "junk ids 0/97 dropped")
+    for (id <- Seq(1L, 5L, 13L, 23L, 96L))
+      assert(feats(id) == audioRef(id), s"id=$id decode != fixture math")
+    // some fixture ids clip (amp = 32600 at id % 12 == 11), some don't
+    assert(feats(23L).clip_count > 0 && feats(1L).clip_count == 0)
+    assert(feats(5L).zero_crossings > 0 && feats(5L).peak > 0)
+  }
+
+  test("multimodal: audio decode rejects non-16-bit, bombs, and endian round-trips") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 8-bit PCM: rejected by the admission check (features assume 16-bit)
+    val pcm8 = Array.tabulate[Byte](64)(i => i.toByte)
+    val f8 = new AudioFormat(8000f, 8, 1, true, false)
+    val out8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), f8, 64L), AudioFileFormat.Type.WAVE, out8)
+    assert(Multimodal.audioDecode(1L, out8.toByteArray).isEmpty, "8-bit PCM refused")
+    // forged RIFF header declaring ~2 GB of data with none attached:
+    // rejected by the declared-bytes peek, never buffered
+    val bomb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bomb.put("RIFF".getBytes); bomb.putInt(0x7ffffff0)
+    bomb.put("WAVE".getBytes); bomb.put("fmt ".getBytes); bomb.putInt(16)
+    bomb.putShort(1); bomb.putShort(1) // PCM, mono
+    bomb.putInt(8000); bomb.putInt(16000); bomb.putShort(2); bomb.putShort(16)
+    bomb.put("data".getBytes); bomb.putInt(0x7ffffff0)
+    assert(Multimodal.audioDecode(1L, bomb.array(),
+      maxBytes = 1L << 20).isEmpty, "declared ~2 GB data refused un-decoded")
+    // big-endian AIFF of the same samples == little-endian WAV features
+    val id = 5L
+    val n = 256 + (id % 7).toInt * 64
+    val p = 16 + (id % 23).toInt
+    val amp = 4000 + (id % 12).toInt * 2600
+    val be = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = amp - (2 * amp * (k % p)) / p
+      be(2 * k) = ((s >> 8) & 0xff).toByte
+      be(2 * k + 1) = (s & 0xff).toByte
+      k += 1
+    }
+    val fBe = new AudioFormat(8000f, 16, 1, true, true)
+    val outA = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(be), fBe, n.toLong), AudioFileFormat.Type.AIFF, outA)
+    val viaAiff = Multimodal.audioDecode(id, outA.toByteArray).get
+    assert(viaAiff == audioRef(id), "big-endian AIFF decodes to identical features")
+  }
+
   test("ewmMean: exact recurrence per key, nulls skipped, partition-invariant") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

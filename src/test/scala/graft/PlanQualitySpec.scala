@@ -259,6 +259,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "q113_unique_counts",
       "q164_global_ordered",
       "q165_global_rle",
+      "q169_global_rolling_moments", // 1-row global-total broadcast cross (cum std/var)
       "q167_image_near_dup", // 1-row exact-dup-total frame broadcast (q09 shape)
       "q168_bigram_nll" // 1-row corpus-total broadcast (q132 shape)
     )

@@ -503,6 +503,9 @@ class PropertySpec extends AnyFunSuite {
           Gen.oneOf[Any](42L, true, junkMap, "bogus_hash")),
         opt("action", Gen.oneOf[Any]("drop", "pairs"),
           Gen.oneOf[Any](42L, true, junkMap, "bogus_action"))),
+      "audio_features" -> Seq(idCol,
+        // text bytes are undecodable payloads — mark-not-drop by contract
+        req("content_col", Gen.const("text"), wrongForStr)),
       "lm_nll" -> Seq(idCol, textCol,
         opt("order", Gen.oneOf[Any]("bigram", "unigram"),
           Gen.oneOf[Any](42L, true, junkMap, "bogus_order")),
