@@ -95,7 +95,11 @@ object ScaleRehearsal {
       // 1x) but the cost driver measured here — the full-corpus token
       // explode + dl/count aggregations — scales by M on both queries
       // and should stay ~linear (q78's shape, now measured).
-      "q131_bm25", "q132_unigram_nll")
+      "q131_bm25", "q132_unigram_nll",
+      // round 16: cross-doc paragraph dedup — copy chunks are `_i`-pure,
+      // so segment df structure scales by M; expected ~linear (one
+      // explode + three hash aggs + an excess-only equi-join)
+      "q171_paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

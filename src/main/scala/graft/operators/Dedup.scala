@@ -864,4 +864,71 @@ object Dedup {
         when(length(trim(col(textCol))) === 0, lit(""))
           .otherwise(array_join(kept, " ")).as(outCol))
   }
+
+  /** Cross-document PARAGRAPH/LINE dedup (the RefinedWeb recipe — Penedo
+    * et al. 2023, "line-wise deduplication"; DISTINCT granularity from
+    * [[duplicateSpans]]'s token shingles): segments whose trimmed form
+    * occurs more than `maxDf` times across the corpus are EXCISED from
+    * every document — except, with `keepFirst`, the canonical
+    * minimum-(doc, position) occurrence — and documents reassemble in
+    * segment order. Boilerplate (nav bars, cookie banners, repeated
+    * footers) disappears corpus-wide in one pass.
+    *
+    * Scale shape: one posexplode + THREE hash aggregations (fingerprint
+    * df + keeper in ONE combined pass — the [[removeDuplicateSpans]]
+    * rule; per-doc totals; per-doc reassembly) and a fingerprint-keyed
+    * equi-join that only carries fingerprints with df > maxDf. No
+    * windows, no self-joins; per-doc reassembly state is bounded by the
+    * document itself. Segment positions are bounded loudly (raise_error)
+    * at 2^20 per document so the combined (doc, idx) keeper key stays
+    * collision-free in a long. */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitRegex: String = "\\n+",
+      joinSep: String = "\n",
+      maxDf: Int = 1,
+      keepFirst: Boolean = true,
+      outCol: String = "clean_text"): DataFrame = {
+    require(maxDf >= 1, s"paragraphDedup maxDf must be >= 1, got $maxDf")
+    require(!df.columns.contains(outCol),
+      s"paragraphDedup writes column '$outCol'; input already has one — rename it first")
+    val MaxSegs = 1L << 20
+    val segs = df
+      .select(col(idCol), posexplode(split(col(textCol), splitRegex)).as(Seq("idx", "seg")))
+      .withColumn("norm", trim(col("seg")))
+      .filter(length(col("norm")) > 0)
+      .withColumn("okey",
+        when(col("idx") >= MaxSegs, raise_error(lit(
+          s"paragraphDedup: a document has >= $MaxSegs segments — " +
+            "the keeper key would collide; split the document upstream")))
+          .otherwise(col(idCol).cast("long") * MaxSegs + col("idx")))
+      .withColumn("fp", md5(col("norm")))
+    // df + canonical keeper in one aggregation; only EXCESS fingerprints
+    // (df > maxDf) flow into the join
+    val excess = segs.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"), min(col("okey")).as("__keep"))
+      .filter(col("__df") > maxDf)
+      .select(col("fp"), col("__keep"))
+    val keepCond =
+      if (keepFirst) col("__keep").isNull || col("okey") === col("__keep")
+      else col("__keep").isNull
+    val kept = segs.join(excess, Seq("fp"), "left").filter(keepCond)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("__n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("norm").as("s")))),
+          _.getField("s")),
+        joinSep).as("__txt"))
+    val totals = segs.groupBy(col(idCol)).agg(count(lit(1)).as("__n_segs"))
+    df.select(col(idCol), col(textCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_segs"), lit(0L)).as("n_segs"),
+        (coalesce(col("__n_segs"), lit(0L)) - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("__txt"), lit("")).as(outCol))
+  }
 }

@@ -5435,6 +5435,92 @@ object Queries {
       |  round(sqrt(CAST(agg.sumsq AS DOUBLE) / p.n), 6) AS rms
       |FROM params p JOIN agg USING (doc_id) JOIN zc USING (doc_id)""".stripMargin
 
+  /** Cross-document paragraph dedup ([[Dedup.paragraphDedup]], round 16 —
+    * the RefinedWeb line-dedup recipe at a granularity the span machinery
+    * (q142–q144, token shingles) doesn't cover): documents are
+    * re-segmented into 3-word chunks (the fixture corpus has no newlines;
+    * a ~1e6-point chunk space gives real cross-doc collisions at every
+    * SF), chunks repeated corpus-wide are excised everywhere but their
+    * minimum-(doc, position) occurrence, and documents reassemble in
+    * order. The oracle replays segmentation, df counting, the combined
+    * 2^20 keeper key, and reassembly; clean text compares as md5. */
+  val q171: QueryFn = (s, d) => {
+    val words = split(trim(col("text")), "\\s+")
+    val nchunks = ceil(size(words).cast("double") / 3).cast("int")
+    val seg = tbl(s, d, "documents")
+      .withColumn("t2", array_join(
+        transform(sequence(lit(0), nchunks - 1),
+          i => array_join(slice(words, i * 3 + 1, lit(3)), " ")),
+        "\n"))
+    Dedup.paragraphDedup(seg, "doc_id", "t2", splitRegex = "\\n")
+      .select(col("doc_id"), col("n_segs"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+  }
+
+  val q171Sql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |segs AS (SELECT doc_id, i AS idx,
+      |    array_to_string(ws[i * 3 + 1 : i * 3 + 3], ' ') AS norm
+      |  FROM (SELECT doc_id, ws,
+      |    unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS i FROM w)),
+      |ne AS (SELECT doc_id, idx, norm FROM segs WHERE length(trim(norm)) > 0),
+      |excess AS (SELECT norm, MIN(doc_id * 1048576 + idx) AS keep
+      |  FROM ne GROUP BY norm HAVING COUNT(*) > 1),
+      |kept AS (SELECT ne.* FROM ne LEFT JOIN excess USING (norm)
+      |  WHERE excess.norm IS NULL OR ne.doc_id * 1048576 + ne.idx = excess.keep),
+      |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(trim(norm), chr(10) ORDER BY idx) AS txt
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs
+      |  FROM ne GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(tot.n_segs, 0) AS n_segs,
+      |  COALESCE(tot.n_segs, 0) - COALESCE(reb.n_kept, 0) AS n_removed,
+      |  md5(COALESCE(reb.txt, '')) AS clean_md5
+      |FROM documents d LEFT JOIN tot USING (doc_id)
+      |LEFT JOIN reb USING (doc_id)""".stripMargin
+
+  /** Streaming multimodal lane (round 16): the audio decode path under
+    * Structured Streaming — synthesize → decode are stateless
+    * per-partition maps, so the lane is append-mode with zero state
+    * store; parity vs the batch run of the same pipe is pinned row-wise
+    * (the q157/q161 shape). The oracle predicts the row count (junk ids
+    * dropped) and the all-match invariant. */
+  val q172: QueryFn = (s, d) => {
+    def lane(df: DataFrame): DataFrame =
+      Multimodal.decodeAudioReal(
+        Multimodal.synthesizeWavs(df.select(col("doc_id")), "doc_id"),
+        "doc_id", "content")
+        .toDF()
+        .select(col("id").as("doc_id"), col("n_frames"), col("sumsq"),
+          col("zero_crossings"))
+    val schema = rawSchema(s, d, "documents")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "q172_stream_audio_sink"
+    s.catalog.dropTempView(name)
+    val q = lane(src).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = s.table(name)
+    val batch = lane(tbl(s, d, "documents"))
+      .select(col("doc_id"), col("n_frames").as("b_n"), col("sumsq").as("b_s"),
+        col("zero_crossings").as("b_z"))
+    streamed.join(batch, "doc_id")
+      .agg(count(lit(1)).as("n_streamed"),
+        sum(when(col("n_frames") === col("b_n") && col("sumsq") === col("b_s") &&
+          col("zero_crossings") === col("b_z"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("n_streamed"), col("n_match"),
+        (col("n_streamed") === col("n_match")).as("all_match"))
+  }
+
+  val q172Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_streamed,
+      |  CAST(COUNT(*) AS BIGINT) AS n_match, TRUE AS all_match
+      |FROM documents WHERE doc_id % 97 <> 0""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -5609,7 +5695,9 @@ object Queries {
     ("q167_image_near_dup", q167, Some(q167Sql)),
     ("q168_bigram_nll", q168, Some(q168Sql)),
     ("q169_global_rolling_moments", q169, Some(q169Sql)),
-    ("q170_audio_features", q170, Some(q170Sql))
+    ("q170_audio_features", q170, Some(q170Sql)),
+    ("q171_paragraph_dedup", q171, Some(q171Sql)),
+    ("q172_stream_audio", q172, Some(q172Sql))
   )
 }
 

@@ -70,6 +70,7 @@ object BuiltinTransformations {
     "training_shard_assign" -> trainingShardAssign,
     "fuzzy_dedup_keep_best" -> fuzzyDedupKeepBest,
     "remove_dup_spans" -> removeDupSpans,
+    "paragraph_dedup" -> paragraphDedup,
     "dsir_select" -> dsirSelect(io),
     "density_prune" -> densityPrune,
     "hard_negatives" -> hardNegatives,
@@ -143,6 +144,30 @@ object BuiltinTransformations {
     * corpus-duplicated k-token window keeps only its globally-first
     * occurrence; other occurrences' tokens are cut and each doc is
     * reassembled from its surviving normalized tokens. */
+  /** `paragraph_dedup(id_col, text_col, split_regex="\n+", join_sep="\n",
+    * max_df=1, keep_first=true, out_col=clean_text)` — cross-document
+    * paragraph/line dedup ([[Dedup.paragraphDedup]], the RefinedWeb
+    * recipe): segments repeated more than max_df times corpus-wide are
+    * excised everywhere but their canonical first occurrence. */
+  private def paragraphDedup: CustomFn = (df, kw) => {
+    val name = "paragraph_dedup"
+    val keepFirst = present(kw, "keep_first") match {
+      case Some(b: Boolean) => b
+      case Some(s: String) if s == "true" || s == "false" => s.toBoolean
+      case Some(other) => typeFail(name, "keep_first", "a boolean", other)
+      case None => true
+    }
+    Dedup.paragraphDedup(
+      df,
+      reqStr(name, kw, "id_col"),
+      reqStr(name, kw, "text_col"),
+      splitRegex = strKw(name, kw, "split_regex", "\\n+"),
+      joinSep = strKw(name, kw, "join_sep", "\n"),
+      maxDf = intKw(name, kw, "max_df", 1),
+      keepFirst = keepFirst,
+      outCol = strKw(name, kw, "out_col", "clean_text"))
+  }
+
   private def removeDupSpans: CustomFn = (df, kw) =>
     Dedup.removeDuplicateSpans(
       df,

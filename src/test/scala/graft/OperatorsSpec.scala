@@ -569,6 +569,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.exists(x => x.width == 6 && x.height == 4))
   }
 
+  test("paragraphDedup: corpus-wide excision, canonical keeper, maxDf and keepFirst knobs") {
+    val df = Seq(
+      (1L, "keep me\nBOILER\nunique one"),
+      (2L, "BOILER\nother text"),
+      (3L, "third doc\nBOILER"),
+      (4L, "  \n\nBOILER"), // whitespace segment never counts
+      (5L, "twice\nzz"),
+      (6L, "twice\nyy")
+    ).toDF("doc_id", "text")
+    def m(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val d1 = m(Dedup.paragraphDedup(df, "doc_id", "text"))
+    // BOILER df=4 and "twice" df=2: kept only at their min-(doc, idx)
+    assert(d1(1L) == (3L, 0L, "keep me\nBOILER\nunique one"))
+    assert(d1(2L) == (2L, 1L, "other text"))
+    assert(d1(3L) == (2L, 1L, "third doc"))
+    assert(d1(4L) == (1L, 1L, ""))
+    assert(d1(5L) == (2L, 0L, "twice\nzz"))
+    assert(d1(6L) == (2L, 1L, "yy"))
+    // keepFirst=false: every over-df occurrence goes, keeper included
+    val d2 = m(Dedup.paragraphDedup(df, "doc_id", "text", keepFirst = false))
+    assert(d2(1L) == (3L, 1L, "keep me\nunique one"))
+    assert(d2(5L) == (2L, 1L, "zz"))
+    // maxDf=3: BOILER (df=4) still excised, "twice" (df=2) survives everywhere
+    val d3 = m(Dedup.paragraphDedup(df, "doc_id", "text", maxDf = 3))
+    assert(d3(6L) == (2L, 0L, "twice\nyy"))
+    assert(d3(2L) == (2L, 1L, "other text"))
+    // shadow guard is loud
+    val e = intercept[IllegalArgumentException] {
+      Dedup.paragraphDedup(df.withColumn("clean_text", lit("x")), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("clean_text"))
+  }
+
   /** In-test replay of [[Multimodal.synthesizeWavs]]'s fixture math —
     * the same integer sawtooth the SQL oracle replays. */
   private def audioRef(id: Long): Multimodal.AudioFeatures = {

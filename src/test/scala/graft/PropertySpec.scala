@@ -529,6 +529,13 @@ class PropertySpec extends AnyFunSuite {
       "remove_dup_spans" -> Seq(idCol, textCol,
         opt("k", Gen.oneOf(1L, 3L), wrongForInt),
         opt("out_col", Gen.const("span_clean"), wrongForStr)),
+      "paragraph_dedup" -> Seq(idCol, textCol,
+        opt("split_regex", Gen.const("\\s+"), wrongForStr),
+        opt("join_sep", Gen.const(" "), wrongForStr),
+        opt("max_df", Gen.oneOf(1L, 3L), wrongForInt),
+        opt("keep_first", Gen.oneOf[Any](true, false, "true"),
+          Gen.oneOf[Any](42L, 1.5, junkMap, "yes")),
+        opt("out_col", Gen.const("para_clean"), wrongForStr)),
       "density_prune" -> Seq(idCol,
         req("vec_col", Gen.const("emb"), wrongForStr),
         opt("k", Gen.oneOf(1L, 3L), wrongForInt),
