@@ -402,8 +402,16 @@ object ScaleRehearsal {
         Map("col" -> "value", "order_by" -> Seq("t", "event_id"), "window_size" -> 50)),
       "rm" -> graft.config.DeriveSpec("rolling_median",
         Map("col" -> "value", "order_by" -> Seq("t", "event_id"), "window_size" -> 50)),
+      // by = event_id: copies EXTEND the axis (density constant), the
+      // linear growth path; a by = t lane would DENSIFY the axis 100×
+      // instead — per-frame row counts grow with M and the engine-window
+      // recompute is O(n·frame) for ANY engine (the windowed per-key form
+      // included), a workload-shape artifact, not a decomposition cost.
+      // Frame ~50 rows: Spark recomputes non-invertible sliding frames
+      // from scratch per row, so total window cost is O(n·frame) — the
+      // ladder measures the DECOMPOSITION's scaling at constant frame
       "rb" -> graft.config.DeriveSpec("rolling_mean_by",
-        Map("col" -> "value", "by" -> "t", "window_size" -> 3600))))(ev)
+        Map("col" -> "value", "by" -> "event_id", "window_size" -> 50))))(ev)
       .select(col("event_id"), col("rs"), col("rm"), col("rb"))
   }
 

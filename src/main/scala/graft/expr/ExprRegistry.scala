@@ -68,6 +68,29 @@ object ExprRegistry {
     * chain-merge): the derive stage calls `build(frame, outName)`. */
   final case class FrameLevel(build: (org.apache.spark.sql.DataFrame, String) =>
     org.apache.spark.sql.DataFrame) extends Derived
+  /** A batchable GLOBAL raw-frame rolling fn (the moment/percentile
+    * family): consecutive entries sharing (orderBy, desc, k) fuse into ONE
+    * [[OrderedAtScale.globalRollingFrameMulti]] decomposition — the
+    * [[GlobalOrdered]] batching rule applied to the rolling family (a
+    * 6-statistic config is one range exchange, not six). */
+  final case class GlobalRollingFrame(
+      orderBy: Seq[String],
+      desc: Boolean,
+      k: Int,
+      x: Column,
+      rollingAgg: org.apache.spark.sql.expressions.WindowSpec => Column,
+      frameAgg: Column => Column) extends Derived
+  /** The RANGE-framed twin of [[GlobalRollingFrame]]: consecutive entries
+    * sharing (by, window, closed) fuse into ONE
+    * [[OrderedAtScale.globalRollingByMulti]] decomposition. */
+  final case class GlobalRollingBy(
+      by: String,
+      window: Long,
+      closed: String,
+      x: Column,
+      rangeAgg: org.apache.spark.sql.expressions.WindowSpec => Column,
+      own: OrderedAtScale.OwnFrame,
+      boundary: (Column, Column, Column) => Column) extends Derived
 
   type DeriveFn = Map[String, Any] => Derived
 
@@ -276,10 +299,9 @@ object ExprRegistry {
       require(k > 0, s"'$fn' requires a positive 'window_size' kwarg")
       val x = c(kw)
       if (k == 1) RowWise(frameAgg(kw)(array(x))) // 1-row frame: the row itself
-      else FrameLevel((df, out) => OrderedAtScale.globalRollingFrame(
-        df, out, x, ord, desc, k,
+      else GlobalRollingFrame(ord, desc, k, x,
         w => windowedAgg(kw).over(w.rowsBetween(-(k.toLong - 1), Window.currentRow)),
-        frameAgg(kw)))
+        frameAgg(kw))
     }
   }
 
@@ -397,16 +419,26 @@ object ExprRegistry {
       fn: String,
       windowedAgg: Map[String, Any] => Column,
       boundary: Map[String, Any] => (Column, Column, Column) => Column,
-      needOwnFrame: Boolean): DeriveFn = kw => {
+      own: Map[String, Any] => OrderedAtScale.OwnFrame): DeriveFn = kw => {
     if (strSeq(kw, "partition_by").nonEmpty)
       RowWise(windowedAgg(kw).over(rollingByFrame(kw, fn)))
     else {
       val (w, closed) = rollingByParams(kw, fn)
-      FrameLevel((df, out) => OrderedAtScale.globalRollingBy(
-        df, out, c(kw), str(kw, "by"), w, closed,
-        ws => windowedAgg(kw).over(ws), boundary(kw), needOwnFrame))
+      GlobalRollingBy(str(kw, "by"), w, closed, c(kw),
+        ws => windowedAgg(kw).over(ws), own(kw), boundary(kw))
     }
   }
+
+  /** Constant-memory own-frame moment state for the `_by` moments
+    * (count, mean, M2 with the var·(n−1) recovery — the cumulative_eval
+    * std/var shape): a native state window, never a per-row raw array. */
+  private def ownMomentState(x: Column): OrderedAtScale.OwnFrame =
+    OrderedAtScale.OwnState { w =>
+      val n = count(x).over(w)
+      struct(n.cast("double").as("n"), avg(x).over(w).cast("double").as("m"),
+        when(n >= 2L, var_samp(x).over(w) * (n.cast("double") - lit(1.0)))
+          .otherwise(lit(0.0)).as("m2"))
+    }
 
   /** Null-seeded fold over possibly-null `xs` (null elements skipped by
     * the combine's coalesce) — the tail-partial arithmetic the
@@ -810,34 +842,41 @@ object ExprRegistry {
     // time-windowed rolling (polars rolling_*_by): RANGE frame over an
     // integer `by` axis — see rollingByFrame for the closed/unit contract.
     // Global (no partition_by) forms take the value-range tail exchange;
-    // sum/min/max merge a tail partial with the native within value,
-    // mean re-folds the raw frame as double sum/count (bit-identical to
-    // Spark's Average, which also accumulates non-decimal inputs as
-    // double)
+    // sum/min/max merge a tail partial with the native within value, and
+    // mean merges a tail (sum, count) with a constant-memory own-frame
+    // state window — NEVER a per-row raw array (the x100 dense-axis
+    // ladder OOM'd the raw form). Exact for integer inputs; double sums
+    // associate (tail + own), the documented last-ulp profile.
     "rolling_mean_by" -> rollingByAtScale("rolling_mean_by",
       kw => avg(c(kw)),
-      _ => (t, o, _) => {
-        val xs = filter(boundaryFrame(t, o), _.isNotNull)
-        val s = aggregate(transform(xs, _.cast("double")),
-          lit(null).cast("double"), (a, v) => coalesce(a + v, a, v))
-        when(size(xs) > 0, s / size(xs).cast("double"))
+      _ => (t, own, _) => {
+        val xs = filter(t, _.isNotNull)
+        val ts = aggregate(xs, lit(null).cast("double"),
+          (a, v) => coalesce(a + v.cast("double"), a, v.cast("double")))
+        val s = coalesce(ts + own.getField("s"), ts, own.getField("s"))
+        val n = coalesce(size(xs).cast("long"), lit(0L)) + own.getField("n")
+        when(n > 0L, s / n.cast("double"))
       },
-      needOwnFrame = true),
+      // (sum, count) state window; sum as double to match Average's
+      // non-decimal accumulator
+      kw => OrderedAtScale.OwnState(w => struct(
+        sum(c(kw).cast("double")).over(w).as("s"),
+        count(c(kw)).over(w).as("n")))),
     "rolling_sum_by" -> rollingByAtScale("rolling_sum_by",
       kw => sum(c(kw)),
       _ => (t, _, v) => {
         val tp = tailFold(t, (a, e) => coalesce(a + e, a, e))
         coalesce(tp + v, tp, v)
       },
-      needOwnFrame = false),
+      _ => OrderedAtScale.NoOwn),
     "rolling_min_by" -> rollingByAtScale("rolling_min_by",
       kw => min(c(kw)),
       _ => (t, _, v) => least(tailFold(t, least(_, _)), v),
-      needOwnFrame = false),
+      _ => OrderedAtScale.NoOwn),
     "rolling_max_by" -> rollingByAtScale("rolling_max_by",
       kw => max(c(kw)),
       _ => (t, _, v) => greatest(tailFold(t, greatest(_, _)), v),
-      needOwnFrame = false),
+      _ => OrderedAtScale.NoOwn),
 
     // registry tail (round 15): the LAST cheaply-expressible top-level
     // pl.Expr names — with these, [[PolarsExprParity]] pins that every
@@ -895,25 +934,29 @@ object ExprRegistry {
     "bitwise_count_ones" -> rw(kw => bit_count(c(kw).cast("long"))),
     "bitwise_count_zeros" -> rw(kw => lit(64) - bit_count(c(kw).cast("long"))),
     // the *_by variants polars has that the round-13 tail missed
+    // _by moments: tail fold Chan-merged with a constant-memory own-frame
+    // state window (documented last-ulp association vs the windowed
+    // form); _by percentiles have no decomposition, so they keep the raw
+    // own frame behind the loud dense-axis valve
     "rolling_std_by" -> rollingByAtScale("rolling_std_by",
       kw => stddev_samp(c(kw)),
-      _ => (t, o, _) =>
-        FrameStats.stddevSamp(FrameStats.momentState(boundaryFrame(t, o), 2)),
-      needOwnFrame = true),
+      _ => (t, own, _) =>
+        FrameStats.stddevSamp(FrameStats.chanMerge2(FrameStats.momentState(t, 2), own)),
+      kw => ownMomentState(c(kw))),
     "rolling_var_by" -> rollingByAtScale("rolling_var_by",
       kw => var_samp(c(kw)),
-      _ => (t, o, _) =>
-        FrameStats.varSamp(FrameStats.momentState(boundaryFrame(t, o), 2)),
-      needOwnFrame = true),
+      _ => (t, own, _) =>
+        FrameStats.varSamp(FrameStats.chanMerge2(FrameStats.momentState(t, 2), own)),
+      kw => ownMomentState(c(kw))),
     "rolling_median_by" -> rollingByAtScale("rolling_median_by",
       kw => expr(s"percentile(${str(kw, "col")}, 0.5)"),
       _ => (t, o, _) => FrameStats.percentileExact(boundaryFrame(t, o), 0.5),
-      needOwnFrame = true),
+      _ => OrderedAtScale.OwnRaw),
     "rolling_quantile_by" -> rollingByAtScale("rolling_quantile_by",
       kw => expr(s"percentile(${str(kw, "col")}, ${numVal(kw, "quantile")})"),
       kw => (t, o, _) => FrameStats.percentileExact(
         boundaryFrame(t, o), numVal(kw, "quantile").toString.toDouble),
-      needOwnFrame = true),
+      _ => OrderedAtScale.OwnRaw),
     // k largest/smallest of ANOTHER column's order (polars top_k_by):
     // values of `col` at the k largest/smallest `by` rows, by-order sorted
     "top_k_by" -> aggOrOverEach { (kw, w) =>

@@ -350,11 +350,28 @@ object OrderedAtScale {
       desc: Boolean,
       k: Int,
       rollingAgg: WindowSpec => Column,
-      frameAgg: Column => Column): DataFrame = {
+      frameAgg: Column => Column): DataFrame =
+    globalRollingFrameMulti(df, orderBy, desc, k, Seq((outName, x, rollingAgg, frameAgg)))
+
+  /** SEVERAL raw-frame rolling fns sharing one (orderBy, desc, k) in a
+    * single decomposition — one range exchange, one window set, one
+    * head/tail export carrying every part's value as a struct field, one
+    * boundary branch (the [[applyGlobalMulti]] batching argument: N naive
+    * chained decompositions are N range shuffles and ~3×-per-level
+    * optimizer cost; batched they are one). Each part is
+    * (outName, x, rollingAgg, frameAgg). */
+  def globalRollingFrameMulti(
+      df: DataFrame,
+      orderBy: Seq[String],
+      desc: Boolean,
+      k: Int,
+      parts: Seq[(String, Column, WindowSpec => Column, Column => Column)]): DataFrame = {
+    require(parts.nonEmpty, "globalRollingFrameMulti needs at least one part")
     require(k >= 2, s"globalRollingFrame window_size must be >= 2, got $k (1 is the row itself)")
     val HeadCol = "__go_head"
+    val rollCols = parts.indices.map(i => s"__go_roll_$i")
     val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol,
-      HeadCol, "__go_roll", "__go_rn", "__go_rne")
+      HeadCol, "__go_rn", "__go_rne") ++ rollCols
     shadows.find(df.columns.contains).foreach(c0 =>
       throw new IllegalArgumentException(
         s"global rolling: input frame already has internal shadow column '$c0' — rename it first"))
@@ -367,13 +384,16 @@ object OrderedAtScale {
         .withColumn(BucketCol, spark_partition_id()))
     val w = Window.partitionBy(col(BucketCol)).orderBy(ordCols: _*)
     val wRev = Window.partitionBy(col(BucketCol)).orderBy(revCols: _*)
-    // the window evaluates over the FULL bucket before the branch filters
-    val staged = bucketed
-      .withColumn("__go_roll", rollingAgg(w))
+    // the windows evaluate over the FULL bucket before the branch filters
+    val staged = parts.zipWithIndex
+      .foldLeft(bucketed) { case (acc, ((_, _, rollingAgg, _), i)) =>
+        acc.withColumn(rollCols(i), rollingAgg(w))
+      }
       .withColumn("__go_rn", row_number().over(w))
       .withColumn("__go_rne", row_number().over(wRev))
     val tailStruct = struct(
-      (orderBy.zipWithIndex.map { case (o, i) => col(o).as(s"o$i") } :+ x.as("x")): _*)
+      (orderBy.zipWithIndex.map { case (o, i) => col(o).as(s"o$i") } ++
+        parts.zipWithIndex.map { case ((_, x, _, _), i) => x.as(s"x$i") }): _*)
     val tails = staged.filter(col("__go_rne") <= n)
       .groupBy(col(BucketCol)).agg(collect_list(tailStruct).as(TotCol))
     def lastN(a: Column): Column = {
@@ -389,25 +409,33 @@ object OrderedAtScale {
       .agg(lastN(flatten(collect_list(col(PriorTotCol)))).as(PrefixCol))
       .select(col(BucketCol), col(PrefixCol))
     // head export: the bucket's first k−1 rows in frame order (the struct
-    // sort agrees with the window order given a unique tie-break)
+    // sort agrees with the window order given a unique tie-break; value
+    // fields come AFTER the order keys, so ties in the keys sort by
+    // values identically in heads and tails)
     val heads = staged.filter(col("__go_rn") <= n)
       .groupBy(col(BucketCol))
       .agg(sort_array(collect_list(tailStruct), asc = !desc).as(HeadCol))
-    val interior = staged.filter(col("__go_rn") > n).withColumn(outName, col("__go_roll"))
+    val interior = parts.zipWithIndex.foldLeft(staged.filter(col("__go_rn") > n)) {
+      case (acc, ((outName, _, _, _), i)) => acc.withColumn(outName, col(rollCols(i)))
+    }
     val rn = col("__go_rn").cast("long")
     val p = col(PrefixCol)
     val want = lit(k.toLong) - rn
     val start = greatest(lit(1), size(p) - want.cast("int") + 1)
     val cnt = least(size(p).cast("long"), want).cast("int")
     val tailSlice = when(p.isNotNull && cnt > 0, slice(p, start, cnt))
-    val ownXs = transform(slice(col(HeadCol), lit(1), col("__go_rn")), _.getField("x"))
-    val frameVals = when(tailSlice.isNull, ownXs)
-      .otherwise(concat(transform(tailSlice, _.getField("x")), ownXs))
-    val boundary = staged.filter(col("__go_rn") <= n)
-      .join(broadcast(prefixTails), Seq(BucketCol), "left")
-      .join(broadcast(heads), Seq(BucketCol), "left")
-      .withColumn(outName, frameAgg(frameVals))
-    val dropCols = Seq(BucketCol, "__go_roll", "__go_rn", "__go_rne", PrefixCol, HeadCol)
+    val ownSlice = slice(col(HeadCol), lit(1), col("__go_rn"))
+    val boundary = parts.zipWithIndex.foldLeft(
+      staged.filter(col("__go_rn") <= n)
+        .join(broadcast(prefixTails), Seq(BucketCol), "left")
+        .join(broadcast(heads), Seq(BucketCol), "left")) {
+      case (acc, ((outName, _, _, frameAgg), i)) =>
+        val ownXs = transform(ownSlice, _.getField(s"x$i"))
+        val frameVals = when(tailSlice.isNull, ownXs)
+          .otherwise(concat(transform(tailSlice, _.getField(s"x$i")), ownXs))
+        acc.withColumn(outName, frameAgg(frameVals))
+    }
+    val dropCols = Seq(BucketCol, "__go_rn", "__go_rne", PrefixCol, HeadCol) ++ rollCols
     interior.drop(dropCols: _*).unionByName(boundary.drop(dropCols: _*))
   }
 
@@ -437,14 +465,29 @@ object OrderedAtScale {
     * then run its own windows — interior rows never pay the raw-value
     * collects.
     *
+    * Memory contract (the x100 ladder found the violation): a boundary
+    * row's OWN-frame contribution must never materialize the raw frame as
+    * a per-row array when the aggregate decomposes — on a dense `by` axis
+    * (many rows per unit) per-row arrays are O(density²) bytes through
+    * the sink and OOM'd the x100 rehearsal. `own` therefore has three
+    * modes: [[NoOwn]] (the native `within` value carries the own part —
+    * sum/min/max), [[OwnState]] (a constant-memory state window computed
+    * on the boundary branch — mean's (sum, count), the moments' Chan
+    * (n, mean, M2)), and [[OwnRaw]] (a raw collect_list — percentiles
+    * only, where no decomposition exists — guarded by the SAME loud
+    * `maxTailRows` valve on the frame row count).
+    *
     * @param rangeAgg      native aggregate over the within-bucket range
     *                      frame (evaluated for ALL rows, pre-branch)
-    * @param boundaryValue (tailXsInRange, ownFrameXs, withinValue) →
-    *                      boundary output; `ownFrameXs` is null unless
-    *                      `needOwnFrame`
-    * @param needOwnFrame  collect the boundary rows' own frame values
-    *                      (raw-frame re-aggregation: moments/percentiles/
-    *                      mean); leave false for tail-merge decomposables */
+    * @param own           boundary-branch own-frame mode (above)
+    * @param boundaryValue (tailXsInRange, ownValue, withinValue) →
+    *                      boundary output; `ownValue` is the OwnState
+    *                      state / the OwnRaw array / null under NoOwn */
+  sealed trait OwnFrame
+  case object NoOwn extends OwnFrame
+  final case class OwnState(f: WindowSpec => Column) extends OwnFrame
+  case object OwnRaw extends OwnFrame
+
   def globalRollingBy(
       df: DataFrame,
       outName: String,
@@ -453,12 +496,30 @@ object OrderedAtScale {
       window: Long,
       closed: String,
       rangeAgg: WindowSpec => Column,
+      own: OwnFrame,
       boundaryValue: (Column, Column, Column) => Column,
-      needOwnFrame: Boolean,
+      maxTailRows: Int = 1 << 20): DataFrame =
+    globalRollingByMulti(df, by, window, closed,
+      Seq((outName, x, rangeAgg, own, boundaryValue)), maxTailRows)
+
+  /** SEVERAL range-framed rolling fns sharing one (by, window, closed) in
+    * a single decomposition — one range exchange, one bounds/tail export
+    * carrying every part's value as a struct field, one boundary branch.
+    * Each part is (outName, x, rangeAgg, own, boundaryValue). */
+  def globalRollingByMulti(
+      df: DataFrame,
+      by: String,
+      window: Long,
+      closed: String,
+      parts: Seq[(String, Column, WindowSpec => Column,
+        OwnFrame, (Column, Column, Column) => Column)],
       maxTailRows: Int = 1 << 20): DataFrame = {
+    require(parts.nonEmpty, "globalRollingByMulti needs at least one part")
     require(window > 0, s"globalRollingBy window must be positive, got $window")
+    val withinCols = parts.indices.map(i => s"__go_within_$i")
+    val ownCols = parts.indices.map(i => s"__go_ownxs_$i")
     val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol,
-      "__go_within", "__go_bmin", "__go_bmax", "__go_ownxs")
+      "__go_bmin", "__go_bmax") ++ withinCols ++ ownCols
     shadows.find(df.columns.contains).foreach(c0 =>
       throw new IllegalArgumentException(
         s"global rolling_by: input frame already has internal shadow column '$c0' — " +
@@ -478,8 +539,10 @@ object OrderedAtScale {
         .withColumn(BucketCol, spark_partition_id()))
     val wBucket = Window.partitionBy(col(BucketCol))
     val wb = wBucket.orderBy(byC).rangeBetween(loOff, hiOff)
-    val staged = bucketed
-      .withColumn("__go_within", rangeAgg(wb))
+    val staged = parts.zipWithIndex
+      .foldLeft(bucketed) { case (acc, ((_, _, rangeAgg, _, _), i)) =>
+        acc.withColumn(withinCols(i), rangeAgg(wb))
+      }
       .withColumn("__go_bmin", min(byC).over(wBucket))
       .withColumn("__go_bmax", max(byC).over(wBucket))
     def capped(frame: DataFrame, arr: String, what: String): DataFrame =
@@ -493,10 +556,12 @@ object OrderedAtScale {
           .otherwise(lit(true)))
     // export: rows within the last `window` of the bucket's by-range
     // (superset of what any later row can reach: lo(t) ≥ bMax+1+loOff)
+    val tailStruct = struct(
+      (byC.as("b") +: parts.zipWithIndex.map { case ((_, x, _, _, _), i) => x.as(s"x$i") }): _*)
     val tails = capped(
       staged.filter(byC >= col("__go_bmax") - lit(window - 1))
         .groupBy(col(BucketCol))
-        .agg(collect_list(struct(byC.as("b"), x.as("x"))).as(TotCol)),
+        .agg(collect_list(tailStruct).as(TotCol)),
       TotCol, "a bucket's tail export")
     val bounds = staged.groupBy(col(BucketCol)).agg(min(byC).as("__go_pbmin"))
     val prefixTails = capped(
@@ -512,22 +577,45 @@ object OrderedAtScale {
             e => e.getField("b") >= col("__go_pbmin") + lit(loOff))).as(PrefixCol)),
       PrefixCol, "a bucket's merged prior-tail prefix")
     val isBoundary = (byC + lit(loOff)) < col("__go_bmin")
-    val interior = staged.filter(!isBoundary).withColumn(outName, col("__go_within"))
-    val bnd0 = staged.filter(isBoundary)
-      .join(broadcast(prefixTails), Seq(BucketCol), "left")
-    val bnd =
-      if (needOwnFrame) bnd0.withColumn("__go_ownxs", collect_list(x).over(wb))
-      else bnd0.withColumn("__go_ownxs", lit(null).cast("array<double>"))
+    val interior = parts.zipWithIndex.foldLeft(staged.filter(!isBoundary)) {
+      case (acc, ((outName, _, _, _, _), i)) => acc.withColumn(outName, col(withinCols(i)))
+    }
+    val bnd = parts.zipWithIndex.foldLeft(
+      staged.filter(isBoundary).join(broadcast(prefixTails), Seq(BucketCol), "left")) {
+      case (acc, ((_, x, _, own, _), i)) => own match {
+        case NoOwn => acc.withColumn(ownCols(i), lit(null).cast("array<double>"))
+        case OwnState(f) => acc.withColumn(ownCols(i), f(wb))
+        case OwnRaw =>
+          // raw own frames (percentiles — no decomposition exists):
+          // per-row arrays are O(frame) bytes, so the frame row count
+          // rides the SAME loud valve as the tail export — never a
+          // silent OOM (the x100 dense-axis ladder found the violation)
+          acc
+            .withColumn(ownCols(i), collect_list(x).over(wb))
+            .filter(
+              when(size(col(ownCols(i))) > maxTailRows,
+                raise_error(concat(
+                  lit(s"globalRollingBy: a boundary row's own frame exceeds " +
+                    s"maxTailRows=$maxTailRows (got "),
+                  size(col(ownCols(i))).cast("string"),
+                  lit(s") — the '$by' axis is too dense for an exact rolling " +
+                    s"percentile at window=$window; pass partition_by, shrink " +
+                    "the window, or raise maxTailRows deliberately"))).cast("boolean"))
+                .otherwise(lit(true)))
+      }
+    }
     val lo = byC + lit(loOff)
     val hi = byC + lit(hiOff)
-    val tailInRange = when(col(PrefixCol).isNotNull,
-      transform(
-        filter(col(PrefixCol), e => e.getField("b") >= lo && e.getField("b") <= hi),
-        _.getField("x")))
-    val boundary = bnd.withColumn(outName,
-      boundaryValue(tailInRange, col("__go_ownxs"), col("__go_within")))
+    val inRange = when(col(PrefixCol).isNotNull,
+      filter(col(PrefixCol), e => e.getField("b") >= lo && e.getField("b") <= hi))
+    val boundary = parts.zipWithIndex.foldLeft(bnd) {
+      case (acc, ((outName, _, _, _, boundaryValue), i)) =>
+        acc.withColumn(outName,
+          boundaryValue(transform(inRange, _.getField(s"x$i")),
+            col(ownCols(i)), col(withinCols(i))))
+    }
     val dropCols =
-      Seq(BucketCol, "__go_within", "__go_bmin", "__go_bmax", "__go_ownxs", PrefixCol)
+      Seq(BucketCol, "__go_bmin", "__go_bmax", PrefixCol) ++ withinCols ++ ownCols
     interior.drop(dropCols: _*).unionByName(boundary.drop(dropCols: _*))
   }
 

@@ -235,6 +235,7 @@ object Transforms {
           graft.expr.OrderedAtScale.applyGlobalMulti(base, globals)
         }
       type Globals = Seq[(String, graft.expr.OrderedAtScale.GlobalOrderedSpec)]
+      type Rollings = Seq[(String, ExprRegistry.GlobalRollingFrame)]
       def frameLevel(acc: DataFrame, n: String,
           build: (DataFrame, String) => DataFrame): DataFrame = {
         val base =
@@ -242,40 +243,125 @@ object Transforms {
         decomps += 1
         build(base, n)
       }
-      val (lastAcc, lastPending, lastGlobals) =
+      // consecutive same-(orderBy, desc, k) raw-frame rolling fns share
+      // ONE head+tail decomposition (the GlobalOrdered batching rule
+      // applied to the rolling moment/percentile family)
+      def flushRollings(acc: DataFrame, rollings: Rollings): DataFrame =
+        if (rollings.isEmpty) acc
+        else {
+          val base =
+            if (decomps == 0) acc else org.apache.spark.sql.graftbridge.PlanBarrier.freeze(acc)
+          decomps += 1
+          val h = rollings.head._2
+          graft.expr.OrderedAtScale.globalRollingFrameMulti(base, h.orderBy, h.desc, h.k,
+            rollings.map { case (n0, r) => (n0, r.x, r.rollingAgg, r.frameAgg) })
+        }
+      type RollingsBy = Seq[(String, ExprRegistry.GlobalRollingBy)]
+      def flushRollingsBy(acc: DataFrame, rollingsBy: RollingsBy): DataFrame =
+        if (rollingsBy.isEmpty) acc
+        else {
+          val base =
+            if (decomps == 0) acc else org.apache.spark.sql.graftbridge.PlanBarrier.freeze(acc)
+          decomps += 1
+          val h = rollingsBy.head._2
+          graft.expr.OrderedAtScale.globalRollingByMulti(base, h.by, h.window, h.closed,
+            rollingsBy.map { case (n0, r) => (n0, r.x, r.rangeAgg, r.own, r.boundary) })
+        }
+      // input columns a GlobalRollingFrame reads (frameAgg probed with a
+      // dummy array column, subtracted back out)
+      def grfRefs(r: ExprRegistry.GlobalRollingFrame): Set[String] = {
+        import org.apache.spark.sql.expressions.Window
+        val dummyW = Window.partitionBy(col("__go_probe_b")).orderBy(r.orderBy.map(col): _*)
+        val dummies = Set("__go_probe_b", "__go_probe_a")
+        (refs(r.x) ++ refs(r.rollingAgg(dummyW)) ++
+          refs(r.frameAgg(col("__go_probe_a"))) ++ r.orderBy) -- dummies
+      }
+      def grbRefs(r: ExprRegistry.GlobalRollingBy): Set[String] = {
+        import org.apache.spark.sql.expressions.Window
+        val dummyW = Window.partitionBy(col("__go_probe_b")).orderBy(col(r.by))
+        val dummies = Set("__go_probe_b", "__go_probe_a", "__go_probe_o", "__go_probe_v")
+        val ownRefs = r.own match {
+          case graft.expr.OrderedAtScale.OwnState(f) => refs(f(dummyW))
+          case _ => Set.empty[String]
+        }
+        (refs(r.x) ++ refs(r.rangeAgg(dummyW)) ++ ownRefs ++
+          refs(r.boundary(col("__go_probe_a"), col("__go_probe_o"), col("__go_probe_v"))) +
+          r.by) -- dummies
+      }
+      def flushAll(acc: DataFrame, pending: Seq[(String, Column)], globals: Globals,
+          rollings: Rollings, rollingsBy: RollingsBy): DataFrame =
+        flushRollingsBy(
+          flushRollings(flushGlobals(flush(acc, pending), globals), rollings), rollingsBy)
+      val (lastAcc, lastPending, lastGlobals, lastRollings, lastRollingsBy) =
         resolved.foldLeft((df, Seq.empty[(String, Column)], Seq.empty[(String,
-            graft.expr.OrderedAtScale.GlobalOrderedSpec)])) {
-          case ((acc, pending, globals), (n, ExprRegistry.WholeFrameAgg(a))) =>
-            val acc1 = flushGlobals(acc, globals)
+            graft.expr.OrderedAtScale.GlobalOrderedSpec)],
+            Seq.empty[(String, ExprRegistry.GlobalRollingFrame)],
+            Seq.empty[(String, ExprRegistry.GlobalRollingBy)])) {
+          case ((acc, pending, globals, rollings, rollingsBy),
+              (n, ExprRegistry.WholeFrameAgg(a))) =>
+            val acc1 = flushRollingsBy(
+              flushRollings(flushGlobals(acc, globals), rollings), rollingsBy)
             val pendingNames = pending.map(_._1).toSet
             if (refs(a).exists(pendingNames.contains))
-              (flush(acc1, pending), Seq(n -> a), Nil) // depends on the batch
-            else (acc1, pending :+ (n -> a), Nil)
-          case ((acc, pending, globals), (n, ExprRegistry.RowWise(c))) =>
-            (flushGlobals(flush(acc, pending), globals).withColumn(n, c), Nil, Nil)
-          case ((acc, pending, globals), (n, ExprRegistry.AggThenRow(a, rowFn))) =>
+              (flush(acc1, pending), Seq(n -> a), Nil, Nil, Nil) // depends on the batch
+            else (acc1, pending :+ (n -> a), Nil, Nil, Nil)
+          case ((acc, pending, globals, rollings, rollingsBy), (n, ExprRegistry.RowWise(c))) =>
+            (flushAll(acc, pending, globals, rollings, rollingsBy).withColumn(n, c),
+              Nil, Nil, Nil, Nil)
+          case ((acc, pending, globals, rollings, rollingsBy),
+              (n, ExprRegistry.AggThenRow(a, rowFn))) =>
             // agg pass + broadcast join like WholeFrameAgg, but the joined
             // 1-row result lands under a temp name that the row-wise
             // post-expression consumes (qcut: breakpoints -> bin label)
-            val flushed = flushGlobals(flush(acc, pending), globals)
+            val flushed = flushAll(acc, pending, globals, rollings, rollingsBy)
             val tmp = s"__agg_then_row_$n"
             val joined = flushed.crossJoin(broadcast(flushed.agg(a.as(tmp))))
-            (joined.withColumn(n, rowFn(col(tmp))).drop(tmp), Nil, Nil)
-          case ((acc, pending, globals), (n, ExprRegistry.GlobalOrdered(spec))) =>
+            (joined.withColumn(n, rowFn(col(tmp))).drop(tmp), Nil, Nil, Nil, Nil)
+          case ((acc, pending, globals, rollings, rollingsBy),
+              (n, ExprRegistry.GlobalOrdered(spec))) =>
             // global (no partition_by) ordered fn: range-bucketed two-level
             // decomposition — never a single-partition window (round 16).
             // Batch with the pending same-order globals when independent.
             val sameOrder = globals.forall(g =>
               g._2.orderBy == spec.orderBy && g._2.desc == spec.desc)
             val pendingOut = (globals.map(_._1) ++ pending.map(_._1)).toSet
-            if (pending.isEmpty && sameOrder && !goRefs(spec).exists(pendingOut.contains))
-              (acc, Nil, globals :+ (n -> spec))
+            if (pending.isEmpty && rollings.isEmpty && rollingsBy.isEmpty && sameOrder &&
+              !goRefs(spec).exists(pendingOut.contains))
+              (acc, Nil, globals :+ (n -> spec), Nil, Nil)
             else
-              (flushGlobals(flush(acc, pending), globals), Nil, Seq(n -> spec))
-          case ((acc, pending, globals), (n, ExprRegistry.FrameLevel(build))) =>
-            (frameLevel(flushGlobals(flush(acc, pending), globals), n, build), Nil, Nil)
+              (flushAll(acc, pending, globals, rollings, rollingsBy),
+                Nil, Seq(n -> spec), Nil, Nil)
+          case ((acc, pending, globals, rollings, rollingsBy),
+              (n, r: ExprRegistry.GlobalRollingFrame)) =>
+            val sameFrame = rollings.forall(g =>
+              g._2.orderBy == r.orderBy && g._2.desc == r.desc && g._2.k == r.k)
+            val pendingOut = (rollings.map(_._1) ++ globals.map(_._1) ++
+              rollingsBy.map(_._1) ++ pending.map(_._1)).toSet
+            if (pending.isEmpty && globals.isEmpty && rollingsBy.isEmpty && sameFrame &&
+              !grfRefs(r).exists(pendingOut.contains))
+              (acc, Nil, Nil, rollings :+ (n -> r), Nil)
+            else
+              (flushAll(acc, pending, globals, rollings, rollingsBy),
+                Nil, Nil, Seq(n -> r), Nil)
+          case ((acc, pending, globals, rollings, rollingsBy),
+              (n, r: ExprRegistry.GlobalRollingBy)) =>
+            val sameFrame = rollingsBy.forall(g =>
+              g._2.by == r.by && g._2.window == r.window && g._2.closed == r.closed)
+            val pendingOut = (rollings.map(_._1) ++ globals.map(_._1) ++
+              rollingsBy.map(_._1) ++ pending.map(_._1)).toSet
+            if (pending.isEmpty && globals.isEmpty && rollings.isEmpty && sameFrame &&
+              !grbRefs(r).exists(pendingOut.contains))
+              (acc, Nil, Nil, Nil, rollingsBy :+ (n -> r))
+            else
+              (flushAll(acc, pending, globals, rollings, rollingsBy),
+                Nil, Nil, Nil, Seq(n -> r))
+          case ((acc, pending, globals, rollings, rollingsBy),
+              (n, ExprRegistry.FrameLevel(build))) =>
+            (frameLevel(flushAll(acc, pending, globals, rollings, rollingsBy), n, build),
+              Nil, Nil, Nil, Nil)
         }
-      val derived = flushGlobals(flush(lastAcc, lastPending), lastGlobals)
+      val derived =
+        flushAll(lastAcc, lastPending, lastGlobals, lastRollings, lastRollingsBy)
       // restore declared column order (cross joins append agg columns out
       // of order); a derive overwriting an existing column keeps its
       // original position and must not be projected twice

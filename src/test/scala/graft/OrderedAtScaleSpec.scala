@@ -143,6 +143,55 @@ class OrderedAtScaleSpec extends AnyFunSuite {
     assert(one.filter(col("v").isNotNull && col("m") =!= col("v").cast("double")).count() == 0)
   }
 
+  test("rolling moment BATCH: same-frame fns fuse into one decomposition, values == windowed") {
+    // six same-(order, k) entries + a different-k straggler in ONE derive
+    // call: the first six share one head+tail decomposition (the
+    // GlobalOrdered batching rule), the straggler flushes into its own —
+    // values must be bitwise the windowed forms either way
+    val df = fixture().withColumn("one", lit(1))
+    val base = Map("col" -> "v", "order_by" -> Seq("t", "uid"), "window_size" -> 20)
+    val entries = Seq(
+      "s1" -> DeriveSpec("rolling_std", base),
+      "s2" -> DeriveSpec("rolling_var", base),
+      "s3" -> DeriveSpec("rolling_median", base),
+      "s4" -> DeriveSpec("rolling_quantile", base + ("quantile" -> 0.25)),
+      "s5" -> DeriveSpec("rolling_skew", base),
+      "s6" -> DeriveSpec("rolling_kurtosis", base),
+      "s7" -> DeriveSpec("rolling_median", base + ("window_size" -> 5)))
+    val g = derive(entries: _*)(df)
+    val w = derive(entries.map { case (n0, s0) =>
+      n0 -> s0.copy(kwargs = s0.kwargs + ("partition_by" -> Seq("one")))
+    }: _*)(df)
+    val names = entries.map(_._1)
+    def canon(d: DataFrame) =
+      d.select((col("uid") +: names.map(col)): _*).orderBy("uid").collect().toSeq
+    assert(canon(g) == canon(w), "batched global rolling moments != windowed")
+  }
+
+  test("rolling_*_by BATCH: same-(by, window, closed) fns fuse, values == windowed") {
+    val df = spark.range(400)
+      .select(((col("id") * 7) % 251).as("ts"), col("id").as("uid"),
+        when(col("id") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 13).as("v"))
+      .repartition(7).withColumn("one", lit(1))
+    val base = Map("col" -> "v", "by" -> "ts", "window_size" -> 40)
+    val entries = Seq(
+      "b1" -> DeriveSpec("rolling_sum_by", base),
+      "b2" -> DeriveSpec("rolling_mean_by", base),
+      "b3" -> DeriveSpec("rolling_std_by", base),
+      "b4" -> DeriveSpec("rolling_median_by", base),
+      "b5" -> DeriveSpec("rolling_max_by", base + ("window_size" -> 3))) // flushes
+    val g = derive(entries: _*)(df)
+    val w = derive(entries.map { case (n0, s0) =>
+      n0 -> s0.copy(kwargs = s0.kwargs + ("partition_by" -> Seq("one")))
+    }: _*)(df)
+    val names = entries.map(_._1)
+    def canon(d: DataFrame) = d
+      .select((col("uid") +: names.map(n0 => round(col(n0).cast("double"), 9).as(n0))): _*)
+      .orderBy("uid").collect().toSeq
+    assert(canon(g) == canon(w), "batched global rolling_by != windowed")
+  }
+
   test("cumulative_eval std/var global == windowed (Chan merge; round-9 tolerance)") {
     // the (n, mean, M2) Chan recomposition documents a last-ulp float
     // profile vs the sequential windowed scan — compare rounded
@@ -191,7 +240,7 @@ class OrderedAtScaleSpec extends AnyFunSuite {
       .select(lit(5L).as("ts"), col("id").as("uid"), col("id").as("v"))
     val e = intercept[Exception] {
       OrderedAtScale.globalRollingBy(df.toDF(), "out", col("v"), "ts", 10L, "right",
-        w => sum(col("v")).over(w), (t, _, v) => v, needOwnFrame = false,
+        w => sum(col("v")).over(w), OrderedAtScale.NoOwn, (t, _, v) => v,
         maxTailRows = 16).collect()
     }
     assert(e.getMessage.contains("maxTailRows"), s"wrong error: ${e.getMessage}")
