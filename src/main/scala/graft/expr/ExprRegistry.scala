@@ -721,7 +721,7 @@ object ExprRegistry {
       (t, r) => greatest(t, r)),
     "rolling_std" -> rollingFromFrame("rolling_std",
       kw => stddev_samp(c(kw)),
-      _ => xs => FrameStats.stddevSamp(FrameStats.momentState(xs, 2))),
+      _ => xs => FrameStats.bind(FrameStats.momentState(xs, 2))(FrameStats.stddevSamp)),
 
     // registry tail (round 13): the last reflective pl.Expr names in use.
     // dot = Σ a·b — a true aggregate in polars (scalar result), so it takes
@@ -737,10 +737,10 @@ object ExprRegistry {
     "dot" -> aggOrOver(kw => sum(c(kw) * other(kw))),
     "rolling_skew" -> rollingFromFrame("rolling_skew",
       kw => skewness(c(kw)),
-      _ => xs => FrameStats.skewness(FrameStats.momentState(xs, 4))),
+      _ => xs => FrameStats.bind(FrameStats.momentState(xs, 4))(FrameStats.skewness)),
     "rolling_kurtosis" -> rollingFromFrame("rolling_kurtosis",
       kw => kurtosis(c(kw)),
-      _ => xs => FrameStats.kurtosis(FrameStats.momentState(xs, 4))),
+      _ => xs => FrameStats.bind(FrameStats.momentState(xs, 4))(FrameStats.kurtosis)),
     // cumulative_eval's GLOBAL (no partition_by) forms decompose like the
     // cum_* family. `mean` recomposes as running-sum/running-count (exact
     // for integer inputs; for doubles the bucket-total addition order may
@@ -829,8 +829,7 @@ object ExprRegistry {
                 lit(null).cast("double").as("m"), lit(0.0).as("m2"))
               aggregate(items, zero, (acc, e) => FrameStats.chanMerge2(acc, e.getField("s")))
             },
-            (p, _, v) => {
-              val mrg = FrameStats.chanMerge2(p, v)
+            (p, _, v) => FrameStats.bind(FrameStats.chanMerge2(p, v)) { mrg =>
               val variance = when(mrg.getField("n") >= 2.0,
                 mrg.getField("m2") / (mrg.getField("n") - lit(1.0)))
               if (name == "std") sqrt(variance) else variance
@@ -849,8 +848,7 @@ object ExprRegistry {
     // associate (tail + own), the documented last-ulp profile.
     "rolling_mean_by" -> rollingByAtScale("rolling_mean_by",
       kw => avg(c(kw)),
-      _ => (t, own, _) => {
-        val xs = filter(t, _.isNotNull)
+      _ => (t, own, _) => FrameStats.bind(filter(t, _.isNotNull)) { xs =>
         val ts = aggregate(xs, lit(null).cast("double"),
           (a, v) => coalesce(a + v.cast("double"), a, v.cast("double")))
         val s = coalesce(ts + own.getField("s"), ts, own.getField("s"))
@@ -864,10 +862,8 @@ object ExprRegistry {
         count(c(kw)).over(w).as("n")))),
     "rolling_sum_by" -> rollingByAtScale("rolling_sum_by",
       kw => sum(c(kw)),
-      _ => (t, _, v) => {
-        val tp = tailFold(t, (a, e) => coalesce(a + e, a, e))
-        coalesce(tp + v, tp, v)
-      },
+      _ => (t, _, v) => FrameStats.bind(
+        tailFold(t, (a, e) => coalesce(a + e, a, e)))(tp => coalesce(tp + v, tp, v)),
       _ => OrderedAtScale.NoOwn),
     "rolling_min_by" -> rollingByAtScale("rolling_min_by",
       kw => min(c(kw)),
@@ -941,12 +937,14 @@ object ExprRegistry {
     "rolling_std_by" -> rollingByAtScale("rolling_std_by",
       kw => stddev_samp(c(kw)),
       _ => (t, own, _) =>
-        FrameStats.stddevSamp(FrameStats.chanMerge2(FrameStats.momentState(t, 2), own)),
+        FrameStats.bind(FrameStats.momentState(t, 2))(ts =>
+          FrameStats.bind(FrameStats.chanMerge2(ts, own))(FrameStats.stddevSamp)),
       kw => ownMomentState(c(kw))),
     "rolling_var_by" -> rollingByAtScale("rolling_var_by",
       kw => var_samp(c(kw)),
       _ => (t, own, _) =>
-        FrameStats.varSamp(FrameStats.chanMerge2(FrameStats.momentState(t, 2), own)),
+        FrameStats.bind(FrameStats.momentState(t, 2))(ts =>
+          FrameStats.bind(FrameStats.chanMerge2(ts, own))(FrameStats.varSamp)),
       kw => ownMomentState(c(kw))),
     "rolling_median_by" -> rollingByAtScale("rolling_median_by",
       kw => expr(s"percentile(${str(kw, "col")}, 0.5)"),
@@ -1565,7 +1563,7 @@ object ExprRegistry {
       kw => xs => FrameStats.percentileExact(xs, numVal(kw, "quantile").toString.toDouble)),
     "rolling_var" -> rollingFromFrame("rolling_var",
       kw => var_samp(c(kw)),
-      _ => xs => FrameStats.varSamp(FrameStats.momentState(xs, 2))),
+      _ => xs => FrameStats.bind(FrameStats.momentState(xs, 2))(FrameStats.varSamp)),
 
     // run/peak structure along an explicit order
     // rle_id: 0-based run id, incrementing whenever the value changes

@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object FrameStats {
 
+  /** Poor-man's LET-binding: evaluate `v` once and reference it any number
+    * of times in `f` through a higher-order-function lambda variable.
+    * Catalyst has no let — every `getField` on an unnamed struct DUPLICATES
+    * the entire subtree, so an extraction reading a moment-fold state 3–8
+    * times re-executes the O(frame) fold 3–8 times PER ROW (and grows the
+    * plan the same factor). Lambda variables are leaf references, so
+    * `transform(array(v), f)[1]` evaluates `v` exactly once. Found by the
+    * q169 bench: rolling_std_by's boundary expression was 49 s at sf0.1
+    * before binding, ~1 s after. */
+  def bind(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
   /** Sequential central-moment state over `xs` (nulls skipped, like the
     * aggregates): struct(n, m, m2[, m3, m4]). `order` ∈ {2, 4} — 2 skips
     * the third/fourth-moment updates var/std never read. */
@@ -71,19 +83,22 @@ object FrameStats {
   }
 
   /** Exact interpolated percentile of the non-null elements of `xs` —
-    * Spark `percentile`'s arithmetic on the sorted multiset. */
+    * Spark `percentile`'s arithmetic on the sorted multiset. The sorted
+    * array is [[bind]]-bound: it is referenced five times below and would
+    * otherwise be re-sorted five times per row. */
   def percentileExact(xs: Column, p: Double): Column = {
     require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p")
-    val s = sort_array(filter(xs, _.isNotNull))
-    val n = size(s)
-    val pos = lit(p) * (n.cast("double") - 1.0)
-    val lo = floor(pos).cast("int")
-    val hi = ceil(pos).cast("int")
-    val loV = element_at(s, lo + 1).cast("double")
-    val hiV = element_at(s, hi + 1).cast("double")
-    when(n === 0, lit(null).cast("double"))
-      .when(lo === hi, loV)
-      .otherwise(loV * (hi.cast("double") - pos) + hiV * (pos - lo.cast("double")))
+    bind(sort_array(filter(xs, _.isNotNull))) { s =>
+      val n = size(s)
+      val pos = lit(p) * (n.cast("double") - 1.0)
+      val lo = floor(pos).cast("int")
+      val hi = ceil(pos).cast("int")
+      val loV = element_at(s, lo + 1).cast("double")
+      val hiV = element_at(s, hi + 1).cast("double")
+      when(n === 0, lit(null).cast("double"))
+        .when(lo === hi, loV)
+        .otherwise(loV * (hi.cast("double") - pos) + hiV * (pos - lo.cast("double")))
+    }
   }
 
   /** Chan et al. pairwise merge of two order-2 moment states (either may
