@@ -604,6 +604,151 @@ object Multimodal {
       .toDF(idCol, "content")
   }
 
+  /** Header-guarded PCM16 read shared by [[audioDecode]]'s streaming
+    * feature pass and the fingerprint path: (channels, sampleRate,
+    * bigEndian, raw sample bytes), or None under the same admission rules. */
+  private def readPcm16(content: Array[Byte],
+      maxBytes: Long): Option[(Int, Int, Boolean, Array[Byte])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (content == null || content.isEmpty) None
+    else try {
+      val fileFormat = AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = fileFormat.getFormat
+      val declaredFrames = fileFormat.getFrameLength.toLong
+      val frameSize = fmt.getFrameSize.toLong
+      val admissible =
+        fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 &&
+          fmt.getChannels >= 1 &&
+          declaredFrames >= 0 && frameSize > 0 &&
+          declaredFrames * frameSize <= maxBytes
+      if (!admissible) None
+      else {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val data = ais.readAllBytes()
+          if (data.length > maxBytes) None
+          else Some((fmt.getChannels, fmt.getSampleRate.toInt, fmt.isBigEndian, data))
+        } finally ais.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** 64-bit audio fingerprint over channel-0 16-bit samples: the signal
+    * splits into 65 equal integer-boundary chunks (chunk of frame k =
+    * ⌊k·65/n⌋), each chunk's ENERGY is the exact long Σs², and bit j is
+    * set iff energy(j+1) > energy(j) — a sign-of-energy-delta profile
+    * (the chromaprint shape at one band). Amplitude-SCALE invariant by
+    * construction (every energy scales by m², comparisons unchanged), so
+    * re-levelled copies of a recording collide while different energy
+    * envelopes differ — the audio twin of [[dHash64]]'s gradient signs. */
+  private[graft] def audioFingerprint64(samples: Array[Int]): Option[Long] = {
+    val n = samples.length
+    if (n < 65) None
+    else {
+      val e = new Array[Long](65)
+      var k = 0
+      while (k < n) {
+        val s = samples(k).toLong
+        e(((k.toLong * 65) / n).toInt) += s * s
+        k += 1
+      }
+      var bits = 0L
+      var j = 0
+      while (j < 64) { if (e(j + 1) > e(j)) bits |= (1L << j); j += 1 }
+      Some(bits)
+    }
+  }
+
+  /** Per-payload audio fingerprints ([[audioFingerprint64]] over the real
+    * decode): the feature extraction under audio near-dup
+    * ([[graft.operators.Dedup.hammingNearDupPairs]] on the `afp` column).
+    * Undecodable or shorter-than-65-frame payloads are dropped. */
+  def audioFingerprints(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) None
+          else readPcm16(r.getAs[Array[Byte]](1), MaxAudioBytes).flatMap {
+            case (channels, _, bigEndian, data) =>
+              val nSamples = data.length / 2
+              val nFrames = nSamples / channels
+              val ch0 = new Array[Int](nFrames)
+              var f = 0
+              while (f < nFrames) {
+                val i = f * channels
+                val b0 = data(2 * i) & 0xff
+                val b1 = data(2 * i + 1) & 0xff
+                ch0(f) = (if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+                f += 1
+              }
+              audioFingerprint64(ch0).map(fp => (r.getLong(0), nFrames.toLong, fp))
+          }
+        }
+      }
+      .toDF("id", "n_frames", "afp")
+  }
+
+  /** Deterministic PATTERNED-WAV fixture generator — the near-dup twin of
+    * [[synthesizeWavs]] (whose sawtooth energy profile is flat, so all
+    * its fingerprints collide): 650 frames = 65 chunks × 10, each chunk a
+    * fixed integer ramp. EVEN chunks sit at the reference amplitude and
+    * ODD chunk 2t+1 at `base·(1 + bit_{t mod 8}(word))`, so the
+    * energy-delta comparison at each even boundary is a DEDICATED probe
+    * of one codeword bit (a rises-only comparison of adjacent bit chunks
+    * is not injective — falls and flats both read 0; the interleaved
+    * reference makes the fingerprint an injective function of the word,
+    * with every differing word bit flipping 8 fingerprint positions).
+    * `word` encodes `pk = id % patterns` as the extended-parity codeword
+    * (the [[synthesizePatternPngs]] rule — distinct patterns differ in
+    * ≥ 2 word bits → fingerprint distance ≥ 16). Chunk energies are
+    * exact multiples of one constant, and the per-id amplitude
+    * multiplier `2 + (id / patterns) mod 5` changes every BYTE while
+    * leaving the scale-invariant fingerprint fixed — near-dup ground
+    * truth is id arithmetic. */
+  def synthesizePatternWavs(df: DataFrame, idCol: String, patterns: Int = 25): DataFrame = {
+    require(patterns >= 1 && patterns <= 64, s"patterns must be in [1,64], got $patterns")
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val pk = (id % patterns).toInt
+          val word = (pk << 1) | (Integer.bitCount(pk) & 1)
+          val m = 2 + ((id / patterns) % 5).toInt // amplitude jitter 2..6
+          val n = 650
+          val pcm = new Array[Byte](n * 2)
+          var k = 0
+          while (k < n) {
+            val j = (k * 65) / n
+            val level =
+              if (j % 2 == 0) 300 // reference chunk
+              else 300 * (1 + ((word >> (((j - 1) / 2) % 8)) & 1))
+            // ramp −4..5 with NO division: truncation would break the
+            // m²-multiple energy structure scale invariance rests on.
+            // |s| ≤ 6·600·5 = 18000 < 32767
+            val s = m * level * ((k % 10) - 4)
+            pcm(2 * k) = (s & 0xff).toByte
+            pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+            k += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Frame-sampling stub for video-like payloads: cut the byte stream into
     * fixed-size "frames" and keep every `stride`-th — exercises the
     * explode/posexplode shape a real frame sampler produces. Pure column

@@ -5521,6 +5521,53 @@ object Queries {
       |  CAST(COUNT(*) AS BIGINT) AS n_match, TRUE AS all_match
       |FROM documents WHERE doc_id % 97 <> 0""".stripMargin
 
+  /** Audio near-dup ([[Multimodal.audioFingerprints]] +
+    * [[Dedup.hammingNearDupPairs]], round 16 — the audio axis reaches
+    * image parity: decode + features + near-dup): patterned-WAV fixture
+    * whose 65-chunk energy envelope encodes `pk = id % 25` as an
+    * extended-parity codeword and whose per-id amplitude jitter changes
+    * every byte while leaving the SCALE-INVARIANT fingerprint fixed —
+    * same-pattern clips collide at hamming 0, cross-pattern clips sit
+    * beyond the maxHamming=2 gate (OperatorsSpec pins the margin), and
+    * byte-level md5 dedup finds only the exact repeats (id mod 125) the
+    * oracle also predicts. The q167 recipe on the audio codec. */
+  val q173: QueryFn = (s, d) => {
+    val wavs = Multimodal.synthesizePatternWavs(
+      tbl(s, d, "documents").select(col("doc_id")), "doc_id")
+    val fps = Multimodal.audioFingerprints(wavs, "doc_id", "content")
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(fps, "id", "afp",
+      maxHamming = 2)
+    val perPk = fps.groupBy(pmod(col("id"), lit(25)).as("pk"))
+      .agg(count(lit(1)).as("n_clips"),
+        countDistinct(col("afp")).as("n_fps"),
+        min(col("id")).as("keeper"))
+    val pairAgg = pairs.groupBy(pmod(col("id_a"), lit(25)).as("pk"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("hamming")).as("max_hamming"))
+    val exactDups = wavs
+      .groupBy(md5(col("content")).as("m")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c"))).as("exact_md5_dups"))
+    perPk.join(pairAgg, Seq("pk"), "left")
+      .crossJoin(broadcast(exactDups))
+      .select(col("pk").cast("long").as("pk"), col("n_clips"),
+        (col("n_fps") === 1).as("fp_consistent"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("max_hamming"), lit(0)).cast("long").as("max_hamming"),
+        col("keeper"),
+        coalesce(col("exact_md5_dups"), lit(0L)).as("exact_md5_dups"))
+  }
+
+  val q173Sql: String =
+    """SELECT CAST(doc_id % 25 AS BIGINT) AS pk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_clips,
+      |  TRUE AS fp_consistent,
+      |  CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs,
+      |  CAST(0 AS BIGINT) AS max_hamming,
+      |  MIN(doc_id) AS keeper,
+      |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+      |     SELECT COUNT(*) AS c FROM documents GROUP BY doc_id % 125) WHERE c > 1)
+      |    AS exact_md5_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -5697,7 +5744,8 @@ object Queries {
     ("q169_global_rolling_moments", q169, Some(q169Sql)),
     ("q170_audio_features", q170, Some(q170Sql)),
     ("q171_paragraph_dedup", q171, Some(q171Sql)),
-    ("q172_stream_audio", q172, Some(q172Sql))
+    ("q172_stream_audio", q172, Some(q172Sql)),
+    ("q173_audio_near_dup", q173, Some(q173Sql))
   )
 }
 

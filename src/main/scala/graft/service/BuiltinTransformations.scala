@@ -65,6 +65,7 @@ object BuiltinTransformations {
     "unigram_tokenize" -> unigramTokenize,
     "image_near_dup" -> imageNearDup,
     "audio_features" -> audioFeatures,
+    "audio_near_dup" -> audioNearDup,
     "lm_nll" -> lmNll,
     "sq8_encode" -> sq8Encode,
     "training_shard_assign" -> trainingShardAssign,
@@ -775,6 +776,30 @@ object BuiltinTransformations {
           .as("rms"))
     df.join(feats, Seq(idCol), "left")
       .withColumn("audio_decoded", col("sample_rate").isNotNull)
+  }
+
+  /** `audio_near_dup(id_col, content_col, max_hamming=2, action=drop|pairs)`
+    * — scale-invariant audio fingerprint near-dup: bomb-guarded PCM16
+    * decode → 64-bit energy-delta fingerprint
+    * ([[Multimodal.audioFingerprints]]) → pigeonhole hamming-segment
+    * candidate join + exact popcount verify
+    * ([[Dedup.hammingNearDupPairs]]). `drop` keeps one exemplar (min id)
+    * per duplicate relation; undecodable payloads never pair. */
+  private def audioNearDup: CustomFn = (df, kw) => {
+    val name = "audio_near_dup"
+    val idCol = reqStr(name, kw, "id_col")
+    val contentCol = reqStr(name, kw, "content_col")
+    val maxHamming = intKw(name, kw, "max_hamming", 2)
+    val hashed = Multimodal.audioFingerprints(df, idCol, contentCol)
+    strKw(name, kw, "action", "drop") match {
+      case "pairs" => Dedup.hammingNearDupPairs(hashed, "id", "afp", maxHamming)
+      case "drop" =>
+        val drops = Dedup.hammingNearDupPairs(hashed, "id", "afp", maxHamming)
+          .select(col("id_b").as(idCol)).distinct()
+        df.join(drops, Seq(idCol), "left_anti")
+      case other => throw new IllegalArgumentException(
+        s"$name: action must be 'drop' or 'pairs', got '$other'")
+    }
   }
 
   /** `sq8_encode(vec_col, out_col=sq_codes)` — train per-dimension SQ8

@@ -639,6 +639,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats(5L).zero_crossings > 0 && feats(5L).peak > 0)
   }
 
+  test("multimodal: audio fingerprints — scale invariance, codeword margin, clusters") {
+    import graft.operators.Dedup
+    // 25 patterns × 3 amplitude jitters: bytes differ within a pattern,
+    // fingerprints must not
+    val ids = (0L until 75L).toDF("doc_id")
+    val wavs = Multimodal.synthesizePatternWavs(ids, "doc_id")
+    val fps = Multimodal.audioFingerprints(wavs, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fps.size == 75)
+    val byPk = fps.groupBy { case (id, _) => id % 25 }.map { case (pk, m) => pk -> m.values.toSet }
+    assert(byPk.values.forall(_.size == 1), "same pattern must share ONE fingerprint")
+    // bytes really differ across jitters (exact dedup would miss these)
+    val md5s = wavs.select(md5(col("content"))).distinct().count()
+    assert(md5s == 75, "every jittered clip has distinct bytes")
+    // cross-pattern margin: every distinct-pattern pair beyond the gate
+    val reps = byPk.view.mapValues(_.head).toMap
+    val cross = for {
+      (a, fa) <- reps.toSeq; (b, fb) <- reps.toSeq if a < b
+    } yield java.lang.Long.bitCount(fa ^ fb)
+    assert(cross.min > 2, s"cross-pattern hamming floor ${cross.min} must exceed the gate (2)")
+    // near-dup pairs group exactly the patterns; keep-min drop survives one per pattern
+    val hashed = Multimodal.audioFingerprints(wavs, "doc_id", "content")
+    val pairs = Dedup.hammingNearDupPairs(hashed, "id", "afp", maxHamming = 2)
+    assert(pairs.count() == 25L * 3 * 2 / 2, "C(3,2) pairs per pattern")
+    // short (< 65 frames) and junk payloads never fingerprint
+    assert(Multimodal.audioFingerprint64(Array.fill(10)(5)).isEmpty)
+    val junk = Seq((1L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "content")
+    assert(Multimodal.audioFingerprints(junk, "doc_id", "content").count() == 0)
+  }
+
   test("multimodal: audio decode rejects non-16-bit, bombs, and endian round-trips") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 8-bit PCM: rejected by the admission check (features assume 16-bit)

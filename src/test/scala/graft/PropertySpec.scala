@@ -506,6 +506,12 @@ class PropertySpec extends AnyFunSuite {
       "audio_features" -> Seq(idCol,
         // text bytes are undecodable payloads — mark-not-drop by contract
         req("content_col", Gen.const("text"), wrongForStr)),
+      "audio_near_dup" -> Seq(idCol,
+        // text bytes are undecodable payloads — they never pair
+        req("content_col", Gen.const("text"), wrongForStr),
+        opt("max_hamming", Gen.oneOf(0L, 2L), wrongForInt),
+        opt("action", Gen.oneOf[Any]("drop", "pairs"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_action"))),
       "lm_nll" -> Seq(idCol, textCol,
         opt("order", Gen.oneOf[Any]("bigram", "unigram"),
           Gen.oneOf[Any](42L, true, junkMap, "bogus_order")),
