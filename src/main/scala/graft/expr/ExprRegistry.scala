@@ -150,17 +150,23 @@ object ExprRegistry {
     * bit-identical [[FrameStats]] folds), the rolling_*_by RANGE family
     * (value-range tail exchange), and cumulative_eval std/var (Chan-merge
     * states) — routes through [[OrderedAtScale]]'s range-bucketed
-    * decompositions. No registry fn reaches the empty-partition arm below
-    * anymore (OrderedAtScaleSpec's plan pin enforces it); it remains only
-    * as the generic fallthrough for hypothetical future fns. */
-  private def orderedWindow(kw: Map[String, Any], fn: String): WindowSpec = {
+    * decompositions. Round 17: the empty-partition arm is FORECLOSED
+    * structurally — a future registry fn that forgets its global
+    * decomposition fails loudly at plan time instead of silently
+    * compiling to a single-partition window (the cliff round 16 closed).
+    * Every current fn guards with `partition_by.nonEmpty` before calling
+    * here; OrderedAtScaleSpec asserts this error message. */
+  private[graft] def orderedWindow(kw: Map[String, Any], fn: String): WindowSpec = {
     val ord = strSeq(kw, "order_by")
     require(ord.nonEmpty, s"'$fn' requires an 'order_by' kwarg: Spark rows have no implicit order")
     val ordCols =
       if (kw.get("desc").exists(_.toString.toBoolean)) ord.map(col(_).desc) else ord.map(col)
     val parts = strSeq(kw, "partition_by")
-    if (parts.nonEmpty) Window.partitionBy(parts.map(col): _*).orderBy(ordCols: _*)
-    else Window.partitionBy().orderBy(ordCols: _*)
+    require(parts.nonEmpty,
+      s"'$fn': orderedWindow reached with an empty partition_by — a global ordered form " +
+        "MUST route through OrderedAtScale (range-bucketed decomposition), never a " +
+        "single-partition window. This is a registry bug: add the fn's global arm.")
+    Window.partitionBy(parts.map(col): _*).orderBy(ordCols: _*)
   }
 
   private def runningFrame(kw: Map[String, Any], fn: String): WindowSpec =
@@ -392,13 +398,15 @@ object ExprRegistry {
     (w, closed)
   }
 
-  private def rollingByFrame(kw: Map[String, Any], fn: String): WindowSpec = {
+  private[graft] def rollingByFrame(kw: Map[String, Any], fn: String): WindowSpec = {
     val by = str(kw, "by")
     val (w, closed) = rollingByParams(kw, fn)
     val parts = strSeq(kw, "partition_by")
-    val base =
-      if (parts.nonEmpty) Window.partitionBy(parts.map(col): _*).orderBy(col(by))
-      else Window.partitionBy().orderBy(col(by))
+    require(parts.nonEmpty,
+      s"'$fn': rollingByFrame reached with an empty partition_by — the global form MUST " +
+        "route through OrderedAtScale.globalRollingBy (value-range tail exchange), never " +
+        "a single-partition window. This is a registry bug: add the fn's global arm.")
+    val base = Window.partitionBy(parts.map(col): _*).orderBy(col(by))
     closed match {
       case "right" => base.rangeBetween(-(w - 1), 0) // (t-w, t]
       case "both" => base.rangeBetween(-w, 0) // [t-w, t]

@@ -50,6 +50,21 @@ object OrderedAtScale {
   private val PriorBucketCol = "__go_pb"
   private val PriorTotCol = "__go_pt"
   private val PrefixCol = "__go_prefix"
+
+  /** Internal tie-break for the positional/row-frame decompositions
+    * (round-17 advisory fix): `xxhash64(orderKeys ++ valueExprs)` — a
+    * ROW-INTRINSIC total-order extension, deterministic across shuffle
+    * re-reads (unlike partition iteration order), used consistently by
+    * the within-bucket windows AND the exported head/tail struct sorts,
+    * so a NON-unique `order_by` no longer yields boundary rows whose
+    * recomposed frame differs from the windowed form. Rows tied on both
+    * keys and values commute bit-identically through every fold, so the
+    * residual 2^-64 hash-collision case is value-neutral. Ties never
+    * span buckets (range partitioning is a function of the key alone),
+    * so per-bucket tie order composes into a global total order. */
+  private val TieCol = "__go_tb"
+  private def tieExpr(orderBy: Seq[String], values: Seq[Column]): Column =
+    xxhash64((orderBy.map(col) ++ values): _*)
   private val TotalCol = "__go_total"
   private val WithinCol = "__go_within"
 
@@ -175,8 +190,9 @@ object OrderedAtScale {
     * never a whole-bucket collect), the ≤ B·n tail rows recombine through
     * the same broadcast prior-bucket join as [[applyGlobal]], and the
     * boundary read is one `element_at` on the ≤ n-element prefix array.
-    * Like every positional fn, determinism requires a TOTAL order (include
-    * a unique tie-break). `post` wraps the shifted value row-wise (diff:
+    * A non-unique `order_by` is safe: the internal [[TieCol]] hash
+    * extends it to a consistent total order shared by the windows and
+    * the tail sorts. `post` wraps the shifted value row-wise (diff:
     * `x - shifted`). */
   def globalShift(
       df: DataFrame,
@@ -187,7 +203,7 @@ object OrderedAtScale {
       outName: String,
       post: Column => Column = identity): DataFrame = {
     require(n >= 1, s"globalShift offset must be >= 1, got $n (0/negative handled by caller)")
-    val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol,
+    val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol, TieCol,
       "__go_lg", "__go_rn", "__go_rne")
     shadows.find(df.columns.contains).foreach(c0 =>
       throw new IllegalArgumentException(
@@ -200,16 +216,21 @@ object OrderedAtScale {
     val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
       df.repartitionByRange(b, ordCols: _*)
         .withColumn(BucketCol, spark_partition_id()))
-    val w = Window.partitionBy(col(BucketCol)).orderBy(ordCols: _*)
-    val wRev = Window.partitionBy(col(BucketCol)).orderBy(revCols: _*)
+      .withColumn(TieCol, tieExpr(orderBy, Seq(x)))
+    val ordTie = ordCols :+ (if (desc) col(TieCol).desc else col(TieCol).asc)
+    val revTie = revCols :+ (if (desc) col(TieCol).asc else col(TieCol).desc)
+    val w = Window.partitionBy(col(BucketCol)).orderBy(ordTie: _*)
+    val wRev = Window.partitionBy(col(BucketCol)).orderBy(revTie: _*)
     val staged = bucketed
       .withColumn("__go_lg", lag(x, n).over(w))
       .withColumn("__go_rn", row_number().over(w))
       .withColumn("__go_rne", row_number().over(wRev))
-    // per-bucket tail: the last n (orderKey..., x) rows, as structs whose
-    // field order makes the natural struct sort the order-key sort
+    // per-bucket tail: the last n (orderKey..., tb, x) rows, as structs
+    // whose field order makes the natural struct sort the window order
+    // (tb before x, so key ties resolve identically in both)
     val tailStruct = struct(
-      (orderBy.zipWithIndex.map { case (o, i) => col(o).as(s"o$i") } :+ x.as("x")): _*)
+      (orderBy.zipWithIndex.map { case (o, i) => col(o).as(s"o$i") } ++
+        Seq(col(TieCol).as("tb"), x.as("x"))): _*)
     val tails = staged.filter(col("__go_rne") <= n)
       .groupBy(col(BucketCol)).agg(collect_list(tailStruct).as(TotCol))
     // keep only the last n of the flattened prior tails (asc = !desc puts
@@ -234,7 +255,7 @@ object OrderedAtScale {
     staged
       .join(broadcast(prefixTails), Seq(BucketCol), "left")
       .withColumn(outName, post(shifted))
-      .drop(BucketCol, "__go_lg", "__go_rn", "__go_rne", PrefixCol)
+      .drop(BucketCol, TieCol, "__go_lg", "__go_rn", "__go_rne", PrefixCol)
   }
 
   /** Global ROLLING window over the last `k` rows (no `partition_by`) —
@@ -273,7 +294,7 @@ object OrderedAtScale {
       merge: (Column, Column) => Column
   ): DataFrame = {
     require(k >= 2, s"globalRolling window_size must be >= 2, got $k (1 is the row itself)")
-    val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol,
+    val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol, TieCol,
       "__go_roll", "__go_run", "__go_rn", "__go_rne")
     shadows.find(df.columns.contains).foreach(c0 =>
       throw new IllegalArgumentException(
@@ -285,15 +306,19 @@ object OrderedAtScale {
     val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
       df.repartitionByRange(b, ordCols: _*)
         .withColumn(BucketCol, spark_partition_id()))
-    val w = Window.partitionBy(col(BucketCol)).orderBy(ordCols: _*)
-    val wRev = Window.partitionBy(col(BucketCol)).orderBy(revCols: _*)
+      .withColumn(TieCol, tieExpr(orderBy, Seq(x)))
+    val ordTie = ordCols :+ (if (desc) col(TieCol).desc else col(TieCol).asc)
+    val revTie = revCols :+ (if (desc) col(TieCol).asc else col(TieCol).desc)
+    val w = Window.partitionBy(col(BucketCol)).orderBy(ordTie: _*)
+    val wRev = Window.partitionBy(col(BucketCol)).orderBy(revTie: _*)
     val staged = bucketed
       .withColumn("__go_roll", rollingAgg(w))
       .withColumn("__go_run", runningAgg(w))
       .withColumn("__go_rn", row_number().over(w))
       .withColumn("__go_rne", row_number().over(wRev))
     val tailStruct = struct(
-      (orderBy.zipWithIndex.map { case (o, i) => col(o).as(s"o$i") } :+ x.as("x")): _*)
+      (orderBy.zipWithIndex.map { case (o, i) => col(o).as(s"o$i") } ++
+        Seq(col(TieCol).as("tb"), x.as("x"))): _*)
     val tails = staged.filter(col("__go_rne") <= n)
       .groupBy(col(BucketCol)).agg(collect_list(tailStruct).as(TotCol))
     def lastN(a: Column): Column = {
@@ -320,7 +345,7 @@ object OrderedAtScale {
     staged
       .join(broadcast(prefixTails), Seq(BucketCol), "left")
       .withColumn(outName, when(rn >= k.toLong, col("__go_roll")).otherwise(boundary))
-      .drop(BucketCol, "__go_roll", "__go_run", "__go_rn", "__go_rne", PrefixCol)
+      .drop(BucketCol, TieCol, "__go_roll", "__go_run", "__go_rn", "__go_rne", PrefixCol)
   }
 
   /** Global ROLLING window over the last `k` rows for a NON-decomposable
@@ -339,9 +364,11 @@ object OrderedAtScale {
     * (interior rows never carry an array), and the two branches reunite
     * with `unionByName` off one frozen range exchange.
     *
-    * Tie contract (same as every positional fn): include a unique
-    * tie-break in `orderBy` — the head/tail struct sort and the window's
-    * tie order must agree for the recomposed frame to be THE frame. */
+    * A non-unique `orderBy` is safe (round-17 advisory fix): the
+    * internal [[TieCol]] hash extends it to a consistent total order
+    * used by BOTH the within-bucket windows and the head/tail struct
+    * sorts, so the recomposed frame is THE windowed frame by
+    * construction. */
   def globalRollingFrame(
       df: DataFrame,
       outName: String,
@@ -370,7 +397,7 @@ object OrderedAtScale {
     require(k >= 2, s"globalRollingFrame window_size must be >= 2, got $k (1 is the row itself)")
     val HeadCol = "__go_head"
     val rollCols = parts.indices.map(i => s"__go_roll_$i")
-    val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol,
+    val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol, TieCol,
       HeadCol, "__go_rn", "__go_rne") ++ rollCols
     shadows.find(df.columns.contains).foreach(c0 =>
       throw new IllegalArgumentException(
@@ -382,8 +409,11 @@ object OrderedAtScale {
     val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
       df.repartitionByRange(b, ordCols: _*)
         .withColumn(BucketCol, spark_partition_id()))
-    val w = Window.partitionBy(col(BucketCol)).orderBy(ordCols: _*)
-    val wRev = Window.partitionBy(col(BucketCol)).orderBy(revCols: _*)
+      .withColumn(TieCol, tieExpr(orderBy, parts.map(_._2)))
+    val ordTie = ordCols :+ (if (desc) col(TieCol).desc else col(TieCol).asc)
+    val revTie = revCols :+ (if (desc) col(TieCol).asc else col(TieCol).desc)
+    val w = Window.partitionBy(col(BucketCol)).orderBy(ordTie: _*)
+    val wRev = Window.partitionBy(col(BucketCol)).orderBy(revTie: _*)
     // the windows evaluate over the FULL bucket before the branch filters
     val staged = parts.zipWithIndex
       .foldLeft(bucketed) { case (acc, ((_, _, rollingAgg, _), i)) =>
@@ -393,6 +423,7 @@ object OrderedAtScale {
       .withColumn("__go_rne", row_number().over(wRev))
     val tailStruct = struct(
       (orderBy.zipWithIndex.map { case (o, i) => col(o).as(s"o$i") } ++
+        Seq(col(TieCol).as("tb")) ++
         parts.zipWithIndex.map { case ((_, x, _, _), i) => x.as(s"x$i") }): _*)
     val tails = staged.filter(col("__go_rne") <= n)
       .groupBy(col(BucketCol)).agg(collect_list(tailStruct).as(TotCol))
@@ -409,9 +440,9 @@ object OrderedAtScale {
       .agg(lastN(flatten(collect_list(col(PriorTotCol)))).as(PrefixCol))
       .select(col(BucketCol), col(PrefixCol))
     // head export: the bucket's first k−1 rows in frame order (the struct
-    // sort agrees with the window order given a unique tie-break; value
-    // fields come AFTER the order keys, so ties in the keys sort by
-    // values identically in heads and tails)
+    // sort agrees with the window order BY CONSTRUCTION — the tb field
+    // sits between the order keys and the values, so key ties resolve
+    // identically in the windows, heads, and tails)
     val heads = staged.filter(col("__go_rn") <= n)
       .groupBy(col(BucketCol))
       .agg(sort_array(collect_list(tailStruct), asc = !desc).as(HeadCol))
@@ -435,7 +466,7 @@ object OrderedAtScale {
           .otherwise(concat(transform(tailSlice, _.getField(s"x$i")), ownXs))
         acc.withColumn(outName, frameAgg(frameVals))
     }
-    val dropCols = Seq(BucketCol, "__go_rn", "__go_rne", PrefixCol, HeadCol) ++ rollCols
+    val dropCols = Seq(BucketCol, TieCol, "__go_rn", "__go_rne", PrefixCol, HeadCol) ++ rollCols
     interior.drop(dropCols: _*).unionByName(boundary.drop(dropCols: _*))
   }
 

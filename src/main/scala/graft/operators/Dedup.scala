@@ -879,9 +879,10 @@ object Dedup {
     * rule; per-doc totals; per-doc reassembly) and a fingerprint-keyed
     * equi-join that only carries fingerprints with df > maxDf. No
     * windows, no self-joins; per-doc reassembly state is bounded by the
-    * document itself. Segment positions are bounded loudly (raise_error)
-    * at 2^20 per document so the combined (doc, idx) keeper key stays
-    * collision-free in a long. */
+    * document itself. The canonical keeper is `min(struct(id, idx))` —
+    * the same type-safe struct ordering [[removeDuplicateSpans]] uses —
+    * so any orderable id type (long, string, UUID) works, with no
+    * segment-count cap and no numeric-overflow hazard. */
   def paragraphDedup(
       df: DataFrame,
       idCol: String,
@@ -894,16 +895,11 @@ object Dedup {
     require(maxDf >= 1, s"paragraphDedup maxDf must be >= 1, got $maxDf")
     require(!df.columns.contains(outCol),
       s"paragraphDedup writes column '$outCol'; input already has one — rename it first")
-    val MaxSegs = 1L << 20
     val segs = df
       .select(col(idCol), posexplode(split(col(textCol), splitRegex)).as(Seq("idx", "seg")))
       .withColumn("norm", trim(col("seg")))
       .filter(length(col("norm")) > 0)
-      .withColumn("okey",
-        when(col("idx") >= MaxSegs, raise_error(lit(
-          s"paragraphDedup: a document has >= $MaxSegs segments — " +
-            "the keeper key would collide; split the document upstream")))
-          .otherwise(col(idCol).cast("long") * MaxSegs + col("idx")))
+      .withColumn("okey", struct(col(idCol).as("d"), col("idx").as("i")))
       .withColumn("fp", md5(col("norm")))
     // df + canonical keeper in one aggregation; only EXCESS fingerprints
     // (df > maxDf) flow into the join

@@ -5442,8 +5442,9 @@ object Queries {
     * a ~1e6-point chunk space gives real cross-doc collisions at every
     * SF), chunks repeated corpus-wide are excised everywhere but their
     * minimum-(doc, position) occurrence, and documents reassemble in
-    * order. The oracle replays segmentation, df counting, the combined
-    * 2^20 keeper key, and reassembly; clean text compares as md5. */
+    * order. The oracle replays segmentation, df counting, the
+    * min-(doc, idx) struct keeper, and reassembly; clean text compares
+    * as md5. */
   val q171: QueryFn = (s, d) => {
     val words = split(trim(col("text")), "\\s+")
     val nchunks = ceil(size(words).cast("double") / 3).cast("int")
@@ -5465,10 +5466,10 @@ object Queries {
       |  FROM (SELECT doc_id, ws,
       |    unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS i FROM w)),
       |ne AS (SELECT doc_id, idx, norm FROM segs WHERE length(trim(norm)) > 0),
-      |excess AS (SELECT norm, MIN(doc_id * 1048576 + idx) AS keep
+      |excess AS (SELECT norm, MIN(ROW(doc_id, idx)) AS keep
       |  FROM ne GROUP BY norm HAVING COUNT(*) > 1),
       |kept AS (SELECT ne.* FROM ne LEFT JOIN excess USING (norm)
-      |  WHERE excess.norm IS NULL OR ne.doc_id * 1048576 + ne.idx = excess.keep),
+      |  WHERE excess.norm IS NULL OR ROW(ne.doc_id, ne.idx) = excess.keep),
       |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
       |    string_agg(trim(norm), chr(10) ORDER BY idx) AS txt
       |  FROM kept GROUP BY doc_id),

@@ -603,6 +603,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("clean_text"))
   }
 
+  test("paragraphDedup: non-numeric (string/UUID) ids dedup correctly — struct keeper is type-safe") {
+    // The r16 advisory's failure mode: a string id cast to long is NULL,
+    // which under the old arithmetic keeper silently kept EVERY
+    // occurrence. The struct keeper must excise with any orderable id.
+    val df = Seq(
+      ("doc-b", "BOILER\nunique b"),
+      ("doc-a", "keep a\nBOILER"),
+      ("4f9d2c", "BOILER\ntail")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getString(3))).toMap
+    // canonical keeper = lexicographic min (doc_id, idx) = ("4f9d2c", 0)
+    assert(out("4f9d2c") == (0L, "BOILER\ntail"))
+    assert(out("doc-a") == (1L, "keep a"))
+    assert(out("doc-b") == (1L, "unique b"))
+    // and a many-segment doc works with no segment-count cap in the path
+    val big = Seq(("x", (0 until 5000).map(i => s"seg$i").mkString("\n") + "\nBOILER"),
+      ("a", "BOILER\nfine")).toDF("doc_id", "text")
+    val ob = Dedup.paragraphDedup(big, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ob("x") == 1L && ob("a") == 0L)
+  }
+
   /** In-test replay of [[Multimodal.synthesizeWavs]]'s fixture math —
     * the same integer sawtooth the SQL oracle replays. */
   private def audioRef(id: Long): Multimodal.AudioFeatures = {

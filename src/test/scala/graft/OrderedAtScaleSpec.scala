@@ -311,6 +311,59 @@ class OrderedAtScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("TIE SAFETY: non-unique order_by — boundary recomposition matches the windowed form " +
+    "under the internal row-intrinsic tie-break (round-17 advisory)") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties on t (~17 rows per value), v injective (37·id mod 1009 is
+    // 1-1 below 400) so per-row outputs are uid-attributable; rows tied on
+    // BOTH key and value would make any engine's assignment value-neutral
+    val df = spark.range(400)
+      .select((col("id") % 23).as("t"), col("id").as("uid"),
+        ((col("id") * 37) % 1009).as("v"))
+      .repartition(7)
+    val g = derive(
+      "rs" -> DeriveSpec("rolling_sum",
+        Map("col" -> "v", "order_by" -> Seq("t"), "window_size" -> 5)),
+      "sd" -> DeriveSpec("rolling_std",
+        Map("col" -> "v", "order_by" -> Seq("t"), "window_size" -> 5)),
+      "sh" -> DeriveSpec("shift", Map("col" -> "v", "order_by" -> Seq("t"))))(df)
+    // reference: ONE window over the total order (t, tb) where tb
+    // replicates the internal tie-break hash exactly
+    val tb = xxhash64(col("t"), col("v"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("t").asc, tb.asc)
+    val ref = df
+      .withColumn("rs_r", sum("v").over(w.rowsBetween(-4, 0)))
+      .withColumn("sd_r", stddev_samp("v").over(w.rowsBetween(-4, 0)))
+      .withColumn("sh_r", lag("v", 1).over(w))
+    val j = g.join(ref.select("uid", "rs_r", "sd_r", "sh_r"), Seq("uid"))
+    assert(j.filter(!(col("rs") <=> col("rs_r"))).count() == 0, "rolling_sum tie mismatch")
+    assert(j.filter(!(col("sd") <=> col("sd_r"))).count() == 0, "rolling_std tie mismatch")
+    assert(j.filter(!(col("sh") <=> col("sh_r"))).count() == 0, "shift tie mismatch")
+    // desc flips both the key order and the tie-break direction
+    val gd = derive("shd" -> DeriveSpec("shift",
+      Map("col" -> "v", "order_by" -> Seq("t"), "desc" -> true)))(df)
+    val wd = Window.partitionBy(lit(1)).orderBy(col("t").desc, tb.desc)
+    val refd = df.withColumn("shd_r", lag("v", 1).over(wd))
+    val jd = gd.join(refd.select("uid", "shd_r"), Seq("uid"))
+    assert(jd.filter(!(col("shd") <=> col("shd_r"))).count() == 0, "desc shift tie mismatch")
+  }
+
+  test("FORECLOSURE: orderedWindow/rollingByFrame with empty partition_by are structural errors") {
+    // Round 17: the single-partition arms are gone — a FUTURE registry fn
+    // that routes here without a global decomposition fails loudly at
+    // plan time instead of resurrecting the scale cliff round 16 closed.
+    val e1 = intercept[IllegalArgumentException] {
+      graft.expr.ExprRegistry.orderedWindow(
+        Map("order_by" -> Seq("t")), "hypothetical_fn")
+    }
+    assert(e1.getMessage.contains("OrderedAtScale") && e1.getMessage.contains("registry bug"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.expr.ExprRegistry.rollingByFrame(
+        Map("by" -> "t", "window_size" -> 5), "hypothetical_by_fn")
+    }
+    assert(e2.getMessage.contains("globalRollingBy") && e2.getMessage.contains("registry bug"))
+  }
+
   test("buckets honor spark.graft.orderedBuckets; shadow-column collision is loud") {
     spark.conf.set("spark.graft.orderedBuckets", "2")
     try {
