@@ -35,12 +35,99 @@ import graft.sparkext.BpeApply
   * symbols (emoji) would split into surrogate halves — acceptable for
   * the byte/char-level variants this models, noted for parity with the
   * oracle's code-point `substr`.
+  *
+  * Round 17 adds the BYTE-LEVEL mode (the production GPT-2 / tiktoken
+  * shape): [[Gpt2Pattern]] regex pre-tokenization with leading-space
+  * attachment, a 256-symbol byte base alphabet via GPT-2's
+  * `bytes_to_unicode` so nothing is ever out-of-vocabulary, and the
+  * SAME trainers/appliers over those symbols (`byteLevel = true`) —
+  * surrogate halves cannot occur (bytes, not UTF-16 units), closing
+  * the char-mode caveat above for byte-mode users.
   */
 object Bpe {
 
   /** Character symbols of a token (empty strings dropped). */
   def charSymbols(tok: Column): Column =
     filter(split(tok, ""), s => length(s) > 0)
+
+  // ---- byte-level (GPT-2 / tiktoken shape) ------------------------------
+
+  /** GPT-2's pre-tokenization regex (Radford et al. 2019; the published
+    * openai/gpt-2 `encoder.py` pattern, tiktoken's r50k/p50k base):
+    * contractions, space-prefixed letter runs, space-prefixed digit
+    * runs, space-prefixed punctuation runs, then whitespace — the
+    * leading-space attachment is what makes " the" one token. Java
+    * regex: `\p{L}`/`\p{N}` are Unicode classes by default and the
+    * `(?!\S)` lookahead is supported as written. */
+  val Gpt2Pattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** GPT-2's `bytes_to_unicode`: the 188 printable single-byte chars
+    * (33–126, 161–172, 174–255) map to themselves; the other 68 bytes
+    * map to U+0100.. in increasing byte order. Every byte becomes a
+    * VISIBLE unicode char, so the BPE symbol machinery ([[BpeApply]],
+    * the merge-table relations, the DuckDB oracle) runs unchanged on
+    * byte-level symbols — and no input can ever be out-of-alphabet
+    * (byte fallback is inherent: the 256-symbol base covers anything
+    * UTF-8 can encode). */
+  private[graft] val byteToUnicode: Array[String] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (printable(b)) b.toChar.toString
+      else { val s = (256 + n).toChar.toString; n += 1; s }
+    }.toArray
+  }
+
+  /** Inverse of [[byteToUnicode]] — decode a byte-level symbol string
+    * back to raw bytes (the GPT-2 decoder side; pinned lossless by the
+    * round-trip spec). */
+  private[graft] lazy val unicodeToByte: Map[Char, Byte] =
+    byteToUnicode.zipWithIndex.map { case (s, b) => (s.charAt(0), b.toByte) }.toMap
+
+  /** Uppercase hex pair -> byte symbol, the plan-side lookup table (one
+    * 256-entry map literal, not 256 AST nodes per byte). */
+  private lazy val hexToSymbol: Map[String, String] =
+    byteToUnicode.zipWithIndex.map { case (s, b) => (f"$b%02X", s) }.toMap
+
+  /** Pre-tokens of a document under [[Gpt2Pattern]] (codegen'd
+    * `regexp_extract_all` — the pattern tiles the string, so the match
+    * list IS the lossless partition of the text). */
+  def bytePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2Pattern), lit(0))
+
+  /** Byte-level symbols of ONE pre-token: UTF-8 bytes through
+    * [[byteToUnicode]]. `hex(encode(tok))` is split into 2-char chunks
+    * with the `\G` anchor (one encode per row, not per byte) and each
+    * chunk looks up its symbol in the map literal — all codegen'd
+    * builtins, no UDF. */
+  def byteSymbols(tok: Column): Column =
+    transform(
+      filter(split(hex(encode(tok, "UTF-8")), "(?<=\\G..)"), h => length(h) > 0),
+      h => element_at(typedLit(hexToSymbol), h))
+
+  /** JVM-side twin of [[byteSymbols]] — the driver-side split
+    * [[trainLocal]] uses in byte mode (must agree exactly with the
+    * plan-side form; pinned by BpeSpec). */
+  private[graft] def byteSymbolsLocal(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(b => byteToUnicode(b & 0xFF))
+
+  /** Decode a segmented byte-level token sequence back to text —
+    * concatenate symbols, map chars back to bytes, UTF-8 decode. Total
+    * on any trained table's output (merged symbols are concatenations
+    * of base symbols). */
+  private[graft] def decodeBytesLocal(syms: Seq[String]): String = {
+    val bytes = syms.flatMap(_.iterator.map(unicodeToByte)).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Pre-token frequency vocab for byte-level training — the byte-mode
+    * twin of [[wordVocab]] (same ONE corpus-sized pass; the vocab keys
+    * keep their leading spaces, exactly the GPT-2 vocab shape). */
+  def bytePretokenVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(bytePretokens(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("wcount"))
 
   /** Word-frequency vocab of a corpus: one row per distinct whitespace
     * token with its occurrence count — the ONE corpus-sized pass of BPE
@@ -54,8 +141,10 @@ object Bpe {
   /** Adjacent-pair counts of the vocab under the current merge table:
     * one aggregation, vocab-bounded. */
   private[operators] def pairCounts(
-      vocab: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val syms = BpeApply(charSymbols(col("word")), merges)
+      vocab: DataFrame, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): DataFrame = {
+    val base = if (byteLevel) byteSymbols(col("word")) else charSymbols(col("word"))
+    val syms = BpeApply(base, merges)
     vocab
       .select(col("wcount"), syms.as("s"))
       .select(col("wcount"), explode(arrays_zip(
@@ -74,14 +163,15 @@ object Bpe {
     * merges-so-far (stateless replay: no mutable distributed state, at
     * the cost of one [[graft.sparkext.BpeApply]] pass per iteration —
     * the table is rank-prefix-consistent, so replay is exact). */
-  def train(vocab: DataFrame, numMerges: Int): Seq[(String, String, Long)] = {
+  def train(vocab: DataFrame, numMerges: Int,
+      byteLevel: Boolean = false): Seq[(String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var merges = Vector.empty[(String, String, Long)]
     var t = 0
     var done = false
     while (t < numMerges && !done) {
       // DRIVER-BOUNDED collect: limit(1) — exactly the argmax pair
-      val top = pairCounts(vocab, merges.map(m => (m._1, m._2)))
+      val top = pairCounts(vocab, merges.map(m => (m._1, m._2)), byteLevel)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1)
         .collect()
@@ -93,11 +183,14 @@ object Bpe {
   }
 
   /** One-call convenience: vocab build (persisted for the iteration
-    * loop, released on exit) + [[train]]. */
-  def trainFromCorpus(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, Long)] =
+    * loop, released on exit) + [[train]]. `byteLevel` switches both the
+    * vocab (regex pre-tokens) and the symbol base (bytes). */
+  def trainFromCorpus(df: DataFrame, textCol: String, numMerges: Int,
+      byteLevel: Boolean = false): Seq[(String, String, Long)] =
     graft.util.CacheScope.withPersisted(df.sparkSession) {
-      val vocab = wordVocab(df, textCol).persist()
-      try train(vocab, numMerges)
+      val vocab =
+        (if (byteLevel) bytePretokenVocab(df, textCol) else wordVocab(df, textCol)).persist()
+      try train(vocab, numMerges, byteLevel)
       finally vocab.unpersist(blocking = false)
     }
 
@@ -131,7 +224,8 @@ object Bpe {
       vocab: DataFrame,
       numMerges: Int,
       maxVocab: Int = 1 << 22,
-      minFrequency: Long = 1L
+      minFrequency: Long = 1L,
+      byteLevel: Boolean = false
   ): Seq[(String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minFrequency >= 1L, s"minFrequency must be >= 1, got $minFrequency")
@@ -143,7 +237,9 @@ object Bpe {
     require(rows.length <= maxVocab,
       s"trainLocal vocab exceeds maxVocab=$maxVocab distinct words — raise maxVocab " +
         "deliberately or raise minFrequency (the standard trainer cutoff)")
-    val words = rows.map(r => r.getString(0).split("").filter(_.nonEmpty))
+    val words = rows.map(r =>
+      if (byteLevel) byteSymbolsLocal(r.getString(0))
+      else r.getString(0).split("").filter(_.nonEmpty))
     val freqs = rows.map(_.getLong(1))
 
     import scala.collection.mutable
@@ -226,9 +322,12 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       maxVocab: Int = 1 << 22,
-      minFrequency: Long = 1L
+      minFrequency: Long = 1L,
+      byteLevel: Boolean = false
   ): Seq[(String, String, Long)] =
-    trainLocal(wordVocab(df, textCol), numMerges, maxVocab, minFrequency)
+    trainLocal(
+      if (byteLevel) bytePretokenVocab(df, textCol) else wordVocab(df, textCol),
+      numMerges, maxVocab, minFrequency, byteLevel)
 
   /** Tokenize text under a learned table: whitespace pre-tokenization,
     * per-word character split, merge replay — flattened to one
@@ -238,11 +337,24 @@ object Bpe {
     flatten(transform(TextAnalysis.tokens(text), t =>
       BpeApply(charSymbols(t), merges)))
 
+  /** Byte-level tokenize (the GPT-2 inference path): [[Gpt2Pattern]]
+    * pre-tokens, [[byteSymbols]] byte alphabet, merge replay. LOSSLESS —
+    * concatenating the output symbols and inverting [[byteToUnicode]]
+    * reconstructs the input text byte-for-byte (round-trip spec), so no
+    * text is ever out-of-vocabulary. Pure projection like [[segment]]. */
+  def segmentBytes(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(bytePretokens(text), t =>
+      BpeApply(byteSymbols(t), merges)))
+
   /** Subword count under a learned table — the REAL token budget the
     * `subword_count_approx` heuristic stands in for when no tokenizer
     * is available. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(segment(text, merges))
+
+  /** Byte-level subword count (tokens of [[segmentBytes]]). */
+  def tokenCountBytes(text: Column, merges: Seq[(String, String)]): Column =
+    size(segmentBytes(text, merges))
 
   /** Serialize a learned merge table to a frame-shaped relation
     * `(rank int, left string, right string, cnt long)` — writable through

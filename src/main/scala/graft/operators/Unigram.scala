@@ -164,12 +164,15 @@ object Unigram {
     * pre-tokenization, per-word Viterbi decode — one `array<string>` of
     * subword units per document. Pure projection (no shuffle; the
     * vocabulary rides the plan as one reference object). */
-  def segment(text: Column, vocab: Seq[(String, Double)]): Column =
-    flatten(transform(TextAnalysis.tokens(text), t => UnigramApply(t, vocab)))
+  def segment(text: Column, vocab: Seq[(String, Double)],
+      byteFallback: Boolean = false): Column =
+    flatten(transform(TextAnalysis.tokens(text), t =>
+      UnigramApply(t, vocab, byteFallback)))
 
   /** Subword count under a learned vocabulary. */
-  def tokenCount(text: Column, vocab: Seq[(String, Double)]): Column =
-    size(segment(text, vocab))
+  def tokenCount(text: Column, vocab: Seq[(String, Double)],
+      byteFallback: Boolean = false): Column =
+    size(segment(text, vocab, byteFallback))
 
   /** Serialize a learned vocabulary to a frame-shaped relation
     * `(rank int, piece string, score double)` — the [[Bpe.mergesToFrame]]

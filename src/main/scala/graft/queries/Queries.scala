@@ -5569,6 +5569,96 @@ object Queries {
       |    AS exact_md5_dups
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Byte-level BPE (round 17 — the production GPT-2/tiktoken tokenizer
+    * shape): regex pre-tokenization with leading-space attachment,
+    * GPT-2's `bytes_to_unicode` 256-symbol base alphabet, and merge #1
+    * selected through the REAL trainer ([[Bpe.trainLocal]] byte mode).
+    * Per doc: pre-token count (pins the regex), byte count, an md5 over
+    * the full byte-symbol expansion (pins `bytes_to_unicode` on every
+    * byte of the corpus), and the doc's occurrence count of the global
+    * merge-#1 pair; the merge itself rides as constant columns so the
+    * oracle's own argmax must agree pair-for-pair and count-for-count.
+    *
+    * Cross-engine regex note: DuckDB's RE2 lacks the `(?!\S)` lookahead
+    * in [[Bpe.Gpt2Pattern]]'s trailing-whitespace branch, so BOTH sides
+    * normalize `\s+` to one space first — on single-spaced text the
+    * lookahead branch only fires for a lone trailing space, where the
+    * plain `\s+` branch matches identically, so the two patterns tile
+    * equally (the full lookahead form is spec-pinned JVM-side). */
+  val q174: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+      .select(col("doc_id"), regexp_replace(col("text"), "\\s+", " ").as("t"))
+    val m1 = Bpe.trainLocal(Bpe.bytePretokenVocab(docs, "t"), 1, byteLevel = true).head
+    val pts = Bpe.bytePretokens(col("t"))
+    val symsAll = flatten(transform(pts, t => Bpe.byteSymbols(t)))
+    // adjacent (l,r) occurrences of the winning pair, summed per doc —
+    // pairs never cross pre-token boundaries (the pairCounts contract)
+    val hits = aggregate(
+      transform(pts, t => {
+        val sa = Bpe.byteSymbols(t)
+        size(filter(
+          zip_with(
+            slice(sa, lit(1), size(sa) - 1), slice(sa, lit(2), size(sa) - 1),
+            (a, b) => a === lit(m1._1) && b === lit(m1._2)),
+          x => x))
+      }),
+      lit(0), (acc, x) => acc + x)
+    docs.select(col("doc_id"),
+      size(pts).cast("long").as("n_pretokens"),
+      octet_length(col("t")).cast("long").as("n_bytes"),
+      md5(concat_ws("", symsAll).cast("binary")).as("sym_md5"),
+      hits.cast("long").as("m1_hits"),
+      lit(m1._1).as("m1_l"), lit(m1._2).as("m1_r"), lit(m1._3).as("m1_cnt"))
+  }
+
+  val q174Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS t FROM documents),
+      |b2u AS (
+      |  SELECT b, lpad(hex(b), 2, '0') AS hb,
+      |    CASE WHEN printable THEN chr(CAST(b AS INT))
+      |         ELSE chr(256 + CAST(ROW_NUMBER() OVER (PARTITION BY printable ORDER BY b) AS INT) - 1)
+      |    END AS u
+      |  FROM (SELECT b, (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+      |               OR (b BETWEEN 174 AND 255) AS printable
+      |        FROM range(0, 256) r(b))),
+      |toks AS (
+      |  SELECT doc_id, regexp_extract_all(t,
+      |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS ts
+      |  FROM docs),
+      |pt AS (
+      |  SELECT doc_id, hex(encode(ts[CAST(i + 1 AS INT)])) AS h
+      |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks)),
+      |pairs AS (
+      |  SELECT p.doc_id, bl.u AS l, br.u AS r
+      |  FROM (SELECT doc_id, substr(h, CAST(2*i+1 AS INT), 2) AS hl,
+      |               substr(h, CAST(2*i+3 AS INT), 2) AS hr
+      |        FROM (SELECT doc_id, h, unnest(range(0, length(h)//2 - 1)) AS i FROM pt)) p
+      |  JOIN b2u bl ON bl.hb = p.hl JOIN b2u br ON br.hb = p.hr),
+      |m1 AS (
+      |  SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY l, r
+      |  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+      |bytes AS (
+      |  SELECT doc_id, i, b2u.u
+      |  FROM (SELECT doc_id, h, unnest(range(0, length(h)//2)) AS i
+      |        FROM (SELECT doc_id, hex(encode(t)) AS h FROM docs)) hx
+      |  JOIN b2u ON b2u.hb = substr(hx.h, CAST(2*i+1 AS INT), 2)),
+      |symcat AS (
+      |  SELECT doc_id, md5(string_agg(u, '' ORDER BY i)) AS sym_md5 FROM bytes GROUP BY doc_id),
+      |hits AS (
+      |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS m1_hits
+      |  FROM pairs p, m1 WHERE p.l = m1.l AND p.r = m1.r GROUP BY p.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(tk.ts) AS BIGINT) AS n_pretokens,
+      |  CAST(octet_length(encode(d.t)) AS BIGINT) AS n_bytes,
+      |  COALESCE(sc.sym_md5, md5('')) AS sym_md5,
+      |  COALESCE(h.m1_hits, 0) AS m1_hits,
+      |  m1.l AS m1_l, m1.r AS m1_r, m1.c AS m1_cnt
+      |FROM docs d
+      |JOIN toks tk USING (doc_id)
+      |LEFT JOIN symcat sc USING (doc_id)
+      |LEFT JOIN hits h USING (doc_id), m1""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -5746,7 +5836,8 @@ object Queries {
     ("q170_audio_features", q170, Some(q170Sql)),
     ("q171_paragraph_dedup", q171, Some(q171Sql)),
     ("q172_stream_audio", q172, Some(q172Sql)),
-    ("q173_audio_near_dup", q173, Some(q173Sql))
+    ("q173_audio_near_dup", q173, Some(q173Sql)),
+    ("q174_byte_bpe", q174, Some(q174Sql))
   )
 }
 

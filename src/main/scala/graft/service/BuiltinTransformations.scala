@@ -665,16 +665,29 @@ object BuiltinTransformations {
     val outCol = strKw(name, kw, "out_col", "bpe_tokens")
     rejectShadow(name, df, outCol)
     val nMerges = intKw(name, kw, "num_merges", 200)
+    // level=byte (round 17): the production GPT-2/tiktoken shape —
+    // regex pre-tokenization, 256-byte base alphabet, inherent byte
+    // fallback (no input is ever out-of-vocabulary)
+    val byteLevel = strKw(name, kw, "level", "char") match {
+      case "char" => false
+      case "byte" => true
+      case other => throw new IllegalArgumentException(
+        s"$name: level must be 'char' or 'byte', got '$other'")
+    }
     val merges = strKw(name, kw, "trainer", "local") match {
-      case "local"       => Bpe.trainFromCorpusLocal(df, textCol, nMerges)
-      case "distributed" => Bpe.trainFromCorpus(df, textCol, nMerges)
+      case "local"       => Bpe.trainFromCorpusLocal(df, textCol, nMerges, byteLevel = byteLevel)
+      case "distributed" => Bpe.trainFromCorpus(df, textCol, nMerges, byteLevel = byteLevel)
       case other => throw new IllegalArgumentException(
         s"$name: trainer must be 'local' or 'distributed', got '$other'")
     }
     val pairs = merges.map(m => (m._1, m._2))
+    def seg(c: org.apache.spark.sql.Column) =
+      if (byteLevel) Bpe.segmentBytes(c, pairs) else Bpe.segment(c, pairs)
+    def cnt(c: org.apache.spark.sql.Column) =
+      if (byteLevel) Bpe.tokenCountBytes(c, pairs) else Bpe.tokenCount(c, pairs)
     strKw(name, kw, "mode", "count") match {
-      case "count"    => df.withColumn(outCol, Bpe.tokenCount(col(textCol), pairs))
-      case "segments" => df.withColumn(outCol, Bpe.segment(col(textCol), pairs))
+      case "count"    => df.withColumn(outCol, cnt(col(textCol)))
+      case "segments" => df.withColumn(outCol, seg(col(textCol)))
       case other => throw new IllegalArgumentException(
         s"$name: mode must be 'count' or 'segments', got '$other'")
     }
@@ -696,9 +709,12 @@ object BuiltinTransformations {
     val vocab = Unigram.trainFromCorpusLocal(df, textCol,
       vocabSize = intKw(name, kw, "vocab_size", 512),
       maxPieceLen = intKw(name, kw, "max_piece_len", 6))
+    // byte_fallback=true (round 17): OOV chars emit SentencePiece-style
+    // <0xNN> byte pieces — segmentation total AND lossless on any input
+    val bf = boolKw(name, kw, "byte_fallback", default = false)
     strKw(name, kw, "mode", "count") match {
-      case "count"    => df.withColumn(outCol, Unigram.tokenCount(col(textCol), vocab))
-      case "segments" => df.withColumn(outCol, Unigram.segment(col(textCol), vocab))
+      case "count"    => df.withColumn(outCol, Unigram.tokenCount(col(textCol), vocab, bf))
+      case "segments" => df.withColumn(outCol, Unigram.segment(col(textCol), vocab, bf))
       case other => throw new IllegalArgumentException(
         s"$name: mode must be 'count' or 'segments', got '$other'")
     }
@@ -1137,6 +1153,14 @@ object BuiltinTransformations {
       case Some(n: Long) if n.isValidInt => n.toInt
       case Some(n: Int) => n
       case Some(other) => typeFail(fn, k, "an integer", other)
+      case None => default
+    }
+
+  private def boolKw(fn: String, kw: Map[String, Any], k: String, default: Boolean): Boolean =
+    present(kw, k) match {
+      case Some(b: Boolean) => b
+      case Some(s: String) if s == "true" || s == "false" => s.toBoolean
+      case Some(other) => typeFail(fn, k, "a boolean", other)
       case None => default
     }
 

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * models). */
 final class UnigramTable(
     val pieces: Array[String],
-    val scores: Array[Double]
+    val scores: Array[Double],
+    val byteFallback: Boolean = false
 ) extends Serializable {
   require(pieces.length == scores.length, "piece/score arrays must align")
   require(pieces.nonEmpty, "empty unigram vocabulary")
@@ -80,7 +81,38 @@ final class UnigramTable(
     i = n
     var j = cnt - 1
     while (i > 0) { out(j) = s.substring(i - back(i), i); j -= 1; i -= back(i) }
-    out
+    if (!byteFallback) out else expandOov(out)
+  }
+
+  /** SentencePiece `--byte_fallback`: out-of-vocabulary characters emit
+    * their UTF-8 bytes as `<0xNN>` pieces instead of raw unknown chars —
+    * decoding stays total AND lossless. RUNS of adjacent OOV units are
+    * encoded together so supplementary-plane characters (surrogate
+    * pairs, each half OOV on its own) byte-encode correctly. */
+  private def expandOov(out: Array[String]): Array[String] = {
+    var any = false
+    var i = 0
+    while (!any && i < out.length) {
+      if (out(i).length == 1 && map.get(out(i)) == null) any = true
+      i += 1
+    }
+    if (!any) return out
+    val res = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pend = new java.lang.StringBuilder
+    def flush(): Unit = if (pend.length > 0) {
+      pend.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => res += f"<0x${b & 0xFF}%02X>")
+      pend.setLength(0)
+    }
+    i = 0
+    while (i < out.length) {
+      val p = out(i)
+      if (p.length == 1 && map.get(p) == null) pend.append(p)
+      else { flush(); res += p }
+      i += 1
+    }
+    flush()
+    res.toArray
   }
 
   def segment(word: UTF8String): ArrayData = {
@@ -106,11 +138,13 @@ object UnigramTable {
 case class UnigramApply(
     child: Expression,
     pieces: Seq[String],
-    scores: Seq[Double]
+    scores: Seq[Double],
+    byteFallback: Boolean = false
 ) extends UnaryExpression {
   require(pieces.size == scores.size, s"pieces/scores must align: ${pieces.size} vs ${scores.size}")
 
-  @transient private lazy val table = new UnigramTable(pieces.toArray, scores.toArray)
+  @transient private lazy val table =
+    new UnigramTable(pieces.toArray, scores.toArray, byteFallback)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -142,4 +176,8 @@ object UnigramApply {
   def apply(word: Column, vocab: Seq[(String, Double)]): Column =
     ColumnBridge.column(UnigramApply(
       ColumnBridge.expression(word), vocab.map(_._1), vocab.map(_._2)))
+
+  def apply(word: Column, vocab: Seq[(String, Double)], byteFallback: Boolean): Column =
+    ColumnBridge.column(UnigramApply(
+      ColumnBridge.expression(word), vocab.map(_._1), vocab.map(_._2), byteFallback))
 }

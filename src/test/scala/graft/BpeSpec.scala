@@ -128,6 +128,84 @@ class BpeSpec extends AnyFunSuite {
     assert(local.map(_._3).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("byte level: pre-tokenization tiles the text losslessly, plan-side symbols == JVM twin") {
+    val texts = Seq(
+      "Hello world!  It's 42 degrees.",
+      "tab\tand\nnewline  trailing ",
+      "café naïve über",        // 2-byte UTF-8
+      "你好世界",              // CJK, 3-byte UTF-8
+      "emoji 😀 pair",               // supplementary plane, 4-byte UTF-8
+      "", "   ", "a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // regex match list concatenates back to the exact input (lossless tiling)
+    val tiled = df.select(col("id"),
+      concat_ws("", Bpe.bytePretokens(col("text"))).as("back"), col("text"))
+    assert(tiled.filter(col("back") =!= col("text")).count() == 0)
+    // plan-side byteSymbols == the driver-side twin, byte count == octet count
+    val rows = df
+      .select(col("id"), col("text"),
+        flatten(transform(Bpe.bytePretokens(col("text")),
+          t => Bpe.byteSymbols(t))).as("syms"))
+      .collect()
+    for (r <- rows) {
+      val txt = r.getString(1)
+      val got = r.getSeq[String](2)
+      val want = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => Bpe.byteToUnicode(b & 0xFF)).toSeq
+      assert(got == want, s"byte symbols differ for '$txt'")
+    }
+    // the (?!\S) lookahead branch: a multi-space run before a word
+    // yields (run minus last space) + (space-prefixed word) — the GPT-2
+    // attachment rule the q174 oracle sidesteps by normalizing spaces
+    val multi = Seq((1L, "a   b c")).toDF("id", "text")
+      .select(Bpe.bytePretokens(col("text")).as("p")).head.getSeq[String](0)
+    assert(multi == Seq("a", "  ", " b", " c"), multi.mkString("[", "|", "]"))
+    // bytes_to_unicode is the published mapping: a bijection over 256
+    // bytes, printables to themselves, others to U+0100.. in byte order
+    assert(Bpe.byteToUnicode.distinct.length == 256)
+    assert(Bpe.byteToUnicode('A'.toInt) == "A" && Bpe.byteToUnicode(' '.toInt) == "Ġ" &&
+      Bpe.byteToUnicode('\n'.toInt) == "Ċ" && Bpe.byteToUnicode(0) == "Ā")
+  }
+
+  test("byte level: local == distributed trainer; whitespace-free ASCII parity with char level") {
+    val docs = Seq("tokenizer", "tokens", "tokenize", "token", "izer", "low", "lower")
+    val df = docs.flatMap(w => Seq.fill(3)(w)).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val local = Bpe.trainFromCorpusLocal(df, "text", 8, byteLevel = true)
+    val dist = Bpe.trainFromCorpus(df, "text", 8, byteLevel = true)
+    assert(local == dist, s"\nlocal $local\ndist  $dist")
+    // single-word printable-ASCII docs: the GPT-2 regex yields the word
+    // itself, bytes == chars, byte symbols == char symbols — the byte
+    // trainer must agree with the word-level trainer merge-for-merge
+    val charSide = Bpe.trainFromCorpusLocal(df, "text", 8)
+    assert(local == charSide, s"\nbyte $local\nchar $charSide")
+    // and with real spaces they DIVERGE by design (leading-space tokens)
+    val spaced = Seq((1L, "the cat the cat the"), (2L, "the cat")).toDF("id", "text")
+    val byteM = Bpe.trainFromCorpusLocal(spaced, "text", 6, byteLevel = true)
+    assert(byteM.exists(m => m._1.startsWith("Ġ") || m._2.startsWith("Ġ")),
+      s"expected a space-prefixed merge in $byteM")
+  }
+
+  test("byte level: segmentBytes round-trips any text byte-for-byte (inherent byte fallback)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val merges = Bpe.trainFromCorpusLocal(docs, "text", 16, byteLevel = true)
+      .map(m => (m._1, m._2))
+    val tricky = Seq((9001L, "café 😀 你好, it's 3.14!"),
+      (9002L, ""), (9003L, "  leading and trailing  ")).toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"), col("text")).unionByName(tricky)
+      .select(col("text"), Bpe.segmentBytes(col("text"), merges).as("toks"))
+      .collect()
+    for (r <- rows) {
+      val txt = r.getString(0)
+      val back = Bpe.decodeBytesLocal(r.getSeq[String](1))
+      assert(back == txt, s"round-trip failed for '${txt.take(60)}'")
+    }
+    // token count == segment size, and merged tables shrink counts
+    val c0 = docs.select(sum(size(Bpe.segmentBytes(col("text"), Nil)))).head.getLong(0)
+    val c1 = docs.select(sum(Bpe.tokenCountBytes(col("text"), merges))).head.getLong(0)
+    assert(c1 < c0, s"merges must shrink the byte-token count ($c1 !< $c0)")
+  }
+
   test("trainLocal guards: loud maxVocab cap, minFrequency cutoff changes low ranks only") {
     val df = Seq((1L, "low lower newest widest")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {

@@ -524,6 +524,36 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bpe_tokens"))
   }
 
+  test("bpe_tokenize level=byte and unigram_tokenize byte_fallback route to the byte paths") {
+    import graft.operators.{Bpe, Unigram}
+    val byteSeg = registry("bpe_tokenize")(docs,
+      Map("text_col" -> "text", "num_merges" -> 4L, "mode" -> "segments",
+        "level" -> "byte", "out_col" -> "bsub"))
+    val merges = Bpe.trainFromCorpusLocal(docs, "text", 4, byteLevel = true)
+      .map(m => (m._1, m._2))
+    val direct = docs.select(col("doc_id"), Bpe.segmentBytes(col("text"), merges).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    byteSeg.select("doc_id", "bsub").collect()
+      .foreach(r => assert(r.getSeq[String](1) == direct(r.getLong(0))))
+    val bad = intercept[IllegalArgumentException] {
+      registry("bpe_tokenize")(docs, Map("text_col" -> "text", "level" -> "word"))
+    }
+    assert(bad.getMessage.contains("level"))
+    // unigram byte_fallback: the builtin trains on the input frame, so
+    // every corpus char is in-vocab and fallback cannot FIRE here (the
+    // OOV firing path is pinned in UnigramSpec with a reloaded vocab);
+    // this pins that the flag ROUTES into the byte-fallback apply
+    val applied = registry("unigram_tokenize")(docs,
+      Map("text_col" -> "text", "mode" -> "segments", "byte_fallback" -> true,
+        "vocab_size" -> 32L, "out_col" -> "us"))
+    val vocab = Unigram.trainFromCorpusLocal(docs, "text", vocabSize = 32)
+    val directU = docs
+      .select(col("doc_id"), Unigram.segment(col("text"), vocab, byteFallback = true).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    applied.select("doc_id", "us").collect()
+      .foreach(r => assert(r.getSeq[String](1) == directU(r.getLong(0))))
+  }
+
   test("sq8_encode and training_shard_assign builtins equal their operators") {
     import graft.operators.Similarity
     import graft.sources.TrainingShards

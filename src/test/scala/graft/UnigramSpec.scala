@@ -95,6 +95,43 @@ class UnigramSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"tokenize must not shuffle:\n$plan")
   }
 
+  test("byte fallback: OOV chars emit <0xNN> pieces, supplementary chars byte-correct, lossless") {
+    // vocab trained on ASCII only; é / 你 / 😀 are OOV at apply time
+    val train = Seq((1L, "hello world hello")).toDF("doc_id", "text")
+    val vocab = Unigram.trainFromCorpusLocal(train, "text", vocabSize = 24)
+    val table = new graft.sparkext.UnigramTable(
+      vocab.map(_._1).toArray, vocab.map(_._2).toArray, byteFallback = true)
+    // 2-byte char é -> <0xC3><0xA9>; in-vocab pieces untouched
+    val segs = table.segmentString("hellé")
+    assert(segs.takeWhile(!_.startsWith("<")).mkString.nonEmpty)
+    assert(segs.containsSlice(Seq("<0xC3>", "<0xA9>")), segs.mkString("|"))
+    // supplementary char (surrogate PAIR, each half OOV alone) encodes as
+    // its real 4-byte UTF-8, never mojibake '?' bytes
+    val emoji = table.segmentString("😀") // 😀 U+1F600
+    assert(emoji.toSeq == Seq("<0xF0>", "<0x9F>", "<0x98>", "<0x80>"), emoji.mkString("|"))
+    // lossless: strip <0xNN> wrappers back to bytes, UTF-8 decode
+    def decode(ps: Seq[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      ps.foreach { p =>
+        if (p.length == 6 && p.startsWith("<0x") && p.endsWith(">"))
+          out.write(Integer.parseInt(p.substring(3, 5), 16))
+        else out.write(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    for (s <- Seq("hellé", "你好", "a😀b", "mixed café 你", "plain ascii")) {
+      val word = s.replace(" ", "") // segmentString is per-word
+      assert(decode(table.segmentString(word).toSeq) == word, s"lossless failed on '$word'")
+    }
+    // column path: flag off keeps raw OOV chars; on emits byte pieces
+    val df = Seq((1L, "hellé")).toDF("doc_id", "text")
+    val raw = df.select(Unigram.segment(col("text"), vocab).as("s")).head.getSeq[String](0)
+    val bf = df.select(Unigram.segment(col("text"), vocab, byteFallback = true).as("s"))
+      .head.getSeq[String](0)
+    assert(raw.exists(_ == "é") && !raw.exists(_.startsWith("<0x")))
+    assert(bf.containsSlice(Seq("<0xC3>", "<0xA9>")))
+  }
+
   test("piecesToFrame / piecesFromFrame round-trip; dense-rank + cap guards") {
     val vocab = Seq(("ab", -1.0), ("a", -2.0), ("b", -2.5))
     val frame = Unigram.piecesToFrame(spark, vocab)
