@@ -252,6 +252,8 @@ object ConfigLoader {
       descStatsDir = str("desc_stats").getOrElse("desc_stats"),
       descStatsExact = m.get("desc_stats_exact").collect { case b: Boolean => b }
         .getOrElse(false),
+      incremental = m.get("incremental").collect { case b: Boolean => b }.getOrElse(false),
+      manifestDir = str("manifest_dir").getOrElse("_manifest"),
       guid = str("guid").getOrElse(""),
       dateTime = str("date_time").getOrElse(""),
       pipelinePlan = m.get("pipeline_plan").collect { case s: Seq[_] => s.map(_.toString) }.getOrElse(Nil)

@@ -73,6 +73,16 @@ final case class GeneralConfig(
       * `lf.describe()`, vs the default fixed-memory approx_percentile
       * sketch — the 100 TB-safe default (see Inspect.describe). */
     descStatsExact: Boolean = false,
+    /** Incremental runs (round 17): process only source FILES not yet in
+      * the run manifest at `dstRoot/manifestDir` — the periodic-crawl
+      * shape (a new batch of files lands in the same source directory;
+      * re-running the pipeline touches only the new ones, and the union
+      * of incremental outputs equals the one-shot full run). The
+      * manifest is a plain relation `(src_file, guid, processed_at)`
+      * written through the IO seam, so it survives restarts and reads
+      * back anywhere. */
+    incremental: Boolean = false,
+    manifestDir: String = "_manifest",
     guid: String = "",
     dateTime: String = "",
     pipelinePlan: Seq[String] = Nil
@@ -196,6 +206,8 @@ object YamlEmit {
       "config" -> cfg.configDir,
       "desc_stats" -> cfg.descStatsDir,
       "desc_stats_exact" -> cfg.descStatsExact,
+      "incremental" -> cfg.incremental,
+      "manifest_dir" -> cfg.manifestDir,
       "pipeline_plan" -> cfg.pipelinePlan
     )
   }

@@ -28,6 +28,19 @@ trait GraftIO {
   def writeText(text: String, path: String): Unit
   def newGuid(): String
   def now(): Instant
+
+  /** The files materially backing `path` — the unit of the incremental
+    * manifest (round 17): a periodic crawl drops new files into the same
+    * source directory, and an incremental run processes only those not
+    * yet recorded. Sorted, so manifest diffs are deterministic. */
+  def listFiles(spark: SparkSession, path: String, fileType: String,
+      options: Map[String, String] = Map.empty): Seq[String]
+
+  /** Read an explicit file subset of a source (the incremental-run scan:
+    * only the not-yet-processed files of [[listFiles]]). `files` must be
+    * non-empty — the caller decides what an empty batch means. */
+  def readFiles(spark: SparkSession, files: Seq[String], fileType: String,
+      options: Map[String, String] = Map.empty): DataFrame
 }
 
 /** Real filesystem-backed IO on Spark's native sources/sinks. */
@@ -87,6 +100,29 @@ class SparkIO extends GraftIO {
 
   override def newGuid(): String = java.util.UUID.randomUUID().toString
   override def now(): Instant = Instant.now()
+
+  /** Real listing rides the source relation Spark already resolves for
+    * `path` (`DataFrame.inputFiles` — partition-pruned, glob-expanded,
+    * format-aware), so the manifest unit is exactly what a full read
+    * would scan. */
+  override def listFiles(spark: SparkSession, path: String, fileType: String,
+      options: Map[String, String]): Seq[String] =
+    read(spark, path, fileType, options).inputFiles.toSeq.sorted
+
+  override def readFiles(spark: SparkSession, files: Seq[String], fileType: String,
+      options: Map[String, String]): DataFrame = {
+    require(files.nonEmpty, "readFiles: empty file list")
+    val base = fileType.toLowerCase match {
+      case FileType.Parquet => spark.read.options(options).format(FileType.Parquet)
+      case FileType.Csv =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .options(options).format(FileType.Csv)
+      case FileType.Json => spark.read.options(options).format(FileType.Json)
+      case FileType.Orc => spark.read.options(options).format(FileType.Orc)
+      case other => throw new IllegalArgumentException(s"unsupported source file type '$other'")
+    }
+    base.load(files: _*)
+  }
 }
 
 /** In-memory IO double for hermetic tests: fixed guid, frozen clock,
@@ -114,4 +150,18 @@ class FakeIO(
   override def writeText(text: String, path: String): Unit = texts.put(path, text)
   override def newGuid(): String = guid
   override def now(): Instant = frozenNow
+
+  /** A "directory" in the fake store is the set of registered paths under
+    * `path/` (or the exact path itself) — enough to model a crawl adding
+    * files between runs. */
+  override def listFiles(spark: SparkSession, path: String, fileType: String,
+      options: Map[String, String]): Seq[String] =
+    frames.keys.filter(k => k == path || k.startsWith(path + "/")).toSeq.sorted
+
+  override def readFiles(spark: SparkSession, files: Seq[String], fileType: String,
+      options: Map[String, String]): DataFrame = {
+    require(files.nonEmpty, "readFiles: empty file list")
+    files.map(f => frames.getOrElse(f, throw new java.io.FileNotFoundException(f)))
+      .reduce(_.unionByName(_))
+  }
 }

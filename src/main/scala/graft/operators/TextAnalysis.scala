@@ -489,6 +489,127 @@ object TextAnalysis {
           lit(0.0)).as("nll"))
   }
 
+  /** Interpolated trigram Kneser–Ney NLL (round 17 — the CCNet-grade
+    * discount LM one order up from [[bigramNll]]'s Jelinek–Mercer
+    * bigram; Kneser & Ney 1995, Chen & Goodman 1999 interpolated form
+    * with a fixed absolute discount D):
+    *
+    *   p3(w|u,v) = max(c(uvw)−D,0)/c(uv·) + D·N1+(uv·)/c(uv·) · p2(w|v)
+    *   p2(w|v)   = max(N1+(·vw)−D,0)/N1+(·v·) + D·N1+(v·)/N1+(·v·) · pc(w)
+    *   pc(w)     = N1+(·w) / N1+(··)
+    *
+    * — the middle and bottom orders use CONTINUATION counts (distinct
+    * left-context types), the KN insight that "Francisco" is frequent
+    * but predictable. Position 1 scores with the raw unigram MLE
+    * c(w)/total (no context; the continuation distribution is zero for
+    * tokens only ever seen document-initially), position 2 with p2
+    * (falling back to pc when its context never appears as a trigram
+    * middle, N1+(·v·) = 0), positions ≥ 3 with p3 — always defined,
+    * since the position's own trigram is in the self-trained counts.
+    *
+    * Scale + determinism recipe of [[bigramNll]]: n-grams from in-row
+    * slice-zips (no positional windows), every count a map-side-combined
+    * aggregation over the distinct-trigram table, the only broadcast a
+    * 1-row N1+(··)/total; per-position contributions round to 6 and sum
+    * through DECIMAL(28,6); the per-token mean rounds to 4. All
+    * arithmetic is double with the SAME association as the oracle SQL. */
+  def trigramKnNll(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75
+  ): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val dD = lit(discount)
+    val base = docs.select(col(idCol),
+      filter(tokens(col(textCol)), t => length(t) > 0).as("toks"))
+    val toks = base.select(col(idCol), explode(col("toks")).as("tok"))
+    val ct = toks.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val total = ct.agg(sum(col("ct")).as("total"))
+    val dl = base.select(col(idCol), size(col("toks")).cast("long").as("dl"))
+    // corpus bigram TYPES -> unigram continuation counts N1+(·w), N1+(··)
+    val bg = base.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("p"))
+      .select(col(idCol), col("p.0").as("v"), col("p.1").as("w"))
+    val bigramTypes = bg.select(col("v"), col("w")).distinct()
+    val cont1 = bigramTypes.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    val n1pp = bigramTypes.agg(count(lit(1)).as("n1pp"))
+    // trigram positions -> per-doc tfs, corpus counts, context stats
+    val tg = base.filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 2),
+        slice(col("toks"), lit(2), size(col("toks")) - 2),
+        slice(col("toks"), lit(3), size(col("toks")) - 2))).as("p"))
+      .select(col(idCol), col("p.0").as("u"), col("p.1").as("v"), col("p.2").as("w"))
+    val tf3 = tg.groupBy(col(idCol), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("tf3"))
+    val c3 = tf3.groupBy(col("u"), col("v"), col("w")).agg(sum(col("tf3")).as("c3"))
+    val c2ctx = c3.groupBy(col("u"), col("v"))
+      .agg(sum(col("c3")).as("cuv"), count(lit(1)).as("nuv")) // c(uv·), N1+(uv·)
+    val ctd = c3.groupBy(col("v"), col("w")).agg(count(lit(1)).as("ctd")) // N1+(·vw)
+    val nmid = c3.groupBy(col("v")).agg(count(lit(1)).as("nmid")) // N1+(·v·)
+    val nvdot = ctd.groupBy(col("v")).agg(count(lit(1)).as("nvd")) // N1+(v·)
+    def pcOf(n1wC: Column, n1ppC: Column): Column = n1wC.cast("double") / n1ppC
+    def p2Of(ctdC: Column, nmidC: Column, nvdC: Column, pc: Column): Column =
+      greatest(ctdC.cast("double") - dD, lit(0.0)) / nmidC +
+        dD * nvdC.cast("double") / nmidC * pc
+    // positions >= 3: every join hits (the doc's own trigrams are counted)
+    val sTri = tf3
+      .join(c3, Seq("u", "v", "w"))
+      .join(c2ctx, Seq("u", "v"))
+      .join(ctd, Seq("v", "w"))
+      .join(nmid, Seq("v"))
+      .join(nvdot, Seq("v"))
+      .join(cont1, Seq("w"))
+      .crossJoin(broadcast(n1pp))
+      .withColumn("p2", p2Of(col("ctd"), col("nmid"), col("nvd"),
+        pcOf(col("n1w"), col("n1pp"))))
+      .withColumn("p3",
+        greatest(col("c3").cast("double") - dD, lit(0.0)) / col("cuv") +
+          dD * col("nuv").cast("double") / col("cuv") * col("p2"))
+      .withColumn("part", col("tf3") * -log(col("p3")))
+      .groupBy(col(idCol))
+      .agg(sum(round(col("part"), 6).cast("decimal(28,6)")).as("s_tri"))
+    // position 2: (v, w) = (toks[1], toks[2]); ctd/nmid/nvd may miss when
+    // v never appears as a trigram middle -> fall back to pc
+    val sSecond = base.filter(size(col("toks")) >= 2)
+      .select(col(idCol),
+        element_at(col("toks"), 1).as("v"), element_at(col("toks"), 2).as("w"))
+      .join(ctd, Seq("v", "w"), "left")
+      .join(nmid, Seq("v"), "left")
+      .join(nvdot, Seq("v"), "left")
+      .join(cont1, Seq("w")) // the (v,w) bigram exists, so w is a continuation
+      .crossJoin(broadcast(n1pp))
+      .withColumn("pc", pcOf(col("n1w"), col("n1pp")))
+      .withColumn("p2",
+        when(col("nmid").isNull, col("pc"))
+          .otherwise(p2Of(coalesce(col("ctd"), lit(0L)), col("nmid"), col("nvd"), col("pc"))))
+      .select(col(idCol), round(-log(col("p2")), 6).cast("decimal(28,6)").as("s_second"))
+    // position 1: raw unigram MLE, the bigramNll convention
+    val sFirst = base.filter(size(col("toks")) >= 1)
+      .select(col(idCol), element_at(col("toks"), 1).as("tok"))
+      .join(ct, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(-log(col("ct").cast("double") / col("total")), 6)
+          .cast("decimal(28,6)").as("s_first"))
+    val zero = lit(0).cast("decimal(28,6)")
+    docs.select(col(idCol))
+      .join(dl, Seq(idCol), "left")
+      .join(sFirst, Seq(idCol), "left")
+      .join(sSecond, Seq(idCol), "left")
+      .join(sTri, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        coalesce(
+          when(col("dl") > 0,
+            round((coalesce(col("s_first"), zero) + coalesce(col("s_second"), zero) +
+              coalesce(col("s_tri"), zero)).cast("double") / col("dl"), 4)),
+          lit(0.0)).as("nll"))
+  }
+
   /** Thresholds for the [[withGopherSignals]] rule gate — defaults follow
     * the published Gopher filter (Rae et al. 2021, "Scaling Language
     * Models: ... Gopher", appendix A1.1), with the repetition rule

@@ -5659,6 +5659,138 @@ object Queries {
       |LEFT JOIN symcat sc USING (doc_id)
       |LEFT JOIN hits h USING (doc_id), m1""".stripMargin
 
+  /** Trigram Kneser–Ney NLL (round 17 — the CCNet-grade discount LM,
+    * [[TextAnalysis.trigramKnNll]]): absolute discounting + continuation
+    * counts, self-trained. The oracle replays every count table (raw
+    * trigram counts, the four continuation-count marginals of the
+    * DISTINCT-trigram table, bigram-type unigram continuations) and the
+    * exact interpolation arithmetic — same double association, round-6
+    * DECIMAL(28,6) contribution sums, round-4 mean (the q168 recipe). */
+  val q175: QueryFn = (s, d) =>
+    TextAnalysis.trigramKnNll(tbl(s, d, "documents"), "doc_id", "text")
+
+  val q175Sql: String =
+    """WITH ta AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    t -> length(t) > 0) AS toks FROM documents),
+      |ft AS (SELECT doc_id, unnest(toks) AS tok FROM ta),
+      |ct AS (SELECT tok, COUNT(*) AS ct FROM ft GROUP BY tok),
+      |tot AS (SELECT SUM(ct) AS total FROM ct),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM ta),
+      |bg AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS vw
+      |  FROM ta WHERE len(toks) >= 2),
+      |bgt AS (SELECT DISTINCT vw FROM bg),
+      |cont1 AS (SELECT split_part(vw, ' ', 2) AS w, COUNT(*) AS n1w FROM bgt GROUP BY 1),
+      |n1pp AS (SELECT COUNT(*) AS n1pp FROM bgt),
+      |tg AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS uvw
+      |  FROM ta WHERE len(toks) >= 3),
+      |tf3 AS (SELECT doc_id, uvw, COUNT(*) AS tf3 FROM tg GROUP BY doc_id, uvw),
+      |c3 AS (SELECT uvw, SUM(tf3) AS c3 FROM tf3 GROUP BY uvw),
+      |c2ctx AS (SELECT split_part(uvw, ' ', 1) AS u, split_part(uvw, ' ', 2) AS v,
+      |    SUM(c3) AS cuv, COUNT(*) AS nuv FROM c3 GROUP BY 1, 2),
+      |ctd AS (SELECT split_part(uvw, ' ', 2) AS v, split_part(uvw, ' ', 3) AS w,
+      |    COUNT(*) AS ctd FROM c3 GROUP BY 1, 2),
+      |nmid AS (SELECT split_part(uvw, ' ', 2) AS v, COUNT(*) AS nmid FROM c3 GROUP BY 1),
+      |nvdot AS (SELECT v, COUNT(*) AS nvd FROM ctd GROUP BY v),
+      |s_tri AS (SELECT doc_id, SUM(CAST(round(tf3 * -ln(p3), 6) AS DECIMAL(28,6))) AS s_tri
+      |  FROM (SELECT tf3.doc_id, tf3.tf3,
+      |    greatest(CAST(c3.c3 AS DOUBLE) - 0.75, 0.0) / c2.cuv
+      |      + 0.75 * CAST(c2.nuv AS DOUBLE) / c2.cuv *
+      |        (greatest(CAST(ctd.ctd AS DOUBLE) - 0.75, 0.0) / nm.nmid
+      |         + 0.75 * CAST(nv.nvd AS DOUBLE) / nm.nmid *
+      |           (CAST(c1.n1w AS DOUBLE) / n1pp.n1pp)) AS p3
+      |    FROM tf3 JOIN c3 USING (uvw)
+      |    JOIN c2ctx c2 ON c2.u = split_part(uvw, ' ', 1) AND c2.v = split_part(uvw, ' ', 2)
+      |    JOIN ctd ON ctd.v = split_part(uvw, ' ', 2) AND ctd.w = split_part(uvw, ' ', 3)
+      |    JOIN nmid nm ON nm.v = split_part(uvw, ' ', 2)
+      |    JOIN nvdot nv ON nv.v = split_part(uvw, ' ', 2)
+      |    JOIN cont1 c1 ON c1.w = split_part(uvw, ' ', 3)
+      |    CROSS JOIN n1pp)
+      |  GROUP BY doc_id),
+      |s_second AS (SELECT p.doc_id,
+      |  CAST(round(-ln(CASE WHEN nm.nmid IS NULL
+      |    THEN (CAST(c1.n1w AS DOUBLE) / n1pp.n1pp)
+      |    ELSE greatest(CAST(COALESCE(ctd.ctd, 0) AS DOUBLE) - 0.75, 0.0) / nm.nmid
+      |      + 0.75 * CAST(nv.nvd AS DOUBLE) / nm.nmid *
+      |        (CAST(c1.n1w AS DOUBLE) / n1pp.n1pp) END), 6) AS DECIMAL(28,6)) AS s_second
+      |  FROM (SELECT doc_id, toks[1] AS v, toks[2] AS w FROM ta WHERE len(toks) >= 2) p
+      |  JOIN cont1 c1 ON c1.w = p.w
+      |  LEFT JOIN ctd ON ctd.v = p.v AND ctd.w = p.w
+      |  LEFT JOIN nmid nm ON nm.v = p.v
+      |  LEFT JOIN nvdot nv ON nv.v = p.v
+      |  CROSS JOIN n1pp),
+      |s_first AS (SELECT doc_id,
+      |  CAST(round(-ln(CAST(ct AS DOUBLE) / total), 6) AS DECIMAL(28,6)) AS s_first
+      |  FROM (SELECT doc_id, toks[1] AS tok FROM ta WHERE len(toks) >= 1)
+      |  JOIN ct USING (tok) CROSS JOIN tot)
+      |SELECT d.doc_id, CAST(COALESCE(dl.dl, 0) AS BIGINT) AS dl,
+      |  COALESCE(round(CAST(COALESCE(s_first, 0) + COALESCE(s_second, 0)
+      |      + COALESCE(s_tri, 0) AS DOUBLE) / dl.dl, 4), 0.0) AS nll
+      |FROM documents d LEFT JOIN dl USING (doc_id)
+      |LEFT JOIN s_first USING (doc_id) LEFT JOIN s_second USING (doc_id)
+      |LEFT JOIN s_tri USING (doc_id)""".stripMargin
+
+  /** Incremental pipeline runs over REAL files (round 17 — the manifest
+    * seam, [[graft.service.Pipeline.runPipeline]] `incremental = true`):
+    * documents is split into two parquet files in a keyed scratch
+    * source; run 1 sees only file A, a simulated crawl then drops in
+    * file B, and run 2 processes ONLY the new file (the manifest at
+    * `dstRoot/_manifest` records A). The query returns the UNION of the
+    * two runs' transformed outputs plus the final manifest size; the
+    * oracle computes the same projection over ALL documents — a skipped
+    * file loses rows, a reprocessed file duplicates them, and either
+    * fails the row/hash compare. `dstRoot` is fresh per invocation (the
+    * manifest must start empty); the two-file split is scratch-cached. */
+  val q176: QueryFn = (s, d) => {
+    val key = scratchKey(d, "documents")
+    val stage = s"target/incr_pipeline/stage_$key"
+    if (!new java.io.File(s"$stage/a/_SUCCESS").exists() ||
+        !new java.io.File(s"$stage/b/_SUCCESS").exists()) {
+      tbl(s, d, "documents").filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/a")
+      tbl(s, d, "documents").filter(col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/b")
+    }
+    def partFile(dir: String): java.nio.file.Path = {
+      val found = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      require(found.length == 1, s"expected one part file in $dir, got ${found.length}")
+      found.head.toPath
+    }
+    val runRoot = s"target/incr_pipeline/run_${java.util.UUID.randomUUID().toString.take(8)}"
+    val srcDir = s"$runRoot/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def crawlIn(which: String): Unit = {
+      java.nio.file.Files.copy(partFile(s"$stage/$which"),
+        java.nio.file.Paths.get(srcDir, s"$which.parquet"))
+      ()
+    }
+    val io = new graft.io.SparkIO()
+    val cfg = graft.config.GeneralConfig(
+      processName = "incr_q176", srcPath = srcDir, dstRoot = s"$runRoot/out",
+      incremental = true,
+      transformations = graft.config.TransformConfig(
+        newColMap = Seq("doc_id_x2" ->
+          DeriveSpec("add_cols", Map("cols" -> Seq("doc_id", "doc_id"))))),
+      selectCols = Seq("doc_id", "doc_id_x2"))
+    crawlIn("a")
+    val r1 = graft.service.Pipeline.runPipeline(s, cfg, io)
+    crawlIn("b")
+    val r2 = graft.service.Pipeline.runPipeline(s, cfg, io)
+    val manifestN = s.read.parquet(s"$runRoot/out/_manifest").count()
+    r1.transformed.select(col("doc_id"), col("doc_id_x2"))
+      .unionByName(r2.transformed.select(col("doc_id"), col("doc_id_x2")))
+      .withColumn("manifest_files", lit(manifestN))
+  }
+
+  val q176Sql: String =
+    """SELECT doc_id, CAST(doc_id + doc_id AS BIGINT) AS doc_id_x2,
+      |  CAST(2 AS BIGINT) AS manifest_files
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -5837,7 +5969,9 @@ object Queries {
     ("q171_paragraph_dedup", q171, Some(q171Sql)),
     ("q172_stream_audio", q172, Some(q172Sql)),
     ("q173_audio_near_dup", q173, Some(q173Sql)),
-    ("q174_byte_bpe", q174, Some(q174Sql))
+    ("q174_byte_bpe", q174, Some(q174Sql)),
+    ("q175_kn3_nll", q175, Some(q175Sql)),
+    ("q176_incremental_pipeline", q176, Some(q176Sql))
   )
 }
 

@@ -735,8 +735,12 @@ object BuiltinTransformations {
       case "bigram" => TextAnalysis.bigramNll(df, idCol, textCol,
         lambda = dblKw(name, kw, "lambda", 0.75))
       case "unigram" => TextAnalysis.unigramNll(df, idCol, textCol)
+      // kn3 (round 17): interpolated trigram Kneser-Ney with absolute
+      // discounting + continuation counts - the CCNet-grade scorer
+      case "kn3" => TextAnalysis.trigramKnNll(df, idCol, textCol,
+        discount = dblKw(name, kw, "discount", 0.75))
       case other => throw new IllegalArgumentException(
-        s"$name: order must be 'bigram' or 'unigram', got '$other'")
+        s"$name: order must be 'bigram', 'unigram', or 'kn3', got '$other'")
     }
     df.join(scored, Seq(idCol), "left")
   }

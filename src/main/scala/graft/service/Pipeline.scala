@@ -60,8 +60,36 @@ object Pipeline {
     graft.util.Log.info(s"run_pipeline start: process=${cfg.processName} guid=$guid " +
       s"src=${cfg.srcPath} dst=$outRoot")
 
-    // 2-3. scan (lazy) + static schema expectations (basic_pipeline.py:26-31)
-    val raw = io.read(spark, cfg.srcPath, cfg.srcFileType, cfg.srcOptions.toMap)
+    // 2-3. scan (lazy) + static schema expectations (basic_pipeline.py:26-31).
+    // Incremental mode (round 17): scan ONLY files absent from the run
+    // manifest — the periodic-crawl shape; the manifest update happens
+    // after the sinks succeed (at-least-once: a failed run reprocesses
+    // its batch, never skips it).
+    val manifestPath = s"${cfg.dstRoot}/${cfg.manifestDir}"
+    val (allFiles, freshFiles): (Seq[String], Seq[String]) =
+      if (!cfg.incremental) (Nil, Nil)
+      else {
+        val all = io.listFiles(spark, cfg.srcPath, cfg.srcFileType, cfg.srcOptions.toMap)
+        require(all.nonEmpty, s"incremental run: source ${cfg.srcPath} lists no files")
+        require(all.size <= ManifestMaxFiles,
+          s"incremental run: source lists ${all.size} files > cap $ManifestMaxFiles — " +
+            "compact the source layout or raise the cap deliberately")
+        val done = readManifest(spark, io, manifestPath, cfg.dstFileType)
+          .map(_._1).toSet
+        val fresh = all.filterNot(done)
+        graft.util.Log.info(s"incremental run: ${all.size} source files, " +
+          s"${done.size} already processed, ${fresh.size} fresh")
+        (all, fresh)
+      }
+    val raw =
+      if (!cfg.incremental) io.read(spark, cfg.srcPath, cfg.srcFileType, cfg.srcOptions.toMap)
+      else if (freshFiles.nonEmpty)
+        io.readFiles(spark, freshFiles, cfg.srcFileType, cfg.srcOptions.toMap)
+      else
+        // nothing new: an empty frame with the source schema (the false
+        // filter folds to an empty relation — no data is scanned)
+        io.readFiles(spark, allFiles, cfg.srcFileType, cfg.srcOptions.toMap)
+          .filter(org.apache.spark.sql.functions.lit(false))
     val expected = Validation.extractExpectedCols(cfg)
     Validation.checkExpectedCols(expected)(raw)
 
@@ -122,10 +150,55 @@ object Pipeline {
       s"$outRoot/${cfg.descStatsDir}/post_transform",
       cfg.dstFileType, options = cfg.dstOptions.toMap)
 
+    // 10. incremental manifest update — AFTER every sink succeeded, so a
+    // crashed run leaves its batch unrecorded (reprocess, never skip).
+    // The manifest is driver-small metadata (file names, capped above):
+    // prior rows are materialized before the overwrite so the write
+    // never reads the path it replaces.
+    if (cfg.incremental && freshFiles.nonEmpty) {
+      val prior = readManifest(spark, io, manifestPath, cfg.dstFileType)
+      val rows = prior ++ freshFiles.map(f => (f, guid, nowTs))
+      import spark.implicits._
+      io.write(
+        rows.toDF("src_file", "guid", "processed_at"),
+        manifestPath, cfg.dstFileType, options = cfg.dstOptions.toMap)
+      graft.util.Log.info(
+        s"incremental manifest: +${freshFiles.size} files (${rows.size} total) at $manifestPath")
+    }
+
     annotated.unpersist()
     graft.util.Log.info(s"run_pipeline done: guid=$guid artifacts at $outRoot")
     PipelineResult(guid, outRoot, transformed, invalid, cfgWithPlan)
   } }
+
+  /** Hard cap on the manifest's file count — file LISTS are driver-scale
+    * metadata by design (a 100 TB lake is ~10^5-10^6 objects); the cap
+    * turns a mis-pointed source (a path with tens of millions of tiny
+    * files) into a loud failure instead of a silent driver OOM. */
+  private val ManifestMaxFiles: Int = 1 << 20
+
+  /** Prior manifest rows, `(src_file, guid, processed_at)`, materialized
+    * driver-side (bounded by [[ManifestMaxFiles]]); a missing manifest —
+    * the first incremental run — is an empty history, loudly logged. */
+  private def readManifest(
+      spark: SparkSession,
+      io: GraftIO,
+      path: String,
+      fileType: String): Seq[(String, String, java.sql.Timestamp)] =
+    try {
+      val rows = io.read(spark, path, fileType)
+        .selectExpr("cast(src_file as string)", "cast(guid as string)",
+          "cast(processed_at as timestamp)")
+        .limit(ManifestMaxFiles + 1).collect()
+      require(rows.length <= ManifestMaxFiles,
+        s"manifest at $path exceeds $ManifestMaxFiles rows — not a run manifest")
+      rows.toSeq.map(r => (r.getString(0), r.getString(1), r.getTimestamp(2)))
+    } catch {
+      case scala.util.control.NonFatal(e) if !e.isInstanceOf[IllegalArgumentException] =>
+        graft.util.Log.info(s"incremental run: no readable manifest at $path " +
+          s"(${e.getClass.getSimpleName}) — treating as first run")
+        Nil
+    }
 
   /** Run `body` with `spark.sql.ansi.enabled=true`, restoring the caller's
     * setting afterwards (round 14, judge item 4): S14 recast promises the

@@ -32,14 +32,22 @@ object Inspect {
     * distinct is itself an executor-OOM path at 100 TB cardinality.
     * [[exactCustomStats]] restores the exact count where small-data
     * exactness matters (tests, oracles). */
+  /** `null_proportion` guards its divisor: describing an EMPTY frame (a
+    * no-new-files incremental run's sinks) must yield null, not an ANSI
+    * DIVIDE_BY_ZERO. */
+  private def nullProportion(c: String): Column = {
+    val n = count(lit(1))
+    when(n > 0, (n - count(col(c))).cast(DoubleType) / n)
+  }
+
   val defaultCustomStats: Seq[(String, StatFn)] = Seq(
-    "null_proportion" -> (c => (count(lit(1)) - count(col(c))).cast(DoubleType) / count(lit(1))),
+    "null_proportion" -> (c => nullProportion(c)),
     "n_unique" -> (c => approx_count_distinct(col(c)))
   )
 
   /** Exact-distinct variant — the `exactQuantiles = true` companion. */
   val exactCustomStats: Seq[(String, StatFn)] = Seq(
-    "null_proportion" -> (c => (count(lit(1)) - count(col(c))).cast(DoubleType) / count(lit(1))),
+    "null_proportion" -> (c => nullProportion(c)),
     "n_unique" -> (c => countDistinct(col(c)))
   )
 

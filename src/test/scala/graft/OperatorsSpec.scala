@@ -2093,6 +2093,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaBuiltin == out)
   }
 
+  test("trigramKnNll: boilerplate < common < rare ordering; edges; builtin kn3 == direct") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat the cat sat on the mat"),
+      (2L, "zyx quux flurble grok xenon plasma warble"),
+      (3L, "the cat sat on the mat"),
+      (4L, ""),
+      (5L, "solo"),
+      (6L, "two tokens")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramKnNll(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the KN discount keeps the CCNet ranking: looping boilerplate is the
+    // most predictable, one-off rare sequences the least
+    assert(out(1L)._2 < out(3L)._2 && out(3L)._2 < out(2L)._2,
+      s"expected nll(boilerplate) < nll(short-common) < nll(rare): $out")
+    assert(out(4L) == (0L, 0.0), s"empty doc: ${out(4L)}")
+    assert(out(5L)._1 == 1L && out(5L)._2 > 0.0)
+    assert(out(6L)._1 == 2L && out(6L)._2 > 0.0, s"2-token doc uses p1+p2: ${out(6L)}")
+    // discounting + interpolation keep every score finite and positive
+    assert(out.values.forall(v => !v._2.isNaN && !v._2.isInfinite && v._2 >= 0.0))
+    // a larger discount redistributes more mass to lower orders: rare
+    // trigrams gain, the ordering itself is stable
+    val heavier = TextAnalysis.trigramKnNll(docs, "doc_id", "text", discount = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(heavier(1L) < heavier(3L) && heavier(3L) < heavier(2L))
+    // builtin spelling routes to the same frame
+    val viaBuiltin = graft.service.BuiltinTransformations.registry("lm_nll")(
+      docs, Map("id_col" -> "doc_id", "text_col" -> "text", "order" -> "kn3"))
+      .select("doc_id", "dl", "nll").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaBuiltin == out)
+  }
+
   test("synthesizePatternPngs: 25 base patterns pairwise far; jitter is hash-invariant") {
     import spark.implicits._
     // one image per (pattern, jitter) corner: jitter 0 and jitter 19

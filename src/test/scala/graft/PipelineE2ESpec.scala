@@ -118,6 +118,45 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(res.transformed.collect().exists(_.getAs[String]("name") == "alice"))
   }
 
+  test("incremental runs: a two-batch crawl processes only new files, union == full run") {
+    val io = new FakeIO()
+    val dfA = spark.createDataFrame(
+      spark.sparkContext.parallelize(employees.take(4), 2), schema)
+    val dfB = spark.createDataFrame(
+      spark.sparkContext.parallelize(employees.drop(4), 2), schema)
+    io.frames.put("/src/a.parquet", dfA)
+    val cfg = GeneralConfig(processName = "p", srcPath = "/src", dstRoot = "/out",
+      incremental = true)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("name", "salary", "division", "bonus").collect()
+        .map(_.mkString("|")).toSeq.sorted
+    // batch 1: only a.parquet exists
+    val r1 = Pipeline.runPipeline(spark, cfg, io)
+    val out1 = canon(r1.transformed)
+    assert(out1.size == 4, s"batch 1 must process exactly a.parquet: $out1")
+    val man1 = io.frames("/out/_manifest").collect()
+    assert(man1.map(_.getString(0)).toSeq == Seq("/src/a.parquet"))
+    // the crawl drops a second file; batch 2 must process ONLY it
+    io.frames.put("/src/b.parquet", dfB)
+    val r2 = Pipeline.runPipeline(spark, cfg, io)
+    val out2 = canon(r2.transformed)
+    assert(out2.size == 3, s"batch 2 must process exactly b.parquet: $out2")
+    val man2 = io.frames("/out/_manifest").collect()
+    assert(man2.map(_.getString(0)).toSeq.sorted == Seq("/src/a.parquet", "/src/b.parquet"))
+    // batch union == the one-shot full run over the same rows
+    val ioFull = new FakeIO()
+    ioFull.frames.put("/srcall/raw.parquet", inputDf)
+    val full = Pipeline.runPipeline(spark,
+      GeneralConfig(processName = "p", srcPath = "/srcall/raw.parquet", dstRoot = "/outf"),
+      ioFull)
+    assert((out1 ++ out2).sorted == canon(full.transformed),
+      "incremental batches must union to the full run")
+    // a third run with nothing new: empty output, manifest untouched
+    val r3 = Pipeline.runPipeline(spark, cfg, io)
+    assert(r3.transformed.isEmpty, "no-new-files run must produce an empty frame")
+    assert(io.frames("/out/_manifest").count() == 2)
+  }
+
   test("pre-existing sys_col_row_hash is preserved (idempotency, golden case 3)") {
     val io = new FakeIO()
     val pre = Transforms0.hashed(inputDf)
