@@ -93,7 +93,7 @@ object Bench {
     * written once per SF dir; each rep runs the whole pipeline fresh
     * (new GUID). Returns a 1-row frame so the shared noop sink adds
     * nothing to the measurement. */
-  private def pipelineE2E(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def pipelineE2E(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val evalPath = s"target/pipeline_e2e/eval_$key"
