@@ -16,8 +16,13 @@ import org.apache.spark.sql.types._
   * tests that must not depend on codec behavior. AUDIO decode is real too
   * ([[decodeAudioReal]], round 16): `javax.sound.sampled` ships with the
   * JDK and decodes WAV/AIFF/AU PCM — header-guarded, per-partition, with
-  * integer-exact signal features. Only VIDEO remains stubbed
-  * ([[sampleFrames]]) — no video codec ships with the JDK.
+  * integer-exact signal features. VIDEO (round 17) has a real decode for
+  * MJPEG-in-AVI ([[decodeVideosReal]]): the JDK ships no video CODEC,
+  * but MJPEG needs none — each frame is a complete JPEG and the AVI
+  * container is a bounds-checked RIFF walk, so frames route through the
+  * same bomb-guarded ImageIO seam. Codec-bearing formats (H.264/VP9/AV1)
+  * keep the honest [[sampleFrames]] byte-stride stub — decoding them
+  * needs external native libraries outside the dependency budget.
   */
 object Multimodal {
 
@@ -401,6 +406,45 @@ object Multimodal {
     * hashes (both hashes are brightness-shift invariant) — near-dup
     * ground truth is id-arithmetic a SQL oracle can predict: clusters =
     * id mod patterns, byte-identical repeats = id mod (patterns·20). */
+  /** The 36×32 gray pattern raster behind [[synthesizePatternPngs]] and
+    * [[synthesizeMjpegAvis]]: 9 block columns whose ±15 gradient signs
+    * encode `pk = id % patterns` as an extended-parity codeword (see the
+    * callers for the hash-geometry contract). `extraShift` adds a
+    * constant brightness offset ON TOP of the per-id jitter — both
+    * perceptual hashes are shift-invariant, so any extraShift ≤ 100
+    * keeps intensities in range AND hashes identical. */
+  private[graft] def patternRaster(
+      id: Long, patterns: Int, extraShift: Int = 0): java.awt.image.BufferedImage = {
+    val pk = (id % patterns).toInt
+    val jitter = ((id / patterns) % 20).toInt
+    // extended-parity codeword: distinct pks differ in >= 2 bits
+    val word = (pk << 1) | (Integer.bitCount(pk) & 1)
+    // 9 block intensity levels: +-15 walk by the codeword's bits,
+    // shifted so the minimum sits at 10 (range <= 130 + jitter < 256)
+    val levels = new Array[Int](9)
+    var x = 0
+    while (x < 8) {
+      levels(x + 1) = levels(x) + (if (((word >> x) & 1) == 1) 15 else -15)
+      x += 1
+    }
+    val shift = 10 - levels.min
+    val img = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var bx = 0
+    while (bx < 9) {
+      val v = levels(bx) + shift + jitter + extraShift
+      var y = 0
+      while (y < 32) {
+        var px = bx * 4
+        while (px < bx * 4 + 4) { raster.setSample(px, y, 0, v); px += 1 }
+        y += 1
+      }
+      bx += 1
+    }
+    img
+  }
+
   def synthesizePatternPngs(df: DataFrame, idCol: String, patterns: Int = 25): DataFrame = {
     require(patterns >= 1 && patterns <= 128, s"patterns must be in [1,128], got $patterns")
     val spark = df.sparkSession
@@ -410,35 +454,8 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
-          val pk = (id % patterns).toInt
-          val jitter = ((id / patterns) % 20).toInt
-          // extended-parity codeword: distinct pks differ in >= 2 bits
-          val word = (pk << 1) | (Integer.bitCount(pk) & 1)
-          // 9 block intensity levels: +-15 walk by the codeword's bits,
-          // shifted so the minimum sits at 10 (range <= 130 + jitter < 256)
-          val levels = new Array[Int](9)
-          var x = 0
-          while (x < 8) {
-            levels(x + 1) = levels(x) + (if (((word >> x) & 1) == 1) 15 else -15)
-            x += 1
-          }
-          val shift = 10 - levels.min
-          val img = new java.awt.image.BufferedImage(
-            36, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
-          var bx = 0
-          while (bx < 9) {
-            val v = levels(bx) + shift + jitter
-            var y = 0
-            while (y < 32) {
-              var px = bx * 4
-              while (px < bx * 4 + 4) { raster.setSample(px, y, 0, v); px += 1 }
-              y += 1
-            }
-            bx += 1
-          }
           val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
+          javax.imageio.ImageIO.write(patternRaster(id, patterns), "png", out)
           (id, out.toByteArray)
         }
       }
@@ -749,10 +766,14 @@ object Multimodal {
       .toDF(idCol, "content")
   }
 
-  /** Frame-sampling stub for video-like payloads: cut the byte stream into
-    * fixed-size "frames" and keep every `stride`-th — exercises the
-    * explode/posexplode shape a real frame sampler produces. Pure column
-    * expressions (no UDF). */
+  /** Frame-sampling stub for CODEC-LESS video payloads: cut the byte
+    * stream into fixed-size "frames" and keep every `stride`-th —
+    * exercises the explode/posexplode shape a real frame sampler
+    * produces. Pure column expressions (no UDF). The REAL video path is
+    * [[decodeVideosReal]] (MJPEG-in-AVI — the one video format the JDK
+    * can decode end-to-end, since each frame is a plain JPEG); this
+    * byte-stride form remains for containers whose codec the JVM lacks
+    * (H.264/VP9/AV1 need external native decoders). */
   def sampleFrames(df: DataFrame, contentCol: String, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = ceil(octet_length(col(contentCol)).cast("double") / frameBytes).cast("int")
     df.withColumn("frame_idx",
@@ -760,5 +781,207 @@ object Multimodal {
       .filter(pmod(col("frame_idx"), lit(stride)) === 0)
       .withColumn("frame",
         col(contentCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+  }
+
+  // ---- REAL video decode: MJPEG-in-AVI (round 17) -----------------------
+  //
+  // The JDK ships no video CODEC, but MJPEG needs none: every frame of an
+  // MJPEG stream is a complete baseline JPEG, and the AVI container is a
+  // ~100-line RIFF walk (public spec: the Microsoft AVI RIFF form). So
+  // this one format — a real format cameras and capture cards actually
+  // emit — gets a genuinely real decode path with zero dependencies:
+  // RIFF parse → per-frame JPEG payloads → the SAME bomb-guarded
+  // javax.imageio seam as [[decodeImagesReal]]. Everything else keeps the
+  // honest [[sampleFrames]] stub.
+
+  /** Parsed-video feature schema produced by [[decodeVideosReal]]. */
+  final case class VideoFeatures(
+      id: Long,
+      width: Int, // from the avih main header
+      height: Int,
+      us_per_frame: Long,
+      duration_us: Long, // frame-chunk count × us_per_frame
+      n_frame_chunks: Long, // '##dc'/'##db' chunks seen in movi
+      sampled_frames: Int, // kept by (stride, maxFrames)
+      decoded_frames: Int) // of those, frames ImageIO decoded
+
+  /** Minimal RIFF/AVI walk for MJPEG: returns (width, height,
+    * usPerFrame, frameChunks, sampled JPEG payloads). None when the
+    * payload is not an AVI. Poisoned-record safety: every chunk size is
+    * bounds-checked against its parent (a malformed size stops the walk
+    * and salvages what parsed so far), frame payload retention is capped
+    * by `maxFrames`, and the JPEGs themselves go through the
+    * [[decodeBuffered]] pixel-bomb guard at decode time. */
+  private[graft] def parseAviMjpeg(
+      content: Array[Byte], stride: Int, maxFrames: Int)
+      : Option[(Int, Int, Long, Long, Seq[Array[Byte]])] = {
+    require(stride >= 1 && maxFrames >= 1, s"stride/maxFrames must be >= 1")
+    def u32(off: Int): Long =
+      (content(off) & 0xffL) | ((content(off + 1) & 0xffL) << 8) |
+        ((content(off + 2) & 0xffL) << 16) | ((content(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(content, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (content == null || content.length < 12 ||
+      fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var width = 0
+    var height = 0
+    var usPerFrame = 0L
+    var frameIdx = 0L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fourcc(off)
+        val size = u32(off + 4)
+        if (size < 0 || off + 8 + size > end) ok = false // malformed: salvage
+        else {
+          val dataOff = off + 8
+          val dataEnd = (dataOff + size).toInt
+          if (id == "LIST" && size >= 4) walk(dataOff + 4, dataEnd)
+          else if (id == "avih" && size >= 40) {
+            usPerFrame = u32(dataOff)
+            width = u32(dataOff + 32).toInt
+            height = u32(dataOff + 36).toInt
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+            if (frameIdx % stride == 0 && frames.size < maxFrames)
+              frames += java.util.Arrays.copyOfRange(content, dataOff, dataEnd)
+            frameIdx += 1
+          }
+          off = dataEnd + (size.toInt & 1) // RIFF chunks pad to even
+        }
+      }
+    }
+    walk(12, content.length)
+    if (width <= 0 || height <= 0) None
+    else Some((width, height, usPerFrame, frameIdx, frames.toSeq))
+  }
+
+  /** REAL video decode over the MJPEG-AVI seam: per-partition RIFF parse
+    * + per-frame `javax.imageio` JPEG decode (bomb-guarded like
+    * [[decodeImagesReal]]). `stride`/`maxFrames` bound the per-video
+    * decode work — the keyframe-sampling shape a 100 TB curation pass
+    * needs (decode cost per video is O(maxFrames), never O(duration)).
+    * Non-AVI payloads are dropped (discard-not-crash). */
+  def decodeVideosReal(df: DataFrame, idCol: String, contentCol: String,
+      stride: Int = 1, maxFrames: Int = 64): Dataset[VideoFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) None
+          else parseAviMjpeg(r.getAs[Array[Byte]](1), stride, maxFrames).map {
+            case (w, h, us, chunks, sampled) =>
+              val decoded = sampled.count(decodeBuffered(_).isDefined)
+              VideoFeatures(r.getLong(0), w, h, us, chunks * us, chunks,
+                sampled.size, decoded)
+          }
+        }
+      }
+  }
+
+  /** Per-video perceptual fingerprint: dHash of the FIRST sampled decoded
+    * frame (+ aHash, + per-video frame stats) — video near-dup then rides
+    * the EXACT q167 image path ([[graft.operators.Dedup
+    * .hammingNearDupPairs]] pigeonhole hamming-segment join, never
+    * all-pairs). Videos with no decodable frame are dropped. */
+  def videoFingerprints(df: DataFrame, idCol: String, contentCol: String,
+      stride: Int = 1, maxFrames: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(contentCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) None
+          else for {
+            (w, h, _, chunks, sampled) <-
+              parseAviMjpeg(r.getAs[Array[Byte]](1), stride, maxFrames)
+            first <- sampled.iterator.flatMap(decodeBuffered(_)).buffered.headOption
+          } yield (r.getLong(0), w, h, chunks,
+            aHash64(blockMeanGray(first, 8, 8)), dHash64(blockMeanGray(first, 9, 8)))
+        }
+      }
+      .toDF(idCol, "width", "height", "n_frames", "ahash", "dhash")
+  }
+
+  /** JPEG encode at an explicit quality (the MJPEG frame payload). */
+  private def jpegBytes(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    out.toByteArray
+  }
+
+  /** Assemble a minimal spec-shaped MJPEG AVI (RIFF → hdrl(avih,
+    * strl(strh 'vids'/'MJPG', strf BITMAPINFOHEADER)) → movi('00dc'
+    * JPEG chunks, even-padded)). Public container layout only — what any
+    * MJPEG producer emits. */
+  private[graft] def buildMjpegAvi(
+      frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Int): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(4 + children.length) ++ cc(listType) ++ children
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(1000000 / math.max(1, usPerFrame)) ++ le32(0) ++
+      le32(frames.size) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array[Byte](0, 0, 0, 0, (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0xff).toByte)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ cc("MJPG") ++
+      le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    bb.write(cc("RIFF")); bb.write(le32(body.length)); bb.write(body)
+    bb.toByteArray
+  }
+
+  /** Deterministic MJPEG-AVI fixture generator — the video twin of
+    * [[synthesizePatternPngs]] (same pattern-codeword geometry, so the
+    * SAME id-arithmetic oracle applies): video for `id` has
+    * `4 + id % 5` frames of pattern `pk = id % patterns` at 10 fps, each
+    * frame brightness-wiggled by `frame % 3` (both perceptual hashes are
+    * shift-invariant, so every frame of every same-pk video fingerprints
+    * identically while the bytes differ), JPEG quality 0.95 (the blocky
+    * pattern's ±15 block steps dwarf JPEG noise — OperatorsSpec pins the
+    * cross-pattern margin ≥ 3 survives the lossy encode). */
+  def synthesizeMjpegAvis(df: DataFrame, idCol: String, patterns: Int = 25): DataFrame = {
+    require(patterns >= 1 && patterns <= 128, s"patterns must be in [1,128], got $patterns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nf = (4 + id % 5).toInt
+          val frames = (0 until nf).map(f =>
+            jpegBytes(patternRaster(id, patterns, extraShift = f % 3), 0.95f))
+          (id, buildMjpegAvi(frames, 36, 32, usPerFrame = 100000))
+        }
+      }
+      .toDF(idCol, "content")
   }
 }

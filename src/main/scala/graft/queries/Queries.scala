@@ -5791,6 +5791,69 @@ object Queries {
       |  CAST(2 AS BIGINT) AS manifest_files
       |FROM documents""".stripMargin
 
+  /** REAL video decode (round 17 — MJPEG-in-AVI, the one video format
+    * decodable with zero dependencies: RIFF container walk + per-frame
+    * ImageIO JPEG through the bomb-guarded seam). The fixture's frame
+    * count/fps/dims are id-arithmetic ([[graft.operators.Multimodal
+    * .synthesizeMjpegAvis]]: `4 + id % 5` frames at 10 fps, 36×32), so
+    * the oracle predicts every header field, the chunk walk, AND that
+    * every sampled frame really decodes — a parser or codec regression
+    * breaks `all_decoded`. */
+  val q177: QueryFn = (s, d) => {
+    val avis = graft.operators.Multimodal.synthesizeMjpegAvis(
+      tbl(s, d, "documents").select(col("doc_id")), "doc_id")
+    graft.operators.Multimodal.decodeVideosReal(avis, "doc_id", "content").toDF()
+      .select(col("id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frame_chunks"),
+        col("duration_us"),
+        (col("decoded_frames") === col("sampled_frames") &&
+          col("sampled_frames").cast("long") === col("n_frame_chunks")).as("all_decoded"))
+  }
+
+  val q177Sql: String =
+    """SELECT doc_id, CAST(36 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+      |  CAST(4 + doc_id % 5 AS BIGINT) AS n_frame_chunks,
+      |  CAST((4 + doc_id % 5) * 100000 AS BIGINT) AS duration_us,
+      |  TRUE AS all_decoded
+      |FROM documents""".stripMargin
+
+  /** Video near-dup (round 17): first-frame perceptual fingerprints from
+    * the REAL MJPEG decode ride the exact q167 image path (pigeonhole
+    * hamming-segment join, never all-pairs). Ground truth is the q167
+    * id-arithmetic: clusters = `doc_id % 25` (same-pk videos differ in
+    * bytes, jitter, AND frame count, yet fingerprint identically —
+    * dHash/aHash brightness invariance survives the lossy JPEG). */
+  val q178: QueryFn = (s, d) => {
+    val avis = graft.operators.Multimodal.synthesizeMjpegAvis(
+      tbl(s, d, "documents").select(col("doc_id")), "doc_id")
+    val fps = graft.operators.Multimodal.videoFingerprints(avis, "doc_id", "content")
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(
+      fps.select(col("doc_id").as("id"), col("dhash")), "id", "dhash", maxHamming = 2)
+    val perPk = fps.groupBy(pmod(col("doc_id"), lit(25)).as("pk"))
+      .agg(count(lit(1)).as("n_videos"),
+        countDistinct(col("dhash")).as("n_fps"),
+        min(col("doc_id")).as("keeper"))
+    val pairAgg = pairs.groupBy(pmod(col("id_a"), lit(25)).as("pk"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("hamming")).as("max_hamming"))
+    perPk.join(pairAgg, Seq("pk"), "left")
+      .select(col("pk").cast("long").as("pk"), col("n_videos"),
+        (col("n_fps") === 1).as("fp_consistent"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("max_hamming"), lit(0)).cast("long").as("max_hamming"),
+        col("keeper"))
+  }
+
+  val q178Sql: String =
+    """SELECT CAST(doc_id % 25 AS BIGINT) AS pk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_videos,
+      |  TRUE AS fp_consistent,
+      |  CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs,
+      |  CAST(0 AS BIGINT) AS max_hamming,
+      |  MIN(doc_id) AS keeper
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -5971,7 +6034,9 @@ object Queries {
     ("q173_audio_near_dup", q173, Some(q173Sql)),
     ("q174_byte_bpe", q174, Some(q174Sql)),
     ("q175_kn3_nll", q175, Some(q175Sql)),
-    ("q176_incremental_pipeline", q176, Some(q176Sql))
+    ("q176_incremental_pipeline", q176, Some(q176Sql)),
+    ("q177_video_decode", q177, Some(q177Sql)),
+    ("q178_video_near_dup", q178, Some(q178Sql))
   )
 }
 

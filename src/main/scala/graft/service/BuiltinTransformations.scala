@@ -64,6 +64,7 @@ object BuiltinTransformations {
     "bpe_tokenize" -> bpeTokenize,
     "unigram_tokenize" -> unigramTokenize,
     "image_near_dup" -> imageNearDup,
+    "video_near_dup" -> videoNearDup,
     "audio_features" -> audioFeatures,
     "audio_near_dup" -> audioNearDup,
     "lm_nll" -> lmNll,
@@ -766,6 +767,36 @@ object BuiltinTransformations {
       case "pairs" => Dedup.hammingNearDupPairs(hashed, "id", hashCol, maxHamming)
       case "drop" =>
         val drops = Dedup.hammingNearDupPairs(hashed, "id", hashCol, maxHamming)
+          .select(col("id_b").as(idCol)).distinct()
+        df.join(drops, Seq(idCol), "left_anti")
+      case other => throw new IllegalArgumentException(
+        s"$name: action must be 'drop' or 'pairs', got '$other'")
+    }
+  }
+
+  /** `video_near_dup(id_col, content_col, max_hamming=3, hash=dhash|ahash,
+    * stride=1, max_frames=64, action=drop|pairs)` — REAL MJPEG-in-AVI
+    * video near-dup: RIFF parse + per-frame bomb-guarded JPEG decode
+    * ([[Multimodal.videoFingerprints]] — first sampled frame's perceptual
+    * hash), then the same pigeonhole hamming-segment join as
+    * `image_near_dup` (never all-pairs). `drop` keeps one exemplar per
+    * duplicate relation; `pairs` returns the verified pair list. */
+  private def videoNearDup: CustomFn = (df, kw) => {
+    val name = "video_near_dup"
+    val idCol = reqStr(name, kw, "id_col")
+    val contentCol = reqStr(name, kw, "content_col")
+    val maxHamming = intKw(name, kw, "max_hamming", 3)
+    val hashCol = strKw(name, kw, "hash", "dhash")
+    require(hashCol == "dhash" || hashCol == "ahash",
+      s"$name: hash must be 'dhash' or 'ahash', got '$hashCol'")
+    val fps = Multimodal.videoFingerprints(df, idCol, contentCol,
+        stride = intKw(name, kw, "stride", 1),
+        maxFrames = intKw(name, kw, "max_frames", 64))
+      .select(col(idCol).as("id"), col(hashCol))
+    strKw(name, kw, "action", "drop") match {
+      case "pairs" => Dedup.hammingNearDupPairs(fps, "id", hashCol, maxHamming)
+      case "drop" =>
+        val drops = Dedup.hammingNearDupPairs(fps, "id", hashCol, maxHamming)
           .select(col("id_b").as(idCol)).distinct()
         df.join(drops, Seq(idCol), "left_anti")
       case other => throw new IllegalArgumentException(

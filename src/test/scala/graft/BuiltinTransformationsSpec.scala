@@ -554,6 +554,27 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getSeq[String](1) == directU(r.getLong(0))))
   }
 
+  test("video_near_dup builtin: drop keeps one exemplar per pattern, pairs lists them") {
+    import graft.operators.Multimodal
+    // 4 videos: ids 0 and 25 share pattern 0 (different jitter + frame
+    // count), 1 and 2 are singletons
+    val base = Seq(0L, 1L, 2L, 25L).toDF("doc_id")
+    val avis = Multimodal.synthesizeMjpegAvis(base, "doc_id")
+    val kept = registry("video_near_dup")(avis,
+      Map("id_col" -> "doc_id", "content_col" -> "content", "max_hamming" -> 2L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L), s"expected the duplicate 25 dropped: $kept")
+    val pairs = registry("video_near_dup")(avis,
+      Map("id_col" -> "doc_id", "content_col" -> "content", "max_hamming" -> 2L,
+        "action" -> "pairs")).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 0L && pairs.head.getLong(1) == 25L)
+    val bad = intercept[IllegalArgumentException] {
+      registry("video_near_dup")(avis,
+        Map("id_col" -> "doc_id", "content_col" -> "content", "hash" -> "md5"))
+    }
+    assert(bad.getMessage.contains("hash"))
+  }
+
   test("sq8_encode and training_shard_assign builtins equal their operators") {
     import graft.operators.Similarity
     import graft.sources.TrainingShards

@@ -2127,6 +2127,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaBuiltin == out)
   }
 
+  test("MJPEG-AVI: synthesize → RIFF parse → real JPEG frame decode; fingerprint invariances") {
+    import spark.implicits._
+    val base = spark.range(50).select(col("id").as("doc_id")) // 2 jitters per pk
+    val avis = Multimodal.synthesizeMjpegAvis(base, "doc_id")
+    val feats = Multimodal.decodeVideosReal(avis, "doc_id", "content")
+      .collect().map(f => f.id -> f).toMap
+    assert(feats.size == 50)
+    for ((id, f) <- feats) {
+      assert(f.width == 36 && f.height == 32, s"id $id header dims")
+      assert(f.n_frame_chunks == 4 + id % 5, s"id $id frame chunks")
+      assert(f.us_per_frame == 100000L && f.duration_us == f.n_frame_chunks * 100000L)
+      assert(f.sampled_frames == f.n_frame_chunks && f.decoded_frames == f.sampled_frames,
+        s"id $id: every MJPEG frame must REALLY decode: $f")
+    }
+    // stride/cap bound the per-video decode work (the keyframe shape)
+    val strided = Multimodal.decodeVideosReal(avis, "doc_id", "content",
+      stride = 2, maxFrames = 2).collect()
+    assert(strided.forall(f => f.sampled_frames <= 2 && f.decoded_frames == f.sampled_frames))
+    // same pk (different jitter, different frame counts, lossy JPEG):
+    // IDENTICAL fingerprints; distinct pks stay far
+    val fps = Multimodal.videoFingerprints(avis, "doc_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(fps.size == 50)
+    val byPk = fps.toSeq.groupBy { case (id, _) => id % 25 }
+    for ((pk, m) <- byPk)
+      assert(m.map(_._2).toSet.size == 1, s"pk $pk fingerprints differ: $m")
+    for (Seq((p1, h1), (p2, h2)) <-
+        byPk.map { case (pk, m) => pk -> m.head._2 }.toSeq.combinations(2))
+      assert(java.lang.Long.bitCount(h1 ^ h2) >= 3, s"pks $p1/$p2 too close after JPEG")
+    // junk / empty / null / truncated payloads drop, never crash
+    val junk = Seq((1L, "not an avi".getBytes), (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "content")
+    assert(Multimodal.decodeVideosReal(junk, "doc_id", "content").count() == 0)
+    val truncated = avis.limit(3)
+      .select(col("doc_id"), expr("substring(content, 1, 100)").as("content"))
+    assert(Multimodal.decodeVideosReal(truncated, "doc_id", "content").count() == 0)
+  }
+
   test("synthesizePatternPngs: 25 base patterns pairwise far; jitter is hash-invariant") {
     import spark.implicits._
     // one image per (pattern, jitter) corner: jitter 0 and jitter 19
