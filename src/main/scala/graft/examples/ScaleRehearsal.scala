@@ -99,7 +99,13 @@ object ScaleRehearsal {
       // round 16: cross-doc paragraph dedup — copy chunks are `_i`-pure,
       // so segment df structure scales by M; expected ~linear (one
       // explode + three hash aggs + an excess-only equi-join)
-      "q171_paragraph_dedup")
+      "q171_paragraph_dedup",
+      // round 17: byte-level BPE — regex pre-tokenization + per-byte
+      // symbol mapping + the merge-#1 pair aggregation over the Mx
+      // corpus; `_i`-suffixed copy tokens grow the pretoken vocab by M
+      // at constant per-token length, so the byte explode and the pair
+      // counts should both stay ~linear (the q132 shape on bytes)
+      "q174_byte_bpe")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1797,7 +1797,7 @@ object ExprRegistry {
     "ewm_mean", "ewm_var", "ewm_std", "ewm_mean_by", "rle",
     "value_counts", "unique_counts", "sort_by",
     "quality_quantile_gate", "bpe_tokenize", "unigram_tokenize", "image_near_dup",
-    "audio_features", "audio_near_dup", "paragraph_dedup",
+    "video_near_dup", "audio_features", "audio_near_dup", "paragraph_dedup",
     "lm_nll", "sq8_encode", "training_shard_assign",
     "gopher_rules", "label_propagate", "pagerank_centrality", "budget_select",
     "quantile_buckets", "domain_cap", "unicode_normalize",

@@ -85,10 +85,13 @@ object Bpe {
   private[graft] lazy val unicodeToByte: Map[Char, Byte] =
     byteToUnicode.zipWithIndex.map { case (s, b) => (s.charAt(0), b.toByte) }.toMap
 
-  /** Uppercase hex pair -> byte symbol, the plan-side lookup table (one
-    * 256-entry map literal, not 256 AST nodes per byte). */
-  private lazy val hexToSymbol: Map[String, String] =
-    byteToUnicode.zipWithIndex.map { case (s, b) => (f"$b%02X", s) }.toMap
+  /** The 256 latin-1 chars in byte order — `decode(bytes, 'ISO-8859-1')`
+    * maps bytes to exactly these chars 1:1, which turns the whole
+    * bytes→symbols mapping into ONE `translate`. */
+  private lazy val latin1Alphabet: String =
+    (0 until 256).map(_.toChar).mkString
+
+  private lazy val symbolAlphabet: String = byteToUnicode.mkString
 
   /** Pre-tokens of a document under [[Gpt2Pattern]] (codegen'd
     * `regexp_extract_all` — the pattern tiles the string, so the match
@@ -97,14 +100,19 @@ object Bpe {
     regexp_extract_all(text, lit(Gpt2Pattern), lit(0))
 
   /** Byte-level symbols of ONE pre-token: UTF-8 bytes through
-    * [[byteToUnicode]]. `hex(encode(tok))` is split into 2-char chunks
-    * with the `\G` anchor (one encode per row, not per byte) and each
-    * chunk looks up its symbol in the map literal — all codegen'd
-    * builtins, no UDF. */
+    * [[byteToUnicode]]. `decode(encode(tok,'UTF-8'), 'ISO-8859-1')`
+    * reinterprets each byte as its latin-1 char (a 1:1 view of the
+    * bytes), ONE `translate` maps all 256 chars to their byte symbols
+    * (dictionary lookup per char — the round-17 fix for the first cut's
+    * per-byte linear scan over a 256-entry map literal, which made q174
+    * the heaviest new bench row), and a char split yields the symbol
+    * array. All codegen'd builtins, no UDF. */
   def byteSymbols(tok: Column): Column =
-    transform(
-      filter(split(hex(encode(tok, "UTF-8")), "(?<=\\G..)"), h => length(h) > 0),
-      h => element_at(typedLit(hexToSymbol), h))
+    filter(
+      split(translate(
+        decode(encode(tok, "UTF-8"), "ISO-8859-1"),
+        latin1Alphabet, symbolAlphabet), ""),
+      s => length(s) > 0)
 
   /** JVM-side twin of [[byteSymbols]] — the driver-side split
     * [[trainLocal]] uses in byte mode (must agree exactly with the

@@ -5854,6 +5854,48 @@ object Queries {
       |  MIN(doc_id) AS keeper
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Streaming video lane (round 17 — the q172/q157/q161 shape on the
+    * new MJPEG codec path): synthesize → truncate-corrupt every 97th
+    * payload → REAL RIFF+JPEG decode, all stateless per-partition maps,
+    * so the lane is append-mode with zero state store; corrupt payloads
+    * must DROP (not crash) the stream, and surviving rows are pinned
+    * row-wise against the batch run of the same pipe. */
+  val q179: QueryFn = (s, d) => {
+    def lane(df: DataFrame): DataFrame = {
+      val avis = Multimodal.synthesizeMjpegAvis(df.select(col("doc_id")), "doc_id")
+        .withColumn("content",
+          when(pmod(col("doc_id"), lit(97)) === 0, expr("substring(content, 1, 64)"))
+            .otherwise(col("content")))
+      Multimodal.decodeVideosReal(avis, "doc_id", "content").toDF()
+        .select(col("id").as("doc_id"), col("n_frame_chunks"), col("duration_us"),
+          col("decoded_frames"))
+    }
+    val schema = rawSchema(s, d, "documents")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "q179_stream_video_sink"
+    s.catalog.dropTempView(name)
+    val q = lane(src).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = s.table(name)
+    val batch = lane(tbl(s, d, "documents"))
+      .select(col("doc_id"), col("n_frame_chunks").as("b_n"),
+        col("duration_us").as("b_d"), col("decoded_frames").as("b_f"))
+    streamed.join(batch, "doc_id")
+      .agg(count(lit(1)).as("n_streamed"),
+        sum(when(col("n_frame_chunks") === col("b_n") && col("duration_us") === col("b_d") &&
+          col("decoded_frames") === col("b_f"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("n_streamed"), col("n_match"),
+        (col("n_streamed") === col("n_match")).as("all_match"))
+  }
+
+  val q179Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_streamed,
+      |  CAST(COUNT(*) AS BIGINT) AS n_match, TRUE AS all_match
+      |FROM documents WHERE doc_id % 97 <> 0""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -6036,7 +6078,8 @@ object Queries {
     ("q175_kn3_nll", q175, Some(q175Sql)),
     ("q176_incremental_pipeline", q176, Some(q176Sql)),
     ("q177_video_decode", q177, Some(q177Sql)),
-    ("q178_video_near_dup", q178, Some(q178Sql))
+    ("q178_video_near_dup", q178, Some(q178Sql)),
+    ("q179_stream_video", q179, Some(q179Sql))
   )
 }
 

@@ -503,6 +503,16 @@ class PropertySpec extends AnyFunSuite {
           Gen.oneOf[Any](42L, true, junkMap, "bogus_hash")),
         opt("action", Gen.oneOf[Any]("drop", "pairs"),
           Gen.oneOf[Any](42L, true, junkMap, "bogus_action"))),
+      "video_near_dup" -> Seq(idCol,
+        // text bytes are not AVIs — they never fingerprint, never pair
+        req("content_col", Gen.const("text"), wrongForStr),
+        opt("max_hamming", Gen.oneOf(0L, 2L), wrongForInt),
+        opt("stride", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("max_frames", Gen.oneOf(2L, 64L), wrongForInt),
+        opt("hash", Gen.oneOf[Any]("dhash", "ahash"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_hash")),
+        opt("action", Gen.oneOf[Any]("drop", "pairs"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_action"))),
       "audio_features" -> Seq(idCol,
         // text bytes are undecodable payloads — mark-not-drop by contract
         req("content_col", Gen.const("text"), wrongForStr)),
@@ -545,7 +555,10 @@ class PropertySpec extends AnyFunSuite {
       "density_prune" -> Seq(idCol,
         req("vec_col", Gen.const("emb"), wrongForStr),
         opt("k", Gen.oneOf(1L, 3L), wrongForInt),
-        opt("n_centroids", Gen.oneOf(1L, 2L), wrongForInt),
+        // n_centroids fixed at 2: an independent {1,2} draw could pair
+        // n_centroids=1 with n_probe=2 - a VALID-typed but semantically
+        // impossible combo (nProbe <= nCentroids is a loud require)
+        opt("n_centroids", Gen.const(2L), wrongForInt),
         opt("iters", Gen.const(1L), wrongForInt),
         opt("threshold", Gen.chooseNum(0.0, 1.0), wrongForNum),
         opt("n_probe", Gen.oneOf(1L, 2L), wrongForInt),
@@ -553,7 +566,10 @@ class PropertySpec extends AnyFunSuite {
       "hard_negatives" -> Seq(idCol,
         req("vec_col", Gen.const("emb"), wrongForStr),
         req("label_col", Gen.const("is_en"), wrongForStr),
-        opt("n_centroids", Gen.oneOf(1L, 2L), wrongForInt),
+        // n_centroids fixed at 2: an independent {1,2} draw could pair
+        // n_centroids=1 with n_probe=2 - a VALID-typed but semantically
+        // impossible combo (nProbe <= nCentroids is a loud require)
+        opt("n_centroids", Gen.const(2L), wrongForInt),
         opt("iters", Gen.const(1L), wrongForInt),
         opt("n_probe", Gen.oneOf(1L, 2L), wrongForInt),
         opt("max_cell", Gen.oneOf(100L, 10000L), wrongForInt)),
@@ -569,7 +585,10 @@ class PropertySpec extends AnyFunSuite {
         req("vec_col", Gen.const("emb"), wrongForStr),
         req("seed_col", Gen.const("is_en"), wrongForStr),
         opt("k", Gen.oneOf(1L, 3L), wrongForInt),
-        opt("n_centroids", Gen.oneOf(1L, 2L), wrongForInt),
+        // n_centroids fixed at 2: an independent {1,2} draw could pair
+        // n_centroids=1 with n_probe=2 - a VALID-typed but semantically
+        // impossible combo (nProbe <= nCentroids is a loud require)
+        opt("n_centroids", Gen.const(2L), wrongForInt),
         opt("iters", Gen.const(1L), wrongForInt),
         opt("prop_iters", Gen.oneOf(1L, 2L), wrongForInt),
         opt("alpha_numer", Gen.const(1L), wrongForInt),
@@ -580,7 +599,10 @@ class PropertySpec extends AnyFunSuite {
       "pagerank_centrality" -> Seq(idCol,
         req("vec_col", Gen.const("emb"), wrongForStr),
         opt("k", Gen.oneOf(1L, 3L), wrongForInt),
-        opt("n_centroids", Gen.oneOf(1L, 2L), wrongForInt),
+        // n_centroids fixed at 2: an independent {1,2} draw could pair
+        // n_centroids=1 with n_probe=2 - a VALID-typed but semantically
+        // impossible combo (nProbe <= nCentroids is a loud require)
+        opt("n_centroids", Gen.const(2L), wrongForInt),
         opt("iters", Gen.const(1L), wrongForInt),
         opt("power_iters", Gen.oneOf(1L, 2L), wrongForInt),
         opt("damping_numer", Gen.const(17L), wrongForInt),
