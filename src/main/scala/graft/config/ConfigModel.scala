@@ -80,7 +80,13 @@ final case class GeneralConfig(
       * of incremental outputs equals the one-shot full run). The
       * manifest is a plain relation `(src_file, guid, processed_at)`
       * written through the IO seam, so it survives restarts and reads
-      * back anywhere. */
+      * back anywhere. SINGLE-WRITER contract: the manifest update is a
+      * read-merge-overwrite, so two incremental runs sharing one
+      * `dstRoot` must not run concurrently — the loser's file records
+      * would be dropped and its batch reprocessed next run (safe
+      * direction: duplicate WORK, never skipped data — outputs land
+      * under distinct GUIDs either way). Serialize crawl runs per
+      * dstRoot, as every scheduler-driven ingestion naturally does. */
     incremental: Boolean = false,
     manifestDir: String = "_manifest",
     guid: String = "",

@@ -828,7 +828,13 @@ object Multimodal {
     var usPerFrame = 0L
     var frameIdx = 0L
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
+    // depth cap: walk() recurses per nested LIST, so a CRAFTED payload of
+    // ~100k nested LISTs (12 bytes each) would stack-overflow an executor
+    // thread — the poisoned-record class every codec seam here guards.
+    // Real AVIs nest <= 4 (RIFF > hdrl > strl, RIFF > movi > rec);
+    // deeper nesting is treated as malformed and skipped, not descended.
+    val MaxListDepth = 32
+    def walk(start: Int, end: Int, depth: Int): Unit = {
       var off = start
       var ok = true
       while (ok && off + 8 <= end) {
@@ -838,7 +844,8 @@ object Multimodal {
         else {
           val dataOff = off + 8
           val dataEnd = (dataOff + size).toInt
-          if (id == "LIST" && size >= 4) walk(dataOff + 4, dataEnd)
+          if (id == "LIST" && size >= 4 && depth < MaxListDepth)
+            walk(dataOff + 4, dataEnd, depth + 1)
           else if (id == "avih" && size >= 40) {
             usPerFrame = u32(dataOff)
             width = u32(dataOff + 32).toInt
@@ -853,7 +860,7 @@ object Multimodal {
         }
       }
     }
-    walk(12, content.length)
+    walk(12, content.length, depth = 1)
     if (width <= 0 || height <= 0) None
     else Some((width, height, usPerFrame, frameIdx, frames.toSeq))
   }

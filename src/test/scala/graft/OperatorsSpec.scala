@@ -2163,6 +2163,26 @@ class OperatorsSpec extends AnyFunSuite {
     val truncated = avis.limit(3)
       .select(col("doc_id"), expr("substring(content, 1, 100)").as("content"))
     assert(Multimodal.decodeVideosReal(truncated, "doc_id", "content").count() == 0)
+    // CRAFTED nested-LIST bomb: 100k nested LISTs would recurse the walk
+    // into a StackOverflow without the depth cap — must parse-and-drop,
+    // never kill the executor thread (the poisoned-record contract)
+    // layer i (outermost = 0) spans 12*(depth-1-i)+20 bytes incl. its
+    // 8-byte header, so its size field reads 12*(depth-1-i)+12; the
+    // innermost layer holds one empty JUNK chunk
+    val depth = 100000
+    val bomb = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    bomb.write("RIFF".getBytes); bomb.write(le32(12 * depth + 12))
+    bomb.write("AVI ".getBytes)
+    for (i <- 0 until depth) {
+      bomb.write("LIST".getBytes)
+      bomb.write(le32(12 * (depth - 1 - i) + 12))
+      bomb.write("rec ".getBytes)
+    }
+    bomb.write("JUNK".getBytes); bomb.write(le32(0))
+    val parsed = Multimodal.parseAviMjpeg(bomb.toByteArray, stride = 1, maxFrames = 4)
+    assert(parsed.isEmpty, "nested-LIST bomb must be dropped, not decoded")
   }
 
   test("synthesizePatternPngs: 25 base patterns pairwise far; jitter is hash-invariant") {
