@@ -349,10 +349,31 @@ object Bpe {
     * pre-tokens, [[byteSymbols]] byte alphabet, merge replay. LOSSLESS —
     * concatenating the output symbols and inverting [[byteToUnicode]]
     * reconstructs the input text byte-for-byte (round-trip spec), so no
-    * text is ever out-of-vocabulary. Pure projection like [[segment]]. */
-  def segmentBytes(text: Column, merges: Seq[(String, String)]): Column =
-    flatten(transform(bytePretokens(text), t =>
-      BpeApply(byteSymbols(t), merges)))
+    * text is ever out-of-vocabulary. Pure projection like [[segment]].
+    *
+    * `specialTokens` (the tiktoken contract): reserved markers like
+    * `<|endoftext|>` are ATOMIC — emitted as single tokens wherever they
+    * occur, never pre-tokenized, byte-split, or merged across. The text
+    * splits at every special-token boundary via zero-width lookarounds
+    * (Java regex; the literals are quoted), so surrounding text
+    * tokenizes exactly as it would alone. Specials are printable-ASCII
+    * by convention, which keeps the byte-decode round trip lossless for
+    * free (printable ASCII symbols are their own bytes). */
+  def segmentBytes(text: Column, merges: Seq[(String, String)],
+      specialTokens: Seq[String] = Nil): Column = {
+    val plain = (t: Column) => flatten(transform(bytePretokens(t), tok =>
+      BpeApply(byteSymbols(tok), merges)))
+    if (specialTokens.isEmpty) plain(text)
+    else {
+      require(specialTokens.forall(s => s.nonEmpty && s.forall(c => c >= 0x21 && c <= 0x7e)),
+        "special tokens must be non-empty printable ASCII (no whitespace) — " +
+          "the tiktoken convention, and what keeps byte decode lossless")
+      val alts = specialTokens.map(java.util.regex.Pattern.quote).mkString("|")
+      val segs = split(text, s"(?=(?:$alts))|(?<=(?:$alts))")
+      flatten(transform(segs, seg =>
+        when(seg.isin(specialTokens: _*), array(seg)).otherwise(plain(seg))))
+    }
+  }
 
   /** Subword count under a learned table — the REAL token budget the
     * `subword_count_approx` heuristic stands in for when no tokenizer
@@ -361,8 +382,9 @@ object Bpe {
     size(segment(text, merges))
 
   /** Byte-level subword count (tokens of [[segmentBytes]]). */
-  def tokenCountBytes(text: Column, merges: Seq[(String, String)]): Column =
-    size(segmentBytes(text, merges))
+  def tokenCountBytes(text: Column, merges: Seq[(String, String)],
+      specialTokens: Seq[String] = Nil): Column =
+    size(segmentBytes(text, merges, specialTokens))
 
   /** Serialize a learned merge table to a frame-shaped relation
     * `(rank int, left string, right string, cnt long)` — writable through

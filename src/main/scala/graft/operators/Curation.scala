@@ -253,6 +253,51 @@ object Curation {
     * budget product at `totalTokens * 10^6` — safe through 9·10^12 total
     * tokens; raise deliberately (with wider decimals both sides) past
     * that. */
+  /** Temperature-smoothed mixture weights (the multilingual-pretraining
+    * standard — exponentially smoothed sampling, mT5/XLM-R shape:
+    * `q_d ∝ p_d^α` with `p_d = n_d / N` and temperature `α ∈ (0, 1]`;
+    * α = 1 reproduces natural proportions, α → 0 flattens toward
+    * uniform, lifting low-resource domains). Returns INTEGER weights
+    * (`round(p_d^α · scale)`) that plug directly into [[mixtureSample]]'s
+    * exact integer budget machinery — the default `scale` of 1000 keeps
+    * `budgetNumer · Σw` inside mixtureSample's 1e6 overflow guard for
+    * hundreds of domains — the one `pow` is computed ONCE per
+    * domain on the driver from exact long totals, with α spelled as an
+    * integer fraction so an oracle can reproduce the identical binary64
+    * (`pow(p, αn/αd)` with the same IEEE division both sides).
+    *
+    * DRIVER-BOUNDED collect: one row per domain, loudly capped — domain
+    * columns are language/source tags (dozens to thousands), never
+    * data-sized. */
+  def temperatureWeights(
+      df: DataFrame,
+      domainCol: String,
+      tokenCol: String,
+      alphaNumer: Long,
+      alphaDenom: Long,
+      scale: Long = 1000L,
+      maxDomains: Int = 100000
+  ): Map[String, Long] = {
+    require(alphaNumer >= 1 && alphaDenom >= 1 && alphaNumer <= alphaDenom,
+      s"temperature alpha must be a fraction in (0, 1], got $alphaNumer/$alphaDenom")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val rows = df
+      .groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(sum(coalesce(col(tokenCol), lit(0L))).cast("long").as("__n"))
+      .filter(col("__d").isNotNull && col("__n") > 0L)
+      .limit(maxDomains + 1).collect()
+    require(rows.length <= maxDomains,
+      s"temperatureWeights: > $maxDomains distinct domains — '$domainCol' is " +
+        "not a domain column; raise maxDomains deliberately if it really is")
+    require(rows.nonEmpty, "temperatureWeights: no domains with positive token counts")
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val alpha = alphaNumer.toDouble / alphaDenom
+    rows.map { r =>
+      val w = math.round(math.pow(r.getLong(1) / total, alpha) * scale)
+      r.getString(0) -> math.max(1L, w) // a seen domain never rounds to weight 0
+    }.toMap
+  }
+
   def mixtureSample(
       df: DataFrame,
       idCol: String,

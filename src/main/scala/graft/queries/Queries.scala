@@ -5896,6 +5896,50 @@ object Queries {
       |  CAST(COUNT(*) AS BIGINT) AS n_match, TRUE AS all_match
       |FROM documents WHERE doc_id % 97 <> 0""".stripMargin
 
+  /** Temperature-smoothed mixture sampling (round 17 —
+    * [[Curation.temperatureWeights]] + [[Curation.mixtureSample]]): the
+    * multilingual-pretraining knob (`q_d ∝ (n_d/N)^α`, α = 1/2 here —
+    * exponentially smoothed sampling that lifts low-resource languages)
+    * feeding the exact integer budget machinery of q118. ONE `pow` per
+    * domain on the driver from exact long totals; the oracle recomputes
+    * the identical binary64 (`POW(p, 1/2)` with the same IEEE division),
+    * rounds to the same integer weights, and chains the same windows —
+    * `tokens_before` pins the cut coordinate, not just membership. */
+  val q180: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val w = Curation.temperatureWeights(docs, "lang", "n_tokens",
+      alphaNumer = 1L, alphaDenom = 2L)
+    Curation.mixtureSample(docs, "doc_id", "lang", "n_tokens", w,
+      budgetNumer = 1L, budgetDenom = 2L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tokens_before"))
+  }
+
+  val q180Sql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM t),
+      |dn AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS dn FROM t
+      |  WHERE lang IS NOT NULL GROUP BY lang HAVING SUM(n_tokens) > 0),
+      |wtot AS (SELECT CAST(SUM(dn) AS BIGINT) AS wtot FROM dn),
+      |w AS (SELECT lang,
+      |  GREATEST(CAST(round(POW(CAST(dn AS DOUBLE) / wtot,
+      |    CAST(1 AS DOUBLE) / 2) * 1000, 0) AS BIGINT), 1) AS w
+      |  FROM dn CROSS JOIN wtot),
+      |sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM w),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+      |    AS tokens_before
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens, tokens_before
+      |FROM c JOIN w USING (lang) CROSS JOIN tot CROSS JOIN sw
+      |WHERE tokens_before < (total * w) // (2 * sumw)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -6079,7 +6123,8 @@ object Queries {
     ("q176_incremental_pipeline", q176, Some(q176Sql)),
     ("q177_video_decode", q177, Some(q177Sql)),
     ("q178_video_near_dup", q178, Some(q178Sql)),
-    ("q179_stream_video", q179, Some(q179Sql))
+    ("q179_stream_video", q179, Some(q179Sql)),
+    ("q180_temperature_mixture", q180, Some(q180Sql))
   )
 }
 

@@ -682,10 +682,15 @@ object BuiltinTransformations {
         s"$name: trainer must be 'local' or 'distributed', got '$other'")
     }
     val pairs = merges.map(m => (m._1, m._2))
+    // special_tokens (byte level only — the tiktoken contract): reserved
+    // markers are atomic, never split or merged across
+    val specials = strSeqKwOpt(name, kw, "special_tokens")
+    require(specials.isEmpty || byteLevel,
+      s"$name: special_tokens requires level: byte")
     def seg(c: org.apache.spark.sql.Column) =
-      if (byteLevel) Bpe.segmentBytes(c, pairs) else Bpe.segment(c, pairs)
+      if (byteLevel) Bpe.segmentBytes(c, pairs, specials) else Bpe.segment(c, pairs)
     def cnt(c: org.apache.spark.sql.Column) =
-      if (byteLevel) Bpe.tokenCountBytes(c, pairs) else Bpe.tokenCount(c, pairs)
+      if (byteLevel) Bpe.tokenCountBytes(c, pairs, specials) else Bpe.tokenCount(c, pairs)
     strKw(name, kw, "mode", "count") match {
       case "count"    => df.withColumn(outCol, cnt(col(textCol)))
       case "segments" => df.withColumn(outCol, seg(col(textCol)))

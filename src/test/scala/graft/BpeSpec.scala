@@ -206,6 +206,50 @@ class BpeSpec extends AnyFunSuite {
     assert(c1 < c0, s"merges must shrink the byte-token count ($c1 !< $c0)")
   }
 
+  test("byte level: special tokens are atomic (tiktoken contract), round trip stays lossless") {
+    val specials = Seq("<|endoftext|>", "<|pad|>")
+    val corpus = Seq((1L, "hello world hello world hello")).toDF("id", "text")
+    val merges = Bpe.trainFromCorpusLocal(corpus, "text", 6, byteLevel = true)
+      .map(m => (m._1, m._2))
+    val df = Seq(
+      (1L, "hello<|endoftext|>world"),
+      (2L, "<|endoftext|>leading and trailing<|pad|>"),
+      (3L, "<|endoftext|><|pad|>adjacent"),
+      (4L, "no specials here"),
+      (5L, "incomplete <|endoftext| stays plain")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), col("text"),
+      Bpe.segmentBytes(col("text"), merges, specials).as("toks")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[String](2))).toMap
+    // specials appear as single tokens, never merged across
+    assert(out(1L)._2.count(_ == "<|endoftext|>") == 1)
+    assert(out(2L)._2.head == "<|endoftext|>" && out(2L)._2.last == "<|pad|>")
+    assert(out(3L)._2.take(2) == Seq("<|endoftext|>", "<|pad|>"))
+    assert(!out(4L)._2.exists(specials.contains), "no phantom specials")
+    assert(!out(5L)._2.exists(specials.contains), "partial marker must stay plain text")
+    // surrounding text tokenizes exactly as it would alone, and the
+    // byte-decode round trip still reconstructs every input
+    for ((_, (txt, toks)) <- out) {
+      assert(Bpe.decodeBytesLocal(toks) == txt, s"round trip failed for '$txt'")
+      assert(!toks.exists(t => !specials.contains(t) && specials.exists(s => t.contains(s))),
+        s"a merge crossed a special boundary in $toks")
+    }
+    // plain segmentation of the text around a special == segmenting the
+    // parts independently
+    val around = df.filter(col("id") === 1L)
+      .select(Bpe.segmentBytes(col("text"), merges, specials).as("t")).head.getSeq[String](0)
+    val partA = Seq((1L, "hello")).toDF("id", "text")
+      .select(Bpe.segmentBytes(col("text"), merges).as("t")).head.getSeq[String](0)
+    val partB = Seq((1L, "world")).toDF("id", "text")
+      .select(Bpe.segmentBytes(col("text"), merges).as("t")).head.getSeq[String](0)
+    assert(around == partA ++ Seq("<|endoftext|>") ++ partB)
+    // non-ASCII specials are refused loudly
+    val bad = intercept[IllegalArgumentException] {
+      df.select(Bpe.segmentBytes(col("text"), merges, Seq("Ġbad")))
+    }
+    assert(bad.getMessage.contains("printable ASCII"))
+  }
+
   test("trainLocal guards: loud maxVocab cap, minFrequency cutoff changes low ranks only") {
     val df = Seq((1L, "low lower newest widest")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {
