@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, TimeSeries}
 
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -2125,6 +2125,37 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id", "dl", "nll").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(viaBuiltin == out)
+  }
+
+  test("temperatureWeights: alpha=1 is natural proportions, smaller alpha flattens, loud guards") {
+    import spark.implicits._
+    val df = Seq(("en", 900L), ("zh", 90L), ("fr", 10L)).toDF("lang", "n")
+    // total 1000, scale 1000: alpha=1 weights ARE the token counts
+    val w1 = Curation.temperatureWeights(df, "lang", "n", 1L, 1L)
+    assert(w1 == Map("en" -> 900L, "zh" -> 90L, "fr" -> 10L))
+    // alpha=1/2 compresses ratios (lifts low-resource) but keeps order
+    val w2 = Curation.temperatureWeights(df, "lang", "n", 1L, 2L)
+    assert(w2("en") > w2("zh") && w2("zh") > w2("fr"))
+    assert(w2("en").toDouble / w2("fr") < w1("en").toDouble / w1("fr"),
+      s"sqrt must flatten: $w2 vs $w1")
+    // a seen domain never rounds to weight 0 (it would silently vanish
+    // from the mix)
+    val tiny = Seq(("big", 1000000L), ("rare", 1L)).toDF("lang", "n")
+    assert(Curation.temperatureWeights(tiny, "lang", "n", 1L, 1L)("rare") == 1L)
+    // zero-token and null domains never get a weight
+    val dirty = Seq(("en", 10L), ("empty", 0L), (null.asInstanceOf[String], 5L))
+      .toDF("lang", "n")
+    val wd = Curation.temperatureWeights(dirty, "lang", "n", 1L, 1L)
+    assert(wd.keySet == Set("en"))
+    // guards: alpha outside (0,1], domain-count cap
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.temperatureWeights(df, "lang", "n", 3L, 2L)
+    }
+    assert(e1.getMessage.contains("alpha"))
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.temperatureWeights(df, "lang", "n", 1L, 2L, maxDomains = 2)
+    }
+    assert(e2.getMessage.contains("maxDomains"))
   }
 
   test("MJPEG-AVI: synthesize → RIFF parse → real JPEG frame decode; fingerprint invariances") {
