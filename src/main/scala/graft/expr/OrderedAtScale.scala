@@ -368,7 +368,16 @@ object OrderedAtScale {
     * internal [[TieCol]] hash extends it to a consistent total order
     * used by BOTH the within-bucket windows and the head/tail struct
     * sorts, so the recomposed frame is THE windowed frame by
-    * construction. */
+    * construction. CONTRACT CAVEAT (round 17 advice): that safety
+    * argument leans on value-neutrality — [[TieCol]] hashes only
+    * (orderKeys, value expr), so rows tied on key AND value order
+    * arbitrarily-but-consistently, which is invisible to the shipped
+    * commutative / value-symmetric `frameAgg`s ([[FrameStats]] moments,
+    * sorted-multiset quantiles). A future NON-symmetric frame
+    * aggregator (e.g. "first raw value", positional indexing into the
+    * frame) would silently inherit that arbitrary tie order — such a
+    * caller must supply a genuinely unique `orderBy` instead of relying
+    * on the hash extension. */
   def globalRollingFrame(
       df: DataFrame,
       outName: String,

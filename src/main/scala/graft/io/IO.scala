@@ -38,9 +38,14 @@ trait GraftIO {
 
   /** Read an explicit file subset of a source (the incremental-run scan:
     * only the not-yet-processed files of [[listFiles]]). `files` must be
-    * non-empty — the caller decides what an empty batch means. */
+    * non-empty — the caller decides what an empty batch means. `schema`,
+    * when given, pins the read types (round 17 advice: schema-INFERRED
+    * formats would otherwise re-infer from only the batch's files and can
+    * resolve different types per batch, diverging from the full-source
+    * read); callers pass the full source's resolved schema. */
   def readFiles(spark: SparkSession, files: Seq[String], fileType: String,
-      options: Map[String, String] = Map.empty): DataFrame
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None): DataFrame
 }
 
 /** Real filesystem-backed IO on Spark's native sources/sinks. */
@@ -110,7 +115,7 @@ class SparkIO extends GraftIO {
     read(spark, path, fileType, options).inputFiles.toSeq.sorted
 
   override def readFiles(spark: SparkSession, files: Seq[String], fileType: String,
-      options: Map[String, String]): DataFrame = {
+      options: Map[String, String], schema: Option[StructType]): DataFrame = {
     require(files.nonEmpty, "readFiles: empty file list")
     val base = fileType.toLowerCase match {
       case FileType.Parquet => spark.read.options(options).format(FileType.Parquet)
@@ -121,7 +126,10 @@ class SparkIO extends GraftIO {
       case FileType.Orc => spark.read.options(options).format(FileType.Orc)
       case other => throw new IllegalArgumentException(s"unsupported source file type '$other'")
     }
-    base.load(files: _*)
+    // an explicit schema silences inferSchema entirely (Spark skips the
+    // inference scan when one is supplied) — the caller's full-source types
+    // win over anything a lone batch would have inferred
+    schema.fold(base)(base.schema(_)).load(files: _*)
   }
 }
 
@@ -159,7 +167,9 @@ class FakeIO(
     frames.keys.filter(k => k == path || k.startsWith(path + "/")).toSeq.sorted
 
   override def readFiles(spark: SparkSession, files: Seq[String], fileType: String,
-      options: Map[String, String]): DataFrame = {
+      options: Map[String, String], schema: Option[StructType]): DataFrame = {
+    // `schema` is a no-op here: fake frames are registered pre-typed, the
+    // exact analogue of a self-describing source
     require(files.nonEmpty, "readFiles: empty file list")
     files.map(f => frames.getOrElse(f, throw new java.io.FileNotFoundException(f)))
       .reduce(_.unionByName(_))

@@ -57,10 +57,16 @@ object Bpe {
     * contractions, space-prefixed letter runs, space-prefixed digit
     * runs, space-prefixed punctuation runs, then whitespace — the
     * leading-space attachment is what makes " the" one token. Java
-    * regex: `\p{L}`/`\p{N}` are Unicode classes by default and the
-    * `(?!\S)` lookahead is supported as written. */
+    * regex: `\p{L}`/`\p{N}` are Unicode classes by default, the
+    * `(?!\S)` lookahead is supported as written, and the `(?U)` prefix
+    * (UNICODE_CHARACTER_CLASS) lifts `\s`/`\S` from Java's ASCII-only
+    * default to the Unicode White_Space property — the published
+    * pattern runs under Python `regex` where `\s` is Unicode, so
+    * without the flag NBSP/U+2028-style whitespace would mis-route
+    * into the punctuation branch (round 17 advice; byte parity with
+    * real GPT-2/tiktoken on such inputs needs the flag). */
   val Gpt2Pattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+    "(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
 
   /** GPT-2's `bytes_to_unicode`: the 188 printable single-byte chars
     * (33–126, 161–172, 174–255) map to themselves; the other 68 bytes
@@ -368,6 +374,21 @@ object Bpe {
       require(specialTokens.forall(s => s.nonEmpty && s.forall(c => c >= 0x21 && c <= 0x7e)),
         "special tokens must be non-empty printable ASCII (no whitespace) — " +
           "the tiktoken convention, and what keeps byte decode lossless")
+      // the zero-width-lookaround split cuts at EVERY occurrence boundary
+      // independently, so a special that overlaps another (substring, or a
+      // self-overlap like "aa" inside "aaa") would be dissected into
+      // segments that equal NO special and silently tokenize as plain
+      // bytes; tiktoken resolves such input leftmost-longest. Refuse the
+      // ambiguous vocabulary loudly instead (round 17 advice) — real
+      // special sets (<|endoftext|>-style delimited markers) never overlap.
+      for (s <- specialTokens; t <- specialTokens if s != t)
+        require(!t.contains(s),
+          s"special token '$s' is a substring of '$t' — overlapping specials " +
+            "would be dissected by the boundary split; use delimited markers")
+      for (s <- specialTokens; p <- 1 until s.length)
+        require(s.substring(0, p) != s.substring(s.length - p),
+          s"special token '$s' self-overlaps (border of length $p) — adjacent " +
+            "occurrences would be dissected by the boundary split")
       val alts = specialTokens.map(java.util.regex.Pattern.quote).mkString("|")
       val segs = split(text, s"(?=(?:$alts))|(?<=(?:$alts))")
       flatten(transform(segs, seg =>

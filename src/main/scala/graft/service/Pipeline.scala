@@ -66,29 +66,38 @@ object Pipeline {
     // after the sinks succeed (at-least-once: a failed run reprocesses
     // its batch, never skips it).
     val manifestPath = s"${cfg.dstRoot}/${cfg.manifestDir}"
-    val (allFiles, freshFiles): (Seq[String], Seq[String]) =
-      if (!cfg.incremental) (Nil, Nil)
+    val (allFiles, freshFiles, manifestBatchSeq): (Seq[String], Seq[String], Int) =
+      if (!cfg.incremental) (Nil, Nil, 0)
       else {
         val all = io.listFiles(spark, cfg.srcPath, cfg.srcFileType, cfg.srcOptions.toMap)
         require(all.nonEmpty, s"incremental run: source ${cfg.srcPath} lists no files")
         require(all.size <= ManifestMaxFiles,
           s"incremental run: source lists ${all.size} files > cap $ManifestMaxFiles — " +
             "compact the source layout or raise the cap deliberately")
-        val done = readManifest(spark, io, manifestPath, cfg.dstFileType)
+        val manifestFiles = listManifestFiles(spark, io, manifestPath, cfg.dstFileType)
+        val done = readManifest(spark, io, manifestPath, cfg.dstFileType, manifestFiles)
           .map(_._1).toSet
         val fresh = all.filterNot(done)
         graft.util.Log.info(s"incremental run: ${all.size} source files, " +
           s"${done.size} already processed, ${fresh.size} fresh")
-        (all, fresh)
+        (all, fresh, manifestFiles.size)
       }
+    // incremental batches read under the FULL source's resolved schema, not
+    // a per-batch inference (round 17 advice): a schema-inferred format
+    // (csv/json) can resolve different types batch-to-batch and silently
+    // break the union-of-runs == one-shot-full-run contract. One resolve
+    // over ALL the source's files pins the types every batch reads under.
+    val srcSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (!cfg.incremental) None
+      else Some(io.readFiles(spark, allFiles, cfg.srcFileType, cfg.srcOptions.toMap).schema)
     val raw =
       if (!cfg.incremental) io.read(spark, cfg.srcPath, cfg.srcFileType, cfg.srcOptions.toMap)
       else if (freshFiles.nonEmpty)
-        io.readFiles(spark, freshFiles, cfg.srcFileType, cfg.srcOptions.toMap)
+        io.readFiles(spark, freshFiles, cfg.srcFileType, cfg.srcOptions.toMap, srcSchema)
       else
         // nothing new: an empty frame with the source schema (the false
         // filter folds to an empty relation — no data is scanned)
-        io.readFiles(spark, allFiles, cfg.srcFileType, cfg.srcOptions.toMap)
+        io.readFiles(spark, allFiles, cfg.srcFileType, cfg.srcOptions.toMap, srcSchema)
           .filter(org.apache.spark.sql.functions.lit(false))
     val expected = Validation.extractExpectedCols(cfg)
     Validation.checkExpectedCols(expected)(raw)
@@ -152,18 +161,21 @@ object Pipeline {
 
     // 10. incremental manifest update — AFTER every sink succeeded, so a
     // crashed run leaves its batch unrecorded (reprocess, never skip).
-    // The manifest is driver-small metadata (file names, capped above):
-    // prior rows are materialized before the overwrite so the write
-    // never reads the path it replaces.
+    // APPEND-ONLY (round 17 advice): each run writes ONLY its own batch
+    // rows to a fresh `batch=<seq>_<guid>` sub-path and never rewrites
+    // prior history, so no crash window can corrupt or erase what earlier
+    // runs recorded (the old prior++fresh overwrite could be interrupted
+    // mid-rewrite and silently reset ALL history → every file reprocessed
+    // and re-emitted). The key=value dir name doubles as a partition
+    // column for anyone reading the manifest directory whole.
     if (cfg.incremental && freshFiles.nonEmpty) {
-      val prior = readManifest(spark, io, manifestPath, cfg.dstFileType)
-      val rows = prior ++ freshFiles.map(f => (f, guid, nowTs))
       import spark.implicits._
+      val batchPath = s"$manifestPath/batch=b${manifestBatchSeq}_$guid"
       io.write(
-        rows.toDF("src_file", "guid", "processed_at"),
-        manifestPath, cfg.dstFileType, options = cfg.dstOptions.toMap)
+        freshFiles.map(f => (f, guid, nowTs)).toDF("src_file", "guid", "processed_at"),
+        batchPath, cfg.dstFileType, options = cfg.dstOptions.toMap)
       graft.util.Log.info(
-        s"incremental manifest: +${freshFiles.size} files (${rows.size} total) at $manifestPath")
+        s"incremental manifest: +${freshFiles.size} files recorded at $batchPath")
     }
 
     annotated.unpersist()
@@ -177,16 +189,51 @@ object Pipeline {
     * files) into a loud failure instead of a silent driver OOM. */
   private val ManifestMaxFiles: Int = 1 << 20
 
+  /** The manifest's batch files. ONLY a missing manifest directory — the
+    * first incremental run — maps to an empty history, loudly logged; any
+    * other listing failure (transient storage error, permissions) RETHROWS.
+    * Round 17 advice: the old blanket catch treated every read failure as
+    * "first run", silently resetting history so all prior files were
+    * reprocessed and re-emitted under a new guid — duplicated rows with no
+    * error, breaking the union-of-runs == one-shot-full-run invariant. */
+  private def listManifestFiles(
+      spark: SparkSession,
+      io: GraftIO,
+      path: String,
+      fileType: String): Seq[String] =
+    try io.listFiles(spark, path, fileType)
+    catch {
+      case e @ (_: java.io.FileNotFoundException | _: org.apache.spark.sql.AnalysisException)
+          if isMissingPath(e) =>
+        graft.util.Log.info(s"incremental run: no manifest at $path — first run")
+        Nil
+    }
+
+  /** Path-absent errors only: a missing directory (or an empty one that no
+    * schema can be inferred from) is a legitimate first run; anything else
+    * is NOT ours to swallow. */
+  private def isMissingPath(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case a: org.apache.spark.sql.AnalysisException =>
+      val cond = Option(a.getCondition).getOrElse("")
+      cond.contains("PATH_NOT_FOUND") || cond.contains("UNABLE_TO_INFER_SCHEMA") ||
+        a.getMessage.contains("Path does not exist")
+    case _ => false
+  }
+
   /** Prior manifest rows, `(src_file, guid, processed_at)`, materialized
-    * driver-side (bounded by [[ManifestMaxFiles]]); a missing manifest —
-    * the first incremental run — is an empty history, loudly logged. */
+    * driver-side (bounded by [[ManifestMaxFiles]]). A manifest that EXISTS
+    * but cannot be read is corruption, not a first run — fail loudly with
+    * the repair choice spelled out instead of resetting history. */
   private def readManifest(
       spark: SparkSession,
       io: GraftIO,
       path: String,
-      fileType: String): Seq[(String, String, java.sql.Timestamp)] =
-    try {
-      val rows = io.read(spark, path, fileType)
+      fileType: String,
+      manifestFiles: Seq[String]): Seq[(String, String, java.sql.Timestamp)] =
+    if (manifestFiles.isEmpty) Nil
+    else try {
+      val rows = io.readFiles(spark, manifestFiles, fileType)
         .selectExpr("cast(src_file as string)", "cast(guid as string)",
           "cast(processed_at as timestamp)")
         .limit(ManifestMaxFiles + 1).collect()
@@ -195,9 +242,11 @@ object Pipeline {
       rows.toSeq.map(r => (r.getString(0), r.getString(1), r.getTimestamp(2)))
     } catch {
       case scala.util.control.NonFatal(e) if !e.isInstanceOf[IllegalArgumentException] =>
-        graft.util.Log.info(s"incremental run: no readable manifest at $path " +
-          s"(${e.getClass.getSimpleName}) — treating as first run")
-        Nil
+        throw new IllegalStateException(
+          s"incremental manifest at $path exists but is unreadable — refusing to treat " +
+            "as a first run (a history reset would re-emit every prior batch as " +
+            "duplicates). Repair the storage fault, or delete the manifest directory " +
+            s"to deliberately reprocess everything. Cause: ${e.getMessage}", e)
     }
 
   /** Run `body` with `spark.sql.ansi.enabled=true`, restoring the caller's

@@ -130,19 +130,22 @@ class PipelineE2ESpec extends AnyFunSuite {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.select("name", "salary", "division", "bonus").collect()
         .map(_.mkString("|")).toSeq.sorted
+    // manifest batches are APPEND-ONLY sub-paths under the manifest dir
+    // (round 17 advice: a run never rewrites prior history)
+    def manifest(): Seq[String] = io.frames.view
+      .filterKeys(_.startsWith("/out/_manifest/")).values
+      .flatMap(_.collect()).map(_.getString(0)).toSeq.sorted
     // batch 1: only a.parquet exists
     val r1 = Pipeline.runPipeline(spark, cfg, io)
     val out1 = canon(r1.transformed)
     assert(out1.size == 4, s"batch 1 must process exactly a.parquet: $out1")
-    val man1 = io.frames("/out/_manifest").collect()
-    assert(man1.map(_.getString(0)).toSeq == Seq("/src/a.parquet"))
+    assert(manifest() == Seq("/src/a.parquet"))
     // the crawl drops a second file; batch 2 must process ONLY it
     io.frames.put("/src/b.parquet", dfB)
     val r2 = Pipeline.runPipeline(spark, cfg, io)
     val out2 = canon(r2.transformed)
     assert(out2.size == 3, s"batch 2 must process exactly b.parquet: $out2")
-    val man2 = io.frames("/out/_manifest").collect()
-    assert(man2.map(_.getString(0)).toSeq.sorted == Seq("/src/a.parquet", "/src/b.parquet"))
+    assert(manifest() == Seq("/src/a.parquet", "/src/b.parquet"))
     // batch union == the one-shot full run over the same rows
     val ioFull = new FakeIO()
     ioFull.frames.put("/srcall/raw.parquet", inputDf)
@@ -154,7 +157,15 @@ class PipelineE2ESpec extends AnyFunSuite {
     // a third run with nothing new: empty output, manifest untouched
     val r3 = Pipeline.runPipeline(spark, cfg, io)
     assert(r3.transformed.isEmpty, "no-new-files run must produce an empty frame")
-    assert(io.frames("/out/_manifest").count() == 2)
+    assert(manifest().size == 2)
+    // a corrupt-but-present manifest must THROW, never silently reset
+    // history (round 17 advice: a reset re-emits every prior batch)
+    val batchKey = io.frames.keys.find(_.startsWith("/out/_manifest/")).get
+    val goodBatch = io.frames(batchKey)
+    io.frames.put(batchKey, spark.range(1).toDF("not_a_manifest_column"))
+    val ex = intercept[IllegalStateException] { Pipeline.runPipeline(spark, cfg, io) }
+    assert(ex.getMessage.contains("unreadable"), ex.getMessage)
+    io.frames.put(batchKey, goodBatch)
   }
 
   test("pre-existing sys_col_row_hash is preserved (idempotency, golden case 3)") {
