@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{DeriveSpec, RuleSpec}
-import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis, TextClean, TimeSeries}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis, TextClean, TimeSeries, WordPiece}
 import graft.stages.{Transforms, Validation}
 import graft.expr.RuleParser
 
@@ -5581,13 +5581,16 @@ object Queries {
     *
     * Cross-engine regex note: DuckDB's RE2 lacks the `(?!\S)` lookahead
     * in [[Bpe.Gpt2Pattern]]'s trailing-whitespace branch, so BOTH sides
-    * normalize `\s+` to one space first — on single-spaced text the
-    * lookahead branch only fires for a lone trailing space, where the
+    * normalize whitespace runs to one space first — on single-spaced text
+    * the lookahead branch only fires for a lone trailing space, where the
     * plain `\s+` branch matches identically, so the two patterns tile
-    * equally (the full lookahead form is spec-pinned JVM-side). */
+    * equally (the full lookahead form is spec-pinned JVM-side). The
+    * normalization is Unicode-White_Space on both sides ((?U)\s Java-side,
+    * the spelled-out RE2 class DuckDB-side) so the pattern's (?U) flag —
+    * round 17 advice, true GPT-2 parity — sees identical text. */
   val q174: QueryFn = (s, d) => {
     val docs = tbl(s, d, "documents")
-      .select(col("doc_id"), regexp_replace(col("text"), "\\s+", " ").as("t"))
+      .select(col("doc_id"), regexp_replace(col("text"), "(?U)\\s+", " ").as("t"))
     val m1 = Bpe.trainLocal(Bpe.bytePretokenVocab(docs, "t"), 1, byteLevel = true).head
     val pts = Bpe.bytePretokens(col("t"))
     val symsAll = flatten(transform(pts, t => Bpe.byteSymbols(t)))
@@ -5613,7 +5616,8 @@ object Queries {
 
   val q174Sql: String =
     """WITH docs AS (
-      |  SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS t FROM documents),
+      |  SELECT doc_id, regexp_replace(text,
+      |    '[\t-\r \x{85}\x{2028}\x{2029}\p{Zs}]+', ' ', 'g') AS t FROM documents),
       |b2u AS (
       |  SELECT b, lpad(hex(b), 2, '0') AS hb,
       |    CASE WHEN printable THEN chr(CAST(b AS INT))
@@ -5940,6 +5944,131 @@ object Queries {
       |FROM c JOIN w USING (lang) CROSS JOIN tot CROSS JOIN sw
       |WHERE tokens_before < (total * w) // (2 * sumw)""".stripMargin
 
+  private def cachedWordPiece(d: String, docs: org.apache.spark.sql.DataFrame,
+      n: Int): WordPiece.WordPieceModel =
+    memoIndex(s"wordpiece:${new java.io.File(d).getCanonicalPath}:n=$n") {
+      WordPiece.trainFromCorpus(docs, "text", n)
+    }
+
+  /** WordPiece training + greedy longest-match apply (round 18 — the
+    * BERT-family tokenizer, completing the BPE/byte-BPE/unigram triple;
+    * [[WordPiece.trainLocal]] / [[graft.sparkext.WordPieceApply]]).
+    * 8 merges learned corpus-wide by the LIKELIHOOD rule
+    * `count(l,r)/(count(l)·count(r))` — not BPE's raw-count argmax —
+    * then applied as a pure projection.
+    *
+    * Oracle contract (q137/q174 pattern): DuckDB re-derives merge #1's
+    * full selection evidence — BERT symbol sequences (first char plain,
+    * rest ##-prefixed), pair + single counts, and the argmax under the
+    * EXACT rational score (double-score top-K prefilter, then HUGEINT
+    * cross-multiplied comparison — float ordering alone could tie-break
+    * wrongly) with the (score DESC, l ASC, r ASC) tie-break. Per doc it
+    * replays n_words/n_syms/m1_hits AND `wp1_tokens`, the greedy
+    * longest-match token count under (base symbols + merge #1): with
+    * every corpus char in base and ONE 2-symbol token, greedy
+    * longest-match is exactly greedy non-overlapping pair replacement,
+    * so wp1_tokens = n_syms − Σ ceil(chain/2) over maximal chains of
+    * adjacent pair matches (islands trick) — an independent SQL replay
+    * of the apply EXPRESSION, not just the trainer. The full 8-merge
+    * segmentation is not SQL-replayable (greedy with a multi-token
+    * vocab is not monotone — adding a token can INCREASE the count, see
+    * operator scaladoc); it is exercised here under the always-true
+    * bounds invariant n_words ≤ wp8_tokens ≤ n_syms (each word ≥1
+    * token, each token covers ≥1 symbol) and pinned exactly by
+    * WordPieceSpec against a naive reference. */
+  val q181: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val model8 = cachedWordPiece(d, docs, 8)
+    val m1 = model8.merges.head
+    val model1 = model8.copy(merges = Seq(m1))
+    val words = filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)
+    val nSyms = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    // adjacent BERT-symbol pair occurrences of (m1.left, m1.right) per
+    // doc — pairs never cross words; the right symbol of any pair is a
+    // continuation, the left is plain only at position 0
+    val hits = aggregate(
+      transform(words, w => {
+        val syms = zip_with(
+          filter(split(w, ""), c => length(c) > 0),
+          sequence(lit(1), length(w)),
+          (c, i) => when(i === 1, c).otherwise(concat(lit("##"), c)))
+        size(filter(
+          zip_with(
+            slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+            (a, b) => a === lit(m1.left) && b === lit(m1.right)),
+          x => x))
+      }),
+      lit(0), (acc, x) => acc + x)
+    val wp1 = WordPiece.segment(col("text"), model1)
+    val wp8 = WordPiece.segment(col("text"), model8)
+    docs.select(col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      nSyms.as("n_syms"),
+      hits.cast("long").as("m1_hits"),
+      size(wp1).cast("long").as("wp1_tokens"),
+      (size(wp8).cast("long") >= size(words).cast("long") &&
+        size(wp8).cast("long") <= nSyms).as("wp8_bounds"),
+      lit(m1.left).as("m1_l"), lit(m1.right).as("m1_r"),
+      lit(m1.pairCount).as("m1_c"), lit(m1.leftCount).as("m1_cl"),
+      lit(m1.rightCount).as("m1_cr"),
+      lit(model8.merges.size.toLong).as("n_merges"))
+  }
+
+  val q181Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, wi, ts[CAST(wi AS INT)] AS tok
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS wi
+      |        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |              FROM documents))
+      |  WHERE length(ts[CAST(wi AS INT)]) > 0),
+      |sy AS (
+      |  SELECT doc_id, wi, si,
+      |    CASE WHEN si = 1 THEN substr(tok, CAST(si AS INT), 1)
+      |         ELSE '##' || substr(tok, CAST(si AS INT), 1) END AS s
+      |  FROM (SELECT doc_id, wi, tok, unnest(range(1, length(tok) + 1)) AS si FROM tk)),
+      |pr AS (
+      |  SELECT doc_id, wi, si,
+      |    CASE WHEN si = 1 THEN substr(tok, CAST(si AS INT), 1)
+      |         ELSE '##' || substr(tok, CAST(si AS INT), 1) END AS l,
+      |    '##' || substr(tok, CAST(si + 1 AS INT), 1) AS r
+      |  FROM (SELECT doc_id, wi, tok, unnest(range(1, length(tok))) AS si FROM tk)),
+      |pc AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM pr GROUP BY l, r),
+      |sc AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM sy GROUP BY s),
+      |scored AS (
+      |  SELECT pc.l, pc.r, pc.c, sl.c AS cl, sr.c AS cr
+      |  FROM pc JOIN sc sl ON sl.s = pc.l JOIN sc sr ON sr.s = pc.r),
+      |cand AS (
+      |  SELECT * FROM scored
+      |  ORDER BY CAST(c AS DOUBLE) / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE)) DESC,
+      |    l ASC, r ASC LIMIT 4096),
+      |m1 AS (
+      |  SELECT l, r, c, cl, cr FROM cand a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM cand b WHERE
+      |      CAST(b.c AS HUGEINT) * a.cl * a.cr > CAST(a.c AS HUGEINT) * b.cl * b.cr
+      |      OR (CAST(b.c AS HUGEINT) * a.cl * a.cr = CAST(a.c AS HUGEINT) * b.cl * b.cr
+      |          AND (b.l < a.l OR (b.l = a.l AND b.r < a.r))))),
+      |w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words FROM tk GROUP BY doc_id),
+      |s2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_syms FROM sy GROUP BY doc_id),
+      |mt AS (SELECT pr.doc_id, pr.wi, pr.si FROM pr, m1 WHERE pr.l = m1.l AND pr.r = m1.r),
+      |h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m1_hits FROM mt GROUP BY doc_id),
+      |isl AS (SELECT doc_id, wi,
+      |  si - ROW_NUMBER() OVER (PARTITION BY doc_id, wi ORDER BY si) AS grp FROM mt),
+      |chains AS (SELECT doc_id, wi, grp, COUNT(*) AS k FROM isl GROUP BY doc_id, wi, grp),
+      |g AS (SELECT doc_id, CAST(SUM((k + 1) // 2) AS BIGINT) AS greedy
+      |  FROM chains GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(w.n_words, 0) AS n_words,
+      |  COALESCE(s2.n_syms, 0) AS n_syms,
+      |  COALESCE(h.m1_hits, 0) AS m1_hits,
+      |  CAST(COALESCE(s2.n_syms, 0) - COALESCE(g.greedy, 0) AS BIGINT) AS wp1_tokens,
+      |  TRUE AS wp8_bounds,
+      |  m1.l AS m1_l, m1.r AS m1_r, m1.c AS m1_c, m1.cl AS m1_cl, m1.cr AS m1_cr,
+      |  CAST(8 AS BIGINT) AS n_merges
+      |FROM documents d
+      |LEFT JOIN w USING (doc_id) LEFT JOIN s2 USING (doc_id)
+      |LEFT JOIN h USING (doc_id) LEFT JOIN g USING (doc_id), m1""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -6124,7 +6253,8 @@ object Queries {
     ("q177_video_decode", q177, Some(q177Sql)),
     ("q178_video_near_dup", q178, Some(q178Sql)),
     ("q179_stream_video", q179, Some(q179Sql)),
-    ("q180_temperature_mixture", q180, Some(q180Sql))
+    ("q180_temperature_mixture", q180, Some(q180Sql)),
+    ("q181_wordpiece", q181, Some(q181Sql))
   )
 }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.{GraftIO, SparkIO}
-import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextClean, TimeSeries, Unigram}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextClean, TimeSeries, Unigram, WordPiece}
 import graft.stages.Transforms.CustomFn
 
 /** Built-in named custom transformations: the LLM-curation operators as
@@ -63,6 +63,7 @@ object BuiltinTransformations {
     "quality_quantile_gate" -> qualityQuantileGate,
     "bpe_tokenize" -> bpeTokenize,
     "unigram_tokenize" -> unigramTokenize,
+    "wordpiece_tokenize" -> wordpieceTokenize,
     "image_near_dup" -> imageNearDup,
     "video_near_dup" -> videoNearDup,
     "audio_features" -> audioFeatures,
@@ -721,6 +722,33 @@ object BuiltinTransformations {
     strKw(name, kw, "mode", "count") match {
       case "count"    => df.withColumn(outCol, Unigram.tokenCount(col(textCol), vocab, bf))
       case "segments" => df.withColumn(outCol, Unigram.segment(col(textCol), vocab, bf))
+      case other => throw new IllegalArgumentException(
+        s"$name: mode must be 'count' or 'segments', got '$other'")
+    }
+  }
+
+  /** `wordpiece_tokenize(text_col, num_merges=200, out_col=wp_tokens,
+    * mode=count|segments, unk=[UNK], min_frequency=1)` — train a
+    * WordPiece vocabulary ON THE INPUT frame
+    * ([[WordPiece.trainFromCorpus]]: one corpus scan to the word vocab,
+    * driver-side likelihood-scored merge loop — the BERT-family
+    * trainer) and append the subword count or the greedy
+    * longest-match segments ([[graft.sparkext.WordPieceApply]] — a pure
+    * projection). Deterministic like its BPE/unigram siblings: exact
+    * rational score comparison, fixed tie-break,
+    * partition-independent. */
+  private def wordpieceTokenize: CustomFn = (df, kw) => {
+    val name = "wordpiece_tokenize"
+    val textCol = reqStr(name, kw, "text_col")
+    val outCol = strKw(name, kw, "out_col", "wp_tokens")
+    rejectShadow(name, df, outCol)
+    val model = WordPiece.trainFromCorpus(df, textCol,
+      numMerges = intKw(name, kw, "num_merges", 200),
+      minFrequency = intKw(name, kw, "min_frequency", 1).toLong,
+      unk = strKw(name, kw, "unk", WordPiece.DefaultUnk))
+    strKw(name, kw, "mode", "count") match {
+      case "count"    => df.withColumn(outCol, WordPiece.tokenCount(col(textCol), model))
+      case "segments" => df.withColumn(outCol, WordPiece.segment(col(textCol), model))
       case other => throw new IllegalArgumentException(
         s"$name: mode must be 'count' or 'segments', got '$other'")
     }
