@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.config.{DeriveSpec, RuleSpec}
-import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis, TextClean, TimeSeries, WordPiece}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, Skew, TemporalJoins, TextAnalysis, TextClean, TimeSeries, Url, WordPiece}
 import graft.stages.{Transforms, Validation}
 import graft.expr.RuleParser
 
@@ -6069,6 +6069,150 @@ object Queries {
       |LEFT JOIN w USING (doc_id) LEFT JOIN s2 USING (doc_id)
       |LEFT JOIN h USING (doc_id) LEFT JOIN g USING (doc_id), m1""".stripMargin
 
+  /** URL/domain curation (round 18 — the C4/RefinedWeb pre-filter step:
+    * [[graft.operators.Url]] + [[graft.sparkext.RegistrableDomain]]).
+    * Documents carry no URL column, so one is SYNTHESIZED
+    * deterministically from doc_id (the q167 multimodal-fixture
+    * pattern), cycling through the public-suffix algorithm's whole case
+    * surface: plain TLD, layered ccTLD (co.uk), private registry
+    * (github.io, s3.amazonaws.com), the PSL's own wildcard/exception
+    * pair (*.ck / !www.ck), an unknown TLD (default * rule), a bare
+    * public suffix (no eTLD+1), an IPv4 literal, deep subdomains,
+    * uppercase, and an FQDN trailing dot — plus ports, utm params, and
+    * fragments for the normalizer.
+    *
+    * Oracle contract: DuckDB replays the ENTIRE lane generically — the
+    * same normalization regex chain (written lookaround-free so RE2 can
+    * run it verbatim), and the publicsuffix.org longest-match algorithm
+    * itself (candidate suffixes joined against the rule table with a
+    * right-to-left label lambda; exception beats longest beats the
+    * default * rule) over THE SAME rule list, interpolated from
+    * [[Url.DefaultSuffixRules]] so the two sides cannot drift. The
+    * result is the block-filtered frame (etld1 ∉ blocklist, nulls kept
+    * — the conservative block-mode reading), pinning row membership of
+    * [[Url.filterByDomainList]]'s broadcast anti join on top of the
+    * scalar columns. */
+  val q182: QueryFn = (s, d) => {
+    import s.implicits._
+    val hostPool = array(Seq(
+      "example.com", "news.example.co.uk", "blog.foo.github.io",
+      "WWW.Example.COM", "shop.foo.ck", "www.ck", "example.unknowntld",
+      "com", "192.168.0.1", "sub.a.b.example.com", "example.com.",
+      "ec2.s3.amazonaws.com").map(lit): _*)
+    val id = col("doc_id")
+    val scheme = when(id % 2 === 0, "https").otherwise("http")
+    val url = concat(
+      scheme, lit("://"), element_at(hostPool, (id % 12 + 1).cast("int")),
+      when(id % 3 === 0, when(id % 2 === 0, ":443").otherwise(":80")).otherwise(""),
+      lit("/P/"), id,
+      when(id % 4 === 0, concat(lit("?utm_source=x&id="), id))
+        .otherwise(concat(lit("?id="), id)),
+      when(id % 5 === 0, "#Sec").otherwise(""))
+    val base = tbl(s, d, "documents").select(
+      id,
+      url.as("url"),
+      Url.normalize(url).as("url_norm"),
+      Url.host(url).as("host"),
+      Url.publicSuffix(url).as("public_suffix"),
+      Url.registrableDomain(url).as("etld1"))
+    // blocklist entries deliberately arrive as a full URL and a bare
+    // domain — the list goes through the same eTLD+1 reduction
+    val blocklist = Seq("https://www.Example.com/x", "foo.github.io").toDF("domain")
+    Url.filterByDomainList(base, "url", blocklist, block = true)
+      .drop("url")
+  }
+
+  val q182Sql: String = {
+    val rulesValues = Url.DefaultSuffixRules.map(r => s"('$r')").mkString(", ")
+    s"""WITH hosts0 AS (
+      |  SELECT doc_id, CASE CAST(doc_id % 12 AS INT)
+      |    WHEN 0 THEN 'example.com'
+      |    WHEN 1 THEN 'news.example.co.uk'
+      |    WHEN 2 THEN 'blog.foo.github.io'
+      |    WHEN 3 THEN 'WWW.Example.COM'
+      |    WHEN 4 THEN 'shop.foo.ck'
+      |    WHEN 5 THEN 'www.ck'
+      |    WHEN 6 THEN 'example.unknowntld'
+      |    WHEN 7 THEN 'com'
+      |    WHEN 8 THEN '192.168.0.1'
+      |    WHEN 9 THEN 'sub.a.b.example.com'
+      |    WHEN 10 THEN 'example.com.'
+      |    ELSE 'ec2.s3.amazonaws.com' END AS h0
+      |  FROM documents),
+      |urls AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || h0 ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN
+      |       (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
+      |    '/P/' || doc_id ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&id=' || doc_id
+      |          ELSE '?id=' || doc_id END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '#Sec' ELSE '' END) AS url
+      |  FROM hosts0),
+      |n0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS c0 FROM urls),
+      |n1 AS (SELECT doc_id, url, c0,
+      |  regexp_extract(c0, '^((?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#@]*@)?[^/?#]*)', 1) AS pre
+      |  FROM n0),
+      |n2 AS (SELECT doc_id, url,
+      |  CASE WHEN pre = '' THEN c0
+      |       ELSE lower(pre) || substr(c0, length(pre) + 1) END AS c1 FROM n1),
+      |n3 AS (SELECT doc_id, url,
+      |  regexp_replace(
+      |    regexp_replace(c1, '^(http://[^/?#]*):80([/?#]|$$)', '\\1\\2'),
+      |    '^(https://[^/?#]*):443([/?#]|$$)', '\\1\\2') AS c3 FROM n2),
+      |n4 AS (SELECT doc_id, url,
+      |  regexp_replace(c3,
+      |    '^((?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#@]*@)?[^/?#:]+)\\.([:/?#]|$$)', '\\1\\2') AS c4
+      |  FROM n3),
+      |n5 AS (SELECT doc_id, url,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(c4, '([?&])(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\\1', 'g'),
+      |        '\\?&+', '?', 'g'),
+      |      '&&+', '&', 'g'),
+      |    '[?&]$$', '') AS url_norm FROM n4),
+      |hh AS (SELECT doc_id, url, url_norm,
+      |  CASE WHEN regexp_extract(lower(url), '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)', 1) = ''
+      |       THEN NULL
+      |       ELSE regexp_replace(
+      |         regexp_extract(lower(url), '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#@]*@)?([^/?#:]+)', 1),
+      |         '\\.$$', '') END AS host
+      |  FROM n5),
+      |rl0(rule) AS (VALUES $rulesValues),
+      |rl AS (SELECT rule, rule LIKE '!%' AS exc,
+      |  string_split(CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END, '.') AS labs
+      |  FROM rl0),
+      |rlab AS (SELECT rule, exc, labs, len(labs) AS rn FROM rl),
+      |hl AS (SELECT doc_id, host, string_split(host, '.') AS labs,
+      |  len(string_split(host, '.')) AS hn,
+      |  regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') AS is_ip
+      |  FROM hh WHERE host IS NOT NULL),
+      |mt AS (
+      |  SELECT h.doc_id, r.rn, r.exc
+      |  FROM hl h JOIN rlab r
+      |    ON r.rn <= h.hn AND NOT h.is_ip
+      |   AND len(list_filter(range(1, r.rn + 1), i ->
+      |         r.labs[CAST(r.rn - i + 1 AS INT)] <> '*'
+      |         AND r.labs[CAST(r.rn - i + 1 AS INT)] <> h.labs[CAST(h.hn - i + 1 AS INT)])) = 0),
+      |mm AS (SELECT doc_id,
+      |  MAX(CASE WHEN exc THEN rn - 1 END) AS exc_ps,
+      |  MAX(CASE WHEN NOT exc THEN rn END) AS max_rn
+      |  FROM mt GROUP BY doc_id),
+      |ps AS (SELECT h.doc_id, h.host, h.labs, h.hn, h.is_ip,
+      |  COALESCE(m.exc_ps, m.max_rn, 1) AS psn
+      |  FROM hl h LEFT JOIN mm m USING (doc_id)),
+      |dom AS (SELECT doc_id, host,
+      |  CASE WHEN is_ip THEN NULL
+      |       WHEN hn >= psn THEN array_to_string(labs[CAST(hn - psn + 1 AS INT):CAST(hn AS INT)], '.') END AS public_suffix,
+      |  CASE WHEN is_ip THEN NULL
+      |       WHEN hn > psn THEN array_to_string(labs[CAST(hn - psn AS INT):CAST(hn AS INT)], '.') END AS etld1
+      |  FROM ps)
+      |SELECT hh.doc_id, hh.url_norm, hh.host, dom.public_suffix, dom.etld1
+      |FROM hh LEFT JOIN dom USING (doc_id)
+      |WHERE dom.etld1 IS NULL OR dom.etld1 NOT IN ('example.com', 'foo.github.io')""".stripMargin
+  }
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -6254,7 +6398,8 @@ object Queries {
     ("q178_video_near_dup", q178, Some(q178Sql)),
     ("q179_stream_video", q179, Some(q179Sql)),
     ("q180_temperature_mixture", q180, Some(q180Sql)),
-    ("q181_wordpiece", q181, Some(q181Sql))
+    ("q181_wordpiece", q181, Some(q181Sql)),
+    ("q182_url_curation", q182, Some(q182Sql))
   )
 }
 

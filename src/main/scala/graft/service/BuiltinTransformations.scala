@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.{GraftIO, SparkIO}
-import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextClean, TimeSeries, Unigram, WordPiece}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextClean, TimeSeries, Unigram, Url, WordPiece}
 import graft.stages.Transforms.CustomFn
 
 /** Built-in named custom transformations: the LLM-curation operators as
@@ -64,6 +64,7 @@ object BuiltinTransformations {
     "bpe_tokenize" -> bpeTokenize,
     "unigram_tokenize" -> unigramTokenize,
     "wordpiece_tokenize" -> wordpieceTokenize,
+    "url_filter" -> urlFilter(io),
     "image_near_dup" -> imageNearDup,
     "video_near_dup" -> videoNearDup,
     "audio_features" -> audioFeatures,
@@ -725,6 +726,43 @@ object BuiltinTransformations {
       case other => throw new IllegalArgumentException(
         s"$name: mode must be 'count' or 'segments', got '$other'")
     }
+  }
+
+  /** `url_filter(url_col, mode=block|allow, domains=[...] or list_path
+    * (+list_file_type=parquet, list_col=domain), suffix_rules=[...])` —
+    * the C4/RefinedWeb URL pre-filter: reduce each row's URL to its
+    * registrable domain (eTLD+1 under the public-suffix rules,
+    * [[Url.DefaultSuffixRules]] unless overridden) and drop (`block`) or
+    * keep (`allow`) rows whose domain is in the list. The list comes
+    * inline (`domains`) or through the IO seam (`list_path` — the
+    * decontaminate pattern); entries may be URLs, hosts, or bare
+    * domains — they go through the same eTLD+1 reduction. Broadcast
+    * anti/semi join: list-sized build side, the corpus is never
+    * shuffled. */
+  private def urlFilter(io: GraftIO): CustomFn = (df, kw) => {
+    val name = "url_filter"
+    val urlCol = reqStr(name, kw, "url_col")
+    val block = strKw(name, kw, "mode", "block") match {
+      case "block" => true
+      case "allow" => false
+      case other => throw new IllegalArgumentException(
+        s"$name: mode must be 'block' or 'allow', got '$other'")
+    }
+    val rules = strSeqKwOpt(name, kw, "suffix_rules") match {
+      case Nil => Url.DefaultSuffixRules
+      case rs => rs
+    }
+    import df.sparkSession.implicits._
+    val domains: DataFrame = (kw.get("list_path"), strSeqKwOpt(name, kw, "domains")) match {
+      case (Some(p), Nil) =>
+        io.read(df.sparkSession, p.toString,
+            strKw(name, kw, "list_file_type", "parquet"))
+          .select(col(strKw(name, kw, "list_col", "domain")))
+      case (None, ds) if ds.nonEmpty => ds.toDF("domain")
+      case _ => throw new IllegalArgumentException(
+        s"$name: exactly one of 'domains' or 'list_path' is required")
+    }
+    Url.filterByDomainList(df, urlCol, domains, block, rules)
   }
 
   /** `wordpiece_tokenize(text_col, num_merges=200, out_col=wp_tokens,
