@@ -6213,6 +6213,48 @@ object Queries {
       |WHERE dom.etld1 IS NULL OR dom.etld1 NOT IN ('example.com', 'foo.github.io')""".stripMargin
   }
 
+  /** MP4/ISO-BMFF container metadata (round 18 —
+    * [[Multimodal.parseMp4Meta]], the MP4 twin of q177's RIFF walk):
+    * spec-shaped fixtures are synthesized per doc
+    * ([[Multimodal.synthesizeMp4s]], every field a closed-form function
+    * of doc_id), then the REAL bounds-checked box walk extracts brand,
+    * mvhd duration, track count, per-track stsd codecs, stss sync-sample
+    * and stco chunk-offset table sizes — no codec, no sample data, O(header)
+    * per file. The per-file `decodable` flag is the honest
+    * H.264-boundary split made observable: only self-contained-frame
+    * codecs (MJPEG/PNG-in-MP4) route to the real image-decode lane;
+    * avc1/hvc1 stay on the byte-stride stub.
+    *
+    * Oracle contract (q167/q173 id-arithmetic pattern): every output
+    * column is the closed form the fixture embedded, so any drift in
+    * the walk — size/largesize handling, nesting, table clamps, handler
+    * routing — breaks the hash. MultimodalSpec additionally pins the
+    * bomb guards (nesting depth, malformed sizes, truncated tables) on
+    * crafted payloads the oracle never sees. */
+  val q183: QueryFn = (s, d) => {
+    val mp4s = Multimodal.synthesizeMp4s(tbl(s, d, "documents"), "doc_id")
+    Multimodal.mp4Metadata(mp4s, "doc_id", "content").toDF()
+      .select(col("id").as("doc_id"), col("major_brand"),
+        col("duration_ms"), col("n_tracks"), col("video_codecs"),
+        col("audio_codecs"), col("n_keyframes"), col("first_keyframe"),
+        col("n_chunks"), col("decodable"))
+  }
+
+  val q183Sql: String =
+    """SELECT doc_id,
+      |  'isom' AS major_brand,
+      |  CAST(1000 * (1 + doc_id % 7) AS BIGINT) AS duration_ms,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+      |    ELSE 'jpeg' END AS video_codecs,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'mp4a' ELSE '' END AS audio_codecs,
+      |  CAST(2 * (1 + doc_id % 4) AS BIGINT) AS n_keyframes,
+      |  CAST(1 AS BIGINT) AS first_keyframe,
+      |  CAST(1 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_chunks,
+      |  (doc_id % 3 = 2) AS decodable
+      |FROM documents""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -6399,7 +6441,8 @@ object Queries {
     ("q179_stream_video", q179, Some(q179Sql)),
     ("q180_temperature_mixture", q180, Some(q180Sql)),
     ("q181_wordpiece", q181, Some(q181Sql)),
-    ("q182_url_curation", q182, Some(q182Sql))
+    ("q182_url_curation", q182, Some(q182Sql)),
+    ("q183_mp4_metadata", q183, Some(q183Sql))
   )
 }
 

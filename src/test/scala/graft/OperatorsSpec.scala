@@ -2216,6 +2216,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(parsed.isEmpty, "nested-LIST bomb must be dropped, not decoded")
   }
 
+  test("MP4/ISO-BMFF: synthesize → box walk → closed-form metadata; bomb guards") {
+    import spark.implicits._
+    val base = spark.range(24).select(col("id").as("doc_id"))
+    val mp4s = Multimodal.synthesizeMp4s(base, "doc_id")
+    val metas = Multimodal.mp4Metadata(mp4s, "doc_id", "content")
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size == 24)
+    for ((id, m) <- metas) {
+      assert(m.major_brand == "isom")
+      assert(m.duration_ms == 1000 * (1 + id % 7), s"id $id duration")
+      assert(m.n_tracks == (if (id % 2 == 0) 2 else 1), s"id $id tracks")
+      val wantCodec = (id % 3) match {
+        case 0 => "avc1"; case 1 => "hvc1"; case _ => "jpeg"
+      }
+      assert(m.video_codecs == wantCodec && m.decodable == (wantCodec == "jpeg"),
+        s"id $id: decodable split must be observable per file: $m")
+      assert(m.audio_codecs == (if (id % 2 == 0) "mp4a" else ""))
+      assert(m.n_keyframes == 2 * (1 + id % 4) && m.first_keyframe == 1L)
+      assert(m.n_chunks == 1 + id % 3 + (if (id % 2 == 0) 1 else 0))
+    }
+    // junk / empty / null / truncated payloads drop, never crash
+    val junk = Seq((1L, "not an mp4 at all!".getBytes), (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "content")
+    assert(Multimodal.mp4Metadata(junk, "doc_id", "content").count() == 0)
+    val truncated = mp4s.limit(3)
+      .select(col("doc_id"), expr("substring(content, 1, 40)").as("content"))
+    // a truncated moov salvages what parsed (ftyp brand) without crashing
+    Multimodal.mp4Metadata(truncated, "doc_id", "content").collect()
+      .foreach(m => assert(m.major_brand == "isom"))
+    def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // CRAFTED nested-container bomb: 100k nested 8-byte moov headers
+    // would recurse the walk into a StackOverflow without the depth cap
+    val depth = 100000
+    val bomb = new java.io.ByteArrayOutputStream()
+    for (i <- 0 until depth) {
+      bomb.write(be32(8 * (depth - i))); bomb.write("moov".getBytes)
+    }
+    val bombed = Multimodal.parseMp4Meta(bomb.toByteArray)
+    assert(bombed.isEmpty || bombed.get._1 == "",
+      "nested-container bomb must be capped, never stack-overflow")
+    // largesize (size==1 + u64) and size==0 (to end of parent) per spec;
+    // an stss COUNT field claiming 2^28 entries in a 12-byte box clamps
+    // to what physically fits
+    val crafted = new java.io.ByteArrayOutputStream()
+    crafted.write(be32(16)); crafted.write("ftyp".getBytes)
+    crafted.write("craf".getBytes); crafted.write(be32(0))
+    val stss = be32(20) ++ "stss".getBytes ++ be32(0) ++ be32(1 << 28) ++ be32(7)
+    val mvhd = be32(28) ++ "mvhd".getBytes ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(500) ++ be32(1500)
+    // a 16-byte 'free' box via size==1 + 64-bit largesize (spec path)
+    val free = be32(1) ++ "free".getBytes ++ be32(0) ++ be32(16)
+    val stbl = be32(8 + free.length + stss.length) ++ "stbl".getBytes ++ free ++ stss
+    // moov declared with size==0: extends to end of file
+    crafted.write(be32(0)); crafted.write("moov".getBytes)
+    crafted.write(mvhd); crafted.write(stbl)
+    val got = Multimodal.parseMp4Meta(crafted.toByteArray)
+    assert(got.isDefined)
+    val (brand, ts, dur, _, _, _, nKey, firstKey, _) = got.get
+    assert(brand == "craf" && ts == 500 && dur == 1500)
+    assert(nKey == 1 && firstKey == 7,
+      s"claimed 2^28 stss entries in a 12-byte table must clamp to 1: $got")
+  }
+
   test("synthesizePatternPngs: 25 base patterns pairwise far; jitter is hash-invariant") {
     import spark.implicits._
     // one image per (pattern, jitter) corner: jitter 0 and jitter 19
