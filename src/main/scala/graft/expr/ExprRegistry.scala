@@ -1801,7 +1801,8 @@ object ExprRegistry {
     "lm_nll", "sq8_encode", "training_shard_assign",
     "gopher_rules", "label_propagate", "pagerank_centrality", "budget_select",
     "quantile_buckets", "domain_cap", "unicode_normalize",
-    "c4_filter", "dup_line_signals", "pca_project", "pca_remove_top")
+    "c4_filter", "dup_line_signals", "pca_project", "pca_remove_top",
+    "wordpiece_tokenize", "url_filter")
 
   /** Damerau-free Levenshtein — small strings, called only on the error
     * path, so the O(|a|·|b|) DP is fine. */

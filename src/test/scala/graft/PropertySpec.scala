@@ -495,6 +495,25 @@ class PropertySpec extends AnyFunSuite {
         opt("out_col", Gen.const("ug_out"), wrongForStr),
         opt("mode", Gen.oneOf[Any]("count", "segments"),
           Gen.oneOf[Any](42L, true, junkMap, "bogus_mode"))),
+      "wordpiece_tokenize" -> Seq(textCol,
+        // tiny merge counts: the likelihood-scored fit RUNS during plan
+        // build (the bpe_tokenize shape)
+        opt("num_merges", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("out_col", Gen.const("wp_out"), wrongForStr),
+        opt("unk", Gen.const("[UNK]"), wrongForStr),
+        opt("min_frequency", Gen.oneOf(1L, 2L), wrongForInt),
+        opt("mode", Gen.oneOf[Any]("count", "segments"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_mode"))),
+      "url_filter" -> Seq(
+        // plain text yields no registrable domain -> block mode keeps all
+        // rows; the plan still builds, which is what this lane checks
+        req("url_col", Gen.const("text"), wrongForStr),
+        req("domains", Gen.oneOf[Any](List("example.com"), List("a.org", "b.com")),
+          Gen.oneOf[Any](42L, 1.5, true, junkMap)),
+        opt("mode", Gen.oneOf[Any]("block", "allow"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_mode")),
+        opt("suffix_rules", Gen.const(List("com", "org", "co.uk")),
+          Gen.oneOf[Any](42L, 1.5, true, junkMap))),
       "image_near_dup" -> Seq(idCol,
         // text bytes are undecodable payloads — drop-not-crash by contract
         req("content_col", Gen.const("text"), wrongForStr),
