@@ -80,7 +80,7 @@ object Bench {
     Set("q40_stream_window", "q61_stream_dedup", "q75_stream_stream_join",
       "q102_stream_ewm", "q104_stream_ewm_var", "q125_stream_content_dedup",
       "q133_stream_ann_encode", "q157_stream_clean", "q161_stream_bpe",
-      "q172_stream_audio", "q179_stream_video")
+      "q172_stream_audio", "q179_stream_video", "q184_stream_curation")
 
   /** The composed `runPipeline` YAML curation chain users actually run
     * (round-16 judge item 6 — README's quality_filter → clean_text →

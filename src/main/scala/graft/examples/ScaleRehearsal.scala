@@ -105,7 +105,14 @@ object ScaleRehearsal {
       // corpus; `_i`-suffixed copy tokens grow the pretoken vocab by M
       // at constant per-token length, so the byte explode and the pair
       // counts should both stay ~linear (the q132 shape on bytes)
-      "q174_byte_bpe")
+      "q174_byte_bpe",
+      // round 18: WordPiece — per-doc symbol/pair scans + TWO greedy
+      // longest-match segmentations over the Mx corpus (the trainer fits
+      // once per (dir, n) via the JVM memo, warmed before timing, so the
+      // ladder measures the apply path — the deployment shape). Expected
+      // ~linear like q174: every corpus char is touched a constant
+      // number of times, the vocab reference object is size-invariant
+      "q181_wordpiece")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6092,22 +6092,31 @@ object Queries {
     * — the conservative block-mode reading), pinning row membership of
     * [[Url.filterByDomainList]]'s broadcast anti join on top of the
     * scalar columns. */
-  val q182: QueryFn = (s, d) => {
-    import s.implicits._
+  /** The deterministic URL fixture shared by q182/q184: host pool cycles
+    * the full PSL case surface; ports/utm/fragments exercise the
+    * normalizer; everything a closed-form function of the id. Block-mode
+    * keeps ids with `id % 12 ∉ {0, 2, 3, 9, 10}` (example.com and
+    * foo.github.io rows blocked) — the oracle's closed form. */
+  private def fixtureUrl(id: Column): Column = {
     val hostPool = array(Seq(
       "example.com", "news.example.co.uk", "blog.foo.github.io",
       "WWW.Example.COM", "shop.foo.ck", "www.ck", "example.unknowntld",
       "com", "192.168.0.1", "sub.a.b.example.com", "example.com.",
       "ec2.s3.amazonaws.com").map(lit): _*)
-    val id = col("doc_id")
     val scheme = when(id % 2 === 0, "https").otherwise("http")
-    val url = concat(
+    concat(
       scheme, lit("://"), element_at(hostPool, (id % 12 + 1).cast("int")),
       when(id % 3 === 0, when(id % 2 === 0, ":443").otherwise(":80")).otherwise(""),
       lit("/P/"), id,
       when(id % 4 === 0, concat(lit("?utm_source=x&id="), id))
         .otherwise(concat(lit("?id="), id)),
       when(id % 5 === 0, "#Sec").otherwise(""))
+  }
+
+  val q182: QueryFn = (s, d) => {
+    import s.implicits._
+    val id = col("doc_id")
+    val url = fixtureUrl(id)
     val base = tbl(s, d, "documents").select(
       id,
       url.as("url"),
@@ -6253,6 +6262,59 @@ object Queries {
       |  CAST(1 + doc_id % 3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
       |    AS n_chunks,
       |  (doc_id % 3 = 2) AS decodable
+      |FROM documents""".stripMargin
+
+  /** Streaming curation lane for the round-18 operators (round 18 — the
+    * q161/q179 pattern: the SAME pure-projection operators must behave
+    * identically under Structured Streaming): a documents stream gets the
+    * q182 URL fixture, the REAL [[Url.filterByDomainList]] block filter
+    * (a stream-static broadcast LEFT ANTI join — list-sized static side,
+    * the stream is never stateful), and [[WordPiece.segment]] under the
+    * q181-cached model; the sink is then row-joined against the identical
+    * batch computation and must match EXACTLY. The oracle's closed form
+    * is the fixture's block-mode keep rule (id % 12 ∉ {0,2,3,9,10});
+    * all_match pins batch/stream parity of both operators at once. */
+  val q184: QueryFn = (s, d) => {
+    import s.implicits._
+    val model = cachedWordPiece(d, tbl(s, d, "documents"), 8)
+    val blocklist = Seq("https://www.Example.com/x", "foo.github.io").toDF("domain")
+    def lane(df: DataFrame): DataFrame = {
+      val withUrl = df.select(col("doc_id"), col("text"),
+        fixtureUrl(col("doc_id")).as("url"))
+      Url.filterByDomainList(withUrl, "url", blocklist, block = true)
+        .select(col("doc_id"),
+          Url.registrableDomain(col("url")).as("etld1"),
+          WordPiece.segment(col("text"), model).as("pieces"))
+    }
+    val schema = rawSchema(s, d, "documents")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val name = "q184_stream_curation_sink"
+    s.catalog.dropTempView(name)
+    val q = lane(src).writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = s.table(name)
+    val batch = lane(tbl(s, d, "documents"))
+      .withColumnsRenamed(Map("etld1" -> "b_etld1", "pieces" -> "b_pieces"))
+    streamed.join(batch, "doc_id")
+      .agg(count(lit(1)).as("n_streamed"),
+        sum(when(col("pieces") === col("b_pieces") &&
+          (col("etld1") === col("b_etld1") ||
+            (col("etld1").isNull && col("b_etld1").isNull)), 1L)
+          .otherwise(0L)).as("n_match"))
+      .select(col("n_streamed"), col("n_match"),
+        (col("n_streamed") === col("n_match")).as("all_match"))
+  }
+
+  val q184Sql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN doc_id % 12 IN (0, 2, 3, 9, 10) THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS n_streamed,
+      |  CAST(SUM(CASE WHEN doc_id % 12 IN (0, 2, 3, 9, 10) THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS n_match,
+      |  TRUE AS all_match
       |FROM documents""".stripMargin
 
   // ======================================================================
@@ -6442,7 +6504,8 @@ object Queries {
     ("q180_temperature_mixture", q180, Some(q180Sql)),
     ("q181_wordpiece", q181, Some(q181Sql)),
     ("q182_url_curation", q182, Some(q182Sql)),
-    ("q183_mp4_metadata", q183, Some(q183Sql))
+    ("q183_mp4_metadata", q183, Some(q183Sql)),
+    ("q184_stream_curation", q184, Some(q184Sql))
   )
 }
 
