@@ -407,6 +407,44 @@ object Bpe {
       specialTokens: Seq[String] = Nil): Column =
     size(segmentBytes(text, merges, specialTokens))
 
+  /** GPT-2's id assignment (the published `encoder.json` construction):
+    * the 256 base byte symbols at ids 0–255 — [[byteToUnicode]] order,
+    * so a base symbol's id IS its byte value — then merged tokens at
+    * 256 + rank, then special tokens (tiktoken appends them after the
+    * ordinary vocabulary: r50k's `<|endoftext|>` = 50256). */
+  def byteIdVocab(merges: Seq[(String, String)],
+      specialTokens: Seq[String] = Nil): Seq[String] =
+    byteToUnicode.toSeq ++ merges.map { case (l, r) => l + r } ++ specialTokens
+
+  /** Byte-level tokenize to INTEGER ids (round 18 — the deployment
+    * tensor shape). Total by construction twice over: the 256-byte base
+    * covers any input, and the id table maps every producible symbol
+    * (missingId −1 is unreachable; it would mean a [[segmentBytes]]
+    * output outside its own alphabet — spec-pinned). */
+  def tokenIdsBytes(text: Column, merges: Seq[(String, String)],
+      specialTokens: Seq[String] = Nil): Column =
+    graft.sparkext.VocabIdLookup(
+      segmentBytes(text, merges, specialTokens),
+      byteIdVocab(merges, specialTokens), missingId = -1)
+
+  /** The merge table as a GPT-2-style `merges.txt` (`#version` header,
+    * one `left right` pair per line IN RANK ORDER — rank is the
+    * application order, the contract [[mergesToFrame]] documents).
+    * Write through any [[graft.io.GraftIO]] `writeText`;
+    * [[mergesFromTxt]] inverts. */
+  def exportMergesTxt(merges: Seq[(String, String)]): String =
+    "#version: 0.2\n" + merges.map { case (l, r) => s"$l $r" }.mkString("\n") + "\n"
+
+  def mergesFromTxt(txt: String): Seq[(String, String)] =
+    txt.split("\n").iterator
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && i < l.length - 1, s"malformed merges.txt line '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }
+      .toVector
+
   /** Serialize a learned merge table to a frame-shaped relation
     * `(rank int, left string, right string, cnt long)` — writable through
     * any [[graft.io.GraftIO]] sink and restorable with

@@ -245,6 +245,39 @@ object WordPiece {
   def tokenCount(text: Column, model: WordPieceModel): Column =
     size(segment(text, model))
 
+  /** Integer-id vocabulary order — the BERT `vocab.txt` contract (id =
+    * line number): `[UNK]` at 0, then base symbols (sorted, as trained),
+    * then merged tokens in training order. */
+  def idVocab(model: WordPieceModel): Seq[String] = model.unk +: model.vocab
+
+  /** Tokenize to INTEGER ids (round 18 — the deployment tensor shape: a
+    * training pipeline consumes ids, not subword strings). Pure
+    * projection; the id table rides as one reference object
+    * ([[graft.sparkext.VocabIdLookup]]); any token outside the
+    * vocabulary — only possible if the model and text diverge — takes
+    * the UNK id 0, so the encoding is total. */
+  def tokenIds(text: Column, model: WordPieceModel,
+      maxInputChars: Int = 100): Column =
+    graft.sparkext.VocabIdLookup(
+      segment(text, model, maxInputChars), idVocab(model), missingId = 0)
+
+  /** The model as a BERT-style `vocab.txt` (one token per line, id =
+    * line number, `[UNK]` first — [[idVocab]] order). Write through any
+    * [[graft.io.GraftIO]] `writeText`; [[vocabFromTxt]] restores the
+    * APPLY side (greedy longest-match needs only the token set — merge
+    * provenance stays with [[vocabToFrame]]). */
+  def exportVocabTxt(model: WordPieceModel): String =
+    idVocab(model).mkString("\n") + "\n"
+
+  /** Rebuild an apply-only model from a `vocab.txt` (line 0 = UNK; base
+    * symbols vs merged tokens are distinguished by length/`##` shape not
+    * being needed — greedy matching uses the whole set). */
+  def vocabFromTxt(txt: String): WordPieceModel = {
+    val lines = txt.split("\n").filter(_.nonEmpty).toVector
+    require(lines.nonEmpty, "empty vocab.txt")
+    WordPieceModel(Nil, lines.drop(1), unk = lines.head)
+  }
+
   /** Serialize a model to a frame `(ord int, token string, kind string,
     * left string, right string, pair_count long, left_count long,
     * right_count long)` — writable through any [[graft.io.GraftIO]] sink

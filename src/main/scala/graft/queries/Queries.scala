@@ -6317,6 +6317,105 @@ object Queries {
       |  TRUE AS all_match
       |FROM documents""".stripMargin
 
+  /** Integer token-id encoding (round 18 — the deployment tensor shape:
+    * training consumes ids, not subword strings;
+    * [[graft.sparkext.VocabIdLookup]] under BERT's vocab.txt id contract
+    * — `[UNK]` 0, base symbols sorted, merges in training order).
+    *
+    * Oracle contract: the STRONGEST sequence pin in the catalog — DuckDB
+    * reconstructs the per-doc id SEQUENCE exactly for the 1-merge
+    * vocabulary and md5s it in position order. It rebuilds the id table
+    * (dense rank over distinct BERT symbols — binary collation matches
+    * Scala's sorted on this ASCII corpus — then merged = nBase+1) and
+    * replays greedy longest-match as greedy non-overlapping pair
+    * replacement (equivalent for a base+one-2-symbol-token vocabulary,
+    * POSITION semantics included: a plain-l pair only fires word-
+    * initially because the continuation candidate carries `##`): within
+    * each maximal chain of adjacent matches the 1st, 3rd, 5th… fire
+    * (row_number odd), consumed positions drop, survivors keep their
+    * symbol id — so one mis-ID'd token anywhere in any document breaks
+    * the hash. n_unk pins totality (the model trained on this corpus
+    * covers every symbol). */
+  val q185: QueryFn = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val model8 = cachedWordPiece(d, docs, 8)
+    val model1 = model8.copy(merges = Seq(model8.merges.head))
+    val nBase = model1.baseSymbols.size
+    val ids = WordPiece.tokenIds(col("text"), model1)
+    docs.select(col("doc_id"),
+      size(ids).cast("long").as("n_ids"),
+      md5(concat_ws(",", ids.cast("array<string>"))).as("ids_md5"),
+      aggregate(ids, lit(0L), (a, x) => a + x).as("id_sum"),
+      size(filter(ids, x => x === 0)).cast("long").as("n_unk"),
+      lit(nBase.toLong).as("n_base"))
+  }
+
+  val q185Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, wi, ts[CAST(wi AS INT)] AS tok
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS wi
+      |        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      |              FROM documents))
+      |  WHERE length(ts[CAST(wi AS INT)]) > 0),
+      |sy AS (
+      |  SELECT doc_id, wi, si,
+      |    CASE WHEN si = 1 THEN substr(tok, CAST(si AS INT), 1)
+      |         ELSE '##' || substr(tok, CAST(si AS INT), 1) END AS s
+      |  FROM (SELECT doc_id, wi, tok, unnest(range(1, length(tok) + 1)) AS si FROM tk)),
+      |pr AS (
+      |  SELECT doc_id, wi, si,
+      |    CASE WHEN si = 1 THEN substr(tok, CAST(si AS INT), 1)
+      |         ELSE '##' || substr(tok, CAST(si AS INT), 1) END AS l,
+      |    '##' || substr(tok, CAST(si + 1 AS INT), 1) AS r
+      |  FROM (SELECT doc_id, wi, tok, unnest(range(1, length(tok))) AS si FROM tk)),
+      |pc AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c FROM pr GROUP BY l, r),
+      |sc AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM sy GROUP BY s),
+      |scored AS (
+      |  SELECT pc.l, pc.r, pc.c, sl.c AS cl, sr.c AS cr
+      |  FROM pc JOIN sc sl ON sl.s = pc.l JOIN sc sr ON sr.s = pc.r),
+      |cand AS (
+      |  SELECT * FROM scored
+      |  ORDER BY CAST(c AS DOUBLE) / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE)) DESC,
+      |    l ASC, r ASC LIMIT 4096),
+      |m1 AS (
+      |  SELECT l, r FROM cand a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM cand b WHERE
+      |      CAST(b.c AS HUGEINT) * a.cl * a.cr > CAST(a.c AS HUGEINT) * b.cl * b.cr
+      |      OR (CAST(b.c AS HUGEINT) * a.cl * a.cr = CAST(a.c AS HUGEINT) * b.cl * b.cr
+      |          AND (b.l < a.l OR (b.l = a.l AND b.r < a.r))))),
+      |vb AS (SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS INT) AS id
+      |       FROM (SELECT DISTINCT s FROM sy)),
+      |nb AS (SELECT CAST(COUNT(*) AS INT) AS n FROM vb),
+      |mt AS (SELECT pr.doc_id, pr.wi, pr.si FROM pr, m1 WHERE pr.l = m1.l AND pr.r = m1.r),
+      |isl AS (SELECT doc_id, wi, si,
+      |  si - ROW_NUMBER() OVER (PARTITION BY doc_id, wi ORDER BY si) AS grp FROM mt),
+      |taken AS (SELECT doc_id, wi, si FROM (
+      |  SELECT doc_id, wi, si,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, wi, grp ORDER BY si) AS j FROM isl)
+      |  WHERE j % 2 = 1),
+      |consumed AS (SELECT doc_id, wi, si FROM taken
+      |  UNION ALL SELECT doc_id, wi, si + 1 FROM taken),
+      |toks AS (
+      |  SELECT t.doc_id, t.wi, t.si, nb.n + 1 AS id FROM taken t CROSS JOIN nb
+      |  UNION ALL
+      |  SELECT sy.doc_id, sy.wi, sy.si, vb.id
+      |  FROM sy JOIN vb USING (s)
+      |  WHERE NOT EXISTS (SELECT 1 FROM consumed c
+      |    WHERE c.doc_id = sy.doc_id AND c.wi = sy.wi AND c.si = sy.si)),
+      |seq AS (SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY wi, si)) AS ids_md5,
+      |  CAST(SUM(id) AS BIGINT) AS id_sum
+      |  FROM toks GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(seq.n_ids, 0) AS n_ids,
+      |  COALESCE(seq.ids_md5, md5('')) AS ids_md5,
+      |  COALESCE(seq.id_sum, 0) AS id_sum,
+      |  CAST(0 AS BIGINT) AS n_unk,
+      |  (SELECT CAST(n AS BIGINT) FROM nb) AS n_base
+      |FROM documents d LEFT JOIN seq USING (doc_id)""".stripMargin
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -6505,7 +6604,8 @@ object Queries {
     ("q181_wordpiece", q181, Some(q181Sql)),
     ("q182_url_curation", q182, Some(q182Sql)),
     ("q183_mp4_metadata", q183, Some(q183Sql)),
-    ("q184_stream_curation", q184, Some(q184Sql))
+    ("q184_stream_curation", q184, Some(q184Sql)),
+    ("q185_token_ids", q185, Some(q185Sql))
   )
 }
 

@@ -696,8 +696,15 @@ object BuiltinTransformations {
     strKw(name, kw, "mode", "count") match {
       case "count"    => df.withColumn(outCol, cnt(col(textCol)))
       case "segments" => df.withColumn(outCol, seg(col(textCol)))
+      // ids (round 18): the deployment tensor shape — GPT-2's published
+      // id assignment (byte value 0-255, merges at 256+rank, specials
+      // appended), byte level only (char level has no canonical scheme)
+      case "ids" if byteLevel =>
+        df.withColumn(outCol, Bpe.tokenIdsBytes(col(textCol), pairs, specials))
+      case "ids" => throw new IllegalArgumentException(
+        s"$name: mode 'ids' requires level: byte (the GPT-2 id scheme is byte-level)")
       case other => throw new IllegalArgumentException(
-        s"$name: mode must be 'count' or 'segments', got '$other'")
+        s"$name: mode must be 'count', 'segments', or 'ids', got '$other'")
     }
   }
 
@@ -787,8 +794,11 @@ object BuiltinTransformations {
     strKw(name, kw, "mode", "count") match {
       case "count"    => df.withColumn(outCol, WordPiece.tokenCount(col(textCol), model))
       case "segments" => df.withColumn(outCol, WordPiece.segment(col(textCol), model))
+      // ids (round 18): BERT's vocab.txt id contract — [UNK] 0, base
+      // symbols sorted, merges in training order
+      case "ids"      => df.withColumn(outCol, WordPiece.tokenIds(col(textCol), model))
       case other => throw new IllegalArgumentException(
-        s"$name: mode must be 'count' or 'segments', got '$other'")
+        s"$name: mode must be 'count', 'segments', or 'ids', got '$other'")
     }
   }
 

@@ -296,4 +296,32 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("exceeds"), e2.getMessage)
   }
+
+  test("byte ids: GPT-2 scheme (byte value 0-255, merges 256+rank, specials after)") {
+    val df = Seq((1L, "aa ab aa"), (2L, "ba ab<|eot|>aa")).toDF("id", "text")
+    val merges = Bpe.trainFromCorpusLocal(df, "text", 2, byteLevel = true)
+      .map(m => (m._1, m._2))
+    val specials = Seq("<|eot|>")
+    val idv = Bpe.byteIdVocab(merges, specials)
+    assert(idv.size == 256 + merges.size + 1)
+    // base symbol ids ARE byte values: 'a' = 97, ' ' maps through
+    // bytes_to_unicode but keeps id 32 (the encoder.json construction)
+    assert(idv(97) == "a" && idv(32) == Bpe.byteSymbolsLocal(" ").head)
+    val out = df.select(
+      Bpe.segmentBytes(col("text"), merges, specials).as("segs"),
+      Bpe.tokenIdsBytes(col("text"), merges, specials).as("ids"))
+      .collect()
+    for (r <- out) {
+      val segs = r.getSeq[String](0); val ids = r.getSeq[Int](1)
+      assert(ids == segs.map(idv.indexOf), s"$segs -> $ids")
+      assert(ids.forall(_ >= 0), "byte-level encoding is total; -1 unreachable")
+    }
+    // the special token got the LAST id (tiktoken appends specials)
+    assert(out(1).getSeq[Int](1).contains(256 + merges.size))
+    // merges.txt round trip: same table, same segmentation
+    val back = Bpe.mergesFromTxt(Bpe.exportMergesTxt(merges))
+    assert(back == merges)
+    val e = intercept[IllegalArgumentException](Bpe.mergesFromTxt("#v\nbroken_line\n"))
+    assert(e.getMessage.contains("malformed"))
+  }
 }

@@ -502,7 +502,7 @@ class PropertySpec extends AnyFunSuite {
         opt("out_col", Gen.const("wp_out"), wrongForStr),
         opt("unk", Gen.const("[UNK]"), wrongForStr),
         opt("min_frequency", Gen.oneOf(1L, 2L), wrongForInt),
-        opt("mode", Gen.oneOf[Any]("count", "segments"),
+        opt("mode", Gen.oneOf[Any]("count", "segments", "ids"),
           Gen.oneOf[Any](42L, true, junkMap, "bogus_mode"))),
       "url_filter" -> Seq(
         // plain text yields no registrable domain -> block mode keeps all

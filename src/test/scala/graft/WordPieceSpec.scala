@@ -189,6 +189,33 @@ class WordPieceSpec extends AnyFunSuite {
     assert(n == m && n > 0)
   }
 
+  test("tokenIds: BERT vocab.txt id contract; vocab.txt export round-trips") {
+    val model = WordPiece.trainFromCorpus(
+      Seq("aa ab aa ba", "ab aa").toDF("text"), "text", 2)
+    val idv = WordPiece.idVocab(model)
+    assert(idv.head == model.unk && idv.drop(1) == model.vocab,
+      "[UNK] at 0, then base sorted, then merges in training order")
+    val df = Seq("aa ab", "zz").toDF("text").select(
+      WordPiece.segment(col("text"), model).as("segs"),
+      WordPiece.tokenIds(col("text"), model).as("ids"))
+    for (r <- df.collect()) {
+      val segs = r.getSeq[String](0)
+      val ids = r.getSeq[Int](1)
+      assert(ids == segs.map(s => idv.indexOf(s) max 0),
+        s"ids must be idVocab positions (UNK->0): $segs -> $ids")
+    }
+    // 'zz' is out-of-corpus: z not in base -> whole word UNK -> id 0
+    assert(df.collect()(1).getSeq[Int](1) == Seq(0))
+    // vocab.txt round-trip: restored apply-only model segments and
+    // id-encodes identically (merge provenance lives in vocabToFrame)
+    val back = WordPiece.vocabFromTxt(WordPiece.exportVocabTxt(model))
+    assert(WordPiece.idVocab(back) == idv)
+    val a = Seq("aa ab ba zz").toDF("text")
+    val x = a.select(WordPiece.tokenIds(col("text"), model)).collect()(0).getSeq[Int](0)
+    val y = a.select(WordPiece.tokenIds(col("text"), back)).collect()(0).getSeq[Int](0)
+    assert(x == y)
+  }
+
   test("trainLocal: loud maxVocab cap, minFrequency cutoff") {
     val vocab = Map("aa" -> 5L, "bb" -> 1L)
     intercept[IllegalArgumentException] {
