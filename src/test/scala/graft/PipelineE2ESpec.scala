@@ -242,6 +242,42 @@ class PipelineE2ESpec extends AnyFunSuite {
       s"expected quality_filter to drop 4 and fuzzy_dedup to collapse {1,2}->1, got $ids")
   }
 
+  test("YAML config alone drives url_filter + wordpiece_tokenize end-to-end (round 18)") {
+    import spark.implicits._
+    val io = new FakeIO()
+    io.frames.put("/src/pages.parquet", Seq(
+      (1L, "https://keep.me.org/a", "the cat sat"),
+      (2L, "https://Sub.Blocked.COM:443/b#f", "the mat"),
+      (3L, "https://also.keep.net/c", "a cat sat sat")
+    ).toDF("doc_id", "url", "text"))
+    io.frames.put("/lists/block.parquet", Seq("blocked.com").toDF("domain"))
+    // the blocklist rides the IO seam; ids mode exercises the id path
+    // through the YAML kwarg coercions (ints/strings/lists all arrive
+    // as ConfigLoader produces them)
+    val yaml =
+      """process_name: url_wp_e2e
+        |src_path: /src/pages.parquet
+        |dst_root: /out
+        |custom_transformations:
+        |  url_filter:
+        |    url_col: url
+        |    list_path: /lists/block.parquet
+        |    mode: block
+        |  wordpiece_tokenize:
+        |    text_col: text
+        |    num_merges: 4
+        |    mode: ids
+        |    out_col: input_ids
+        |""".stripMargin
+    val res = Pipeline.runPipeline(spark, ConfigLoader.fromYaml(yaml), io)
+    val rows = res.transformed.select("doc_id", "input_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.keySet == Set(1L, 3L), s"blocked.com row must drop: ${rows.keySet}")
+    // ids are positive (no UNK: the model trained on the SURVIVING frame
+    // covers its own symbols) and non-empty for non-empty text
+    assert(rows.values.forall(ids => ids.nonEmpty && ids.forall(_ > 0)), rows.toString)
+  }
+
   test("YAML config alone drives the ewm family end-to-end (time-series curation)") {
     import spark.implicits._
     val io = new FakeIO()
