@@ -389,6 +389,13 @@ object Bpe {
         require(s.substring(0, p) != s.substring(s.length - p),
           s"special token '$s' self-overlaps (border of length $p) — adjacent " +
             "occurrences would be dissected by the boundary split")
+      // cross-token borders too: a suffix of one special equal to a prefix
+      // of another (e.g. {"ab","ba"} on "aba") is dissected the same way
+      for (s <- specialTokens; t <- specialTokens if s != t;
+           p <- 1 until math.min(s.length, t.length))
+        require(s.substring(s.length - p) != t.substring(0, p),
+          s"special tokens '$s' and '$t' share a border of length $p — " +
+            "adjacent occurrences would be dissected by the boundary split")
       val alts = specialTokens.map(java.util.regex.Pattern.quote).mkString("|")
       val segs = split(text, s"(?=(?:$alts))|(?<=(?:$alts))")
       flatten(transform(segs, seg =>

@@ -1084,7 +1084,10 @@ object Multimodal {
           typ match {
             case "ftyp" if len >= 4 => majorBrand = fourcc(dataOff)
             case "mvhd" if len >= 20 =>
-              if ((content(dataOff) & 0xff) == 1 && len >= 28) {
+              // version-1 layout needs 32 payload bytes (4 ver/flags +
+              // 8+8 create/modify + 4 timescale + 8 duration); a 28–31
+              // byte v1 box would read past the buffer — salvage as v0
+              if ((content(dataOff) & 0xff) == 1 && len >= 32) {
                 timescale = u32(dataOff + 20); duration = u64(dataOff + 24)
               } else {
                 timescale = u32(dataOff + 12); duration = u32(dataOff + 16)

@@ -140,14 +140,18 @@ object Url {
       rules: Seq[String] = DefaultSuffixRules): DataFrame = {
     require(domains.columns.length == 1,
       s"domain list must be a 1-column frame, got ${domains.columns.mkString(",")}")
+    // collision-free working column: a user frame may legitimately carry
+    // a __dom column of its own, which a fixed name would clobber
+    val domCol = Iterator.from(0).map(i => s"__graft_dom_$i")
+      .find(n => !df.columns.contains(n)).get
     val listKey = domains.toDF("__raw")
-      .select(registrableDomain(col("__raw"), rules).as("__dom"))
-      .filter(col("__dom").isNotNull)
+      .select(registrableDomain(col("__raw"), rules).as(domCol))
+      .filter(col(domCol).isNotNull)
       .distinct()
-    val keyed = df.withColumn("__dom", registrableDomain(col(urlCol), rules))
+    val keyed = df.withColumn(domCol, registrableDomain(col(urlCol), rules))
     val joined =
-      if (block) keyed.join(broadcast(listKey), Seq("__dom"), "left_anti")
-      else keyed.join(broadcast(listKey), Seq("__dom"), "left_semi")
-    joined.drop("__dom")
+      if (block) keyed.join(broadcast(listKey), Seq(domCol), "left_anti")
+      else keyed.join(broadcast(listKey), Seq(domCol), "left_semi")
+    joined.drop(domCol)
   }
 }

@@ -60,10 +60,15 @@ object WordPiece {
   }
 
   /** Word -> BERT symbol sequence: first char plain, rest `##`-prefixed
-    * (driver-side twin of the apply expression's position rule). */
+    * (driver-side twin of the apply expression's position rule).
+    * Iterates by CODE POINT, not UTF-16 unit, so non-BMP characters
+    * (emoji, CJK ext-B — surrogate pairs in Java strings) stay whole
+    * symbols instead of lone surrogates (r18 advice; matches the
+    * published code-point-based BERT WordpieceTokenizer). */
   private[graft] def wordSymbolsLocal(w: String): Array[String] = {
-    val chars = w.split("").filter(_.nonEmpty)
-    chars.zipWithIndex.map { case (c, i) =>
+    val cps = w.codePoints().toArray
+    cps.zipWithIndex.map { case (cp, i) =>
+      val c = new String(Character.toChars(cp))
       if (i == 0) c else ContinuationPrefix + c
     }
   }

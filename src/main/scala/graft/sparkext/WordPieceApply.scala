@@ -43,30 +43,45 @@ final class WordPieceVocab(
 
   /** Greedy longest-match segmentation of ONE word (already
     * pre-tokenized — no whitespace inside). Returns the `##`-prefixed
-    * symbol forms, or `[unk]` when the word cannot be covered. */
+    * symbol forms, or `[unk]` when the word cannot be covered.
+    * Candidate boundaries are CODE-POINT boundaries, never inside a
+    * surrogate pair, so non-BMP characters stay whole and every emitted
+    * token is valid Unicode (r18 advice; `maxInputChars` counts code
+    * points — the published tokenizer's Python-`len` semantics). */
   def segmentWord(word: UTF8String): ArrayData = {
     val w = word.toString
     if (w.isEmpty) return new GenericArrayData(Array.empty[Any])
-    if (w.length > maxInputChars)
+    val n = w.length
+    val nCp = w.codePointCount(0, n)
+    if (nCp > maxInputChars)
       return new GenericArrayData(Array[Any](unkUtf8))
+    val bounds = new Array[Int](nCp + 1)
+    var bi = 0; var boff = 0
+    while (boff < n) {
+      bounds(bi) = boff; bi += 1
+      boff += Character.charCount(w.codePointAt(boff))
+    }
+    bounds(nCp) = n
     val out = new scala.collection.mutable.ArrayBuffer[Any](4)
-    var start = 0
-    while (start < w.length) {
-      // longest candidate first; continuation positions carry "##"
-      val limit = math.min(w.length, start + math.max(1,
-        if (start == 0) maxTokenLen else maxTokenLen - 2))
-      var end = limit
+    var s = 0 // code-point index
+    while (s < nCp) {
+      // longest candidate first; continuation positions carry "##";
+      // candidate length (UTF-16 units, matching maxTokenLen's measure)
+      // capped at the longest vocab token — but always ≥ 1 code point
+      val allowed = math.max(1, if (s == 0) maxTokenLen else maxTokenLen - 2)
+      var e = nCp
+      while (e > s + 1 && bounds(e) - bounds(s) > allowed) e -= 1
       var hit: String = null
-      while (hit == null && end > start) {
+      while (hit == null && e > s) {
         val cand =
-          if (start == 0) w.substring(start, end)
-          else "##" + w.substring(start, end)
-        if (set.contains(cand)) hit = cand else end -= 1
+          if (s == 0) w.substring(bounds(s), bounds(e))
+          else "##" + w.substring(bounds(s), bounds(e))
+        if (set.contains(cand)) hit = cand else e -= 1
       }
       if (hit == null)
         return new GenericArrayData(Array[Any](unkUtf8))
       out += UTF8String.fromString(hit)
-      start = end
+      s = e
     }
     new GenericArrayData(out.toArray)
   }

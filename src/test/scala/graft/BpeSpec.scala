@@ -248,6 +248,16 @@ class BpeSpec extends AnyFunSuite {
       df.select(Bpe.segmentBytes(col("text"), merges, Seq("Ġbad")))
     }
     assert(bad.getMessage.contains("printable ASCII"))
+    // cross-token border overlap is refused too (r18 advice): with
+    // specials {"ab","ba"}, input "aba" would be dissected by the
+    // independent boundary splits and silently tokenize as plain bytes
+    val border = intercept[IllegalArgumentException] {
+      df.select(Bpe.segmentBytes(col("text"), merges, Seq("ab", "ba")))
+    }
+    assert(border.getMessage.contains("border"))
+    // standard delimited-marker sets still pass all three overlap checks
+    df.select(Bpe.segmentBytes(col("text"), merges,
+      Seq("<|endoftext|>", "<|pad|>", "<|im_start|>"))).collect()
   }
 
   test("trainLocal guards: loud maxVocab cap, minFrequency cutoff changes low ranks only") {

@@ -2300,6 +2300,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brand == "craf" && ts == 500 && dur == 1500)
     assert(nKey == 1 && firstKey == 7,
       s"claimed 2^28 stss entries in a 12-byte table must clamp to 1: $got")
+    // a version-1 mvhd with a 28-byte payload at the END of the buffer:
+    // the v1 layout needs 32 payload bytes, so reading u64(dataOff+24)
+    // would run off the array (r18 advice) — must salvage via the v0
+    // field offsets, never crash
+    val shortV1 = new java.io.ByteArrayOutputStream()
+    shortV1.write(be32(16)); shortV1.write("ftyp".getBytes)
+    shortV1.write("craf".getBytes); shortV1.write(be32(0))
+    shortV1.write(be32(8 + 8 + 28)); shortV1.write("moov".getBytes)
+    shortV1.write(be32(8 + 28)); shortV1.write("mvhd".getBytes)
+    shortV1.write(be32(0x01000000)) // version=1, flags=0
+    shortV1.write(be32(0)); shortV1.write(be32(0)) // 8 bytes "creation"
+    shortV1.write(be32(777)) // at the v0 timescale offset (+12)
+    shortV1.write(be32(4242)) // at the v0 duration offset (+16)
+    shortV1.write(be32(0)); shortV1.write(be32(0)) // pad to 28 — buffer ends here
+    val salvaged = Multimodal.parseMp4Meta(shortV1.toByteArray)
+    assert(salvaged.isDefined, "truncated v1 mvhd must salvage, not crash")
+    assert(salvaged.get._2 == 777L && salvaged.get._3 == 4242L,
+      s"truncated v1 mvhd salvages through the v0 offsets: $salvaged")
   }
 
   test("synthesizePatternPngs: 25 base patterns pairwise far; jitter is hash-invariant") {

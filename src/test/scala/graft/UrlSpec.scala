@@ -88,6 +88,15 @@ class UrlSpec extends AnyFunSuite {
     assert(blocked.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
     val allowed = Url.filterByDomainList(docs, "url", list, block = false)
     assert(allowed.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    // a pre-existing user column named like a working column survives
+    // intact (r18 advice: the fixed __dom name used to be clobbered)
+    val withDom = docs.withColumn("__dom", col("id") * 10)
+      .withColumn("__graft_dom_0", lit("user data"))
+    val kept = Url.filterByDomainList(withDom, "url", list, block = true)
+    assert(kept.columns.toSeq == withDom.columns.toSeq,
+      s"user columns must pass through untouched: ${kept.columns.mkString(",")}")
+    assert(kept.select("__dom").collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 30L))
+    assert(kept.select("__graft_dom_0").distinct().head.getString(0) == "user data")
   }
 
   test("url_filter builtin: inline domains and the IO-seam list_path") {

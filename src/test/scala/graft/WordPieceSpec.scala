@@ -225,4 +225,47 @@ class WordPieceSpec extends AnyFunSuite {
     val m = WordPiece.trainLocal(vocabDf(vocab), 2, minFrequency = 2L).merges
     assert(m.map(x => (x.left, x.right)) == Vector(("a", "##a")))
   }
+
+  test("non-BMP code points stay whole on both trainer and apply sides (r18 advice)") {
+    val emoji = "😀" // 😀 U+1F600, a surrogate pair in UTF-16
+    val cjkB = new String(Character.toChars(0x20010)) // CJK ext-B
+    // trainer symbols: one symbol per CODE POINT, never lone surrogates
+    val syms = WordPiece.wordSymbolsLocal(s"a$emoji$cjkB")
+    assert(syms.toSeq == Seq("a", "##" + emoji, "##" + cjkB))
+    assert(syms.forall(s => !s.exists(Character.isSurrogate)
+      || s.codePoints().toArray.forall(Character.isValidCodePoint)))
+    // train on an emoji-bearing corpus: base symbols are whole code points
+    val corpus = Seq((1L, s"$emoji$emoji $emoji$emoji ${emoji}x"))
+      .toDF("id", "text")
+    val model = WordPiece.trainFromCorpus(corpus, "text", 2)
+    assert(model.baseSymbols.contains(emoji))
+    assert(model.baseSymbols.forall(s =>
+      !s.stripPrefix("##").exists(c => Character.isSurrogate(c) &&
+        s.stripPrefix("##").length == 1)))
+    // apply: greedy match lands on code-point boundaries — the emoji pair
+    // merges whole; every emitted token is valid Unicode
+    val got = Seq((1L, s"$emoji$emoji")).toDF("id", "text")
+      .select(WordPiece.segment(col("text"), model).as("t"))
+      .head.getSeq[String](0)
+    assert(got.nonEmpty && got.forall { t =>
+      val body = t.stripPrefix("##")
+      body.codePoints().toArray.forall(Character.isValidCodePoint) &&
+        !(body.length == 1 && Character.isSurrogate(body.charAt(0)))
+    }, s"tokens must be valid Unicode, got $got")
+    assert(got.mkString.replace("##", "") == s"$emoji$emoji")
+    // a word whose emoji is NOT coverable maps to UNK wholesale, never to
+    // mangled surrogate fragments
+    val unkModel = WordPiece.WordPieceModel(Nil, Vector("a", "##a"))
+    val u = Seq((1L, s"a$emoji")).toDF("id", "text")
+      .select(WordPiece.segment(col("text"), unkModel).as("t"))
+      .head.getSeq[String](0)
+    assert(u == Seq(WordPiece.DefaultUnk))
+    // maxInputChars counts code points: 3 emoji pass a cap of 3
+    val capModel = WordPiece.WordPieceModel(Nil,
+      Vector(emoji, "##" + emoji))
+    val capped = Seq((1L, emoji * 3)).toDF("id", "text")
+      .select(WordPiece.segment(col("text"), capModel, maxInputChars = 3).as("t"))
+      .head.getSeq[String](0)
+    assert(capped == Seq(emoji, "##" + emoji, "##" + emoji))
+  }
 }
