@@ -46,4 +46,29 @@ class BenchSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(p, """{"value": 1.0}""")
     assert(Bench.refTimes(p.toString).isEmpty)
   }
+
+  test("HostStat: /proc/stat snapshot + drag self-attribution on this box") {
+    import graft.util.HostStat
+    val s0 = HostStat.snapshot()
+    assert(s0.available, "/proc/stat must be readable on the Linux CI box")
+    assert(s0.nCpu >= 1 && s0.selfCpuNanos > 0)
+    // burn ~0.5 s of CPU in THIS process: the drag window must attribute
+    // it to selfCores, leaving otherCores near idle (the whole point —
+    // external consumers land in otherCores instead)
+    val deadline = System.nanoTime() + 500000000L
+    var x = 1L
+    while (System.nanoTime() < deadline) { x = x * 6364136223846793005L + 1442695040888963407L }
+    assert(x != 0) // keep the loop un-eliminable
+    Thread.sleep(200) // let the tick counters advance past one jiffy
+    val s1 = HostStat.snapshot()
+    val d = HostStat.drag(s0, s1)
+    assert(d.available && d.wallSec > 0.5)
+    assert(d.selfCores > 0.3, s"own busy-loop must show in selfCores: $d")
+    assert(d.busyCores >= d.selfCores - 0.35,
+      s"busyCores can't be far below selfCores: $d")
+    assert(d.otherCores >= 0.0 && d.stealPct >= 0.0 && d.iowaitPct >= 0.0)
+    // degenerate pair (same instant / unavailable) degrades, never lies
+    val dz = HostStat.drag(s1, s1)
+    assert(!dz.available && dz.otherCores == -1)
+  }
 }
