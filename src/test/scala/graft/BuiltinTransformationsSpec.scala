@@ -422,6 +422,76 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("pack_sequences tokenizer kwarg: real token counts through the IO-seam artifact") {
+    import graft.operators.{Bpe, WordPiece, Curation}
+    // whitespace mode needs no artifact and equals the legacy column path
+    val ws = graft.service.BuiltinTransformations.registryWith(new graft.io.FakeIO())(
+      "pack_sequences")(docs.drop("n_tokens"),
+      Map("id_col" -> "doc_id", "partition_col" -> "lang", "budget" -> 16L,
+        "tokenizer" -> "whitespace", "text_col" -> "text"))
+    val legacy = Curation.packSequences(
+      docs.withColumn("n_tokens",
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")),
+      "doc_id", "n_tokens", "lang", 16L)
+    assert(ws.collect().map(_.toString).sorted.toSeq ==
+      legacy.collect().map(_.toString).sorted.toSeq)
+    // wordpiece: train, persist the vocab frame through the seam, pack by
+    // greedy longest-match counts — equal to counting with the live model
+    val io = new graft.io.FakeIO()
+    val wpModel = WordPiece.trainFromCorpus(docs, "text", 4)
+    io.frames.put("/tok/wp_vocab.parquet", WordPiece.vocabToFrame(spark, wpModel))
+    val wp = graft.service.BuiltinTransformations.registryWith(io)("pack_sequences")(
+      docs.drop("n_tokens"),
+      Map("id_col" -> "doc_id", "partition_col" -> "lang", "budget" -> 64L,
+        "tokenizer" -> "wordpiece", "text_col" -> "text",
+        "artifact_path" -> "/tok/wp_vocab.parquet"))
+    val wpDirect = Curation.packSequences(
+      docs.withColumn("n_tokens", WordPiece.tokenCount(col("text"), wpModel).cast("long")),
+      "doc_id", "n_tokens", "lang", 64L)
+    assert(wp.collect().map(_.toString).sorted.toSeq ==
+      wpDirect.collect().map(_.toString).sorted.toSeq)
+    // bpe: merge table through the seam, char level
+    val merges = Bpe.trainFromCorpusLocal(docs, "text", 4)
+    io.frames.put("/tok/bpe_merges.parquet",
+      Bpe.mergesToFrame(spark, merges))
+    val bp = graft.service.BuiltinTransformations.registryWith(io)("pack_sequences")(
+      docs.drop("n_tokens"),
+      Map("id_col" -> "doc_id", "partition_col" -> "lang", "budget" -> 64L,
+        "tokenizer" -> "bpe", "text_col" -> "text",
+        "artifact_path" -> "/tok/bpe_merges.parquet"))
+    val pairs = merges.map(m => (m._1, m._2))
+    val bpDirect = Curation.packSequences(
+      docs.withColumn("n_tokens", Bpe.tokenCount(col("text"), pairs).cast("long")),
+      "doc_id", "n_tokens", "lang", 64L)
+    assert(bp.collect().map(_.toString).sorted.toSeq ==
+      bpDirect.collect().map(_.toString).sorted.toSeq)
+    // unknown tokenizer refused loudly
+    intercept[IllegalArgumentException] {
+      graft.service.BuiltinTransformations.registryWith(io)("pack_sequences")(
+        docs, Map("id_col" -> "doc_id", "partition_col" -> "lang",
+          "budget" -> 64L, "tokenizer" -> "tiktoken", "text_col" -> "text"))
+    }
+  }
+
+  test("chunk_token_ids / pad_truncate / pack_token_ids builtins delegate correctly") {
+    val ids = Seq((1L, "g", (1 to 10).toArray), (2L, "g", Array(11, 12)))
+      .toDF("doc_id", "grp", "ids")
+    val chunks = registry("chunk_token_ids")(ids,
+      Map("id_col" -> "doc_id", "ids_col" -> "ids", "max_tokens" -> 4L))
+    assert(chunks.filter(col("doc_id") === 1L).count() == 3) // 10 ids / window 4
+    val padded = registry("pad_truncate")(ids,
+      Map("ids_col" -> "ids", "max_seq_len" -> 6L, "pad_id" -> 0L))
+    val p2 = padded.filter(col("doc_id") === 2L)
+      .select("input_ids", "attention_mask").head
+    assert(p2.getSeq[Int](0) == Seq(11, 12, 0, 0, 0, 0))
+    assert(p2.getSeq[Int](1) == Seq(1, 1, 0, 0, 0, 0))
+    val packed = registry("pack_token_ids")(ids,
+      Map("id_col" -> "doc_id", "ids_col" -> "ids",
+        "partition_col" -> "grp", "budget" -> 8L))
+    assert(packed.agg(sum(size(col("input_ids")))).head.getLong(0) == 12L,
+      "every id lands in exactly one window")
+  }
+
   test("decontaminate drops training docs contaminated by the eval corpus") {
     val evalDir = java.nio.file.Files.createTempDirectory("graft-eval").toString
     // eval set = doc 4's exact text: doc 4 is fully contaminated

@@ -1131,6 +1131,89 @@ class OperatorsSpec extends AnyFunSuite {
       "chunking must not shuffle")
   }
 
+  test("chunkTokenIds: id-sequence windows, overlap, empty sequence, no shuffle") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, (1 to 40).toArray), // 40 ids
+      (2L, Array(7, 8, 9)),
+      (3L, Array.empty[Int]),
+      (4L, null.asInstanceOf[Array[Int]])
+    ).toDF("id", "ids")
+    val out = Curation.chunkTokenIds(docs, "id", "ids", maxTokens = 16, overlap = 4)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2), r.getInt(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(d1(0)._3 == (1 to 16) && d1(1)._3 == (13 to 28) && d1(2)._3 == (25 to 40))
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, Seq(7, 8, 9), 3)))
+    // empty and null sequences: ONE empty chunk each, never zero rows
+    assert(rows.filter(_._1 == 3L).toSeq == Seq((3L, 0, Seq(), 0)))
+    assert(rows.filter(_._1 == 4L).toSeq == Seq((4L, 0, Seq(), 0)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "id chunking must not shuffle")
+  }
+
+  test("padTruncate: exact-length ids + attention mask, null-safe, no shuffle") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, Array(5, 6, 7)), // shorter: pad
+      (2L, (1 to 8).toArray), // exact
+      (3L, (1 to 12).toArray), // longer: truncate
+      (4L, null.asInstanceOf[Array[Int]]) // null: all-pad
+    ).toDF("id", "ids")
+    val out = Curation.padTruncate(docs, "ids", maxSeqLen = 8, padId = 0)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](2), r.getSeq[Int](3))).sortBy(_._1)
+    assert(rows(0)._2 == Seq(5, 6, 7, 0, 0, 0, 0, 0) &&
+      rows(0)._3 == Seq(1, 1, 1, 0, 0, 0, 0, 0))
+    assert(rows(1)._2 == (1 to 8) && rows(1)._3 == Seq.fill(8)(1))
+    assert(rows(2)._2 == (1 to 8) && rows(2)._3 == Seq.fill(8)(1))
+    assert(rows(3)._2 == Seq.fill(8)(0) && rows(3)._3 == Seq.fill(8)(0))
+    // every row is EXACTLY maxSeqLen — the tensor contract
+    assert(rows.forall(r => r._2.size == 8 && r._3.size == 8))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "pad/truncate must not shuffle")
+    // shadow guard
+    intercept[IllegalArgumentException] {
+      Curation.padTruncate(docs.withColumn("input_ids", lit(1)), "ids", 8, 0)
+    }
+  }
+
+  test("packTokenIds: materialized windows equal the packSequences layout, boundary mask") {
+    import graft.operators.Curation
+    // ids encode (doc, position) so window contents pin provenance exactly
+    val docs = (1L to 20L).map(i =>
+      (i, "g", (0 until (1 + i % 7).toInt).map(p => (i * 100 + p).toInt).toArray))
+      .toDF("id", "grp", "ids")
+    val budget = 10
+    val out = Curation.packTokenIds(docs, "id", "ids", "grp", budget)
+    val wins = out.collect()
+      .map(r => (r.getLong(1), r.getSeq[Int](2), r.getSeq[Int](3)))
+      .sortBy(_._1)
+    // driver-side reference: same (md5, id) order, concatenate, cut every 10
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = (1L to 20L).map(i =>
+        i -> (0 until (1 + i % 7).toInt).map(p => (i * 100 + p).toInt))
+      .sortBy { case (i, _) => (md5hex(i.toString), i) }
+    val flat = ordered.flatMap { case (i, ids) => ids.map(x => (i, x)) }
+    val expected = flat.grouped(budget).toSeq.zipWithIndex.map { case (g, b) =>
+      // segment id = 1-based ordinal of the doc within the window
+      val docsInWin = g.map(_._1).distinct
+      (b.toLong, g.map(_._2), g.map(t => docsInWin.indexOf(t._1) + 1))
+    }
+    assert(wins.length == expected.length)
+    for (((b, ids, segs), (eb, eids, esegs)) <- wins.zip(expected)) {
+      assert(b == eb && ids == eids, s"window $b ids mismatch")
+      assert(segs == esegs, s"window $b segment mask mismatch")
+    }
+    // every window except the last is exactly `budget` long; masks align
+    assert(wins.dropRight(1).forall(_._2.size == budget))
+    assert(wins.forall(w => w._2.size == w._3.size))
+    // segment ids restart at 1 every window (continuation doc = segment 1)
+    assert(wins.forall(_._3.head == 1))
+  }
+
   test("compaction: file count honors target bytes, content survives, no shuffle") {
     import graft.sources.Compaction
     val base = java.nio.file.Files.createTempDirectory("compact").toString
