@@ -2403,6 +2403,60 @@ class OperatorsSpec extends AnyFunSuite {
       s"truncated v1 mvhd salvages through the v0 offsets: $salvaged")
   }
 
+  test("MP4 sample extraction: stsc/stsz/stco walk, real JPEG decode, codec routing, bombs") {
+    import spark.implicits._
+    val base = spark.range(30).select(col("id").as("doc_id"))
+    val mp4s = Multimodal.synthesizeMp4sWithSamples(base, "doc_id")
+    // only id % 3 == 2 carries a decodable codec; every sample decodes
+    val frames = Multimodal.decodeMp4FramesReal(mp4s, "doc_id", "content")
+      .collect().map(f => f.id -> f).toMap
+    assert(frames.keySet == (0L until 30L).filter(_ % 3 == 2).toSet,
+      "avc1/hvc1 files must yield NO decodable-lane rows")
+    for ((id, f) <- frames) {
+      assert(f.codec == "jpeg" && f.n_samples == 4 + id % 5)
+      assert(f.sampled_frames == f.n_samples && f.decoded_frames == f.n_samples,
+        s"every real JPEG sample must decode: $f")
+    }
+    // stride/maxFrames bound the work per file
+    val strided = Multimodal.decodeMp4FramesReal(mp4s, "doc_id", "content",
+      stride = 2, maxFrames = 2).collect()
+    assert(strided.forall(f => f.sampled_frames <= 2))
+    // fingerprints ride the q178 hamming path: same pattern -> same dhash
+    val fps = Multimodal.mp4Fingerprints(mp4s, "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    val byPk = fps.keys.groupBy(_ % 25)
+    for ((_, ids) <- byPk if ids.size > 1)
+      assert(ids.map(fps).toSet.size == 1, s"same-pattern fingerprints must agree: $ids")
+    // multi-chunk layout really exercised: id=8 (jpeg, 1+8%3=3 chunks)
+    // must still extract every sample in order
+    assert(frames(8L).n_samples == 4 + 8 % 5 && frames(8L).decoded_frames == frames(8L).n_samples)
+    // junk/null drop; a LYING stsz (sizes past EOF) salvages, never crashes
+    val junk = Seq((1L, "notanmp4".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "content")
+    assert(Multimodal.decodeMp4FramesReal(junk, "doc_id", "content").count() == 0)
+    val truncated = mp4s.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"),
+        expr("substring(content, 1, CAST(octet_length(content) / 2 AS INT))").as("content"))
+    // half the file gone: some samples' ranges now lie past EOF — they
+    // skip (salvage), the parse itself must not throw
+    Multimodal.decodeMp4FramesReal(truncated, "doc_id", "content").collect()
+    // crafted: stsz claiming 2^28 samples in a small box clamps
+    def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val realJpeg = Multimodal.synthesizeMp4sWithSamples(
+      Seq(2L).toDF("doc_id"), "doc_id").head.getAs[Array[Byte]]("content")
+    val bombed = {
+      // flip the real fixture's stsz count field to 2^28: find 'stsz'
+      val i = realJpeg.indexOfSlice("stsz".getBytes)
+      val b = realJpeg.clone()
+      System.arraycopy(be32(1 << 28), 0, b, i + 12, 4) // sample_count field
+      b
+    }
+    val got = Multimodal.parseMp4Samples(bombed, 1, 64)
+    assert(got.isEmpty || got.get._2 <= (1 << 22),
+      s"claimed 2^28 stsz entries must clamp: ${got.map(_._2)}")
+  }
+
   test("synthesizePatternPngs: 25 base patterns pairwise far; jitter is hash-invariant") {
     import spark.implicits._
     // one image per (pattern, jitter) corner: jitter 0 and jitter 19
