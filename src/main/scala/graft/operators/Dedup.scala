@@ -636,6 +636,24 @@ object Dedup {
     * (members can still pair via their other segments, and identical
     * hashes agree on EVERY segment, so a duplicate class only goes
     * unreported when all its segments are over the cap). */
+  /** The pigeonhole segment key array of a 64-bit hash: `maxHamming + 1`
+    * contiguous segments as `struct(seg, segv)` — any two hashes within
+    * `maxHamming` flips agree EXACTLY on at least one segment. Shared by
+    * [[hammingNearDupPairs]] and the incremental store probe
+    * ([[Curation.novelAgainstHamming]]) so both sides of a cross-batch
+    * join segment identically by construction. */
+  private[graft] def hammingSegmentKeys(h: org.apache.spark.sql.Column,
+      maxHamming: Int): org.apache.spark.sql.Column = {
+    val nSeg = maxHamming + 1
+    array((0 until nSeg).map { i =>
+      val lo = i * 64 / nSeg
+      val hi = (i + 1) * 64 / nSeg
+      val width = hi - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("seg"), shiftrightunsigned(h, lo).bitwiseAND(lit(mask)).as("segv"))
+    }: _*)
+  }
+
   def hammingNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -646,17 +664,9 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"maxHamming must be in [0, 16], got $maxHamming (segments get too short above)")
     require(maxBucket > 1, "maxBucket must allow at least a pair")
-    val nSeg = maxHamming + 1
     val h = col(hashCol).cast("long")
-    val segCols = (0 until nSeg).map { i =>
-      val lo = i * 64 / nSeg
-      val hi = (i + 1) * 64 / nSeg
-      val width = hi - lo
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("seg"), shiftrightunsigned(h, lo).bitwiseAND(lit(mask)).as("segv"))
-    }
     val bucketed = df
-      .select(col(idCol), h.as("__h"), explode(array(segCols: _*)).as("sk"))
+      .select(col(idCol), h.as("__h"), explode(hammingSegmentKeys(h, maxHamming)).as("sk"))
       .select(col(idCol), col("__h"), col("sk.seg").as("seg"), col("sk.segv").as("segv"))
     val wcap = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"), col("segv"))
     val bounded = bucketed

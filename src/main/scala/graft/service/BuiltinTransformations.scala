@@ -59,6 +59,7 @@ object BuiltinTransformations {
     "incremental_dedup" -> incrementalDedup(io),
     "incremental_fuzzy_dedup" -> incrementalFuzzyDedup(io),
     "incremental_ann_index" -> incrementalAnnIndex(io),
+    "incremental_media_dedup" -> incrementalMediaDedup(io),
     "quality_classifier" -> qualityClassifier,
     "quality_quantile_gate" -> qualityQuantileGate,
     "bpe_tokenize" -> bpeTokenize,
@@ -608,6 +609,50 @@ object BuiltinTransformations {
       numHashes = intKw("incremental_fuzzy_dedup", kw, "num_hashes", 8),
       bands = intKw("incremental_fuzzy_dedup", kw, "bands", 4),
       maxBucket = intKw("incremental_fuzzy_dedup", kw, "max_bucket", 10000))
+  }
+
+  /** `incremental_media_dedup(id_col, content_col, media:
+    * image|audio|video|mp4, seen_path, seen_file_type=parquet,
+    * fp_col=fp, out_col=fp, max_hamming=3, max_bucket=100000)` —
+    * cross-batch multimodal novelty filter
+    * ([[Curation.novelAgainstHamming]]): fingerprint the batch's binary
+    * column with the media kind's REAL decode lane (image dHash, audio
+    * afp, video/mp4 first-frame dHash), drop rows within `max_hamming`
+    * of a fingerprint in the `seen_path` store (read through the IO
+    * seam — the incremental_dedup pattern), near-dup the survivors
+    * in-batch (keep-min). Survivors keep every input column plus
+    * `out_col` (their fingerprint — sink it to the store for the next
+    * increment); rows whose payload did not decode carry a NULL
+    * fingerprint and SURVIVE (mark-not-drop: an undecodable file is not
+    * evidence of duplication). */
+  private def incrementalMediaDedup(io: GraftIO): CustomFn = (df, kw) => {
+    val name = "incremental_media_dedup"
+    val idCol = reqStr(name, kw, "id_col")
+    val contentCol = reqStr(name, kw, "content_col")
+    val outCol = strKw(name, kw, "out_col", "fp")
+    rejectShadow(name, df, outCol)
+    val seen = io.read(df.sparkSession, reqStr(name, kw, "seen_path"),
+        strKw(name, kw, "seen_file_type", "parquet"))
+      .select(col(strKw(name, kw, "fp_col", "fp")).as(outCol))
+    val fps: DataFrame = strKw(name, kw, "media", "image") match {
+      case "image" => Multimodal.imageHashes(df, idCol, contentCol).toDF()
+        .select(col("id").as(idCol), col("dhash").as(outCol))
+      case "audio" => Multimodal.audioFingerprints(df, idCol, contentCol)
+        .select(col("id").as(idCol), col("afp").as(outCol))
+      case "video" => Multimodal.videoFingerprints(df, idCol, contentCol)
+        .select(col(idCol), col("dhash").as(outCol))
+      case "mp4" => Multimodal.mp4Fingerprints(df, idCol, contentCol)
+        .select(col(idCol), col("dhash").as(outCol))
+      case other => throw new IllegalArgumentException(
+        s"$name: media must be 'image', 'audio', 'video', or 'mp4', got '$other'")
+    }
+    val novel = Curation.novelAgainstHamming(fps, seen, idCol, outCol,
+      maxHamming = intKw(name, kw, "max_hamming", 3),
+      maxBucket = intKw(name, kw, "max_bucket", 100000))
+    val kept = df.join(novel, Seq(idCol), "inner")
+    val unfingerprinted = df.join(fps.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn(outCol, lit(null).cast("long"))
+    kept.unionByName(unfingerprinted)
   }
 
   /** `quality_classifier(label_col, feature_cols, iters=30, lr=1.0,

@@ -407,6 +407,50 @@ class BuiltinTransformationsSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
   }
 
+  test("incremental_media_dedup probes the fingerprint store through the IO seam (FakeIO)") {
+    import graft.operators.{Multimodal, Curation}
+    // store = fingerprints of patterns 0..12 (ids 0..12); batch ids 5..29:
+    // 5..12 are store-hits, 13..24 survive as pattern exemplars, 25..29
+    // repeat patterns 0..4 (store-hits again)
+    val storeImgs = Multimodal.synthesizePatternPngs(
+      (0L until 13L).toDF("doc_id"), "doc_id")
+    val storeFps = Multimodal.imageHashes(storeImgs, "doc_id", "content").toDF()
+      .select(col("dhash").as("fp"))
+    val io = new graft.io.FakeIO()
+    io.frames.put("/state/media_fp.parquet", storeFps)
+    val batch = Multimodal.synthesizePatternPngs(
+      (5L until 30L).toDF("doc_id"), "doc_id")
+      .withColumn("src", lit("crawl"))
+    val out = graft.service.BuiltinTransformations.registryWith(io)(
+      "incremental_media_dedup")(batch,
+      Map("id_col" -> "doc_id", "content_col" -> "content", "media" -> "image",
+        "seen_path" -> "/state/media_fp.parquet", "max_hamming" -> 2L))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == (13L to 24L))
+    // survivors keep input columns and carry their fingerprint for the
+    // next increment's store append
+    assert(out.columns.toSet == Set("doc_id", "content", "src", "fp"))
+    assert(out.filter(col("fp").isNull).count() == 0)
+    // an undecodable payload survives with a NULL fingerprint (mark-not-drop)
+    val withJunk = batch.unionByName(
+      Seq((99L, "not a png".getBytes, "crawl")).toDF("doc_id", "content", "src"))
+    val out2 = graft.service.BuiltinTransformations.registryWith(io)(
+      "incremental_media_dedup")(withJunk,
+      Map("id_col" -> "doc_id", "content_col" -> "content", "media" -> "image",
+        "seen_path" -> "/state/media_fp.parquet", "max_hamming" -> 2L))
+    assert(out2.filter(col("doc_id") === 99L).count() == 1)
+    assert(out2.filter(col("doc_id") === 99L).head.isNullAt(out2.columns.indexOf("fp")))
+    // operator-level: the cross-batch probe equals the in-batch predicate
+    // (a store fp at hamming exactly maxHamming+1 does NOT fire)
+    val farStore = Seq(0L).toDF("fp") // hamming(0L, 7L) = 3 > 2
+    val probe = Curation.novelAgainstHamming(
+      Seq((1L, 7L)).toDF("id", "fp"), farStore, "id", "fp", maxHamming = 2)
+    assert(probe.count() == 1, "fp at hamming 3 must NOT count as seen at maxHamming 2")
+    val nearStore = Seq(3L).toDF("fp") // hamming(3L, 7L) = 1 <= 2
+    val probe2 = Curation.novelAgainstHamming(
+      Seq((1L, 7L)).toDF("id", "fp"), nearStore, "id", "fp", maxHamming = 2)
+    assert(probe2.count() == 0, "fp at hamming 1 must count as seen")
+  }
+
   test("decontaminate reads the eval corpus through the IO seam (FakeIO, no filesystem)") {
     // the eval corpus is a SECOND pipeline input and must honor the same
     // ports-and-adapters seam as the primary source: a hermetic test
