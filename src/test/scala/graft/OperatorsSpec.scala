@@ -2482,6 +2482,78 @@ class OperatorsSpec extends AnyFunSuite {
       "the codeword construction broke")
   }
 
+  test("multiKDuplicateSpans: per-k islands union, adjacent intervals merge, max_k certifies length") {
+    import graft.operators.Dedup
+    // docs 1/2 share a 5-token run "a b c d e" plus two 2-token repeats;
+    // docs 3/4 share only a 3-token run "m n o"; 5/6 contribute nothing
+    val docs = Seq(
+      (1L, "a b c d e p q r u v"),
+      (2L, "z a b c d e y p q x u v w"),
+      (3L, "m n o junk1 junk2"),
+      (4L, "junk3 m n o junk4"),
+      (5L, "totally fresh words here only once"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.multiKDuplicateSpans(docs, "doc_id", "text", ks = Seq(2, 3, 5))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("max_k"), r.getAs[Int]("n_spans"),
+        r.getAs[Int]("span_tokens"))).toSet
+    // doc 1: the 5-run fires at k∈{2,3,5} as island [1,5]; the (p,q)
+    // repeat fires at k=2 as [6,7], ADJACENT to [1,5] -> merges into one
+    // [1,7] island (4 pre-merge spans, max_k certifies a >=5-token exact
+    // repeat inside); (u,v)@9 stays its own k=2 island.
+    // doc 2: same content but a gap token between the 5-run [2,6] and
+    // (p,q)@8 -> islands stay separate; max_k drops to 2 outside the run.
+    // docs 3/4: the 3-run fires at k∈{2,3}, never k=5 -> max_k = 3.
+    assert(got == Set(
+      (1L, 1, 7, 5, 4, 7), (1L, 9, 10, 2, 1, 2),
+      (2L, 2, 6, 5, 3, 5), (2L, 8, 9, 2, 1, 2), (2L, 11, 12, 2, 1, 2),
+      (3L, 1, 3, 3, 2, 3), (4L, 2, 4, 3, 2, 3)), s"$got")
+    // the Lee et al. >=50-token certificate is `max_k >= threshold` —
+    // here the >=5 filter keeps exactly the two long-run islands
+    assert(got.filter(_._4 >= 5).map(t => (t._1, t._2)) == Set((1L, 1), (2L, 2)))
+    intercept[IllegalArgumentException] {
+      Dedup.multiKDuplicateSpans(docs, "doc_id", "text", ks = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.multiKDuplicateSpans(docs, "doc_id", "text", ks = Seq(3, 3))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.multiKDuplicateSpans(docs, "doc_id", "text", ks = Seq(0, 2))
+    }
+  }
+
+  test("early-exit knobs: tol=0 keeps legacy schedule; huge tol exits after one step; kmeans fixed-point is result-identical") {
+    import graft.operators.{Curation, Similarity}
+    val rng = new scala.util.Random(29)
+    val df = (0 until 200).map { i =>
+      val x1 = rng.nextGaussian(); (i.toLong, if (x1 > 0) 1 else 0, x1, rng.nextGaussian())
+    }.toDF("id", "y", "x1", "x2")
+    // tol = 0.0 (default) is bit-identical to the pre-knob schedule:
+    // updates are never strictly < 0, so no step can trigger the exit
+    val legacy = Curation.logisticFit(df, "y", Seq("x1", "x2"), iters = 8)
+    assert(Curation.logisticFit(df, "y", Seq("x1", "x2"), iters = 8, tol = 0.0) == legacy)
+    // a tol above every possible first-step magnitude stops after step 1
+    val one = Curation.logisticFit(df, "y", Seq("x1", "x2"), iters = 1)
+    assert(Curation.logisticFit(df, "y", Seq("x1", "x2"), iters = 8, tol = 1e9) == one)
+    intercept[IllegalArgumentException] {
+      Curation.logisticFit(df, "y", Seq("x1", "x2"), iters = 8, tol = -1.0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.langIdFit(docs, "doc_id", "text", "text", tol = -0.1)
+    }
+    // kmeansFit: two well-separated blobs converge by round 2; the
+    // fixed-point exit makes iters=3 and iters=100 RESULT-identical
+    // (not an approximation — kmeansUpdate is pure in (corpus, cents))
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.2, 0.0)), (2L, Seq(0.0, 0.2)),
+      (3L, Seq(9.0, 9.0)), (4L, Seq(9.2, 9.0)), (5L, Seq(9.0, 9.2))
+    ).toDF("vec_id", "v")
+    val c3 = Similarity.kmeansFit(pts, "vec_id", "v", k = 2, iters = 3)
+    val c100 = Similarity.kmeansFit(pts, "vec_id", "v", k = 2, iters = 100)
+    assert(c100 == c3, "fixed-point exit must make long schedules result-identical")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -293,7 +293,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "q173_audio_near_dup", // same 1-row exact-dup-total broadcast (q167 shape)
       "q168_bigram_nll", // 1-row corpus-total broadcast (q132 shape)
       "q175_kn3_nll", // 1-row N1+(··)/total corpus-stat broadcasts (q168 shape)
-      "q180_temperature_mixture" // q118's 1-row corpus-total broadcast cross
+      "q180_temperature_mixture", // q118's 1-row corpus-total broadcast cross
+      "q190_media_novelty" // 1-row batch-count frame broadcast cross (q118 shape)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

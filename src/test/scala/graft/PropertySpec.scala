@@ -353,7 +353,8 @@ class PropertySpec extends AnyFunSuite {
     * invariants (bands | num_hashes, budget > 0) so the only failure the
     * wrong-slot can trigger is the typed-coercion one. */
   private def builtinKwSpecs(evalPath: String, seenPath: String,
-      seenBandsPath: String, centsPath: String, cbPath: String): Map[String, Seq[KwSpec]] = {
+      seenBandsPath: String, centsPath: String, cbPath: String,
+      seenFpPath: String): Map[String, Seq[KwSpec]] = {
     def req(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, true, valid, wrong)
     def opt(k: String, valid: Gen[Any], wrong: Gen[Any]) = KwSpec(k, false, valid, wrong)
     val idCol = req("id_col", Gen.const("doc_id"), wrongForStr)
@@ -414,6 +415,33 @@ class PropertySpec extends AnyFunSuite {
         req("token_col", Gen.const("n_tok"), wrongForStr),
         req("partition_col", Gen.const("lang"), wrongForStr),
         req("budget", Gen.oneOf(8L, 4096L), wrongForInt)),
+      "chunk_token_ids" -> Seq(idCol,
+        req("ids_col", Gen.const("ids"), wrongForStr),
+        req("max_tokens", Gen.oneOf(4L, 8L), wrongForInt),
+        opt("overlap", Gen.oneOf(0L, 1L), wrongForInt)),
+      "pad_truncate" -> Seq(
+        req("ids_col", Gen.const("ids"), wrongForStr),
+        req("max_seq_len", Gen.oneOf(4L, 8L), wrongForInt),
+        opt("pad_id", Gen.oneOf(0L, 1L), wrongForInt),
+        opt("out_ids", Gen.const("padded_ids"), wrongForStr),
+        opt("out_mask", Gen.const("mask_out"), wrongForStr)),
+      "pack_token_ids" -> Seq(idCol,
+        req("ids_col", Gen.const("ids"), wrongForStr),
+        req("partition_col", Gen.const("lang"), wrongForStr),
+        req("budget", Gen.oneOf(4L, 8L), wrongForInt)),
+      "incremental_media_dedup" -> Seq(idCol,
+        // text bytes are undecodable payloads — the decode lane never
+        // runs at plan build; the store read DOES (schema through the
+        // IO seam), hence the real seen-fp fixture path
+        req("content_col", Gen.const("text"), wrongForStr),
+        req("seen_path", Gen.const(seenFpPath), wrongForStr),
+        opt("media", Gen.oneOf[Any]("image", "audio", "video", "mp4"),
+          Gen.oneOf[Any](42L, true, junkMap, "bogus_media")),
+        opt("fp_col", Gen.const("fp"), wrongForStr),
+        opt("out_col", Gen.const("media_fp"), wrongForStr),
+        opt("max_hamming", Gen.oneOf(0L, 3L), wrongForInt),
+        opt("max_bucket", Gen.oneOf(100L, 10000L), wrongForInt),
+        opt("seen_file_type", Gen.const("parquet"), wrongForStr)),
       "stratified_sample" -> Seq(idCol,
         req("strata_col", Gen.const("lang"), wrongForStr),
         req("fractions",
@@ -704,6 +732,8 @@ class PropertySpec extends AnyFunSuite {
       (3L, "the quick brown fox jumps over the dog", "en", 8L, Array(0.1, 1.0), 1),
       (4L, "spark engines shuffle data across executors", "en", 6L, Array(0.2, 0.8), 1)
     ).toDF("doc_id", "text", "lang", "n_tok", "emb", "is_en")
+      // integer token-id sequences for the chunk/pad/pack builtins
+      .withColumn("ids", array(lit(5), lit(6), lit(7), lit(8), lit(9)))
     val propDir = java.nio.file.Files.createTempDirectory("prop_eval")
     val evalDir = propDir.resolve("eval.parquet").toString
     Seq((100L, "the quick brown fox jumps over the dog"))
@@ -722,7 +752,10 @@ class PropertySpec extends AnyFunSuite {
     val cbDir = propDir.resolve("codebook.parquet").toString
     Seq((0, 0, Seq(0.1)), (0, 1, Seq(0.9)), (1, 0, Seq(0.1)), (1, 1, Seq(0.9)))
       .toDF("sub", "code", "cvec").write.mode("overwrite").parquet(cbDir)
-    val specs = builtinKwSpecs(evalDir, seenDir, seenBandsDir, centsDir, cbDir)
+    val seenFpDir = propDir.resolve("seen_fp.parquet").toString
+    Seq(0L) // 64-bit hamming-fingerprint store shape
+      .toDF("fp").write.mode("overwrite").parquet(seenFpDir)
+    val specs = builtinKwSpecs(evalDir, seenDir, seenBandsDir, centsDir, cbDir, seenFpDir)
     assert(specs.keySet == BuiltinTransformations.registry.keySet,
       "kwarg spec table must cover the registry exactly — update on add/remove")
 
