@@ -641,10 +641,22 @@ object Curation {
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"maxHamming must be in [0, 16], got $maxHamming")
-    val bh = col(fpCol).cast("long")
-    val batchSeg = batch
-      .select(col(idCol), bh.as("__h"),
-        explode(Dedup.hammingSegmentKeys(bh, maxHamming)).as("sk"))
+    // The whole novelty decision runs on this NARROW (id, fingerprint)
+    // projection, persisted once — 12 bytes of cache per batch row. The
+    // first cut threaded the full `batch` frame through every stage
+    // (segment explode, store probe, in-batch pairs, two anti-joins):
+    // five plan branches, each recomputing the caller's frame — which
+    // for the real call sites IS the media decode lane, so q190 paid
+    // ~5 full PNG decode passes per run (28.5 s benched; the single-
+    // decode shape is the q167 cost). The caller's frame is now scanned
+    // exactly once here (cache fill) plus once in the final semi-join —
+    // and a caller that persists its own batch (q190, the builtin) pays
+    // the decode exactly once.
+    val keyed = batch.select(col(idCol), col(fpCol).cast("long").as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchSeg = keyed
+      .select(col(idCol), col("__h"),
+        explode(Dedup.hammingSegmentKeys(col("__h"), maxHamming)).as("sk"))
       .select(col(idCol), col("__h"),
         col("sk.seg").as("seg"), col("sk.segv").as("segv"))
     val sh = col(fpCol).cast("long")
@@ -660,8 +672,11 @@ object Curation {
       .join(bounded(storeSeg), Seq("seg", "segv"))
       .filter(bit_count(col("__h").bitwiseXOR(col("__sh"))) <= maxHamming)
       .select(col(idCol)).distinct()
-    val fresh = batch.join(seen, Seq(idCol), "left_anti")
-    Dedup.hammingDedup(fresh, idCol, fpCol, maxHamming, maxBucket)
+    val freshKeyed = keyed.join(seen, Seq(idCol), "left_anti")
+    val drops = Dedup.hammingNearDupPairs(freshKeyed, idCol, "__h", maxHamming, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    val novelIds = freshKeyed.join(drops, Seq(idCol), "left_anti").select(col(idCol))
+    batch.join(novelIds, Seq(idCol), "left_semi")
   }
 
   /** Multi-source corpus merge with per-source precedence — the "union N

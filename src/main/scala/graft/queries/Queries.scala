@@ -6630,8 +6630,13 @@ object Queries {
     val seen = s.read.parquet(store)
     val batch = Multimodal.synthesizePatternPngs(
       docs.filter(col("doc_id") >= 5), "doc_id")
+    // persist the decode-lane output: the novelty probe + in-batch dedup
+    // + count agg all reference this frame, and without the cache each
+    // branch re-pays the full PNG synth+decode (Bench clears cache per
+    // rep, CacheScope releases it in the service path)
     val fps = Multimodal.imageHashes(batch, "doc_id", "content").toDF()
       .select(col("id").as("doc_id"), col("dhash").as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val novel = Curation.novelAgainstHamming(fps, seen, "doc_id", "fp",
       maxHamming = 2)
     val nBatch = fps.agg(count(lit(1)).as("n_batch"))

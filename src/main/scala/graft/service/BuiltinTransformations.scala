@@ -634,7 +634,7 @@ object BuiltinTransformations {
     val seen = io.read(df.sparkSession, reqStr(name, kw, "seen_path"),
         strKw(name, kw, "seen_file_type", "parquet"))
       .select(col(strKw(name, kw, "fp_col", "fp")).as(outCol))
-    val fps: DataFrame = strKw(name, kw, "media", "image") match {
+    val fpsRaw: DataFrame = strKw(name, kw, "media", "image") match {
       case "image" => Multimodal.imageHashes(df, idCol, contentCol).toDF()
         .select(col("id").as(idCol), col("dhash").as(outCol))
       case "audio" => Multimodal.audioFingerprints(df, idCol, contentCol)
@@ -646,6 +646,10 @@ object BuiltinTransformations {
       case other => throw new IllegalArgumentException(
         s"$name: media must be 'image', 'audio', 'video', or 'mp4', got '$other'")
     }
+    // the decode lane feeds the novelty probe AND the unfingerprinted
+    // anti-join — persist the narrow (id, fp) result so binary payloads
+    // decode once per increment (CacheScope releases it)
+    val fps = fpsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val novel = Curation.novelAgainstHamming(fps, seen, idCol, outCol,
       maxHamming = intKw(name, kw, "max_hamming", 3),
       maxBucket = intKw(name, kw, "max_bucket", 100000))
