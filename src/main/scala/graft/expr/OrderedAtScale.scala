@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * Shape (the `budgetSelect` decomposition from
   * [[graft.operators.Curation]], generalized to arbitrary order keys):
   *
-  *   1. `repartitionByRange(B, orderKeys)` — Spark's RangePartitioner
-  *      samples the key distribution and assigns each row a bucket that is
-  *      a pure function of its key, so (a) bucket order IS global order and
-  *      (b) rows with EQUAL keys always share a bucket — tie groups never
-  *      split, which keeps rank/dense_rank arithmetic exact. The partition
-  *      id is materialized as the bucket column.
+  *   1. deterministic range buckets ([[bucketize]], round 19): cut tuples
+  *      sampled once per level assign each row a bucket that is a pure
+  *      function of its key ([[graft.sparkext.RangeBucketId]]), so
+  *      (a) bucket order IS global order and (b) rows with EQUAL keys
+  *      always share a bucket — tie groups never split, which keeps
+  *      rank/dense_rank arithmetic exact. ONE hash exchange on the bucket
+  *      then moves the data (layout preserved through the plan freeze),
+  *      where the round-16 original paid a range exchange here plus a
+  *      second full hash exchange at the window.
   *   2. one hash aggregation computes a per-bucket total (≤ B rows);
   *   3. each bucket's PREFIX (the aggregate over all earlier buckets) comes
   *      from a broadcast self-join of the tiny totals frame on
@@ -30,11 +33,12 @@ import org.apache.spark.sql.functions._
   *      prefix per row.
   *
   * Cost vs the single-partition window: the same data volume moves through
-  * TWO parallel shuffles (range + bucket-hash) instead of one shuffle into
-  * ONE task — 2× shuffle bytes, but wall-clock drops from O(n log n) on a
-  * single core to O(n/B log n/B) across the cluster, and no task ever
-  * materializes more than ~n/B rows. `B` defaults to
-  * `spark.sql.shuffle.partitions` and can be raised for larger clusters via
+  * ONE parallel shuffle (round 19 — the round-16 original paid two, range
+  * plus bucket-hash) instead of one shuffle into ONE task — same shuffle
+  * bytes, but wall-clock drops from O(n log n) on a single core to
+  * O(n/B log n/B) across the cluster, and no task ever materializes more
+  * than ~n/B rows. The bucket count `B` defaults to 4× the shuffle
+  * partition count (see [[bucketCount]]) and can be pinned via
   * `spark.graft.orderedBuckets`.
   *
   * Determinism: bucket BOUNDARIES come from sampling, but every output
@@ -102,10 +106,94 @@ object OrderedAtScale {
     * a data column. */
   private[graft] val priorBucketName: String = PriorBucketCol
 
+  /** Bucket count B (distinct bucket ids), DECOUPLED from the partition
+    * count since round 19: buckets hash into `spark.sql.shuffle.partitions`
+    * partitions, so B > partitions keeps the per-partition bucket mix
+    * balanced (Poisson smoothing of the hash collisions — with B ==
+    * partitions, ~37% of partitions would be empty and others would hold
+    * 3-4 buckets). B only sizes driver-adjacent metadata (the ≤ B-row
+    * totals frame, the O(B²) distributed prefix re-aggregation, the
+    * O(B·k) tail exports), so 4x the partition count is cheap. */
   private def bucketCount(df: DataFrame): Int = {
     val conf = df.sparkSession.conf
     conf.getOption("spark.graft.orderedBuckets").map(_.toInt)
-      .getOrElse(conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      .getOrElse(4 * partitionCount(df))
+  }
+
+  private def partitionCount(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Shared round-19 bucketing preamble — ONE full-data exchange where the
+    * round-16 original paid two.
+    *
+    * The original shape (`repartitionByRange(B, keys)` +
+    * `spark_partition_id()` + plan freeze) derives the bucket from the
+    * PHYSICAL layout, so the plan cannot know that rows of one bucket are
+    * co-located: the within-bucket window (and, un-frozen, the totals
+    * aggregation) each demanded their own hash exchange on the bucket —
+    * every decomposition level moved the whole frame TWICE (range + hash).
+    *
+    * Round 19: the bucket is a PURE FUNCTION of the order key
+    * ([[graft.sparkext.RangeBucketId]] — binary search against cut tuples
+    * sampled once, driver-side, per level), assigned BEFORE any exchange;
+    * the single `repartition(p, bucket)` hash exchange then moves the data
+    * once, and [[org.apache.spark.sql.graftbridge.PlanBarrier
+    * .freezeKeepLayout]] pins both the shuffle (map outputs shared by
+    * every consumer job, the same sharing the old freeze provided) AND its
+    * `HashPartitioning(bucket, p)`, so the totals aggregation, the prefix
+    * re-aggregation, and the within-bucket window all run with ZERO
+    * further data movement.
+    *
+    * Correctness is unchanged by construction: bucket order is key order
+    * and equal keys share a bucket (the two properties the prefix
+    * arithmetic needs — see [[graft.sparkext.RangeBucketId]]), and every
+    * decomposition's outputs are bucket-placement-independent, so the
+    * sampled cut points steer only balance, never values.
+    *
+    * @param sampleExtra value expressions mixed into the sampling hash so
+    *        duplicate-heavy keys don't collapse the sample (the
+    *        [[tieExpr]] column set) */
+  private[graft] def bucketize(
+      df: DataFrame,
+      orderBy: Seq[String],
+      desc: Boolean,
+      sampleExtra: Seq[Column]): DataFrame = {
+    val b = bucketCount(df)
+    val p = partitionCount(df)
+    val keyCols = orderBy.map(col)
+    // bounded uniform row sample: the key tuples at the `sampleSize`
+    // smallest xxhash64(keys ++ values) — TakeOrdered, never a full sort;
+    // ~20 sampled rows per bucket bounds the balance jitter
+    val sampleSize = math.min(math.max(20 * b, 1000), 200000)
+    val sampled = df
+      .select((keyCols :+ xxhash64((keyCols ++ sampleExtra): _*).as("__go_h")): _*)
+      .orderBy(col("__go_h").asc)
+      .limit(sampleSize)
+      .drop("__go_h")
+      .collect()
+    val dts = orderBy.map(n => df.schema(n).dataType)
+    val ord = graft.sparkext.RangeBucketId.tupleOrdering(dts, desc)
+    val tuples = sampled.iterator
+      .map(r => graft.sparkext.RangeBucketId.toCatalystCut(r.toSeq, dts))
+      .toArray
+      .sorted(ord)
+    // evenly spaced cut tuples; consecutive duplicates collapse (equal keys
+    // must share a bucket, and a duplicated cut would only add an
+    // always-empty bucket)
+    val cuts =
+      if (tuples.isEmpty) Vector.empty[Seq[Any]]
+      else (1 until b).iterator
+        .map(i => tuples((i.toLong * tuples.length / b).toInt.min(tuples.length - 1)))
+        .foldLeft(Vector.empty[Seq[Any]]) { (acc, c) =>
+          if (acc.nonEmpty && ord.compare(acc.last, c) == 0) acc else acc :+ c
+        }
+    val bucketC =
+      if (cuts.isEmpty) lit(0) // empty/single-key frame: one bucket
+      else graft.sparkext.RangeBucketId(keyCols, cuts, desc)
+    org.apache.spark.sql.graftbridge.PlanBarrier.freezeHashClustered(
+      df.withColumn(BucketCol, bucketC)
+        .repartition(p, col(BucketCol)),
+      p, BucketCol)
   }
 
   /** Applies `spec` to `df`, adding the result as column `outName`. */
@@ -128,21 +216,17 @@ object OrderedAtScale {
       throw new IllegalArgumentException(
         s"global ordered derive: input frame already has internal shadow column '$n' — " +
           "rename it first"))
-    val b = bucketCount(df)
     val ordCols = ord0.map(n => if (desc0) col(n).desc else col(n).asc)
-    // 1. range bucket: partition id is a pure function of the order key.
-    // FROZEN: totals, prefixes, and the final window are three consumers
-    // whose column pruning makes their copies of this exchange
-    // NON-identical, so ReuseExchange cannot dedup them and each would
-    // sample its OWN range boundaries — rows near a boundary then land in
-    // different buckets per subtree and the prefix arithmetic silently
-    // shifts (observed: +5 cum_count at sf0.1). The freeze pins ONE
-    // planned shuffle that all three read (map outputs reused across
-    // jobs); the cost is that column pruning stops here — acceptable, the
-    // decomposition consumes whole rows anyway.
-    val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
-      df.repartitionByRange(b, ordCols: _*)
-        .withColumn(BucketCol, spark_partition_id()))
+    // 1. deterministic range buckets (round 19): the bucket is a pure
+    // function of the order key, so ONE hash exchange (layout preserved
+    // through the freeze) feeds the totals (2), the prefixes (3b) AND the
+    // window (4) with zero further data movement — the round-16 original
+    // paid a range exchange here plus a second full hash exchange at the
+    // window, and its freeze existed precisely because a layout-derived
+    // bucket could not be recomputed consistently per consumer. The
+    // key-derived bucket keeps that sharing (map outputs reused across
+    // the consumer jobs) without the second shuffle.
+    val bucketed = bucketize(df, ord0, desc0, Nil)
     val idx = specs.indices
     // 2. per-bucket totals (≤ b rows; map-side partial agg, tiny shuffle)
     val totAgg = idx.map(i => specs(i)._2.bucketAgg.as(s"${TotCol}_$i"))
@@ -208,14 +292,13 @@ object OrderedAtScale {
     shadows.find(df.columns.contains).foreach(c0 =>
       throw new IllegalArgumentException(
         s"global shift: input frame already has internal shadow column '$c0' — rename it first"))
-    val b = bucketCount(df)
     val ordCols = orderBy.map(nm => if (desc) col(nm).desc else col(nm).asc)
     val revCols = orderBy.map(nm => if (desc) col(nm).asc else col(nm).desc)
-    // frozen for the same reason as [[applyGlobalMulti]]'s bucketed frame:
-    // the tails subtree and the final join must see ONE bucketing
-    val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
-      df.repartitionByRange(b, ordCols: _*)
-        .withColumn(BucketCol, spark_partition_id()))
+    // single-exchange key-derived bucketing (round 19, see [[bucketize]]):
+    // the tails subtree and the final join still see ONE bucketing (the
+    // bucket is a pure function of the key) and the within-bucket windows
+    // below need no second shuffle
+    val bucketed = bucketize(df, orderBy, desc, Seq(x))
       .withColumn(TieCol, tieExpr(orderBy, Seq(x)))
     val ordTie = ordCols :+ (if (desc) col(TieCol).desc else col(TieCol).asc)
     val revTie = revCols :+ (if (desc) col(TieCol).asc else col(TieCol).desc)
@@ -300,12 +383,10 @@ object OrderedAtScale {
       throw new IllegalArgumentException(
         s"global rolling: input frame already has internal shadow column '$c0' — rename it first"))
     val n = k - 1
-    val b = bucketCount(df)
     val ordCols = orderBy.map(nm => if (desc) col(nm).desc else col(nm).asc)
     val revCols = orderBy.map(nm => if (desc) col(nm).asc else col(nm).desc)
-    val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
-      df.repartitionByRange(b, ordCols: _*)
-        .withColumn(BucketCol, spark_partition_id()))
+    // single-exchange key-derived bucketing (round 19, see [[bucketize]])
+    val bucketed = bucketize(df, orderBy, desc, Seq(x))
       .withColumn(TieCol, tieExpr(orderBy, Seq(x)))
     val ordTie = ordCols :+ (if (desc) col(TieCol).desc else col(TieCol).asc)
     val revTie = revCols :+ (if (desc) col(TieCol).asc else col(TieCol).desc)
@@ -412,12 +493,10 @@ object OrderedAtScale {
       throw new IllegalArgumentException(
         s"global rolling: input frame already has internal shadow column '$c0' — rename it first"))
     val n = k - 1
-    val b = bucketCount(df)
     val ordCols = orderBy.map(nm => if (desc) col(nm).desc else col(nm).asc)
     val revCols = orderBy.map(nm => if (desc) col(nm).asc else col(nm).desc)
-    val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
-      df.repartitionByRange(b, ordCols: _*)
-        .withColumn(BucketCol, spark_partition_id()))
+    // single-exchange key-derived bucketing (round 19, see [[bucketize]])
+    val bucketed = bucketize(df, orderBy, desc, parts.map(_._2))
       .withColumn(TieCol, tieExpr(orderBy, parts.map(_._2)))
     val ordTie = ordCols :+ (if (desc) col(TieCol).desc else col(TieCol).asc)
     val revTie = revCols :+ (if (desc) col(TieCol).asc else col(TieCol).desc)
@@ -572,11 +651,9 @@ object OrderedAtScale {
       case other => throw new IllegalArgumentException(
         s"globalRollingBy closed='$other' not in right/both/left/none")
     }
-    val b = bucketCount(df)
     val byC = col(by)
-    val bucketed = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(
-      df.repartitionByRange(b, byC.asc)
-        .withColumn(BucketCol, spark_partition_id()))
+    // single-exchange key-derived bucketing (round 19, see [[bucketize]])
+    val bucketed = bucketize(df, Seq(by), desc = false, parts.map(_._2))
     val wBucket = Window.partitionBy(col(BucketCol))
     val wb = wBucket.orderBy(byC).rangeBetween(loOff, hiOff)
     val staged = parts.zipWithIndex
@@ -691,17 +768,16 @@ object OrderedAtScale {
         "one row per bucket; raise maxBuckets deliberately")
     val ordCols = orderBy.map(n => if (desc) col(n).desc else col(n).asc)
     val x = col(valueCol)
-    val bucketed = df
-      .repartitionByRange(b, ordCols: _*)
-      .withColumn(BucketCol, spark_partition_id())
+    // single-exchange key-derived bucketing (round 19, see [[bucketize]])
+    val bucketed = bucketize(df, orderBy, desc, Seq(x))
     val w = Window.partitionBy(col(BucketCol)).orderBy(ordCols: _*)
     // within-bucket 0-based run id (same change-detection as the windowed
-    // rle_id). FROZEN: the chain-merge collect below and the caller's
-    // final action are SEPARATE executions — without pinning the plan,
-    // each re-samples the range boundaries and the offsets computed for
-    // one bucketing get applied to another (observed as rle_id gaps at
-    // sf0.01). The freeze makes both consumers share one shuffle, whose
-    // map outputs are reused across the two jobs.
+    // rle_id). FROZEN so the chain-merge collect below and the caller's
+    // final action — two separate executions — share one computation of
+    // the window, not just the shuffle map outputs bucketize pinned.
+    // (Round 19: the old boundary-re-sampling hazard this freeze also
+    // guarded against is gone — the bucket is key-derived — but the
+    // sharing is still worth the barrier.)
     val chg = when(row_number().over(w) === 1, lit(0L))
       .otherwise((!(x <=> lag(x, 1).over(w))).cast("long"))
     val withRuns = org.apache.spark.sql.graftbridge.PlanBarrier.freeze(

@@ -128,10 +128,19 @@ object TextAnalysis {
     * [[graft.operators.Curation.logisticFit]] for supervised text
     * classification (language ID, quality).
     *
-    * Scale shape: ONE explode + pivot-count aggregation (hash-partitioned
-    * on the id, map-side combined; `buckets` is a fixed small width, so
-    * the pivot is a bounded column fan-out, never a driver collect), one
-    * join back. Docs with no grams get all-zero features. */
+    * Scale shape (round 19): ONE PROJECTION — the per-document histogram
+    * is a pure function of the document's gram array
+    * ([[graft.sparkext.HashedBucketCounts]] walks it once per row), so
+    * featurization fuses into whatever stage already reads the text: zero
+    * exchanges, no join, and the scan's column pruning survives. The
+    * round-14 original (explode → pivot-count aggregation → join back)
+    * moved corpus × grams-per-doc rows through a shuffle and re-shuffled
+    * the corpus for the join, to compute what each row already knew.
+    * Feature VALUES are bit-identical (same grams, same `xxhash64` seed,
+    * same `pmod`, integer counts, same round-6 fraction — spec-pinned),
+    * so every model weight and prediction downstream is unchanged. Docs
+    * with no grams (or null text) get all-zero features, as the old
+    * left-join + fill produced. */
   def hashedCharNgramFeatures(
       df: DataFrame,
       idCol: String,
@@ -145,21 +154,16 @@ object TextAnalysis {
     val featNames = (0 until buckets).map(b => s"f$b")
     featNames.foreach(f => require(!df.columns.contains(f),
       s"hashedCharNgramFeatures writes column '$f'; input already has one — rename it first"))
-    val grams = df
-      .select(col(idCol), explode(charNgrams(col(textCol), n)).as("__g"))
-      .select(col(idCol), pmod(xxhash64(col("__g")), lit(buckets.toLong)).as("__b"))
-    val counts = grams.groupBy(col(idCol))
-      .pivot("__b", (0 until buckets).map(_.asInstanceOf[AnyRef]).toSeq)
-      .count()
-    val total = (0 until buckets).map(b => coalesce(col(b.toString), lit(0L)))
-      .reduce(_ + _)
-    val feats = counts.select(
-      col(idCol) +:
-        (0 until buckets).map(b =>
-          round(coalesce(col(b.toString), lit(0L)).cast("double") /
-            greatest(total, lit(1L)), 6).as(s"f$b")): _*)
-    df.join(feats, Seq(idCol), "left")
-      .na.fill(0.0, featNames)
+    require(!df.columns.contains("__hbc"),
+      "hashedCharNgramFeatures stages column '__hbc'; input already has one — rename it first")
+    val staged = df.withColumn("__hbc",
+      graft.sparkext.HashedCharNgramCounts(normalize(col(textCol)), n, buckets))
+    def cnt(b: Int): Column = coalesce(element_at(col("__hbc"), b + 1), lit(0L))
+    val total = (0 until buckets).map(cnt).reduce(_ + _)
+    (0 until buckets).foldLeft(staged) { (acc, b) =>
+      acc.withColumn(s"f$b",
+        round(cnt(b).cast("double") / greatest(total, lit(1L)), 6))
+    }.drop("__hbc")
   }
 
   /** Supervised language ID — the fastText shape (Joulin et al. 2017)
