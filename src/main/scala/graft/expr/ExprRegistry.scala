@@ -255,11 +255,18 @@ object ExprRegistry {
   }
 
   /** Decomposable rolling aggregate (sum/min/max): per-key windowed with
-    * `partition_by`; the global form routes through
-    * [[OrderedAtScale.globalRolling]]'s tail exchange. `tailCombine`
-    * folds the prior-tail slice (null acc seeds; null values must pass
-    * through to the other operand); `merge` joins the tail partial with
-    * the row's running partial. */
+    * `partition_by`. The global form rides the BATCHABLE raw-frame
+    * decomposition ([[GlobalRollingFrame]] →
+    * [[OrderedAtScale.globalRollingFrameMulti]]) since round 19 — it used
+    * to take a dedicated one-fn-per-level tail exchange
+    * ([[OrderedAtScale.globalRolling]]), so a config with several
+    * same-(order, k) decomposable rollings paid one full decomposition
+    * level EACH (q164's rolling_sum + rolling_max were two levels; now
+    * one, shared also with any moment-family entries of the same frame).
+    * The boundary branch folds the raw frame values with `tailCombine` in
+    * frame order — for the decomposable aggregates that is the exact
+    * windowed value (sum/min/max over the same multiset; null-skipping
+    * fold mirrors the aggregate's null handling, empty/all-null → null). */
   private def rollingDecomposable(
       fn: String,
       aggF: Column => Column,
@@ -273,14 +280,9 @@ object ExprRegistry {
       require(k > 0, s"'$fn' requires a positive 'window_size' kwarg")
       val x = c(kw)
       if (k == 1) RowWise(x) // a 1-row frame is the row itself
-      else FrameLevel((df, out) => OrderedAtScale.globalRolling(df, out, x, ord, desc, k,
+      else GlobalRollingFrame(ord, desc, k, x,
         w => aggF(x).over(w.rowsBetween(-(k.toLong - 1), Window.currentRow)),
-        w => aggF(x).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        a => {
-          val xs = transform(a, _.getField("x"))
-          aggregate(xs, when(lit(false), element_at(xs, 1)), tailCombine)
-        },
-        merge))
+        xs => aggregate(xs, when(lit(false), element_at(xs, 1)), tailCombine))
     }
   }
 
@@ -698,24 +700,19 @@ object ExprRegistry {
         require(k > 0, "'rolling_mean' requires a positive 'window_size' kwarg")
         val x = c(kw)
         if (k == 1) RowWise(x.cast("double"))
-        else FrameLevel((df, out) => OrderedAtScale.globalRolling(df, out, x, ord, desc, k,
+        // batchable raw-frame form (round 19, the rollingDecomposable
+        // note): boundary = exact (sum, count) over the raw frame values
+        // then one divide — the same arithmetic the old dedicated
+        // tail-exchange boundary produced
+        else GlobalRollingFrame(ord, desc, k, x,
           w => avg(x).over(w.rowsBetween(-(k.toLong - 1), Window.currentRow)),
-          w => struct(
-            sum(x).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"),
-            count(x).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("n")),
-          a => {
-            val xs = filter(transform(a, _.getField("x")), v => v.isNotNull)
-            struct(
-              aggregate(xs, when(lit(false), element_at(xs, 1)),
-                (acc, v) => coalesce(acc + v, acc, v)).as("s"),
-              size(xs).cast("long").as("n"))
-          },
-          (t, r) => {
-            val ts = coalesce(t.getField("s") + r.getField("s"),
-              t.getField("s"), r.getField("s"))
-            val tn = coalesce(t.getField("n"), lit(0L)) + r.getField("n")
-            when(tn > 0L, ts.cast("double") / tn.cast("double"))
-          }))
+          xs0 => {
+            val xs = filter(xs0, v => v.isNotNull)
+            val s = aggregate(xs, when(lit(false), element_at(xs, 1)),
+              (acc, v) => coalesce(acc + v, acc, v))
+            val n = size(xs).cast("long")
+            when(n > 0L, s.cast("double") / n.cast("double"))
+          })
       }
     },
     "rolling_sum" -> rollingDecomposable("rolling_sum", sum,

@@ -67,8 +67,24 @@ object OrderedAtScale {
     * span buckets (range partitioning is a function of the key alone),
     * so per-bucket tie order composes into a global total order. */
   private val TieCol = "__go_tb"
-  private def tieExpr(orderBy: Seq[String], values: Seq[Column]): Column =
-    xxhash64((orderBy.map(col) ++ values): _*)
+  private def tieExpr(orderBy: Seq[String], values: Seq[Column]): Column = {
+    // semantically-equal value exprs hash ONCE (round 19): a batch of
+    // several fns over the SAME column (q164's rolling_sum + rolling_max
+    // on n_chars, the tie-safety spec's sum+std on v) keeps the
+    // per-function tie contract `xxhash64(orderKeys, value)` — without the
+    // dedup, batching changed the hash (value repeated per part) and the
+    // tie ORDER under non-unique keys silently depended on how many
+    // same-column fns happened to share the level
+    // Column/expression equality is unusable for this (Spark 4 wraps every
+    // Column in a ColumnNodeExpression whose Origin embeds the creation
+    // stack trace, so two col("v") calls never compare equal, canonicalized
+    // or not) — the textual form is stable and a false NEGATIVE only hashes
+    // a value twice, which is the pre-dedup behavior
+    val distinctVals = values.foldLeft(Vector.empty[Column]) { (acc, v) =>
+      if (acc.exists(_.toString == v.toString)) acc else acc :+ v
+    }
+    xxhash64((orderBy.map(col) ++ distinctVals): _*)
+  }
   private val TotalCol = "__go_total"
   private val WithinCol = "__go_within"
 
@@ -138,7 +154,7 @@ object OrderedAtScale {
     * sampled once, driver-side, per level), assigned BEFORE any exchange;
     * the single `repartition(p, bucket)` hash exchange then moves the data
     * once, and [[org.apache.spark.sql.graftbridge.PlanBarrier
-    * .freezeKeepLayout]] pins both the shuffle (map outputs shared by
+    * .freezeHashClustered]] pins both the shuffle (map outputs shared by
     * every consumer job, the same sharing the old freeze provided) AND its
     * `HashPartitioning(bucket, p)`, so the totals aggregation, the prefix
     * re-aggregation, and the within-bucket window all run with ZERO
@@ -341,93 +357,6 @@ object OrderedAtScale {
       .drop(BucketCol, TieCol, "__go_lg", "__go_rn", "__go_rne", PrefixCol)
   }
 
-  /** Global ROLLING window over the last `k` rows (no `partition_by`) —
-    * the tail-exchange decomposition extended from [[globalShift]]:
-    * interior rows (within-bucket row number ≥ k) take the plain
-    * within-bucket rolling aggregate; the first k−1 rows of each bucket
-    * recompose their frame as (a slice of the prior buckets' exported
-    * (k−1)-row tails) merged with their own within-bucket RUNNING
-    * aggregate — decomposable aggregates only (sum/min/max/count, mean
-    * via a (sum, count) pair). Per-bucket exported state is O(k), never
-    * a whole-bucket collect.
-    *
-    * Float caveat (same as the cum_* prefix adds): the boundary merge
-    * associates (tail-partial + running-partial), not strictly
-    * left-to-right — exact for integers and min/max, last-ulp for double
-    * sums.
-    *
-    * @param x          the value column (rides the exported tail structs
-    *                   as field "x")
-    * @param rollingAgg the aggregate over `w.rowsBetween(-(k-1), 0)`
-    * @param runningAgg the SAME aggregate over
-    *                   `w.rowsBetween(unboundedPreceding, 0)`
-    * @param tailAgg    the aggregate over an array of tail structs
-    *                   (read `getField("x")`); null on empty/all-null
-    * @param merge      (tailPartial, runningPartial) → boundary value */
-  def globalRolling(
-      df: DataFrame,
-      outName: String,
-      x: Column,
-      orderBy: Seq[String],
-      desc: Boolean,
-      k: Int,
-      rollingAgg: WindowSpec => Column,
-      runningAgg: WindowSpec => Column,
-      tailAgg: Column => Column,
-      merge: (Column, Column) => Column
-  ): DataFrame = {
-    require(k >= 2, s"globalRolling window_size must be >= 2, got $k (1 is the row itself)")
-    val shadows = Seq(BucketCol, TotCol, PriorBucketCol, PriorTotCol, PrefixCol, TieCol,
-      "__go_roll", "__go_run", "__go_rn", "__go_rne")
-    shadows.find(df.columns.contains).foreach(c0 =>
-      throw new IllegalArgumentException(
-        s"global rolling: input frame already has internal shadow column '$c0' — rename it first"))
-    val n = k - 1
-    val ordCols = orderBy.map(nm => if (desc) col(nm).desc else col(nm).asc)
-    val revCols = orderBy.map(nm => if (desc) col(nm).asc else col(nm).desc)
-    // single-exchange key-derived bucketing (round 19, see [[bucketize]])
-    val bucketed = bucketize(df, orderBy, desc, Seq(x))
-      .withColumn(TieCol, tieExpr(orderBy, Seq(x)))
-    val ordTie = ordCols :+ (if (desc) col(TieCol).desc else col(TieCol).asc)
-    val revTie = revCols :+ (if (desc) col(TieCol).asc else col(TieCol).desc)
-    val w = Window.partitionBy(col(BucketCol)).orderBy(ordTie: _*)
-    val wRev = Window.partitionBy(col(BucketCol)).orderBy(revTie: _*)
-    val staged = bucketed
-      .withColumn("__go_roll", rollingAgg(w))
-      .withColumn("__go_run", runningAgg(w))
-      .withColumn("__go_rn", row_number().over(w))
-      .withColumn("__go_rne", row_number().over(wRev))
-    val tailStruct = struct(
-      (orderBy.zipWithIndex.map { case (o, i) => col(o).as(s"o$i") } ++
-        Seq(col(TieCol).as("tb"), x.as("x"))): _*)
-    val tails = staged.filter(col("__go_rne") <= n)
-      .groupBy(col(BucketCol)).agg(collect_list(tailStruct).as(TotCol))
-    def lastN(a: Column): Column = {
-      val s = sort_array(a, asc = !desc)
-      when(size(s) > n, slice(s, -n, n)).otherwise(s)
-    }
-    val prefixTails = tails
-      .join(
-        broadcast(tails.select(
-          col(BucketCol).as(PriorBucketCol), col(TotCol).as(PriorTotCol))),
-        col(PriorBucketCol) < col(BucketCol), "left")
-      .groupBy(col(BucketCol))
-      .agg(lastN(flatten(collect_list(col(PriorTotCol)))).as(PrefixCol))
-      .select(col(BucketCol), col(PrefixCol))
-    val rn = col("__go_rn").cast("long")
-    val p = col(PrefixCol)
-    // frame for boundary row rn: the last (k - rn) prior elements (fewer
-    // when history is shorter) + the row's own running prefix
-    val want = lit(k.toLong) - rn
-    val start = greatest(lit(1), size(p) - want.cast("int") + 1)
-    val cnt = least(size(p).cast("long"), want).cast("int")
-    val tailSlice = when(p.isNotNull && cnt > 0, slice(p, start, cnt))
-    val boundary = merge(tailAgg(tailSlice), col("__go_run"))
-    staged
-      .join(broadcast(prefixTails), Seq(BucketCol), "left")
-      .withColumn(outName, when(rn >= k.toLong, col("__go_roll")).otherwise(boundary))
-      .drop(BucketCol, TieCol, "__go_roll", "__go_run", "__go_rn", "__go_rne", PrefixCol)
-  }
 
   /** Global ROLLING window over the last `k` rows for a NON-decomposable
     * aggregate (the moment/percentile family) — the raw-value head+tail

@@ -65,9 +65,17 @@ object Dedup {
   /** MinHash signature columns `mh0..mh{numHashes-1}` per document:
     * mh_i = MIN over shingles of md5(i || '|' || shingle).
     *
-    * One explode + one groupBy(doc) with numHashes min-aggregates —
-    * map-side partial aggregation keeps the shuffle proportional to
-    * #docs × numHashes, independent of document length.
+    * ONE PROJECTION (round 19): each document's signature is a pure
+    * function of its own shingle set, so `array_min(transform(shingles,
+    * md5(...)))` computes it in place — no explode (corpus ×
+    * shingles-per-doc rows), no groupBy shuffle, and the scan's column
+    * pruning survives. The md5 work is identical to the exploded form's
+    * (numHashes digests per distinct shingle) and the VALUES are
+    * identical by construction: `array_min` over string md5s uses the
+    * same binary ordering as the old `min` aggregate, and docs with no
+    * shingles (empty/null text) are filtered out exactly as `explode`
+    * dropped them (OperatorsSpec pins signatures on a fixture; every LSH
+    * query's oracle replays these exact digests).
     */
   def minHashSignatures(
       df: DataFrame,
@@ -76,10 +84,13 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 8
   ): DataFrame = {
-    val exploded = shingleRows(df, idCol, textCol, shingleK)
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sh = array_distinct(
+      shingles(TextAnalysis.tokens(col(textCol)), shingleK))
+    df.select(col(idCol), sh.as("__mh_sh"))
+      .filter(size(col("__mh_sh")) > 0)
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        array_min(transform(col("__mh_sh"),
+          s => md5(concat(lit(s"$i|"), s)))).as(s"mh$i")): _*)
   }
 
   /** (id, band, digest) LSH bucket membership rows — the shared candidate
@@ -450,12 +461,22 @@ object Dedup {
       // each node proposes min(own label, neighbors' labels) ...
       // re-alias (fresh exprIds): unioning a checkpointed frame with a
       // derivation of itself otherwise shares attribute ids across union
-      // children and trips constraint rewriting
+      // children and trips constraint rewriting.
+      // The node's PREVIOUS label rides along as `old` (labels' union
+      // branch carries it, the neighbor branch contributes null, max
+      // ignores nulls — every node has exactly one labels row), so the
+      // end-of-round convergence count is a plain filter over the
+      // freshly checkpointed rows instead of a join-with-shuffle back to
+      // the previous labels frame — one fewer distributed join per
+      // driver round (round 19; the round count itself is unchanged).
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("label").as("label"))
-      val minNeighbor = labels.unionByName(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("a").as("node"), col("label").as("label"),
+          lit(null).cast(labels.schema("label").dataType).as("old"))
+      val minNeighbor = labels
+        .select(col("node"), col("label"), col("label").as("old"))
+        .unionByName(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"), max("old").as("old"))
       // ... then POINTER-JUMPS to its label's own label: every label is a
       // node id, so one extra self-join doubles the propagation distance
       // per round — O(log diameter) rounds instead of O(diameter), which
@@ -472,20 +493,21 @@ object Dedup {
         val jumped = cur.as("x")
           .join(cur.select(col("node").as("label"), col("label").as("jumped")),
             Seq("label"))
-          .select(col("node"), col("jumped").as("label"))
+          .select(col("node"), col("jumped").as("label"), col("x.old").as("old"))
         cur = jumped
         h += 1
       }
       val (next, nextRdd) = snapshot(cur)
       hopCaches.foreach(_.unpersist(blocking = false))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
+      // `old` was carried through the round, so convergence is a filter
+      // over the rows the snapshot just materialized — no join
+      val changed = next.filter(col("label") < col("old")).count()
       // the superseded round's checkpoint blocks AND files are dead once
       // `changed` has consumed them — free deterministically, don't wait
       // for GC (reliable checkpoint files are never cleaned by Spark)
       labelsRdd.unpersist(blocking = false)
       deleteCheckpointFiles(labelsRdd)
-      labels = next
+      labels = next.select("node", "label") // shed the round-local `old`
       labelsRdd = nextRdd
       converged = changed == 0
       i += 1

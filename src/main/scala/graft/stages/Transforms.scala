@@ -206,17 +206,31 @@ object Transforms {
           refs(spec.combine(col("__go_probe_p"), col("__go_probe_t"), col("__go_probe_v"))) ++
           spec.orderBy) -- dummies - graft.expr.OrderedAtScale.priorBucketName
       }
-      def flush(acc: DataFrame, pending: Seq[(String, Column)]): DataFrame =
+      // a pending whole-frame entry: plain aggregate-broadcast (rowFn =
+      // None) or agg-then-row (Some(rowFn) — the 1-row agg result lands
+      // under a temp name the row-wise post-expression consumes, qcut's
+      // breakpoints → bin label). Round 19: BOTH share one distributed agg
+      // pass — consecutive AggThenRow entries (q107's two qcuts) used to
+      // flush one agg job each.
+      type Pending = Seq[(String, Column, Option[Column => Column])]
+      def flush(acc: DataFrame, pending: Pending): DataFrame =
         if (pending.isEmpty) acc
         else {
+          def tmp(n: String) = s"__agg_then_row_$n"
           val aggRow = acc.agg(
-            pending.head._2.as(pending.head._1),
-            pending.tail.map { case (n, a) => a.as(n) }: _*)
+            pending.head._2.as(pending.head._3.fold(pending.head._1)(_ => tmp(pending.head._1))),
+            pending.tail.map { case (n, a, rf) => a.as(rf.fold(n)(_ => tmp(n))) }: _*)
           // an aggregate derive may OVERWRITE an existing column (polars
           // with_columns semantics): aggregate over the pre-drop frame,
           // then drop the original so the join doesn't duplicate the name
-          val colliding = pending.map(_._1).filter(acc.columns.contains)
-          acc.drop(colliding: _*).crossJoin(broadcast(aggRow))
+          val colliding = pending.collect {
+            case (n, _, None) if acc.columns.contains(n) => n
+          }
+          val joined = acc.drop(colliding: _*).crossJoin(broadcast(aggRow))
+          pending.foldLeft(joined) {
+            case (a, (n, _, Some(rowFn))) => a.withColumn(n, rowFn(col(tmp(n)))).drop(tmp(n))
+            case (a, _) => a
+          }
         }
       // Chained decompositions re-analyze the whole accumulated tree and
       // grow optimizer cost ~3× per level (measured via ChainProbe); a
@@ -288,13 +302,14 @@ object Transforms {
           refs(r.boundary(col("__go_probe_a"), col("__go_probe_o"), col("__go_probe_v"))) +
           r.by) -- dummies
       }
-      def flushAll(acc: DataFrame, pending: Seq[(String, Column)], globals: Globals,
+      def flushAll(acc: DataFrame, pending: Pending, globals: Globals,
           rollings: Rollings, rollingsBy: RollingsBy): DataFrame =
         flushRollingsBy(
           flushRollings(flushGlobals(flush(acc, pending), globals), rollings), rollingsBy)
       val (lastAcc, lastPending, lastGlobals, lastRollings, lastRollingsBy) =
-        resolved.foldLeft((df, Seq.empty[(String, Column)], Seq.empty[(String,
-            graft.expr.OrderedAtScale.GlobalOrderedSpec)],
+        resolved.foldLeft((df,
+            Seq.empty[(String, Column, Option[Column => Column])],
+            Seq.empty[(String, graft.expr.OrderedAtScale.GlobalOrderedSpec)],
             Seq.empty[(String, ExprRegistry.GlobalRollingFrame)],
             Seq.empty[(String, ExprRegistry.GlobalRollingBy)])) {
           case ((acc, pending, globals, rollings, rollingsBy),
@@ -303,20 +318,26 @@ object Transforms {
               flushRollings(flushGlobals(acc, globals), rollings), rollingsBy)
             val pendingNames = pending.map(_._1).toSet
             if (refs(a).exists(pendingNames.contains))
-              (flush(acc1, pending), Seq(n -> a), Nil, Nil, Nil) // depends on the batch
-            else (acc1, pending :+ (n -> a), Nil, Nil, Nil)
+              (flush(acc1, pending), Seq((n, a, None)), Nil, Nil, Nil) // depends on the batch
+            else (acc1, pending :+ ((n, a, None)), Nil, Nil, Nil)
           case ((acc, pending, globals, rollings, rollingsBy), (n, ExprRegistry.RowWise(c))) =>
             (flushAll(acc, pending, globals, rollings, rollingsBy).withColumn(n, c),
               Nil, Nil, Nil, Nil)
           case ((acc, pending, globals, rollings, rollingsBy),
               (n, ExprRegistry.AggThenRow(a, rowFn))) =>
-            // agg pass + broadcast join like WholeFrameAgg, but the joined
-            // 1-row result lands under a temp name that the row-wise
-            // post-expression consumes (qcut: breakpoints -> bin label)
-            val flushed = flushAll(acc, pending, globals, rollings, rollingsBy)
-            val tmp = s"__agg_then_row_$n"
-            val joined = flushed.crossJoin(broadcast(flushed.agg(a.as(tmp))))
-            (joined.withColumn(n, rowFn(col(tmp))).drop(tmp), Nil, Nil, Nil, Nil)
+            // one agg pass + broadcast join shared with the WholeFrameAgg
+            // batch; the 1-row agg result lands under a temp name that the
+            // row-wise post-expression consumes (qcut: breakpoints -> bin
+            // label). The post-expression is row-wise over the joined
+            // frame, so its refs (the binned data column) count for the
+            // depends-on-the-batch check too.
+            val acc1 = flushRollingsBy(
+              flushRollings(flushGlobals(acc, globals), rollings), rollingsBy)
+            val pendingNames = pending.map(_._1).toSet
+            val atrRefs = refs(a) ++ (refs(rowFn(col("__atr_probe"))) - "__atr_probe")
+            if (atrRefs.exists(pendingNames.contains))
+              (flush(acc1, pending), Seq((n, a, Some(rowFn))), Nil, Nil, Nil)
+            else (acc1, pending :+ ((n, a, Some(rowFn))), Nil, Nil, Nil)
           case ((acc, pending, globals, rollings, rollingsBy),
               (n, ExprRegistry.GlobalOrdered(spec))) =>
             // global (no partition_by) ordered fn: range-bucketed two-level
