@@ -24,6 +24,10 @@ object Profile {
     for (name <- names; r <- 1 to reps) {
       val t0 = System.nanoTime()
       catalog(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // mirror Bench.timeQuery: operators may persist intermediates, and a
+      // warm rep that reuses them measures the cache, not the query
+      // (round 19: the LSH family read 5x fast here until this line)
+      spark.catalog.clearCache()
       println(f"$name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     if (sys.env.contains("GRAFT_EXPLAIN"))

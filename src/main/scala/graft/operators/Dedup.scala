@@ -65,18 +65,23 @@ object Dedup {
   /** MinHash signature columns `mh0..mh{numHashes-1}` per document:
     * mh_i = MIN over shingles of md5(i || '|' || shingle).
     *
-    * ONE PROJECTION (round 19): each document's signature is a pure
-    * function of its own shingle set, so `array_min(transform(shingles,
-    * md5(...)))` computes it in place — no explode (corpus ×
-    * shingles-per-doc rows), no groupBy shuffle, and the scan's column
-    * pruning survives. The md5 work is identical to the exploded form's
-    * (numHashes digests per distinct shingle) and the VALUES are
-    * identical by construction: `array_min` over string md5s uses the
-    * same binary ordering as the old `min` aggregate, and docs with no
-    * shingles (empty/null text) are filtered out exactly as `explode`
-    * dropped them (OperatorsSpec pins signatures on a fixture; every LSH
-    * query's oracle replays these exact digests).
-    */
+    * One explode + one groupBy(doc) with numHashes min-aggregates —
+    * map-side partial aggregation keeps the shuffle proportional to
+    * #docs × numHashes, independent of document length.
+    *
+    * Round-19 negative result, measured so it stays un-retried: a
+    * shuffle-free per-doc projection (`array_min(transform(shingles,
+    * md5(...)))` per hash index) computes the same values with ZERO
+    * exchanges — and is 2-5× SLOWER wall-clock at sf0.1 (n=8: 1.7 s
+    * exploded vs 9.3 s projected; n=64: 8.7 vs 18.2; the composed
+    * pipeline's 64-hash fuzzy_dedup regressed 15 s → 37 s before the
+    * revert). Higher-order functions are NOT whole-stage-codegen'd:
+    * every `transform` element evaluates the md5 expression tree
+    * interpreted, with per-element boxing, and the shingle array is
+    * re-walked once per hash index — while the exploded form runs every
+    * md5 inside one generated tight loop. The exchange the projection
+    * saves is the cheapest part of this stage (guide §1.2: the per-task
+    * work is the bottleneck here, not the shuffle). */
   def minHashSignatures(
       df: DataFrame,
       idCol: String,
@@ -84,13 +89,10 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 8
   ): DataFrame = {
-    val sh = array_distinct(
-      shingles(TextAnalysis.tokens(col(textCol)), shingleK))
-    df.select(col(idCol), sh.as("__mh_sh"))
-      .filter(size(col("__mh_sh")) > 0)
-      .select(col(idCol) +: (0 until numHashes).map(i =>
-        array_min(transform(col("__mh_sh"),
-          s => md5(concat(lit(s"$i|"), s)))).as(s"mh$i")): _*)
+    val exploded = shingleRows(df, idCol, textCol, shingleK)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** (id, band, digest) LSH bucket membership rows — the shared candidate
@@ -461,22 +463,12 @@ object Dedup {
       // each node proposes min(own label, neighbors' labels) ...
       // re-alias (fresh exprIds): unioning a checkpointed frame with a
       // derivation of itself otherwise shares attribute ids across union
-      // children and trips constraint rewriting.
-      // The node's PREVIOUS label rides along as `old` (labels' union
-      // branch carries it, the neighbor branch contributes null, max
-      // ignores nulls — every node has exactly one labels row), so the
-      // end-of-round convergence count is a plain filter over the
-      // freshly checkpointed rows instead of a join-with-shuffle back to
-      // the previous labels frame — one fewer distributed join per
-      // driver round (round 19; the round count itself is unchanged).
+      // children and trips constraint rewriting
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("label").as("label"),
-          lit(null).cast(labels.schema("label").dataType).as("old"))
-      val minNeighbor = labels
-        .select(col("node"), col("label"), col("label").as("old"))
-        .unionByName(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"), max("old").as("old"))
+        .select(col("a").as("node"), col("label").as("label"))
+      val minNeighbor = labels.unionByName(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
       // ... then POINTER-JUMPS to its label's own label: every label is a
       // node id, so one extra self-join doubles the propagation distance
       // per round — O(log diameter) rounds instead of O(diameter), which
@@ -493,21 +485,28 @@ object Dedup {
         val jumped = cur.as("x")
           .join(cur.select(col("node").as("label"), col("label").as("jumped")),
             Seq("label"))
-          .select(col("node"), col("jumped").as("label"), col("x.old").as("old"))
+          .select(col("node"), col("jumped").as("label"))
         cur = jumped
         h += 1
       }
       val (next, nextRdd) = snapshot(cur)
       hopCaches.foreach(_.unpersist(blocking = false))
-      // `old` was carried through the round, so convergence is a filter
-      // over the rows the snapshot just materialized — no join
-      val changed = next.filter(col("label") < col("old")).count()
+      // Round-19 negative result, measured so it stays un-retried:
+      // carrying each node's previous label THROUGH the round (union
+      // branch + hop self-joins + checkpoint) to replace this join with a
+      // plain filter over the snapshot read 10-19% SLOWER on q77/q123/
+      // q124 at sf0.1 — the extra column rides every corpus-of-nodes row
+      // through the round's heaviest operators to save one tiny-graph
+      // join. On a real cluster the saved per-round job latency may win;
+      // locally it does not, and the bench is the arbiter here.
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
       // the superseded round's checkpoint blocks AND files are dead once
       // `changed` has consumed them — free deterministically, don't wait
       // for GC (reliable checkpoint files are never cleaned by Spark)
       labelsRdd.unpersist(blocking = false)
       deleteCheckpointFiles(labelsRdd)
-      labels = next.select("node", "label") // shed the round-local `old`
+      labels = next
       labelsRdd = nextRdd
       converged = changed == 0
       i += 1
