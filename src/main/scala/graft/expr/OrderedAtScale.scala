@@ -139,6 +139,11 @@ object OrderedAtScale {
   private def partitionCount(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
+  private def refsOf(c: Column): Set[String] =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+    }.toSet
+
   /** Shared round-19 bucketing preamble — ONE full-data exchange where the
     * round-16 original paid two.
     *
@@ -168,12 +173,21 @@ object OrderedAtScale {
     *
     * @param sampleExtra value expressions mixed into the sampling hash so
     *        duplicate-heavy keys don't collapse the sample (the
-    *        [[tieExpr]] column set) */
+    *        [[tieExpr]] column set)
+    * @param sampleFrom  frame to draw the cut-point sample from INSTEAD of
+    *        `df` — sound whenever it holds the same key-tuple multiset
+    *        (the derive stage passes its ORIGINAL input: derive levels
+    *        only add columns, never add/drop/filter rows, so the key
+    *        distribution is identical — and sampling the base parquet
+    *        scan is column-pruned and cheap, where sampling a frozen
+    *        prior level re-executes that level's whole post-shuffle
+    *        stage once more per level) */
   private[graft] def bucketize(
       df: DataFrame,
       orderBy: Seq[String],
       desc: Boolean,
-      sampleExtra: Seq[Column]): DataFrame = {
+      sampleExtra: Seq[Column],
+      sampleFrom: Option[DataFrame] = None): DataFrame = {
     val b = bucketCount(df)
     val p = partitionCount(df)
     val keyCols = orderBy.map(col)
@@ -181,8 +195,14 @@ object OrderedAtScale {
     // smallest xxhash64(keys ++ values) — TakeOrdered, never a full sort;
     // ~20 sampled rows per bucket bounds the balance jitter
     val sampleSize = math.min(math.max(20 * b, 1000), 200000)
-    val sampled = df
-      .select((keyCols :+ xxhash64((keyCols ++ sampleExtra): _*).as("__go_h")): _*)
+    val sampleSrc = sampleFrom.getOrElse(df)
+    // hash extras that don't exist on the sample source are dropped: they
+    // only decorrelate duplicate keys in the sample, never affect values
+    val srcCols = sampleSrc.columns.toSet
+    val extras = sampleExtra.filter(c =>
+      refsOf(c).forall(srcCols.contains))
+    val sampled = sampleSrc
+      .select((keyCols :+ xxhash64((keyCols ++ extras): _*).as("__go_h")): _*)
       .orderBy(col("__go_h").asc)
       .limit(sampleSize)
       .drop("__go_h")
@@ -222,7 +242,8 @@ object OrderedAtScale {
     * the derive stage uses for consecutive same-order entries (12 naive
     * chained decompositions would be 12 range shuffles and ~3× optimizer
     * cost per level; batched they are one). */
-  def applyGlobalMulti(df: DataFrame, specs: Seq[(String, GlobalOrderedSpec)]): DataFrame = {
+  def applyGlobalMulti(df: DataFrame, specs: Seq[(String, GlobalOrderedSpec)],
+      sampleFrom: Option[DataFrame] = None): DataFrame = {
     require(specs.nonEmpty, "applyGlobalMulti needs at least one spec")
     val ord0 = specs.head._2.orderBy
     val desc0 = specs.head._2.desc
@@ -242,7 +263,7 @@ object OrderedAtScale {
     // bucket could not be recomputed consistently per consumer. The
     // key-derived bucket keeps that sharing (map outputs reused across
     // the consumer jobs) without the second shuffle.
-    val bucketed = bucketize(df, ord0, desc0, Nil)
+    val bucketed = bucketize(df, ord0, desc0, Nil, sampleFrom)
     val idx = specs.indices
     // 2. per-bucket totals (≤ b rows; map-side partial agg, tiny shuffle)
     val totAgg = idx.map(i => specs(i)._2.bucketAgg.as(s"${TotCol}_$i"))
@@ -411,7 +432,8 @@ object OrderedAtScale {
       orderBy: Seq[String],
       desc: Boolean,
       k: Int,
-      parts: Seq[(String, Column, WindowSpec => Column, Column => Column)]): DataFrame = {
+      parts: Seq[(String, Column, WindowSpec => Column, Column => Column)],
+      sampleFrom: Option[DataFrame] = None): DataFrame = {
     require(parts.nonEmpty, "globalRollingFrameMulti needs at least one part")
     require(k >= 2, s"globalRollingFrame window_size must be >= 2, got $k (1 is the row itself)")
     val HeadCol = "__go_head"
@@ -425,7 +447,7 @@ object OrderedAtScale {
     val ordCols = orderBy.map(nm => if (desc) col(nm).desc else col(nm).asc)
     val revCols = orderBy.map(nm => if (desc) col(nm).asc else col(nm).desc)
     // single-exchange key-derived bucketing (round 19, see [[bucketize]])
-    val bucketed = bucketize(df, orderBy, desc, parts.map(_._2))
+    val bucketed = bucketize(df, orderBy, desc, parts.map(_._2), sampleFrom)
       .withColumn(TieCol, tieExpr(orderBy, parts.map(_._2)))
     val ordTie = ordCols :+ (if (desc) col(TieCol).desc else col(TieCol).asc)
     val revTie = revCols :+ (if (desc) col(TieCol).asc else col(TieCol).desc)
@@ -561,7 +583,8 @@ object OrderedAtScale {
       closed: String,
       parts: Seq[(String, Column, WindowSpec => Column,
         OwnFrame, (Column, Column, Column) => Column)],
-      maxTailRows: Int = 1 << 20): DataFrame = {
+      maxTailRows: Int = 1 << 20,
+      sampleFrom: Option[DataFrame] = None): DataFrame = {
     require(parts.nonEmpty, "globalRollingByMulti needs at least one part")
     require(window > 0, s"globalRollingBy window must be positive, got $window")
     val withinCols = parts.indices.map(i => s"__go_within_$i")
@@ -582,7 +605,7 @@ object OrderedAtScale {
     }
     val byC = col(by)
     // single-exchange key-derived bucketing (round 19, see [[bucketize]])
-    val bucketed = bucketize(df, Seq(by), desc = false, parts.map(_._2))
+    val bucketed = bucketize(df, Seq(by), desc = false, parts.map(_._2), sampleFrom)
     val wBucket = Window.partitionBy(col(BucketCol))
     val wb = wBucket.orderBy(byC).rangeBetween(loOff, hiOff)
     val staged = parts.zipWithIndex

@@ -238,6 +238,15 @@ object Transforms {
       // decomposition never pays it, so single-decomposition plans keep
       // their pushdown/plan-pin shape.
       var decomps = 0
+      // Cut-point sampling source (round 19): when a level's order keys
+      // all exist on the ORIGINAL stage input, the bucketize sample runs
+      // against that (a column-pruned base scan) instead of the chained
+      // frozen accumulator — sampling the accumulator re-executes every
+      // prior level's post-shuffle stage once per level. Sound because
+      // derive levels only add columns (rows are never added, dropped or
+      // filtered), so the key-tuple multiset is identical on both frames.
+      def sampleSrc(keys: Seq[String]): Option[DataFrame] =
+        if (keys.forall(df.columns.contains)) Some(df) else None
       def flushGlobals(
           acc: DataFrame,
           globals: Seq[(String, graft.expr.OrderedAtScale.GlobalOrderedSpec)]): DataFrame =
@@ -246,7 +255,8 @@ object Transforms {
           val base =
             if (decomps == 0) acc else org.apache.spark.sql.graftbridge.PlanBarrier.freeze(acc)
           decomps += 1
-          graft.expr.OrderedAtScale.applyGlobalMulti(base, globals)
+          graft.expr.OrderedAtScale.applyGlobalMulti(base, globals,
+            sampleSrc(globals.head._2.orderBy))
         }
       type Globals = Seq[(String, graft.expr.OrderedAtScale.GlobalOrderedSpec)]
       type Rollings = Seq[(String, ExprRegistry.GlobalRollingFrame)]
@@ -268,7 +278,8 @@ object Transforms {
           decomps += 1
           val h = rollings.head._2
           graft.expr.OrderedAtScale.globalRollingFrameMulti(base, h.orderBy, h.desc, h.k,
-            rollings.map { case (n0, r) => (n0, r.x, r.rollingAgg, r.frameAgg) })
+            rollings.map { case (n0, r) => (n0, r.x, r.rollingAgg, r.frameAgg) },
+            sampleSrc(h.orderBy))
         }
       type RollingsBy = Seq[(String, ExprRegistry.GlobalRollingBy)]
       def flushRollingsBy(acc: DataFrame, rollingsBy: RollingsBy): DataFrame =
@@ -279,7 +290,8 @@ object Transforms {
           decomps += 1
           val h = rollingsBy.head._2
           graft.expr.OrderedAtScale.globalRollingByMulti(base, h.by, h.window, h.closed,
-            rollingsBy.map { case (n0, r) => (n0, r.x, r.rangeAgg, r.own, r.boundary) })
+            rollingsBy.map { case (n0, r) => (n0, r.x, r.rangeAgg, r.own, r.boundary) },
+            sampleFrom = sampleSrc(Seq(h.by)))
         }
       // input columns a GlobalRollingFrame reads (frameAgg probed with a
       // dummy array column, subtracted back out)
