@@ -827,8 +827,13 @@ object Curation {
     val tgtG = hashedGramBuckets(target, idCol, textCol, buckets)
     val rawC = rawG.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val tgtC = tgtG.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val totals = rawG.agg(count(lit(1)).as("nr"))
-      .crossJoin(tgtG.agg(count(lit(1)).as("nt")))
+    // corpus totals are the SUMS of the per-bucket counts — reading them
+    // off the ≤`buckets`-row count frames costs nothing, where the
+    // round-15 original re-ran the whole gram explode + md5 bucketing
+    // over each corpus just to count rows (round 19; one full raw pass
+    // and one full target pass removed, values exactly equal)
+    val totals = rawC.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+      .crossJoin(tgtC.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
     // buckets seen only in the target still get a row (full outer) so the
     // table is the complete model; raw grams can never hit a bucket
     // absent from rawC, so those rows are inert by construction
